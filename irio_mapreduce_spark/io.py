@@ -1,0 +1,131 @@
+"""Sources and sinks.
+
+The reference's data model is "directory of consecutively-numbered flat text
+files = dataset" (``storage/local/DistrStorage.java:137-189``, SURVEY.md §1.1).
+Here a dataset is a path readable by any Spark source (parquet/csv/json/text);
+file-level partitioning is Spark's input-split machinery, and the reference's
+``r_num`` (exactly-R output files, ``common/common.proto:22``) maps to
+``repartition(R)`` before write.
+
+Scale notes (100 TB):
+* readers take explicit schemas where known — schema inference is a full
+  extra scan at scale.
+* ``write_dataset(..., partition_by=...)`` produces hive-partitioned layouts
+  so downstream scans get partition pruning.
+* parquet is the default interchange format (columnar, predicate pushdown,
+  column pruning — all visible in ``.explain`` as PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-provided synthetic tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcast-join these (a few KB..MB even at
+# SF100k; nation/region are constant-size in TPC-H-style schemas).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. Footer-only check (no data read)."""
+    try:
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if str(f.type).startswith("timestamp[ns")
+    ]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Column pruning + filter pushdown are left to
+    Catalyst — callers select/filter on the returned frame.
+
+    Tables with nanosecond-precision parquet timestamps (``events.ts``) are
+    read via ``spark.sql.legacy.parquet.nanosAsLong`` and converted to
+    microsecond timestamps (matching DuckDB, which also reads parquet ns
+    timestamps at µs precision).
+    """
+    from pyspark.sql import functions as F
+
+    path = table_path(sf_dir, name)
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read several tables at once: ``t = load_tables(spark, d, "orders", ...)``."""
+    return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the synthetic tables as temp views for ``spark.sql`` use."""
+    for n in names or TABLES:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# Generic readers/writers (SURVEY.md §2.2 "Sources / sinks")
+# ---------------------------------------------------------------------------
+
+
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options) -> DataFrame:
+    """Scan ``path`` as parquet/csv/json/text (reference R1,
+    ``DistrStorage.java:137-155``)."""
+    reader = spark.read.format(fmt).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    num_files: int | None = None,
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Sink (reference R9, ``TaskManagerImpl.java:271-272``).
+
+    ``num_files`` reproduces the reference's exactly-``r_num``-output-files
+    contract (``common/common.proto:22``). ``partition_by`` is the scale path:
+    hive-partitioned output for downstream partition pruning.
+    """
+    if num_files is not None:
+        df = df.repartition(num_files)
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

@@ -1,0 +1,18 @@
+"""The declared, oracle-checked query catalog.
+
+Importing this package loads every query module, populating the registry in
+``catalog``. ``__spark_entry__.py`` (the driver contract) is a thin view over
+this registry.
+"""
+
+from irio_mapreduce_spark.queries.catalog import all_oracles, all_queries, register  # noqa: F401
+
+# Import for registration side effects — order defines catalog listing order.
+from irio_mapreduce_spark.queries import tpch  # noqa: E402,F401
+from irio_mapreduce_spark.queries import relational  # noqa: E402,F401
+from irio_mapreduce_spark.queries import functions_q  # noqa: E402,F401
+from irio_mapreduce_spark.queries import events_q  # noqa: E402,F401
+from irio_mapreduce_spark.queries import text_q  # noqa: E402,F401
+from irio_mapreduce_spark.queries import dedup_q  # noqa: E402,F401
+from irio_mapreduce_spark.queries import similarity_q  # noqa: E402,F401
+from irio_mapreduce_spark.queries import pipeline_q  # noqa: E402,F401

@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Replaces the reference's process topology (Client -> Master -> TaskManager ->
+Workers, SURVEY.md §0) with a single SparkSession: the Spark driver plays the
+Master+TaskManager roles (DAGScheduler = the reference's 3-phase orchestration,
+reference ``taskmanager/TaskManagerImpl.java:127-141``), executors play the
+Workers (``worker/WorkerImpl.java:30-133``).
+
+Fault-tolerance parity is config, not code (SURVEY.md §2.1 table):
+
+* retry cap            -> ``spark.task.maxFailures`` (reference MAX_ATTEMPT=3,
+                          ``TaskManagerImpl.java:42``)
+* speculation          -> ``spark.speculation`` (reference WORKER_TIMEOUT=600s,
+                          ``TaskManagerImpl.java:43``)
+* first-wins commit    -> Spark's output-commit coordination (reference
+                          ``DistrStorage.java:213-233``)
+
+Scale stance: these defaults are sized for the local[32] test harness; at
+cluster scale the same builder is used with ``master`` unset (taken from
+spark-submit), AQE handles runtime partition coalescing and skew-join
+splitting, and shuffle partitions should be ~2-3x total executor cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "irio_mapreduce_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    AQE is on so the physical plan adapts at runtime (partition coalescing,
+    skew-join splitting, dynamic broadcast) — the optimizer the reference
+    lacks entirely (SURVEY.md §4.1). Arrow is on so any pandas-UDF hop is
+    batch-vectorized rather than row-at-a-time.
+    """
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER_URL"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
