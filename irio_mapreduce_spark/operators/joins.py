@@ -1,0 +1,125 @@
+"""Join operators Spark lacks as built-ins: as-of and bucketed range join.
+
+The reference expresses *any* join as the classic reduce-side join — map tags
+rows with their source, partition on the join key (R4,
+``mr-bins/partition/partition.cpp:33-38``), reduce merges per key (R6) —
+see SURVEY.md §2.2 "Joins". Both operators here keep that single-shuffle
+shape instead of falling back to a broadcast-nested-loop plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Nearest-prior-event join: each left row picks the latest right row
+    with ``right_ts <= left_ts`` for the same ``on`` key.
+
+    Implementation is the union+window technique (SURVEY.md §2.2): tag both
+    sides, union, and carry the last non-null right values forward over a
+    window ordered by (ts, side). Cost = ONE shuffle on the key + a sort —
+    no per-row range probe, no nested-loop join, so it scales linearly in
+    rows regardless of time-range width. Ties (right_ts == left_ts) take the
+    right row (right sorts before left at equal ts); among equal-ts right
+    rows the last one wins, matching DuckDB ASOF JOIN's pick-one semantics
+    only when right (key, ts) is unique — callers needing determinism under
+    duplicate timestamps should pre-aggregate the right side.
+
+    ``tolerance``: optional max staleness (e.g. ``"7 days"``) — matches
+    farther in the past are nulled out, like pandas ``merge_asof`` tolerance.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(right_ts).alias("_rts"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "_side",
+        "_lrow",
+        F.col("_ts"),
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in value_cols],
+        F.last("_rts", ignorenulls=True).over(w).alias("_rts_m"),
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        stale = F.col("_rts_m") < F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            "_lrow",
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(f"_r_{c}")).alias(f"_r_{c}")
+                for c in value_cols
+            ],
+        )
+    return out.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str | Column,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    extra_on: list[str] | None = None,
+    point_inclusive: tuple[bool, bool] = (True, False),
+) -> DataFrame:
+    """Point-in-interval join: left rows whose ``left_point`` falls in
+    ``[right_lo, right_hi)`` (bounds configurable).
+
+    Naive Spark plans this as BroadcastNestedLoopJoin — O(|L|·|R|), which
+    dies at scale when the right side isn't tiny. This implementation
+    bucketizes: each right interval explodes to the ``bucket_width``-sized
+    buckets it overlaps, the join becomes an equi-join on bucket id (+ any
+    ``extra_on`` keys), then the exact predicate re-filters. One hash
+    shuffle; blow-up factor = avg interval width / bucket_width.
+    """
+    lp = F.col(left_point) if isinstance(left_point, str) else left_point
+    extra_on = extra_on or []
+    lo_op = F.col(right_lo) <= lp if point_inclusive[0] else F.col(right_lo) < lp
+    hi_op = lp <= F.col(right_hi) if point_inclusive[1] else lp < F.col(right_hi)
+
+    l_b = left.withColumn("_bucket", F.floor(lp / F.lit(bucket_width)).cast("long"))
+    r_b = right.withColumn(
+        "_buckets",
+        F.sequence(
+            F.floor(F.col(right_lo) / F.lit(bucket_width)).cast("long"),
+            F.floor(F.col(right_hi) / F.lit(bucket_width)).cast("long"),
+        ),
+    ).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
+    return (
+        l_b.join(r_b, on=["_bucket", *extra_on])
+        .filter(lo_op & hi_op)
+        .drop("_bucket")
+    )

@@ -1,1 +1,562 @@
-"""Placeholder — populated in this round."""
+"""Relational operator catalog: joins (all types incl. as-of / range), set
+ops, window functions, rollup/cube, sorts, subquery shapes (SURVEY.md §2.2).
+
+Each query is the declared, oracle-checked obligation for one operator
+family. All are classic MapReduce-expressible shapes (reference encoding
+noted in SURVEY.md §2.2 tables); here Catalyst chooses physical strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.io import load_tables, read_table
+from irio_mapreduce_spark.operators.joins import asof_join, range_join
+from irio_mapreduce_spark.operators.topk import top_k_per_group
+from irio_mapreduce_spark.queries.catalog import register
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_left_outer_nation_customers",
+    oracle="""
+    SELECT n.n_name, count(c.c_custkey) AS n_customers,
+           round(coalesce(sum(c.c_acctbal), 0), 2) AS total_acctbal
+    FROM nation n LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_left_outer_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping empty nations (count(col) skips nulls)."""
+    t = load_tables(spark, sf_dir, "nation", "customer")
+    return (
+        t["nation"]
+        .join(t["customer"], F.col("n_nationkey") == F.col("c_nationkey"), "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = EXISTS (reference: reduce-side join keeping tagged
+    matches only)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join = NOT EXISTS."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_full_outer_nation_activity",
+    oracle="""
+    WITH cust AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                  FROM customer GROUP BY c_nationkey),
+         supp AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+                  FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(cust.nk, supp.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_customers,
+           coalesce(n_supp, 0) AS n_suppliers
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+)
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (nations with only customers or
+    only suppliers survive on either side)."""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    cust = t["customer"].groupBy(F.col("c_nationkey").alias("cnk")).agg(
+        F.count("*").alias("n_cust")
+    )
+    supp = t["supplier"].groupBy(F.col("s_nationkey").alias("snk")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return (
+        cust.join(supp, cust.cnk == supp.snk, "full_outer")
+        .select(
+            F.coalesce("cnk", "snk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "join_cross_theta_acctbal",
+    oracle="""
+    SELECT r.r_name, t.tier, count(*) AS n_suppliers
+    FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      CROSS JOIN (VALUES ('low', -99999.0, 2000.0), ('mid', 2000.0, 6000.0),
+                         ('high', 6000.0, 99999.0)) AS t(tier, lo, hi)
+    WHERE s.s_acctbal >= t.lo AND s.s_acctbal < t.hi
+    GROUP BY r.r_name, t.tier
+    """,
+)
+def join_cross_theta_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join with a theta (non-equi) predicate — Spark plans
+    BroadcastNestedLoopJoin; fine because the tier table is 3 rows."""
+    t = load_tables(spark, sf_dir, "supplier", "nation", "region")
+    tiers = spark.createDataFrame(
+        [("low", -99999.0, 2000.0), ("mid", 2000.0, 6000.0), ("high", 6000.0, 99999.0)],
+        ["tier", "lo", "hi"],
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .crossJoin(F.broadcast(tiers))
+        .filter((F.col("s_acctbal") >= F.col("lo")) & (F.col("s_acctbal") < F.col("hi")))
+        .groupBy("r_name", "tier")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+@register(
+    "join_range_price_bands",
+    oracle="""
+    SELECT b.band, count(*) AS n_parts, round(avg(p.p_retailprice), 4) AS avg_price
+    FROM part p
+      JOIN (VALUES ('budget', 0.0, 500.0), ('standard', 500.0, 1200.0),
+                   ('premium', 1200.0, 2500.0)) AS b(band, lo, hi)
+        ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the bucketized range_join operator — the
+    scale path (equi-join on bucket id), not BNLJ (SURVEY.md §2.2 joins)."""
+    part = read_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("standard", 500.0, 1200.0), ("premium", 1200.0, 2500.0)],
+        ["band", "lo", "hi"],
+    )
+    joined = range_join(
+        part, bands, "p_retailprice", "lo", "hi", bucket_width=250.0
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+    )
+
+
+@register(
+    "join_asof_order_events",
+    oracle="""
+    SELECT o.o_orderkey,
+           e.event_id,
+           e.event_type
+    FROM (SELECT * FROM orders WHERE o_orderkey % 97 = 0) o
+      ASOF LEFT JOIN events e
+        ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    """,
+)
+def join_asof_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each order picks the user's latest event at or before the
+    order date (union + carry-forward window — one shuffle, SURVEY.md §2.2).
+    The filtered left side keeps the oracle's output compact."""
+    t = load_tables(spark, sf_dir, "orders", "events")
+    orders = t["orders"].filter(F.col("o_orderkey") % 97 == 0)
+    events = t["events"].withColumnRenamed("user_id", "o_custkey")
+    joined = asof_join(
+        orders,
+        events,
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        value_cols=["event_id", "event_type"],
+    )
+    return joined.select("o_orderkey", "event_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setops_customer_keys",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         rich   AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+         u AS (SELECT k FROM buyers UNION SELECT k FROM rich),
+         i AS (SELECT k FROM buyers INTERSECT SELECT k FROM rich),
+         e AS (SELECT k FROM rich EXCEPT SELECT k FROM buyers)
+    SELECT (SELECT count(*) FROM u) AS n_union,
+           (SELECT count(*) FROM i) AS n_intersect,
+           (SELECT count(*) FROM e) AS n_except
+    """,
+)
+def setops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct set semantics)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    buyers = t["orders"].select(F.col("o_custkey").alias("k")).distinct()
+    rich = t["customer"].filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("k")
+    )
+    u = buyers.union(rich).distinct().count()
+    i = buyers.intersect(rich).count()
+    e = rich.exceptAll(rich.intersect(buyers)).count()
+    return spark.createDataFrame(
+        [(u, i, e)], "n_union bigint, n_intersect bigint, n_except bigint"
+    )
+
+
+@register(
+    "setops_multiset_priorities",
+    oracle="""
+    WITH hi AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+         lo AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW')
+    SELECT k, count(*) AS cnt
+    FROM (SELECT k FROM hi INTERSECT ALL SELECT k FROM lo)
+    GROUP BY k
+    ORDER BY cnt DESC, k
+    LIMIT 25
+    """,
+)
+def setops_multiset_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics) — customers with both urgent and low
+    priority orders, multiplicity = min of the two counts."""
+    o = read_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    lo = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("k")
+    )
+    return (
+        hi.intersectAll(lo)
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("k"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number (deterministic: orderkey tie-break)."""
+    o = read_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+        keep_rank=True,
+    ).select("o_custkey", "o_orderkey", "rn")
+
+
+@register(
+    "window_rank_functions",
+    oracle="""
+    SELECT o_orderkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM orders
+    WHERE o_orderkey % 37 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking family over one window."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "window_running_and_moving",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
+    FROM orders
+    WHERE o_custkey % 53 = 0
+    """,
+)
+def window_running_and_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frames: running sum + 3-row moving average (rowsBetween)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 53 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias(
+            "moving_avg_3"
+        ),
+    )
+
+
+@register(
+    "window_lag_lead_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_since_prev,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    WHERE o_custkey % 53 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic family: lag / first / last over full-partition frame."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 53 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube / pivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag, l_linestatus) AS gid,
+           count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id (hierarchical superaggregates)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
+    )
+
+
+@register(
+    "agg_cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag, l_linestatus) AS gid,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("cnt"))
+        .select("l_returnflag", "l_linestatus", "gid", "cnt")
+    )
+
+
+@register(
+    "agg_pivot_status_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_O,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list — never leave pivot values to a discovery
+    scan at scale)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return p.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+@register(
+    "agg_percentiles_collect",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — matches quantile_cont) and
+    collect_set rendered as a canonical sorted string."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+    )
+
+
+@register("agg_approx_distinct")  # approximate by design -> rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts — approximate, so no value oracle;
+    tests/test_operators.py bounds the relative error vs exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subquery shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subq_above_average_spenders",
+    oracle="""
+    WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+                   FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, total
+    FROM spend
+    WHERE total > (SELECT 1.5 * avg(total) FROM spend)
+    """,
+)
+def subq_above_average_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers spending >1.5x the mean customer spend.
+    The scalar aggregate is broadcast (a 1-row cross join), not recomputed
+    per row."""
+    o = read_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    threshold = spend.agg((F.avg("total") * 1.5).alias("thr"))
+    return (
+        spend.crossJoin(F.broadcast(threshold))
+        .filter(F.col("total") > F.col("thr"))
+        .select("o_custkey", "total")
+    )
+
+
+@register(
+    "subq_orders_vs_customer_avg",
+    oracle="""
+    SELECT o_orderkey FROM (
+      SELECT o_orderkey, o_totalprice,
+             avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
+      FROM orders)
+    WHERE o_totalprice > 2 * cavg
+    """,
+)
+def subq_orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (order above 2x its customer's average),
+    decorrelated as a window aggregate — one shuffle instead of a
+    per-customer re-scan."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cavg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 2 * F.col("cavg"))
+        .select("o_orderkey")
+    )
+
+
+@register(
+    "distinct_part_brand_type",
+    oracle="SELECT DISTINCT p_brand, p_type FROM part",
+)
+def distinct_part_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = the reference's map-emit-(row,1) / reduce-first-per-key
+    encoding (SURVEY.md §2.2); Spark plans it as a hash aggregate."""
+    return read_table(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
