@@ -76,10 +76,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
         return spark.read.parquet(path)
+    # Session-wide side effect, also set at session build (session.py): the
+    # conf must hold at *execution* time of this lazy plan, so it cannot be
+    # save/restored here. Documented contract: this engine always reads
+    # parquet ns-timestamps as long + explicit µs conversion.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+        # Integer division, NOT (col/1000).cast: epoch-ns (~1.7e18) exceeds
+        # 2^53, so double division rounds ~12% of values to the wrong µs,
+        # diverging from DuckDB's integer truncation.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -24,12 +24,18 @@ def salted_agg(
 ) -> DataFrame:
     """Two-phase skew-resistant aggregation.
 
-    Phase 1 groups by ``(keys..., salt)`` where salt = random-ish int from a
-    hash of the whole row via ``spark_partition_id`` + monotonic id — spreading
-    a hot key over ``n_salts`` reducers; phase 2 re-groups by ``keys`` to
-    merge the partials. ``partial_aggs`` run in phase 1 and must be
-    decomposable (sum/count/min/max/...); ``final_aggs`` merge them by the
-    phase-1 output column names.
+    Phase 1 groups by ``(keys..., salt)``, spreading a hot key over up to
+    ``n_salts`` reducers; phase 2 re-groups by ``keys`` to merge the
+    partials. ``partial_aggs`` run in phase 1 and must be decomposable
+    (sum/count/min/max/...); ``final_aggs`` merge them by the phase-1 output
+    column names.
+
+    The salt is ``spark_partition_id() % n_salts`` — deterministic under
+    task retry and speculation (a re-executed task keeps its partition
+    index), unlike ``monotonically_increasing_id``/``rand`` which can
+    re-salt rows differently mid-retry and lose or duplicate partials
+    (SPARK-23207-style). A hot key is spread across however many input
+    partitions it occupies, which is exactly the parallelism available.
 
     Example::
 
@@ -38,7 +44,7 @@ def salted_agg(
                    [F.sum("s").alias("sum_qty"), F.sum("c").alias("cnt")])
     """
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        "_salt", F.pmod(F.spark_partition_id().cast("long"), F.lit(n_salts))
     )
     phase1 = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
     return phase1.groupBy(*keys).agg(*final_aggs)

@@ -41,21 +41,26 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    # The matched right row travels as ONE struct so the carry-forward is
+    # atomic: per-column last(ignorenulls) would mix columns from different
+    # right rows whenever a right value column is nullable.
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_lrow"),
+        F.struct(
+            F.col(right_ts).alias("_rts"), *[F.col(c) for c in value_cols]
+        ).alias("_rvals"),
+    )
     l_tag = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
-    )
-    r_tag = right.select(
-        F.col(on).alias("_k"),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(right_ts).alias("_rts"),
+        F.lit(None).cast(r_tag.schema["_rvals"].dataType).alias("_rvals"),
     )
     w = (
         Window.partitionBy("_k")
@@ -66,22 +71,17 @@ def asof_join(
         "_side",
         "_lrow",
         F.col("_ts"),
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in value_cols],
-        F.last("_rts", ignorenulls=True).over(w).alias("_rts_m"),
+        F.last("_rvals", ignorenulls=True).over(w).alias("_rvals_m"),
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance is not None:
-        stale = F.col("_rts_m") < F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
-        out = out.select(
-            "_lrow",
-            *[
-                F.when(stale, F.lit(None)).otherwise(F.col(f"_r_{c}")).alias(f"_r_{c}")
-                for c in value_cols
-            ],
+        stale = F.col("_rvals_m._rts") < F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        out = out.withColumn(
+            "_rvals_m", F.when(stale, F.lit(None)).otherwise(F.col("_rvals_m"))
         )
     return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+        *[F.col(f"_rvals_m.{c}").alias(c) for c in value_cols],
     )
 
 

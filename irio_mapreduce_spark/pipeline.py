@@ -89,7 +89,13 @@ def _map_phase(spark: SparkSession, spec: BatchSpec) -> DataFrame:
 
 def submit_batch(spark: SparkSession, spec: BatchSpec) -> DataFrame:
     """Execute a Batch; returns the result DataFrame (also written to
-    ``dest_path`` as exactly ``r_num`` files when a dest is given)."""
+    ``dest_path`` as exactly ``r_num`` files when a dest is given).
+
+    ``r_num`` is a *sink* contract (exactly-R output files,
+    ``common.proto:22``) — it adds an exchange only on the write path. The
+    returned DataFrame is left at Catalyst's chosen partitioning so that a
+    dest-less batch pays exactly one shuffle (the group-by exchange), not two.
+    """
     df = _map_phase(spark, spec)
 
     if spec.partition_key is not None:
@@ -103,29 +109,36 @@ def submit_batch(spark: SparkSession, spec: BatchSpec) -> DataFrame:
             # map-side partial aggregate — strictly less shuffle traffic than
             # the reference's shuffle-everything model.
             df = df.groupBy(key).agg(*spec.reduce_agg)
-            if spec.r_num:
-                df = df.repartition(spec.r_num, key)
         elif spec.reduce_mode == "partition":
-            # Faithful reduce: one co-located partition per reducer, the
-            # whole partition streamed through the callable in Arrow batches.
-            df = df.repartition(spec.r_num, key)
+            # Faithful reduce: the callable sees every record of its keys
+            # together (the reference contract, README.md:41-42), one Arrow
+            # frame per KEY GROUP via applyInPandas. The unit is a key group
+            # rather than a whole hash partition: strictly finer co-location,
+            # and a skewed partition can no longer OOM one reducer buffering
+            # pd.concat of the entire partition.
+            def _one_arg(fn: PartitionReduceFn):
+                # applyInPandas dispatches on arity: a 2-parameter function
+                # would be called as (key, pdf), so wrap to exactly one arg.
+                def run(pdf):
+                    return fn(pdf)
+
+                return run
+
             for fn in spec.reduce_fns:
                 out_schema = spec.reduce_schema or df.schema
-
-                def run(batches: Iterator, _fn=fn) -> Iterator:
-                    import pandas as pd
-
-                    pdf = pd.concat(list(batches), ignore_index=True)
-                    yield _fn(pdf)
-
-                df = df.mapInPandas(run, schema=out_schema)
+                df = df.groupBy(key).applyInPandas(_one_arg(fn), schema=out_schema)
         else:
             raise ValueError(f"unknown reduce_mode: {spec.reduce_mode}")
-    elif spec.r_num:
-        df = df.repartition(spec.r_num)
 
     if spec.dest_path:
-        df.write.format(spec.dest_format).mode("overwrite").save(spec.dest_path)
+        out = df
+        if spec.r_num:
+            out = (
+                df.repartition(spec.r_num, key)
+                if spec.partition_key is not None
+                else df.repartition(spec.r_num)
+            )
+        out.write.format(spec.dest_format).mode("overwrite").save(spec.dest_path)
     return df
 
 

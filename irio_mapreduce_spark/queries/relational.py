@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.io import load_tables, read_table
+from irio_mapreduce_spark.operators.aggregates import salted_agg
 from irio_mapreduce_spark.operators.joins import asof_join, range_join
 from irio_mapreduce_spark.operators.topk import top_k_per_group
 from irio_mapreduce_spark.queries.catalog import register
@@ -189,17 +190,30 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
            e.event_id,
            e.event_type
     FROM (SELECT * FROM orders WHERE o_orderkey % 97 = 0) o
-      ASOF LEFT JOIN events e
+      ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id,
+                             max_by(event_type, event_id) AS event_type
+                      FROM events GROUP BY user_id, ts) e
         ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
     """,
 )
 def join_asof_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each order picks the user's latest event at or before the
     order date (union + carry-forward window — one shuffle, SURVEY.md §2.2).
-    The filtered left side keeps the oracle's output compact."""
+    The filtered left side keeps the oracle's output compact. Events are
+    pre-aggregated to one row per (user_id, ts) — max event_id wins — so the
+    checked query is deterministic under duplicate timestamps (both engines
+    otherwise pick an arbitrary row)."""
     t = load_tables(spark, sf_dir, "orders", "events")
     orders = t["orders"].filter(F.col("o_orderkey") % 97 == 0)
-    events = t["events"].withColumnRenamed("user_id", "o_custkey")
+    events = (
+        t["events"]
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("event_type", "event_id").alias("event_type"),
+        )
+        .withColumnRenamed("user_id", "o_custkey")
+    )
     joined = asof_join(
         orders,
         events,
@@ -230,17 +244,29 @@ def join_asof_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION / INTERSECT / EXCEPT (distinct set semantics)."""
+    """UNION / INTERSECT / EXCEPT (distinct set semantics) as ONE declarative
+    plan: tag each leg, merge tags per key (a single shuffle), then one
+    global agg of conditional counts. No driver-side action, and each input
+    is scanned exactly once — the r1 version ran three separate jobs that
+    each recomputed the orders distinct."""
     t = load_tables(spark, sf_dir, "customer", "orders")
-    buyers = t["orders"].select(F.col("o_custkey").alias("k")).distinct()
-    rich = t["customer"].filter(F.col("c_acctbal") > 5000).select(
-        F.col("c_custkey").alias("k")
+    buyers = t["orders"].select(
+        F.col("o_custkey").alias("k"), F.lit(1).alias("in_b"), F.lit(0).alias("in_r")
     )
-    u = buyers.union(rich).distinct().count()
-    i = buyers.intersect(rich).count()
-    e = rich.exceptAll(rich.intersect(buyers)).count()
-    return spark.createDataFrame(
-        [(u, i, e)], "n_union bigint, n_intersect bigint, n_except bigint"
+    rich = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"), F.lit(0).alias("in_b"), F.lit(1).alias("in_r"))
+    )
+    tagged = (
+        buyers.unionByName(rich)
+        .groupBy("k")
+        .agg(F.max("in_b").alias("b"), F.max("in_r").alias("r"))
+    )
+    return tagged.agg(
+        F.count("*").alias("n_union"),
+        F.sum(((F.col("b") == 1) & (F.col("r") == 1)).cast("long")).alias("n_intersect"),
+        F.sum(((F.col("b") == 0) & (F.col("r") == 1)).cast("long")).alias("n_except"),
     )
 
 
@@ -503,6 +529,27 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Subquery shapes
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_salted_skew_sum",
+    oracle="""
+    SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/aggregates.salted_agg): the
+    skew-resistant scale path for hot keys — l_returnflag has only 3 values,
+    i.e. maximal key skew, so phase 1 spreads each over the input partitions
+    and phase 2 merges 3 x n_partitions tiny partials."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        [F.sum("l_quantity").alias("s"), F.count("*").alias("c")],
+        [F.round(F.sum("s"), 2).alias("sum_qty"), F.sum("c").alias("cnt")],
+    )
 
 
 @register(

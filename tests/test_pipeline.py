@@ -64,12 +64,13 @@ def test_wordcount_dataframe_mode(spark, corpus_dir, tmp_path):
 
 
 def test_wordcount_key_colocation(spark, corpus_dir):
-    """Reference README.md:41-42: all values of a key meet in one partition."""
+    """Reference README.md:41-42: all values of a key meet in one partition.
+    (Exactly-R partitioning is a sink contract — asserted via file count in
+    test_wordcount_dataframe_mode — so here only co-location is checked.)"""
     df = wordcount_df(spark, corpus_dir, r_num=3)
     with_pid = df.withColumn("pid", F.spark_partition_id())
     per_key = with_pid.groupBy("word").agg(F.countDistinct("pid").alias("n"))
     assert per_key.filter(F.col("n") > 1).count() == 0
-    assert with_pid.select("pid").distinct().count() <= 3
 
 
 def test_wordcount_pipe_mode(spark, corpus_dir, tmp_path):
