@@ -1,0 +1,311 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB (the north star): nothing here ever forms the all-pairs
+product of the corpus. Candidate generation is always a *bucketed equi-join*
+(LSH band buckets, shared rare shingles, SimHash byte bands), so the shuffle
+key-space is bounded and AQE's skew handling applies. Signatures are computed
+with higher-order array functions — per-row, JVM-side, zero shuffle.
+
+The reference has no analog (it is a generic MapReduce runtime); these are
+the compositions SURVEY.md §2.2 "LLM-data-pipeline operators" declares.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens(text_col: str | Column, lowercase: bool = True) -> Column:
+    """Whitespace tokens of a text column (empty strings removed)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def shingles(token_col: Column, n: int = 3) -> Column:
+    """Distinct word ``n``-grams of a token array, built JVM-side:
+    ``transform(sequence(...))`` + ``slice`` — no explode, no shuffle.
+    Documents shorter than ``n`` tokens yield an empty array (guarded:
+    Spark's ``sequence(1, 0)`` would otherwise count DOWN)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(token_col) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(token_col, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(token_col) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame,
+    fingerprint: Column,
+    order_by: list[Column],
+    keep_fp_col: str | None = None,
+) -> DataFrame:
+    """Keep the first row (by ``order_by``) per fingerprint value.
+
+    The canonical exact-dedup pipeline is ``fingerprint = sha2(text, 256)``:
+    the group key is then 32 bytes regardless of document size, so the
+    shuffle carries hashes, not documents. ``row_number`` (not
+    ``dropDuplicates``) makes the kept row deterministic.
+    """
+    fp = fingerprint.alias("_fp")
+    w = Window.partitionBy("_fp").orderBy(*order_by)
+    out = (
+        df.withColumn("_fp", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if keep_fp_col:
+        return out.withColumnRenamed("_fp", keep_fp_col)
+    return out.drop("_fp")
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature as an array<long> of length ``num_hashes``.
+
+    Hash family = ``xxhash64(shingle, j)`` for seed column j — independent
+    enough for banding, deterministic across runs/retries. Computed entirely
+    with higher-order functions: per row, JVM codegen, no shuffle, no UDF.
+
+    NB: the per-seed lambda must be built by a 1-arg closure factory — a
+    ``lambda s, j=j`` would have arity 2, which PySpark dispatches as the
+    (element, index) form, silently replacing the seed with the array index.
+    """
+
+    def _minhash(j: int) -> Column:
+        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(j))))
+
+    return F.array(*[_minhash(j) for j in range(num_hashes)])
+
+
+def _band_key(sig_col: Column, band: int, rows_per_band: int) -> Column:
+    """Bucket key for one LSH band: xxhash64 of the band's signature rows.
+    Two documents collide in band b iff all rows of that band agree — the
+    standard banding amplification."""
+    return F.xxhash64(
+        F.lit(band),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(sig_col, band * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Returns distinct ``(id1, id2)`` pairs (id1 < id2) that collide in at
+    least one band bucket, with their shingle sets attached as ``_sh1`` /
+    ``_sh2`` for exact verification. Never all-pairs: the only join is the
+    equi-join on ``(band, bucket)``, and buckets larger than
+    ``max_bucket_size`` (degenerate content, e.g. boilerplate) are dropped
+    — the standard guard that keeps one viral document from producing an
+    O(n²) bucket at corpus scale.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(shingle_col), num_hashes)
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(shingle_col).alias("_sh"),
+        F.explode(
+            F.array(
+                *[_band_key(sig, b, rows_per_band) for b in range(bands)]
+            )
+        ).alias("_bucket"),
+    )
+    # Drop degenerate buckets BEFORE the self-join (count per bucket is one
+    # cheap partial-agg pass; the join would be quadratic in bucket size).
+    sized = keyed.withColumn(
+        "_bsz", F.count("*").over(Window.partitionBy("_bucket"))
+    ).filter(F.col("_bsz") <= max_bucket_size)
+    a = sized.select(
+        F.col("_id").alias("id1"), F.col("_sh").alias("_sh1"), "_bucket"
+    )
+    b = sized.select(
+        F.col("_id").alias("id2"), F.col("_sh").alias("_sh2"), "_bucket"
+    )
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "_sh1", "_sh2")
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+def jaccard(set1: Column, set2: Column, digits: int = 6) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(set1, set2))
+    union = F.size(set1) + F.size(set2) - inter
+    return F.round(inter / union, digits)
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """End-to-end near-dedup: shingle -> MinHash-LSH candidates -> exact
+    Jaccard verification >= ``threshold``. Output: (id1, id2, jaccard).
+
+    With r = num_hashes/bands = 4 rows per band, a pair at J=0.8 collides
+    with probability 1-(1-0.8^4)^32 ≈ 1-6e-9 — recall is effectively 1 at
+    the threshold, while J=0.3 pairs are sampled at ~0.23 rate and then
+    discarded by the exact check (precision 1 by construction).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_doc_id"),
+        shingles(tokens(text_col), n).alias("_shingles"),
+    )
+    cand = minhash_lsh_pairs(sh, "_doc_id", "_shingles", num_hashes, bands)
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("_sh1"), F.col("_sh2")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs >= threshold via the inverted-index join:
+    explode shingles, equi-join on shingle, count intersections, recompute
+    J from set sizes. ``max_df`` drops shingles appearing in more than that
+    many documents before the join — the scale guard (a stop-phrase shared
+    by 1M docs would otherwise contribute an O(df²) join blow-up; dropping
+    it only lowers J estimates for pairs NOT sharing rare content, which a
+    high threshold discards anyway). With max_df=None this is the exact
+    oracle-matchable semantics used at test scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_doc_id"),
+        shingles(tokens(text_col), n).alias("_shingles"),
+    )
+    sizes = sh.select("_doc_id", F.size("_shingles").alias("_n"))
+    ex = sh.select("_doc_id", F.explode("_shingles").alias("_g"))
+    if max_df is not None:
+        dfreq = ex.groupBy("_g").agg(F.count("*").alias("_df"))
+        ex = ex.join(dfreq.filter(F.col("_df") <= max_df).select("_g"), "_g")
+    a = ex.select(F.col("_doc_id").alias("id1"), "_g")
+    b = ex.select(F.col("_doc_id").alias("id2"), "_g")
+    inter = (
+        a.join(b, "_g")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("_inter"))
+    )
+    s1 = sizes.select(F.col("_doc_id").alias("id1"), F.col("_n").alias("_n1"))
+    s2 = sizes.select(F.col("_doc_id").alias("id2"), F.col("_n").alias("_n2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("_inter") / (F.col("_n1") + F.col("_n2") - F.col("_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def simhash64(token_col: Column) -> Column:
+    """64-bit SimHash of a token array, fully JVM-side.
+
+    For each bit i, sum +1/-1 over tokens according to bit i of
+    ``xxhash64(token)``, then take the sign. Near-identical documents differ
+    in O(edit) bits. Computed as 64 higher-order aggregates per row — wide
+    but codegen'd; no explode, no shuffle.
+    """
+    h = F.transform(token_col, lambda t: F.xxhash64(t))
+
+    def _vote(i: int) -> Column:
+        # 2-arg merge lambda built via closure: adding a default parameter
+        # would change the arity PySpark dispatches on.
+        return F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_cols = []
+    for i in range(64):
+        vote = _vote(i)
+        bit_cols.append(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    ngram: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance <= ``max_hamming``.
+
+    Features are word ``ngram`` shingles (unigrams make unrelated documents
+    over a small shared vocabulary collide — sets, not sequences, drive the
+    hash). Candidate generation is byte-banded (the pigeonhole trick): two
+    hashes within hamming distance 7 must agree on at least one of 8 bytes,
+    so the join key is (byte index, byte value) — an equi-join, never
+    all-pairs. Exact hamming (bit_count of xor) then filters candidates.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        simhash64(shingles(tokens(text_col), ngram)).alias("_sh"),
+    )
+    banded = sh.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("b"),
+                        F.shiftright("_sh", 8 * i).bitwiseAND(F.lit(255)).alias("v"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("_band"),
+    )
+    a = banded.select(F.col("_id").alias("id1"), F.col("_sh").alias("_h1"), "_band")
+    b = banded.select(F.col("_id").alias("id2"), F.col("_sh").alias("_h2"), "_band")
+    return (
+        a.join(b, "_band")
+        .filter(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+        .withColumn("hamming", F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -1,0 +1,191 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two paths, per SURVEY.md §2.2 "LLM-data-pipeline operators":
+
+* **brute-force cosine top-k** — the exact baseline. Dot products via
+  ``zip_with`` + ``aggregate`` (JVM higher-order functions, codegen'd, no
+  Python). O(n·d) per query: fine for one query against 100 TB when fused
+  into the scan, and the correctness oracle for everything else.
+* **random-hyperplane LSH (SimHash for vectors)** — the scale path for
+  query *sets* and pairwise search: bucket by the sign pattern of ``p``
+  hyperplane projections; candidates = bucket collisions (equi-join);
+  exact cosine re-ranks candidates only.
+
+All math is done in double: float32 summation order would otherwise make
+results diverge from any oracle computing in double.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(vec_col: Column) -> Column:
+    return F.transform(vec_col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns (JVM-side, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Exact top-k rows by cosine similarity to ``query_vec``.
+
+    One narrow pass (similarity is computed inside the scan stage) followed
+    by TakeOrdered — no global sort, no shuffle of the corpus. Deterministic
+    tie-break on ``id_col``.
+    """
+    q = _lit_vec(query_vec)
+    sim = F.round(cosine(as_double(F.col(vec_col)), q), digits)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs_bruteforce(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    digits: int = 6,
+) -> DataFrame:
+    """All pairs with cosine >= threshold via the full cross product.
+
+    O(n²·d): the exactness baseline for tests/oracles at small n. At corpus
+    scale use :func:`rp_lsh_pairs` — same output contract, bucketed
+    candidate generation.
+    """
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
+    sim = F.round(cosine(as_double(F.col("_v1")), as_double(F.col("_v2"))), digits)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side constants, shipped
+    into the plan as literals — tiny: n_planes × dim doubles)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def rp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id = the sign pattern of the vector's projection onto each
+    hyperplane, packed into a long. Cosine-similar vectors agree on most
+    signs, so they collide with high probability."""
+    v = as_double(vec_col)
+    bits = [
+        F.when(dot(v, _lit_vec(p)) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for c in bits[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def _table_buckets(
+    vec_col: Column, planes: list[list[float]], n_tables: int, per_table: int
+) -> Column:
+    """Array of (table, bucket) keys — one entry per LSH table, each table
+    using its own disjoint slice of hyperplanes."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                rp_bucket(vec_col, planes[t * per_table : (t + 1) * per_table]).alias(
+                    "h"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
+def rp_lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    digits: int = 6,
+) -> DataFrame:
+    """Approximate per-query top-k via MULTI-TABLE random-hyperplane LSH.
+
+    One table of p planes has collision probability (1-θ/π)^p — too low for
+    moderately-similar vectors; L independent tables union their candidates,
+    lifting recall to 1-(1-(1-θ/π)^p)^L while each table's buckets stay
+    selective. Candidates come from ONE equi-join on the exploded
+    (table, bucket) key; exact cosine re-ranks candidates only. L and p are
+    the recall/cost dials; the brute-force path is the recall oracle
+    (tests/test_llm.py).
+
+    ``queries``: DataFrame with the same ``id_col``/``vec_col`` schema.
+    Returns (query_id, vec_id, cosine, rn<=k).
+    """
+    planes = random_hyperplanes(dim, n_tables * planes_per_table, seed)
+    keys = _table_buckets(F.col(vec_col), planes, n_tables, planes_per_table)
+    corpus = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        F.explode(keys).alias("_bucket"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(keys).alias("_bucket"),
+    )
+    from pyspark.sql import Window
+
+    sim = F.round(cosine(as_double(F.col("_qv")), as_double(F.col("_cv"))), digits)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        qs.join(corpus, "_bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("cosine", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine", "rn")
+    )

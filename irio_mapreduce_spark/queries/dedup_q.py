@@ -1,1 +1,141 @@
-"""Placeholder — populated in this round."""
+"""Deduplication catalog queries over ``documents`` (SURVEY.md §2.2
+LLM-data-pipeline table). Exact + n-gram Jaccard are fully oracle-checked;
+MinHash-LSH verifies its candidates with exact Jaccard so its output is
+deterministic and oracle-checked too (the LSH stage only risks *recall*,
+which the band math makes ~1 at the threshold — see
+``llm.dedup.near_dup_pairs_minhash``); SimHash has no SQL-expressible
+oracle (engine-specific 64-bit hashing) and registers rows-only, with
+property tests in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.io import read_table
+from irio_mapreduce_spark.llm.dedup import (
+    exact_dedup,
+    near_dup_pairs_minhash,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    tokens,
+)
+from irio_mapreduce_spark.queries.catalog import register
+
+# Shared DuckDB fragment: distinct word trigrams per document, matching
+# llm.dedup.shingles(tokens(text), 3).
+_DUCK_TRIGRAMS = """
+    toks AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                t -> t <> '') AS t
+             FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                               i -> array_to_string(t[i:i+2], ' '))) AS s
+           FROM toks)
+"""
+
+
+@register(
+    "dedup_exact_sha",
+    oracle="""
+    SELECT doc_id, fp FROM (
+      SELECT doc_id, sha256(text) AS fp,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: fingerprint = sha2(text, 256), keep lowest doc_id per
+    fingerprint. The shuffle key is the 32-byte hash, never the document —
+    the group-by carries O(n·32B) regardless of document size."""
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(
+        docs.select("doc_id", "text"),
+        fingerprint=F.sha2(F.col("text"), 256),
+        order_by=[F.col("doc_id")],
+        keep_fp_col="fp",
+    ).select("doc_id", "fp")
+
+
+@register(
+    "dedup_exact_prefix",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY array_to_string(
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             t -> t <> '')[1:8], ' ')
+               ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup on an 8-token prefix fingerprint — the cheap
+    first-pass near-dedup (catches templated/boilerplate openings).
+    Drops real rows on this corpus (500 -> 476 at sf0.01)."""
+    docs = read_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 8))
+    return exact_dedup(
+        docs.select("doc_id", "lang", "source", "text"),
+        fingerprint=prefix,
+        order_by=[F.col("doc_id")],
+    ).select("doc_id", "lang", "source")
+
+
+_DUCK_JACCARD_PAIRS = f"""
+    WITH {_DUCK_TRIGRAMS},
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT id1, id2,
+           round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+    FROM pairs
+      JOIN sizes s1 ON id1 = s1.doc_id
+      JOIN sizes s2 ON id2 = s2.doc_id
+    WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.8
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_DUCK_JACCARD_PAIRS)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup via banded MinHash-LSH (128 hashes, 32 bands of 4) with
+    exact-Jaccard verification of candidates at threshold 0.8.
+
+    Oracle = brute-force exact Jaccard: valid because precision is 1 by
+    construction (exact re-check) and recall at J>=0.8 is 1-(1-0.8^4)^32
+    ≈ 1-6e-9 per pair — and the pipeline is fully deterministic (fixed
+    xxhash64 seeds), so a local pass implies a driver pass on the same
+    data. The LSH path's value is doing this WITHOUT the O(n²) join the
+    oracle runs: candidates come from band-bucket collisions only.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return near_dup_pairs_minhash(
+        docs, "doc_id", "text", n=3, threshold=0.8, num_hashes=128, bands=32
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=_DUCK_JACCARD_PAIRS)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trigram-Jaccard near-dup pairs (>= 0.8) via the inverted-index
+    join (explode shingles -> equi-join on shingle -> count). Same output
+    contract as dedup_minhash_lsh but exact by construction; the max_df
+    guard (unused at test scale) is the documented scale valve."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register("dedup_simhash")  # engine-specific 64-bit hashing -> no SQL oracle
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (over trigram shingles) near-dup pairs at hamming distance
+    <= 3, candidates via the 8-byte pigeonhole band join (never all-pairs).
+    Property-tested in tests/test_llm.py (planted near-dups collide;
+    unrelated docs don't)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)

@@ -1,0 +1,41 @@
+"""Multimodal-column catalog queries: opaque binary payloads with typed
+metadata (SURVEY.md §2.2 LLM table; llm/multimodal.py). The payload here is
+the UTF-8 encoding of ``documents.text`` — real binary bytes through the
+real plumbing; the image/audio decode stage itself is stubbed (libraries
+absent) and exercised in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.io import read_table
+from irio_mapreduce_spark.llm.multimodal import documents_as_media
+from irio_mapreduce_spark.queries.catalog import register
+
+
+@register(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT meta_kind, count(*) AS n_media,
+           sum(octet_length(encode(text))) AS total_bytes,
+           min(octet_length(encode(text))) AS min_bytes,
+           max(octet_length(encode(text))) AS max_bytes
+    FROM (SELECT 'text' AS meta_kind, text FROM documents)
+    GROUP BY meta_kind
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte statistics over a binary payload column, grouped by media kind.
+    Metadata-only aggregations like this must never read payload bytes at
+    scale — here length() over the binary column is unavoidable by the
+    query's meaning, but the grouping/metadata side touches only the typed
+    ``meta`` struct (parquet column pruning does the rest)."""
+    media = documents_as_media(read_table(spark, sf_dir, "documents"))
+    return media.groupBy(F.col("meta.kind").alias("meta_kind")).agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.min(F.length("payload")).alias("min_bytes"),
+        F.max(F.length("payload")).alias("max_bytes"),
+    )

@@ -1,1 +1,120 @@
-"""Placeholder — populated in this round."""
+"""Similarity-search catalog queries over ``embeddings`` (SURVEY.md §2.2
+LLM-data-pipeline table). Brute-force cosine paths are oracle-checked
+against DuckDB (both sides compute in double — float32 order-of-summation
+would otherwise diverge); the RP-LSH path is approximate by design and
+registers rows-only, with a recall bound in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.io import read_table
+from irio_mapreduce_spark.llm.similarity import (
+    as_double,
+    cosine,
+    cosine_pairs_bruteforce,
+    cosine_topk,
+    rp_lsh_topk,
+)
+from irio_mapreduce_spark.queries.catalog import register
+
+_QUERY_VEC_ID = 0  # the fixed query point: embedding of vec_id 0
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of one query vector: brute-force scan,
+    similarity fused into the scan stage (zip_with/aggregate, JVM-side),
+    TakeOrdered for the top-k — no global sort, no shuffle of the corpus.
+    The query vector is a parameter (one-row lookup, collected once)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").head()[0]
+    return cosine_topk(
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID),
+        "embedding",
+        "vec_id",
+        [float(x) for x in qv],
+        k=10,
+    )
+
+
+@register(
+    "sim_pairs_bruteforce",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def sim_pairs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= 0.4 — the exact O(n²) baseline
+    (fine at test scale; the documented scale path for pairwise search is
+    the LSH-bucketed variant, sim_ann_lsh_topk's candidate machinery)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_bruteforce(emb, "embedding", "vec_id", threshold=0.4)
+
+
+@register(
+    "sim_centroid_per_label",
+    oracle="""
+    WITH per_dim AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS m, count(*) AS n_rows
+      FROM embeddings, range(1, 65) AS t(i)
+      GROUP BY label, i)
+    SELECT label, any_value(n_rows) AS n,
+           round(sqrt(sum(m * m)), 6) AS centroid_norm
+    FROM per_dim GROUP BY label
+    """,
+)
+def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the aggregate shape of
+    vector analytics (k-means step, class prototypes). Element-wise mean
+    via posexplode + groupBy(label, pos): one shuffle keyed on (label,
+    dim), i.e. 10×64 groups, independent of corpus size."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    per_dim = emb.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+    )
+    cent = per_dim.groupBy("label", "pos").agg(
+        F.avg("x").alias("m"), F.count("*").alias("n_rows")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.first("n_rows").alias("n"),
+            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
+        )
+        .select("label", "n", "centroid_norm")
+    )
+
+
+@register("sim_ann_lsh_topk")  # approximate by design -> rows-only check
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors for 5 query vectors via multi-table
+    random-hyperplane LSH (8 tables x 4 planes): ONE equi-join on the
+    exploded (table, bucket) key, exact cosine re-rank inside candidate
+    sets. Recall vs brute force is bounded in tests/test_llm.py;
+    deterministic (fixed plane seed)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return rp_lsh_topk(
+        emb, "embedding", "vec_id", queries, k=5, n_tables=8,
+        planes_per_table=4, dim=64, seed=42,
+    )

@@ -1,1 +1,159 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis catalog queries over ``documents`` (SURVEY.md §2.2
+LLM-data-pipeline table): token statistics, quality scoring, stopword-
+profile language ID, positional fingerprinting. All exact compositions of
+built-in functions -> all fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.io import read_table
+from irio_mapreduce_spark.llm.text import (
+    bpe_ish_count,
+    langid_predict,
+    positional_fingerprint,
+    quality_features,
+    stopword_ratio,
+)
+from irio_mapreduce_spark.queries.catalog import register
+
+# DuckDB fragment matching llm.dedup.tokens(text): lowercased whitespace
+# tokens, empties removed.
+_DUCK_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT lang, n_chars, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len(toks)), 4) AS avg_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len(list_distinct(toks)) * 1.0 / len(toks)), 6) AS avg_ttr
+    FROM t GROUP BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language: doc counts, mean token/char
+    counts, mean type-token ratio. One narrow pass + a 5-group aggregate."""
+    docs = quality_features(read_table(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+    )
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS toks,
+             len(string_split_regex(text, '[^A-Za-z0-9\\s]')) - 1 AS n_punct
+      FROM documents)
+    SELECT doc_id, source,
+           len(toks) AS n_tokens,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr
+    FROM t
+    WHERE len(toks) BETWEEN 20 AND 200
+      AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.15
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering, C4-style: keep docs in a token-count band with
+    non-degenerate type-token ratio (a repetition guard). Pure scan-side
+    predicates — at 100 TB this is a single filtered pass, no shuffle."""
+    docs = quality_features(read_table(spark, sf_dir, "documents"))
+    return (
+        docs.filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_tokens") <= 200)
+            & (F.col("ttr") >= 0.15)
+        )
+        .select("doc_id", "source", "n_tokens", "ttr")
+    )
+
+
+@register(
+    "text_langid_stopwords",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+             len(list_filter(toks, w -> list_contains(['the','a','of','and','to'], w))) * 1.0 / len(toks) AS s_en,
+             len(list_filter(toks, w -> list_contains(['der','die','und','das','ein'], w))) * 1.0 / len(toks) AS s_de,
+             len(list_filter(toks, w -> list_contains(['le','la','et','les','des'], w))) * 1.0 / len(toks) AS s_fr
+          FROM t)
+    SELECT lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS predicted,
+           count(*) AS n_docs,
+           round(avg(s_en), 6) AS avg_s_en
+    FROM s GROUP BY 1, 2
+    """,
+)
+def text_langid_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (llm.text.langid_predict): per-profile
+    overlap scores, argmax with a fixed tie-break so the prediction is
+    deterministic. Grouped by (actual, predicted) = the confusion matrix."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted", langid_predict(F.col("text")))
+        .withColumn(
+            "s_en", stopword_ratio(F.col("text"), ("the", "a", "of", "and", "to"))
+        )
+        .groupBy("lang", "predicted")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("s_en"), 6).alias("avg_s_en"),
+        )
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           list_sum(list_transform(generate_series(1, len(toks)),
+             i -> (i * ((length(toks[i]) * 31 + ord(toks[i][1])) % 2147483647))
+                  % 2147483647)) % 2147483647 AS fp
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive positional document fingerprint (portable rolling
+    hash, llm.text.positional_fingerprint) — catches reorderings that
+    set-based fingerprints miss. Per-row higher-order aggregate, no
+    shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", positional_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@register(
+    "text_bpe_ish_tokens",
+    oracle="""
+    SELECT source,
+           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS total_bpe_ish,
+           sum(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))) AS total_ws
+    FROM documents GROUP BY source
+    """,
+)
+def text_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways per source: whitespace vs a BPE-ish regex
+    (letter runs + digits + punctuation) — the standard pre-training
+    token-budget estimate."""
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""))
+    return docs.groupBy("source").agg(
+        F.sum(bpe_ish_count("text")).alias("total_bpe_ish"),
+        F.sum(ws).alias("total_ws"),
+    )
