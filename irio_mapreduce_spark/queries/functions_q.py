@@ -1,1 +1,307 @@
-"""Placeholder — populated in this round."""
+"""Scalar-function-family catalog queries (SURVEY.md §2.2 "Scalar
+functions"): one oracle-checked entry per family — string, date/time, math/
+conditional, array (incl. higher-order), map, hash — plus the filter-
+predicate shapes (IN / LIKE / IS NULL / BETWEEN), arbitrary GROUPING SETS,
+and an order-verified global sort. JSON functions live in events_q.py
+(the ``events.props`` column exists for them).
+
+These are the reference's map-binary space (R2, ``mr-bins/map/map.cpp``):
+every entry is a per-record transform the reference would express as a map
+binary, here a Catalyst expression inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.io import read_table
+from irio_mapreduce_spark.queries.catalog import register
+
+
+@register(
+    "fn_string_family",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           concat_ws('|', c_mktsegment, c_name) AS tagged,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+           substring(c_name, 1, 8) AS name_prefix,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_folded,
+           length(c_name) AS name_len,
+           strpos(c_name, '#') AS hash_pos
+    FROM customer
+    WHERE c_custkey % 61 = 0
+    """,
+)
+def fn_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper, concat_ws, lpad, regexp_extract/replace,
+    substring, translate, length, instr."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 61 == 0)
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("name_masked"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_folded"),
+        F.length("c_name").alias("name_len"),
+        F.instr("c_name", "#").alias("hash_pos"),
+    )
+
+
+@register(
+    "fn_datetime_family",
+    oracle="""
+    SELECT year(ts) AS y, month(ts) AS m,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+           count(*) AS n,
+           min(CAST(floor(epoch(ts)) AS BIGINT)) AS min_epoch,
+           max(hour(ts)) AS max_hour,
+           max(dayofweek(ts)) AS max_dow
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def fn_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: year/month/hour/dayofweek extraction, date_trunc
+    to week, unix epoch seconds — grouped so the output is a compact
+    calendar rollup. (DuckDB dayofweek is 0=Sunday; Spark's matching
+    function for that convention is ``dayofweek``-1.)"""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+                "week_start"
+            ),
+            F.unix_timestamp("ts").alias("epoch_s"),
+            F.hour("ts").alias("h"),
+            (F.dayofweek("ts") - 1).alias("dow"),
+        )
+        .groupBy("y", "m", "week_start")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("epoch_s").alias("min_epoch"),
+            F.max("h").alias("max_hour"),
+            F.max("dow").alias("max_dow"),
+        )
+    )
+
+
+@register(
+    "fn_math_conditional",
+    oracle="""
+    SELECT p_brand,
+           round(sum(abs(p_retailprice - 1000.0)), 2) AS sum_abs_dev,
+           round(sum(floor(p_retailprice) + ceil(p_size / 10.0)), 2) AS sum_floors,
+           round(sum(sqrt(p_retailprice)), 4) AS sum_sqrt,
+           round(sum(pow(p_size, 2)), 2) AS sum_sq,
+           sum(p_partkey % 7) AS sum_pmod,
+           sum(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS n_large,
+           count(coalesce(nullif(p_type, 'STANDARD'), NULL)) AS n_nonstandard
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def fn_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + conditional/null family: abs/floor/ceil/sqrt/pow/pmod,
+    when/otherwise, coalesce + nullif."""
+    p = read_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.round(F.sum(F.abs(F.col("p_retailprice") - 1000.0)), 2).alias("sum_abs_dev"),
+        F.round(
+            F.sum(F.floor("p_retailprice") + F.ceil(F.col("p_size") / 10.0)), 2
+        ).alias("sum_floors"),
+        F.round(F.sum(F.sqrt("p_retailprice")), 4).alias("sum_sqrt"),
+        F.round(F.sum(F.pow("p_size", F.lit(2))), 2).alias("sum_sq"),
+        F.sum(F.pmod("p_partkey", F.lit(7))).alias("sum_pmod"),
+        F.sum(F.when(F.col("p_size") > 25, 1).otherwise(0)).alias("n_large"),
+        F.count(F.coalesce(F.nullif("p_type", F.lit("STANDARD")), F.lit(None))).alias(
+            "n_nonstandard"
+        ),
+    )
+
+
+@register(
+    "fn_array_higher_order",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  w -> w <> '') AS toks
+               FROM documents WHERE doc_id % 47 = 0)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, w -> length(w) > 4)) AS n_long,
+           list_sum(list_transform(toks, w -> length(w))) AS total_chars,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted,
+           toks[1] AS first_tok,
+           list_contains(toks, 'the') AS has_the
+    FROM t
+    """,
+)
+def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order: split -> filter(lambda),
+    transform(lambda) + aggregate (sum of lengths), sort_array,
+    array_distinct, slice, array_join, element_at, array_contains."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 47 == 0)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.length(w) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("total_chars"),
+        F.array_join(
+            F.slice(F.sort_array(F.array_distinct(toks)), 1, 3), ","
+        ).alias("first3_sorted"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.array_contains(toks, "the").alias("has_the"),
+    )
+
+
+@register(
+    "fn_map_family",
+    oracle="""
+    SELECT o_orderpriority AS k, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 31 = 0
+    GROUP BY k
+    """,
+)
+def fn_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: create_map -> map_keys/map_values -> explode(map).
+    The map is built from columns, exploded back to key/value rows, and
+    aggregated — the round-trip proves the type plumbing; the oracle states
+    the equivalent relational semantics."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 31 == 0)
+    mapped = o.select(
+        F.create_map(F.lit("priority"), F.col("o_orderpriority")).alias("m"),
+        "o_totalprice",
+    )
+    # demonstrate map_keys / map_values / element access, then explode
+    exploded = mapped.select(
+        F.explode("m").alias("k_name", "k"),
+        F.map_keys("m").alias("_keys"),
+        F.map_values("m").alias("_vals"),
+        "o_totalprice",
+    ).filter(F.size("_keys") == 1)
+    return exploded.groupBy("k").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "fn_hash_family",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_brand) AS brand_sha256,
+           length(sha256(p_name)) AS sha_len
+    FROM part WHERE p_partkey % 97 = 0
+    """,
+)
+def fn_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family: md5 + sha2(256) (engine-portable digests, oracle-
+    checked byte-for-byte). Spark-specific xxhash64/hash are exercised
+    throughout the LSH operators (llm/dedup.py) where cross-engine parity
+    is impossible by nature."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 97 == 0)
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_brand", 256).alias("brand_sha256"),
+        F.length(F.sha2("p_name", 256)).alias("sha_len"),
+    )
+
+
+@register(
+    "filter_in_like_between",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+      AND o_orderstatus LIKE 'F%'
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderdate IS NOT NULL
+    GROUP BY o_orderpriority
+    """,
+)
+def filter_in_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-predicate shapes: IN-list, LIKE prefix, BETWEEN, IS NOT NULL
+    — all plain scan predicates, so every one reaches parquet as a pushed
+    filter (asserted in tests/test_plans.py)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM", "5-LOW")
+            & F.col("o_orderstatus").like("F%")
+            & F.col("o_totalprice").between(1000, 200000)
+            & F.col("o_orderdate").isNotNull()
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           grouping(o_orderpriority, o_orderstatus) AS gid,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not expressible as rollup/cube): priority
+    totals, status totals, and the grand total in one pass."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping_id(o_orderpriority, o_orderstatus) AS gid,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "sort_global_total_order",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+    FROM orders
+    WHERE o_custkey % 211 = 0
+    """,
+)
+def sort_global_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total-order sort made observable: each row carries its global
+    position, so the oracle comparison actually verifies the ORDER, not
+    just the set. ``orderBy`` range-partitions (sampled boundaries) — the
+    position stamp here uses a single-partition window, acceptable on the
+    filtered subset; at full scale the equivalent is zipWithIndex over the
+    range-partitioned sort."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 211 == 0)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select("o_orderkey", "o_totalprice").withColumn(
+        "pos", F.row_number().over(w)
+    )
