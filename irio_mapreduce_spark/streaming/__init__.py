@@ -1,0 +1,27 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference has no streaming (SURVEY.md §2.3); this is the declared
+north-star surface (§2.2 "Streaming"), built on the unified batch/stream
+model: every transform below takes a DataFrame — static or streaming — and
+returns the same logical shape. tests/test_streaming.py replays the events
+table as a file stream and asserts the streaming result equals the batch
+result of the SAME function (the batch-equivalence protocol), and the
+batch forms are oracle-checked in queries/events_q.py.
+
+Scale stance: streaming state (windows, dedup keys, session state) lives
+in the state store keyed by the aggregation keys — at 100 TB/day the
+watermark is what bounds state size; every stateful operator here takes an
+explicit watermark parameter rather than defaulting to unbounded state.
+"""
+
+from irio_mapreduce_spark.streaming.ops import (  # noqa: F401
+    dedup_events,
+    read_events_stream,
+    replay_chunks,
+    replay_time_ordered,
+    run_to_completion,
+    session_rollup,
+    sliding_value_rollup,
+    stream_static_enrich,
+    tumbling_value_rollup,
+)

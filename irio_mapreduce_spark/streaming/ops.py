@@ -1,0 +1,189 @@
+"""Streaming operators: source/sink plumbing + the windowed/stateful
+transform set. All transforms are batch/stream-polymorphic (unified
+Dataset model) — the streaming guarantees come from how they're run
+(watermark + output mode + trigger), not from different logic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.io import read_table
+
+# ---------------------------------------------------------------------------
+# Source / sink
+# ---------------------------------------------------------------------------
+
+
+def replay_chunks(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+) -> str:
+    """Materialize the static ``events`` table as ``n_chunks`` parquet files
+    under ``out_dir`` — a deterministic replayable file-stream source.
+    Chunking is by ``event_id % n_chunks`` (stable, not time-ordered, so
+    replay exercises out-of-order arrival like a real stream)."""
+    ev = read_table(spark, sf_dir, "events")
+    for i in range(n_chunks):
+        ev.filter(F.col("event_id") % n_chunks == i).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(out_dir)
+    return out_dir
+
+
+def replay_time_ordered(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 4,
+    sentinel_user: int | None = None,
+) -> str:
+    """Materialize ``events`` as ``n_chunks`` parquet files in EVENT-TIME
+    ORDER (range-chunked on ts, written sequentially so the file source's
+    modification-time ordering replays them in time order). This is the
+    harness for watermark semantics: cross-chunk disorder is zero, so a
+    watermark only holds back the tail. ``sentinel_user``: append a final
+    far-future event for that user id, advancing the watermark past every
+    real window/session so append-mode output is complete."""
+    ev = read_table(spark, sf_dir, "events")
+    # approxQuantile rejects timestamps -> quantile the epoch seconds.
+    with_e = ev.withColumn("_e", F.col("ts").cast("double"))
+    bounds = with_e.approxQuantile(
+        "_e", [i / n_chunks for i in range(1, n_chunks)], 0.001
+    )
+    lo = None
+    for i in range(n_chunks):
+        hi = bounds[i] if i < n_chunks - 1 else None
+        chunk = with_e
+        if lo is not None:
+            chunk = chunk.filter(F.col("_e") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("_e") <= hi)
+        chunk = chunk.drop("_e")
+        chunk.coalesce(1).write.mode("overwrite" if i == 0 else "append").parquet(
+            out_dir
+        )
+        lo = hi
+    if sentinel_user is not None:
+        far = ev.agg(
+            (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")
+        ).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            "ts",
+            F.lit(sentinel_user).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        far.coalesce(1).write.mode("append").parquet(out_dir)
+    return out_dir
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-stream source over a directory of event parquet files. Schema is
+    taken from the files (one footer read) — streaming sources require an
+    explicit schema; inference-per-microbatch would be both slow and
+    drift-prone."""
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def run_to_completion(df: DataFrame, table_name: str, output_mode: str) -> None:
+    """Drain all available input through a memory sink (trigger
+    availableNow: processes the backlog in maxFilesPerTrigger-sized
+    micro-batches, then stops — the deterministic test harness for
+    streaming queries)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregations (shapes mirror queries/events_q.py batch entries)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_value_rollup(
+    events: DataFrame, width: str = "1 day", watermark: str | None = None
+) -> DataFrame:
+    """Tumbling-window count/sum per event type. With a watermark, append
+    mode emits each window once, when the watermark passes its end."""
+    ev = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        ev.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_value_rollup(
+    events: DataFrame,
+    width: str = "2 days",
+    slide: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window totals (every event contributes to width/slide
+    windows)."""
+    ev = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        ev.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "total_value")
+    )
+
+
+def session_rollup(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Session windows per user (gap-merged). Streaming session windows
+    REQUIRE a watermark — session state must be closable; tests pass one
+    when running this on a stream."""
+    ev = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful dedup + stream-static join
+# ---------------------------------------------------------------------------
+
+
+def dedup_events(
+    events: DataFrame, keys: list[str], watermark: str | None = None
+) -> DataFrame:
+    """Stateful exactly-once-per-key dedup. On a stream, the watermark
+    bounds the dedup state: duplicates arriving later than the watermark
+    horizon are NOT suppressed (state was dropped) — the documented
+    trade-off; size the watermark to the real duplicate-arrival window."""
+    ev = events.withWatermark("ts", watermark) if watermark else events
+    cols = ["ts", *keys] if watermark else keys
+    return ev.dropDuplicates(cols)
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "inner"
+) -> DataFrame:
+    """Stream-static join: the static side is re-read per micro-batch and
+    broadcast when small — no state, no watermark needed (static side is
+    immutable within a batch). The classic enrichment topology."""
+    return events.join(F.broadcast(dim), on, how)

@@ -1,0 +1,171 @@
+"""Streaming surface tests: the batch-equivalence protocol.
+
+Every transform in irio_mapreduce_spark.streaming is batch/stream-
+polymorphic; each test runs the SAME function over (a) the static events
+frame and (b) a deterministic file-stream replay of it, and asserts equal
+results. Watermark semantics (late-data drop, bounded dedup state) get
+dedicated scenario tests with time-ordered replays.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.streaming import (
+    dedup_events,
+    read_events_stream,
+    replay_chunks,
+    replay_time_ordered,
+    run_to_completion,
+    session_rollup,
+    sliding_value_rollup,
+    stream_static_enrich,
+    tumbling_value_rollup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def unordered_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ev_unordered"))
+    return replay_chunks(spark, SF_DIR, d, n_chunks=4)
+
+
+SENTINEL_USER = 7 * 10**8  # divisible by 7 so the session test's user
+# filter keeps it (the watermark must SEE the sentinel to advance)
+
+
+@pytest.fixture(scope="module")
+def ordered_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ev_ordered"))
+    return replay_time_ordered(spark, SF_DIR, d, n_chunks=4, sentinel_user=SENTINEL_USER)
+
+
+def test_tumbling_window_batch_equivalence(spark, unordered_dir):
+    static = spark.read.parquet(unordered_dir)
+    stream = read_events_stream(spark, unordered_dir)
+    run_to_completion(tumbling_value_rollup(stream), "t_tumbling", "complete")
+    got = rows_set(
+        spark.table("t_tumbling"), ["win_start", "event_type", "n", "total_value"]
+    )
+    want = rows_set(
+        tumbling_value_rollup(static), ["win_start", "event_type", "n", "total_value"]
+    )
+    assert got == want and got
+
+
+def test_sliding_window_batch_equivalence(spark, unordered_dir):
+    static = spark.read.parquet(unordered_dir)
+    stream = read_events_stream(spark, unordered_dir)
+    run_to_completion(sliding_value_rollup(stream), "t_sliding", "complete")
+    got = rows_set(spark.table("t_sliding"), ["win_start", "n", "total_value"])
+    want = rows_set(sliding_value_rollup(static), ["win_start", "n", "total_value"])
+    assert got == want and got
+
+
+def test_session_window_batch_equivalence(spark, ordered_dir):
+    """Append mode + watermark: sessions emit when the watermark passes
+    their end; the far-future sentinel event closes every real session.
+    The time-ordered replay means nothing real is ever late."""
+    static = spark.read.parquet(ordered_dir).filter(F.col("event_id") >= 0)
+    stream = read_events_stream(spark, ordered_dir)
+    sessions = session_rollup(
+        stream.filter(F.col("user_id") % 7 == 0), watermark="1 minute"
+    )
+    run_to_completion(sessions, "t_sessions", "append")
+    got = rows_set(
+        spark.table("t_sessions").filter(F.col("user_id") != SENTINEL_USER),
+        ["user_id", "session_start", "n_events", "total_value"],
+    )
+    want = rows_set(
+        session_rollup(static.filter(F.col("user_id") % 7 == 0)),
+        ["user_id", "session_start", "n_events", "total_value"],
+    )
+    assert got == want and got
+
+
+def test_stateful_dedup_batch_equivalence(spark, unordered_dir):
+    static = spark.read.parquet(unordered_dir)
+    stream = read_events_stream(spark, unordered_dir)
+    run_to_completion(
+        dedup_events(stream, ["user_id", "event_type"]), "t_dedup", "append"
+    )
+    assert (
+        spark.table("t_dedup").count()
+        == static.select("user_id", "event_type").distinct().count()
+    )
+
+
+def test_stream_static_join_batch_equivalence(spark, unordered_dir):
+    static = spark.read.parquet(unordered_dir)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        ["event_type", "weight"],
+    )
+    stream = read_events_stream(spark, unordered_dir)
+    enriched = stream_static_enrich(stream, dim, "event_type").groupBy(
+        "event_type"
+    ).agg(F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"))
+    run_to_completion(enriched, "t_enrich", "complete")
+    got = rows_set(spark.table("t_enrich"), ["event_type", "weighted"])
+    want = rows_set(
+        stream_static_enrich(static, dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted")),
+        ["event_type", "weighted"],
+    )
+    assert got == want and len(got) == 3
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics, deterministically. A window's state is evicted
+    once the watermark passes its END (not merely the event's timestamp),
+    and the watermark a micro-batch applies trails the event-time maximum
+    by one batch — so the scenario needs four micro-batches: day-1 events;
+    day-3 events; a day-3 follow-up (by which point the applied watermark
+    has jumped past the day-1 window end, closing it); then a day-1
+    straggler — whose window is closed, so it is dropped. Batch (no
+    watermark) counts it."""
+    d = str(tmp_path / "late_events")
+    day1 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    day3 = datetime.datetime(2024, 1, 3, 12, 0, 0)
+    late = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    spark.createDataFrame(
+        [(i, day1 + datetime.timedelta(minutes=i), 1, "click", 1.0) for i in range(10)],
+        schema,
+    ).coalesce(1).write.parquet(d)
+    spark.createDataFrame(
+        [(100 + i, day3 + datetime.timedelta(minutes=i), 1, "click", 1.0) for i in range(5)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(998, day3 + datetime.timedelta(hours=1), 1, "click", 1.0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(999, late, 1, "click", 1.0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = read_events_stream(spark, d)
+    run_to_completion(
+        tumbling_value_rollup(stream, watermark="1 hour"), "t_late", "append"
+    )
+    emitted = {
+        (r.win_start, r.n) for r in spark.table("t_late").collect()
+    }
+    day1_win = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    # Streaming: day-1 window closed with 10 events; the late 11th dropped.
+    assert (day1_win, 10) in emitted
+    # Batch sees all 11.
+    batch = tumbling_value_rollup(spark.read.parquet(d))
+    assert rows_set(batch.filter(F.col("win_start") == day1_win), ["n"]) == {(11,)}
