@@ -1,0 +1,63 @@
+"""Python UDF/UDAF implementations — the Spark-native analog of the
+reference's map/reduce binaries (``mr-bins/map/map.cpp:6-27``,
+``mr-bins/reduce/reduce.cpp:9-40``).
+
+All semantics here are deliberately SQL-expressible so the driver's DuckDB
+oracle can hash-check the results (queries/udf_q.py): the point of these
+entries is proving the UDF *machinery* (Arrow batching, grouped-agg state,
+grouped-map schema contracts), not inventing non-relational logic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+
+@pandas_udf(DoubleType())
+def taxed_price_pandas(price: pd.Series, tax: pd.Series) -> pd.Series:
+    """Series->Series scalar pandas UDF (Arrow-vectorized): price after
+    tax. ~10-100x faster than a row-at-a-time F.udf — each call processes
+    a whole Arrow batch with numpy arithmetic."""
+    return price * (1.0 + tax)
+
+
+@pandas_udf(DoubleType())
+def weighted_avg_grouped_agg(price: pd.Series, qty: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF (the reduce-binary analog): quantity-weighted
+    mean price. Spark feeds each group's full columns as pandas Series;
+    the return is the group's scalar."""
+    denom = qty.sum()
+    return float((price * qty).sum() / denom) if denom else float("nan")
+
+
+def normalize_by_group(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Grouped-map via ``applyInPandas``: subtract the group mean (the
+    classic per-group normalization). Output schema = input + ``dev``.
+
+    NOTE the scale contract of grouped-map: one pandas frame PER GROUP must
+    fit in executor memory — correct for bounded groups (per-customer,
+    per-session), wrong for whole-partition-sized groups; use window
+    functions for those (as subq_orders_vs_customer_avg does).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # Copy, don't df.schema.add(...): add() mutates the DataFrame's CACHED
+    # schema object, corrupting df.columns with the not-yet-existing field.
+    schema = StructType(list(df.schema.fields) + [StructField("dev", DoubleType())])
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(dev=(pdf[value_col] - pdf[value_col].mean()).round(4))
+
+    return df.groupBy(*keys).applyInPandas(norm, schema=schema)
+
+
+@F.udf(StringType())
+def priority_code_udf(priority: str) -> str:
+    """Row-at-a-time Python UDF — the SLOW path (per-row Python round
+    trip), present to declare the surface; any real pipeline should write
+    this as a built-in expression (substring/split)."""
+    return priority.split("-", 1)[0] if priority else None

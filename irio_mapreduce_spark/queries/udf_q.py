@@ -1,0 +1,97 @@
+"""UDF/UDAF catalog queries (SURVEY.md §2.2 "UDF / UDAF / UDTF") — each
+Python-UDF mechanism proven against a DuckDB oracle stating the same
+semantics in SQL. The external-binary mechanism (``RDD.pipe``) is covered
+by tests/test_pipeline.py against the reference's e2e contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.functions import (
+    normalize_by_group,
+    priority_code_udf,
+    taxed_price_pandas,
+    weighted_avg_grouped_agg,
+)
+from irio_mapreduce_spark.io import read_table
+from irio_mapreduce_spark.queries.catalog import register
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(l_extendedprice * (1 + l_tax)), 2) AS total_taxed
+    FROM lineitem WHERE l_orderkey % 41 = 0
+    GROUP BY l_linestatus
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized Series->Series pandas UDF in a projection, then a
+    built-in aggregate over its output."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 41 == 0)
+    taxed = li.withColumn(
+        "taxed", taxed_price_pandas(F.col("l_extendedprice"), F.col("l_tax"))
+    )
+    return taxed.groupBy("l_linestatus").agg(
+        F.round(F.sum("taxed"), 2).alias("total_taxed")
+    )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS w_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the reference reduce-binary analog
+    (``reduce.cpp:9-40``): one scalar per group from the group's columns."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            weighted_avg_grouped_agg(F.col("l_extendedprice"), F.col("l_quantity")), 4
+        ).alias("w_avg_price")
+    )
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_custkey), 4)
+             AS dev
+    FROM orders
+    WHERE o_custkey % 151 = 0
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` (per-customer mean-centering) — the
+    oracle states the same thing as a window aggregate, which is also the
+    correct built-in at scale (one shuffle, no per-group pandas frames)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 151 == 0)
+    return normalize_by_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"), ["o_custkey"], "o_totalprice"
+    ).select("o_orderkey", "dev")
+
+
+@register(
+    "udf_row_at_a_time",
+    oracle="""
+    SELECT string_split(o_orderpriority, '-')[1] AS code, count(*) AS n
+    FROM orders GROUP BY code
+    """,
+)
+def udf_row_at_a_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time F.udf — declared surface, documented slow path (the
+    per-row Python round trip breaks codegen; the oracle shows the
+    built-in equivalent)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(priority_code_udf(F.col("o_orderpriority")).alias("code")).groupBy(
+        "code"
+    ).agg(F.count("*").alias("n"))

@@ -1,0 +1,121 @@
+"""Operator property tests: the guarantees the DuckDB oracle can't state —
+approximation error bounds, retry-stable salting, as-of join atomicity and
+tolerance, range-join boundary semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.io import read_table
+from irio_mapreduce_spark.operators.aggregates import salted_agg
+from irio_mapreduce_spark.operators.joins import asof_join, range_join
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """HLL++ with rsd=0.02 must land within 5% of exact (2.5 sigma) on
+    every group — backs the agg_approx_distinct catalog entry, which has
+    no value oracle by design."""
+    li = read_table(spark, SF_DIR, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx"),
+            F.countDistinct("l_orderkey").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) / r.exact <= 0.05, r
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    li = read_table(spark, SF_DIR, "lineitem")
+    plain = {
+        (r.l_returnflag): (round(r.s, 2), r.c)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag): (round(r.s, 2), r.c)
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            [F.sum("l_quantity").alias("ps"), F.count("*").alias("pc")],
+            [F.sum("ps").alias("s"), F.sum("pc").alias("c")],
+        ).collect()
+    }
+    assert plain == salted
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_carries_matched_row_atomically(spark):
+    """The round-1 bug class: a right row with a NULL value column must not
+    inherit that column from an OLDER right row — the match is one row or
+    nothing."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-10T00:00:00"))], "k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), "old-a", "old-b"),
+            (1, _ts("2024-01-05T00:00:00"), "new-a", None),
+        ],
+        "k long, rts timestamp, a string, b string",
+    )
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    assert len(out) == 1
+    assert out[0]["a"] == "new-a"
+    assert out[0]["b"] is None  # NOT "old-b"
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-10T00:00:00")), (2, _ts("2024-01-10T00:00:00"))],
+        "k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-09T00:00:00"), "fresh"), (2, _ts("2024-01-01T00:00:00"), "stale")],
+        "k long, rts timestamp, v string",
+    )
+    out = {
+        r.k: r.v
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts", tolerance="3 days"
+        ).collect()
+    }
+    assert out == {1: "fresh", 2: None}
+
+
+def test_asof_join_no_prior_event_yields_null(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"))], "k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-06-01T00:00:00"), "future")], "k long, rts timestamp, v string"
+    )
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    assert len(out) == 1 and out[0]["v"] is None
+
+
+def test_range_join_boundary_semantics(spark):
+    """[lo, hi) by default: the lo endpoint joins, the hi endpoint doesn't,
+    and bucketization must not duplicate matches for intervals spanning
+    many buckets."""
+    points = spark.createDataFrame([(0.0,), (5.0,), (10.0,), (25.0,)], ["x"])
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 10.0), ("hi", 10.0, 30.0)], ["band", "lo", "hi"]
+    )
+    out = sorted(
+        (r.x, r.band)
+        for r in range_join(points, bands, "x", "lo", "hi", bucket_width=2.0).collect()
+    )
+    assert out == [(0.0, "lo"), (5.0, "lo"), (10.0, "hi"), (25.0, "hi")]
