@@ -16,6 +16,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's shuffle parallelism when the input
+    has fewer partitions. The signature/shingle computations here are
+    CPU-heavy per row; a small corpus read from one parquet file would
+    otherwise run them on ONE core (measured 15s -> 3s on the sf0.1
+    MinHash pass). At real scale inputs already have enough partitions and
+    this is a no-op."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def tokens(text_col: str | Column, lowercase: bool = True) -> Column:
     """Whitespace tokens of a text column (empty strings removed)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -84,18 +95,27 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
     return F.array(*[_minhash(j) for j in range(num_hashes)])
 
 
-def _band_key(sig_col: Column, band: int, rows_per_band: int) -> Column:
-    """Bucket key for one LSH band: xxhash64 of the band's signature rows.
+def _band_key(shingle_col: Column, band: int, rows_per_band: int) -> Column:
+    """Bucket key for one LSH band: xxhash64 of the band's min-hash rows.
     Two documents collide in band b iff all rows of that band agree — the
-    standard banding amplification."""
+    standard banding amplification.
+
+    Computed DIRECTLY from the band's own seeds rather than slicing a full
+    128-element signature column: Catalyst collapses projections, so a
+    shared signature expression would be re-evaluated once per band —
+    32x the hashing work (measured: 195s -> ~6s at sf0.1)."""
+
+    def _minhash(j: int) -> Column:
+        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(j))))
+
     return F.xxhash64(
         F.lit(band),
         F.concat_ws(
             ",",
-            F.transform(
-                F.slice(sig_col, band * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
+            *[
+                _minhash(band * rows_per_band + r).cast("string")
+                for r in range(rows_per_band)
+            ],
         ),
     )
 
@@ -119,13 +139,13 @@ def minhash_lsh_pairs(
     O(n²) bucket at corpus scale.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(shingle_col), num_hashes)
+    sh = F.col(shingle_col)
     keyed = df.select(
         F.col(id_col).alias("_id"),
         F.col(shingle_col).alias("_sh"),
         F.explode(
             F.array(
-                *[_band_key(sig, b, rows_per_band) for b in range(bands)]
+                *[_band_key(sh, b, rows_per_band) for b in range(bands)]
             )
         ).alias("_bucket"),
     )
@@ -172,7 +192,7 @@ def near_dup_pairs_minhash(
     the threshold, while J=0.3 pairs are sampled at ~0.23 rate and then
     discarded by the exact check (precision 1 by construction).
     """
-    sh = df.select(
+    sh = widen(df).select(
         F.col(id_col).alias("_doc_id"),
         shingles(tokens(text_col), n).alias("_shingles"),
     )
@@ -201,7 +221,7 @@ def ngram_jaccard_pairs(
     high threshold discards anyway). With max_df=None this is the exact
     oracle-matchable semantics used at test scale.
     """
-    sh = df.select(
+    sh = widen(df).select(
         F.col(id_col).alias("_doc_id"),
         shingles(tokens(text_col), n).alias("_shingles"),
     )
@@ -233,12 +253,17 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(token_col: Column) -> Column:
-    """64-bit SimHash of a token array, fully JVM-side.
+    """64-bit SimHash of a token array as a single Column expression.
 
     For each bit i, sum +1/-1 over tokens according to bit i of
-    ``xxhash64(token)``, then take the sign. Near-identical documents differ
-    in O(edit) bits. Computed as 64 higher-order aggregates per row — wide
-    but codegen'd; no explode, no shuffle.
+    ``xxhash64(token)``, then take the sign. Near-identical documents
+    differ in O(edit) bits.
+
+    COST CAVEAT: higher-order ``aggregate`` is interpreted, not codegen'd,
+    and the 64 per-bit aggregates each re-evaluate the token hashing
+    (projection collapse) — fine for ad-hoc use on small frames; the
+    corpus-scale path is :func:`simhash_signatures` (explode + grouped
+    conditional sums: hash computed once, whole-stage codegen, parallel).
     """
     h = F.transform(token_col, lambda t: F.xxhash64(t))
 
@@ -264,6 +289,32 @@ def simhash64(token_col: Column) -> Column:
     return out
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str, feature_col: Column
+) -> DataFrame:
+    """(id, simhash) via explode + grouped conditional sums — the scale
+    path: each feature is hashed exactly once, the 64 bit-votes are a
+    single codegen'd hash aggregate, and parallelism follows the data.
+    One shuffle keyed on the id (map-side partial aggregation applies)."""
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(feature_col).alias("_f"))
+    hashed = ex.select("_id", F.xxhash64("_f").alias("_h"))
+    votes = hashed.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ]
+    )
+    acc = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        acc = bit if acc is None else acc.bitwiseOR(bit)
+    return votes.select("_id", acc.alias("_sh"))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -280,9 +331,8 @@ def simhash_near_pairs(
     so the join key is (byte index, byte value) — an equi-join, never
     all-pairs. Exact hamming (bit_count of xor) then filters candidates.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        simhash64(shingles(tokens(text_col), ngram)).alias("_sh"),
+    sh = simhash_signatures(
+        widen(df), id_col, shingles(tokens(text_col), ngram)
     )
     banded = sh.select(
         "_id",

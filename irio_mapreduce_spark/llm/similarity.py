@@ -23,6 +23,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from irio_mapreduce_spark.llm.dedup import widen
+
 
 def as_double(vec_col: Column) -> Column:
     return F.transform(vec_col, lambda x: x.cast("double"))
@@ -64,10 +66,17 @@ def cosine_topk(
     q = _lit_vec(query_vec)
     sim = F.round(cosine(as_double(F.col(vec_col)), q), digits)
     return (
-        df.select(F.col(id_col), sim.alias("cosine"))
+        widen(df).select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def unit_vector(vec_col: Column) -> Column:
+    """L2-normalized copy of the vector (double precision)."""
+    v = as_double(vec_col)
+    n = norm(v)
+    return F.transform(v, lambda x: x / n)
 
 
 def cosine_pairs_bruteforce(
@@ -80,12 +89,20 @@ def cosine_pairs_bruteforce(
     """All pairs with cosine >= threshold via the full cross product.
 
     O(n²·d): the exactness baseline for tests/oracles at small n. At corpus
-    scale use :func:`rp_lsh_pairs` — same output contract, bucketed
-    candidate generation.
-    """
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
-    sim = F.round(cosine(as_double(F.col("_v1")), as_double(F.col("_v2"))), digits)
+    scale use the LSH-bucketed candidates (:func:`rp_lsh_topk` machinery) —
+    same output contract without the quadratic join.
+
+    Even the baseline is written not to fall over: vectors are L2-
+    normalized ONCE per row (cosine degenerates to a plain dot product —
+    1/3 of the naive per-pair flops), and the left side is widened so the
+    nested-loop join parallelizes instead of running the n² loop in however
+    few partitions the scan produced (a single parquet file otherwise
+    serializes the whole product on one core)."""
+    a = widen(df).select(
+        F.col(id_col).alias("id1"), unit_vector(F.col(vec_col)).alias("_u1")
+    )
+    b = df.select(F.col(id_col).alias("id2"), unit_vector(F.col(vec_col)).alias("_u2"))
+    sim = F.round(dot(F.col("_u1"), F.col("_u2")), digits)
     return (
         a.crossJoin(b)
         .filter(F.col("id1") < F.col("id2"))
@@ -166,7 +183,7 @@ def rp_lsh_topk(
     """
     planes = random_hyperplanes(dim, n_tables * planes_per_table, seed)
     keys = _table_buckets(F.col(vec_col), planes, n_tables, planes_per_table)
-    corpus = df.select(
+    corpus = widen(df).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_cv"),
         F.explode(keys).alias("_bucket"),

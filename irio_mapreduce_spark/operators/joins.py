@@ -85,6 +85,123 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    bucket_seconds: float,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Skew-safe as-of join: same semantics as :func:`asof_join`, but the
+    window partitions on (key, coarse time bucket) instead of (key), so a
+    hot key (one user with millions of events) is split across
+    ``duration / bucket_seconds`` tasks instead of serializing into one.
+
+    Mechanics:
+    1. per (key, bucket): reduce the right side to its LAST row — a
+       bucket-summary frame with at most one row per (key, bucket);
+    2. build the bucket spine = every (key, bucket) seen on either side,
+       and carry each bucket's summary forward to later buckets
+       (window over the SUMMARY rows only — tiny even for hot keys);
+    3. inject each bucket's carry-in as a synthetic right row ordered
+       before everything in the bucket, then run the ordinary union +
+       last(ignorenulls) window within (key, bucket).
+
+    The big window's partition count scales with time coverage, and the
+    only per-key-global pass runs over bucket summaries, not events.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
+
+    def bucket_of(c: str) -> Column:
+        # via TIMESTAMP: TIMESTAMP_NTZ refuses a direct double cast
+        return F.floor(
+            F.col(c).cast("timestamp").cast("double") / F.lit(bucket_seconds)
+        )
+
+    rvals = F.struct(
+        F.col(right_ts).alias("_rts"), *[F.col(c) for c in value_cols]
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        bucket_of(right_ts).alias("_b"),
+        F.lit(0).alias("_side"),
+        rvals.alias("_rvals"),
+    )
+    rvals_type = r_tag.schema["_rvals"].dataType
+
+    # (1) last right row per (key, bucket): max on (_ts, _rvals) struct —
+    # one partial-aggregatable reduction, no window over raw events.
+    summaries = (
+        r_tag.groupBy("_k", "_b")
+        .agg(F.max(F.struct(F.col("_ts"), F.col("_rvals"))).alias("_m"))
+        .select("_k", "_b", F.col("_m._rvals").alias("_last"))
+    )
+
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        bucket_of(left_ts).alias("_b"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+    )
+
+    # (2) spine of all (key, bucket) pairs; carry-in = last summary of any
+    # STRICTLY EARLIER bucket (summary rows only: |keys|x|buckets| scale).
+    spine = (
+        l_tag.select("_k", "_b")
+        .union(summaries.select("_k", "_b"))
+        .distinct()
+        .join(summaries, ["_k", "_b"], "left")
+    )
+    w_carry = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = spine.select(
+        "_k",
+        "_b",
+        F.last("_last", ignorenulls=True).over(w_carry).alias("_carry"),
+    ).filter(F.col("_carry").isNotNull())
+
+    # (3) synthetic carry-in rows sort before every real row in the bucket
+    # (side=-1 at the bucket's start), then the standard carry window —
+    # partitioned by (key, bucket).
+    lrow_type = l_tag.schema["_lrow"].dataType
+    carry_rows = carry_in.select(
+        "_k",
+        "_b",
+        F.lit(None).cast(l_tag.schema["_ts"].dataType).alias("_ts"),
+        F.lit(-1).alias("_side"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+        F.col("_carry").alias("_rvals"),
+    )
+    all_rows = (
+        l_tag.withColumn("_rvals", F.lit(None).cast(rvals_type))
+        .unionByName(r_tag.withColumn("_lrow", F.lit(None).cast(lrow_type)))
+        .unionByName(carry_rows)
+    )
+    # carry-in rows have null _ts -> nulls-first puts them at the bucket
+    # start; at equal real ts, right (0) sorts before left (1).
+    w = (
+        Window.partitionBy("_k", "_b")
+        .orderBy(F.col("_ts").asc_nulls_first(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = all_rows.select(
+        "_side",
+        "_lrow",
+        F.last("_rvals", ignorenulls=True).over(w).alias("_rvals_m"),
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_rvals_m.{c}").alias(c) for c in value_cols],
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

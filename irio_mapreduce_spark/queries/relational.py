@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.io import load_tables, read_table
 from irio_mapreduce_spark.operators.aggregates import salted_agg
-from irio_mapreduce_spark.operators.joins import asof_join, range_join
+from irio_mapreduce_spark.operators.joins import asof_join, asof_join_bucketed, range_join
 from irio_mapreduce_spark.operators.topk import top_k_per_group
 from irio_mapreduce_spark.queries.catalog import register
 
@@ -225,6 +225,49 @@ def join_asof_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("o_orderkey", "event_id", "event_type")
 
 
+@register(
+    "join_asof_bucketed",
+    oracle="""
+    SELECT o.o_orderkey,
+           e.event_id,
+           e.event_type
+    FROM (SELECT * FROM orders WHERE o_orderkey % 97 = 0) o
+      ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id,
+                             max_by(event_type, event_id) AS event_type
+                      FROM events GROUP BY user_id, ts) e
+        ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    """,
+)
+def join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe as-of join (operators.joins.asof_join_bucketed):
+    identical semantics to join_asof_order_events — same oracle — but the
+    big window partitions on (key, 7-day bucket), so a hot key splits
+    across time buckets instead of serializing into one task. The only
+    per-key-global pass runs over bucket summaries (<= 1 row per key per
+    bucket)."""
+    t = load_tables(spark, sf_dir, "orders", "events")
+    orders = t["orders"].filter(F.col("o_orderkey") % 97 == 0)
+    events = (
+        t["events"]
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("event_type", "event_id").alias("event_type"),
+        )
+        .withColumnRenamed("user_id", "o_custkey")
+    )
+    joined = asof_join_bucketed(
+        orders,
+        events,
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        bucket_seconds=7 * 86400.0,
+        value_cols=["event_id", "event_type"],
+    )
+    return joined.select("o_orderkey", "event_id", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------
@@ -424,6 +467,56 @@ def window_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_lead_next_order",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day', o_orderdate, lead(o_orderdate) OVER w) AS days_to_next,
+           lead(o_orderkey) OVER w AS next_order
+    FROM orders
+    WHERE o_custkey % 97 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lead_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead(): days until the customer's next order (the forward-looking
+    twin of window_lag_lead_gaps)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 97 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_next"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@register(
+    "agg_collect_list_orders",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys,
+           count(*) AS n
+    FROM orders
+    WHERE o_custkey % 151 = 0
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect_list_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list (bag semantics, duplicates kept) rendered canonical by
+    sorting before join — the deterministic way to oracle-check an
+    unordered list aggregate."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 151 == 0)
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_list("o_orderkey")), ",").alias(
+            "order_keys"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "agg_rollup_flag_status",
     oracle="""
     SELECT l_returnflag, l_linestatus,
@@ -512,6 +605,23 @@ def agg_percentiles_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
         F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+    )
+
+
+@register("agg_percentiles_approx")  # approximate by design -> rows-only check
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — the 100 TB path paired with the exact
+    agg_percentiles_collect entry: fixed-size sketch state per group
+    (accuracy parameter 10000) instead of buffering every value. pytest
+    bounds its deviation from exact (tests/test_operators.py)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 4
+        ).alias("p50_approx"),
+        F.round(
+            F.expr("percentile_approx(l_extendedprice, 0.99, 10000)"), 4
+        ).alias("p99_approx"),
     )
 
 

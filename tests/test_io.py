@@ -1,0 +1,87 @@
+"""Source/sink round-trips (SURVEY.md §2.2 "Sources / sinks"): every
+supported format through write_dataset -> read_any, the exactly-R-files
+sink contract, and hive-partitioned writes with partition pruning visible
+in the plan."""
+
+from __future__ import annotations
+
+import contextlib
+import glob
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.io import read_any, read_table, write_dataset
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _sample(spark):
+    return (
+        read_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def _rows(df):
+    return sorted((r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2)) for r in df.collect())
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = _sample(spark)
+    p = str(tmp_path / "o.parquet")
+    write_dataset(df, p)
+    assert _rows(read_any(spark, p)) == _rows(df)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = _sample(spark)
+    p = str(tmp_path / "o.csv")
+    write_dataset(df, p, fmt="csv", header="true")
+    back = read_any(spark, p, fmt="csv", schema=df.schema, header="true")
+    assert _rows(back) == _rows(df)
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = _sample(spark)
+    p = str(tmp_path / "o.json")
+    write_dataset(df, p, fmt="json")
+    back = read_any(spark, p, fmt="json", schema=df.schema)
+    assert _rows(back) == _rows(df)
+
+
+def test_text_roundtrip(spark, tmp_path):
+    lines = _sample(spark).select(
+        F.concat_ws("|", "o_orderkey", "o_orderstatus").alias("value")
+    )
+    p = str(tmp_path / "o.txt")
+    write_dataset(lines, p, fmt="text")
+    back = read_any(spark, p, fmt="text")
+    assert sorted(r.value for r in back.collect()) == sorted(
+        r.value for r in lines.collect()
+    )
+
+
+def test_exactly_r_output_files(spark, tmp_path):
+    p = str(tmp_path / "r_files")
+    write_dataset(_sample(spark), p, num_files=5)
+    assert len(glob.glob(os.path.join(p, "part-*"))) == 5
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Hive-partitioned layout + a partition-key filter must prune at plan
+    time (PartitionFilters), not scan-and-discard."""
+    p = str(tmp_path / "by_status")
+    write_dataset(_sample(spark), p, partition_by=["o_orderstatus"])
+    assert os.path.isdir(os.path.join(p, "o_orderstatus=F"))
+    back = read_any(spark, p).filter(F.col("o_orderstatus") == "F")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in [
+        l for l in plan.splitlines() if "PartitionFilters" in l
+    ][0]

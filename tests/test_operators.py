@@ -10,7 +10,11 @@ from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.io import read_table
 from irio_mapreduce_spark.operators.aggregates import salted_agg
-from irio_mapreduce_spark.operators.joins import asof_join, range_join
+from irio_mapreduce_spark.operators.joins import (
+    asof_join,
+    asof_join_bucketed,
+    range_join,
+)
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -31,6 +35,22 @@ def test_approx_count_distinct_error_bound(spark):
     assert rows
     for r in rows:
         assert abs(r.approx - r.exact) / r.exact <= 0.05, r
+
+
+def test_percentile_approx_close_to_exact(spark):
+    """percentile_approx(accuracy=10000) must track exact percentile within
+    0.5% relative error — backs the agg_percentiles_approx entry."""
+    li = read_table(spark, SF_DIR, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("a"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("e"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.a - r.e) / r.e <= 0.005, r
 
 
 def test_salted_agg_equals_plain_agg(spark):
@@ -104,6 +124,39 @@ def test_asof_join_no_prior_event_yields_null(spark):
     )
     out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
     assert len(out) == 1 and out[0]["v"] is None
+
+
+def test_asof_bucketed_equals_plain_asof(spark):
+    """The skew-safe bucketed variant must produce byte-identical results
+    to the plain as-of join across bucket widths — including matches that
+    cross many empty buckets (the carry-in path)."""
+    ev = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .withColumnRenamed("user_id", "k")
+    )
+    orders = (
+        read_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") % 53 == 0)
+        .select(F.col("o_custkey").alias("k"), "o_orderkey", "o_orderdate")
+    )
+    plain = {
+        (r.o_orderkey, r.event_id)
+        for r in asof_join(
+            orders, ev, on="k", left_ts="o_orderdate", right_ts="ts",
+            value_cols=["event_id"],
+        ).collect()
+    }
+    for bucket_seconds in (86400.0, 7 * 86400.0, 365 * 86400.0):
+        bucketed = {
+            (r.o_orderkey, r.event_id)
+            for r in asof_join_bucketed(
+                orders, ev, on="k", left_ts="o_orderdate", right_ts="ts",
+                bucket_seconds=bucket_seconds, value_cols=["event_id"],
+            ).collect()
+        }
+        assert bucketed == plain, bucket_seconds
 
 
 def test_range_join_boundary_semantics(spark):
