@@ -180,6 +180,39 @@ def dedup_events(
     return ev.dropDuplicates(cols)
 
 
+def stateful_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (total value, event count), emitted every micro-batch the user
+    appears in (update mode). The state is an arbitrary user-defined
+    struct — the escape hatch for operators the built-in windows can't
+    express (counters, ML feature state, custom sessionization).
+
+    State size = one row per user; on a stream a timeout
+    (``ProcessingTimeTimeout``/``EventTimeTimeout``) is what bounds it —
+    ``NoTimeout`` here because the test harness drains finite replays.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total": [round(total, 2)], "n": [n]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, total double, n long",
+        stateStructType="total double, n long",
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
 def stream_static_enrich(
     events: DataFrame, dim: DataFrame, on: str, how: str = "inner"
 ) -> DataFrame:

@@ -23,9 +23,18 @@ TABLES = (
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from irio_mapreduce_spark.session import get_spark
 
-    s = get_spark(app_name="irio_mapreduce_spark-tests")
+    s = get_spark(
+        app_name="irio_mapreduce_spark-tests",
+        extra_conf={
+            # bucketed-table tests saveAsTable; keep the warehouse out of
+            # the repo tree
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_")
+        },
+    )
     yield s
 
 

@@ -22,6 +22,7 @@ from irio_mapreduce_spark.streaming import (
     run_to_completion,
     session_rollup,
     sliding_value_rollup,
+    stateful_user_totals,
     stream_static_enrich,
     tumbling_value_rollup,
 )
@@ -123,6 +124,32 @@ def test_stream_static_join_batch_equivalence(spark, unordered_dir):
         ["event_type", "weighted"],
     )
     assert got == want and len(got) == 3
+
+
+def test_custom_stateful_operator_running_totals(spark, unordered_dir):
+    """applyInPandasWithState: the per-user state accumulates across
+    micro-batches; the FINAL emission per user (the one with the highest
+    event count — counts grow monotonically) must equal the batch
+    aggregate over the whole replay."""
+    static = spark.read.parquet(unordered_dir)
+    stream = read_events_stream(spark, unordered_dir)
+    run_to_completion(stateful_user_totals(stream), "t_state", "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    finals = (
+        spark.table("t_state")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    got = rows_set(finals, ["user_id", "total", "n"])
+    want = rows_set(
+        static.groupBy("user_id").agg(
+            F.round(F.sum("value"), 2).alias("total"), F.count("*").alias("n")
+        ),
+        ["user_id", "total", "n"],
+    )
+    assert got == want and got
 
 
 def test_watermark_drops_late_data(spark, tmp_path):
