@@ -110,6 +110,67 @@ def decode_image_features(
     return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, width: int, height: int, strict: bool = False
+) -> DataFrame:
+    """Resize stage: payload -> payload with updated meta dims. Stubbed
+    decode (libraries absent): the fake keeps the payload and rewrites the
+    metadata — the schema/partitioning contract is the real part."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError("real resize requires PIL/libvips")
+            meta = pdf["meta"].map(
+                lambda m: {**(m or {}), "width": width, "height": height}
+            )
+            yield pdf.assign(meta=meta)
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int, max_frames: int = 16, strict: bool = False
+) -> DataFrame:
+    """Video frame-sampling stage: one row in -> up to ``max_frames`` rows
+    out (media_id, frame_idx, ts_ms, payload). The fake slices the payload
+    bytes deterministically; a real implementation decodes with av/ffmpeg.
+    The 1->N Arrow shape (a flatMap in MapReduce terms, reference R2) is
+    what the stub proves."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError("real frame sampling requires av/ffmpeg")
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"] or b"")
+                dur = (row["meta"] or {}).get("duration_ms") or (
+                    len(payload)  # fake: 1 ms per byte
+                )
+                n = max(1, min(max_frames, int(dur // every_ms) or 1))
+                step = max(1, len(payload) // n)
+                for i in range(n):
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": i,
+                            "ts_ms": i * every_ms,
+                            "payload": payload[i * step : (i + 1) * step],
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "ts_ms", "payload"]
+            )
+
+    return media.mapInPandas(
+        run,
+        schema="media_id long, frame_idx int, ts_ms long, payload binary",
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: materialize the ``documents`` table as a media table
     (payload = UTF-8 bytes) so the binary plumbing is exercisable against

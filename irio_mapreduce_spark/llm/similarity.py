@@ -156,6 +156,83 @@ def _table_buckets(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: a k-means coarse
+    quantizer partitions the corpus into ``n_cells`` cells; each query
+    probes its ``n_probe`` nearest cells and exact cosine re-ranks only
+    those candidates. The FAISS-IVF topology on DataFrames:
+
+    * index build (the KMeans fit) is the offline, cluster-wide step — at
+      100 TB you train on a sample and broadcast the centroids (here: tiny
+      literal arrays in the plan);
+    * search is ONE equi-join on cell id — candidates per query ≈
+      n_probe/n_cells of the corpus, and cells are hash-distributed so a
+      popular cell is still one join key, not a task straggler (AQE skew
+      splitting applies).
+
+    Recall rises with n_probe (n_probe = n_cells degenerates to brute
+    force); tests/test_llm.py bounds it against the exact path.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(as_double(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        # squared L2 to each centroid, as literal expressions; take the n
+        # smallest cell ids (array_sort on (dist, cell) structs)
+        v = as_double(vec)
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(v, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    ).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.transform(F.slice(F.array_sort(dists), 1, n), lambda s: s["cell"])
+
+    corpus = widen(df).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("_cell"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("_cell"),
+    )
+    from pyspark.sql import Window
+
+    sim = F.round(cosine(as_double(F.col("_qv")), as_double(F.col("_cv"))), digits)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        qs.join(corpus, "_cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cosine", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine", "rn")
+    )
+
+
 def rp_lsh_topk(
     df: DataFrame,
     vec_col: str,

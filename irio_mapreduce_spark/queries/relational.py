@@ -91,6 +91,35 @@ def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
+    "join_right_outer_orders_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 211 = 0
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def join_right_outer_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join keeping order-less customers (count(col) skips the
+    null side)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    cust = t["customer"].filter(F.col("c_custkey") % 211 == 0)
+    return (
+        t["orders"]
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@register(
     "join_full_outer_nation_activity",
     oracle="""
     WITH cust AS (SELECT c_nationkey AS nk, count(*) AS n_cust

@@ -16,6 +16,7 @@ from irio_mapreduce_spark.llm.similarity import (
     cosine,
     cosine_pairs_bruteforce,
     cosine_topk,
+    ivf_topk,
     rp_lsh_topk,
 )
 from irio_mapreduce_spark.queries.catalog import register
@@ -102,6 +103,19 @@ def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
         )
         .select("label", "n", "centroid_norm")
+    )
+
+
+@register("sim_ann_ivf_topk")  # approximate by design -> rows-only check
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for 5 query vectors: k-means coarse quantizer
+    (16 cells), 4-cell probing, exact cosine re-rank of candidates — the
+    FAISS-IVF topology on DataFrames. Recall bounded vs brute force in
+    tests/test_llm.py; deterministic (fixed KMeans seed)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, "embedding", "vec_id", queries, k=5, n_cells=16, n_probe=4, seed=42
     )
 
 

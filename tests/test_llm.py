@@ -24,7 +24,7 @@ from irio_mapreduce_spark.llm.multimodal import (
     decode_image_features,
     documents_as_media,
 )
-from irio_mapreduce_spark.llm.similarity import cosine_topk, rp_lsh_topk
+from irio_mapreduce_spark.llm.similarity import cosine_topk, ivf_topk, rp_lsh_topk
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -146,6 +146,33 @@ def test_rp_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"recall {recall}"
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with 16 cells / 4 probes must recover a solid fraction of the
+    exact top-5 — and strictly more than random cell assignment would
+    (4/16 of the corpus ≈ 0.25 expected recall for a broken quantizer)."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = ivf_topk(
+        emb, "embedding", "vec_id", queries, k=5, n_cells=16, n_probe=4, seed=42
+    ).collect()
+    got = {(r.query_id, r.vec_id) for r in approx}
+
+    hits, total = 0, 0
+    for q in queries.collect():
+        exact = cosine_topk(
+            emb.filter(F.col("vec_id") != q.vec_id),
+            "embedding",
+            "vec_id",
+            [float(x) for x in q.embedding],
+            k=5,
+        ).collect()
+        for r in exact:
+            total += 1
+            hits += (q.vec_id, r.vec_id) in got
+    recall = hits / total
+    assert recall >= 0.4, f"recall {recall}"
+
+
 def test_multimodal_decode_roundtrip(spark):
     media = documents_as_media(read_table(spark, SF_DIR, "documents"))
     feats = decode_image_features(media, n_features=8)
@@ -156,6 +183,27 @@ def test_multimodal_decode_roundtrip(spark):
     # Deterministic fake: re-running yields identical features.
     again = {r.media_id: r.features for r in decode_image_features(media, 8).collect()}
     assert all(again[r.media_id] == r.features for r in rows)
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from irio_mapreduce_spark.llm.multimodal import resize_images, sample_frames
+
+    media = documents_as_media(read_table(spark, SF_DIR, "documents")).limit(20)
+    resized = resize_images(media, 224, 224)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(r.meta.width == 224 and r.meta.height == 224 for r in rows)
+
+    frames = sample_frames(media, every_ms=40, max_frames=4).collect()
+    assert {r.media_id for r in frames} == {r.media_id for r in rows}
+    per_media = {}
+    for f in frames:
+        per_media.setdefault(f.media_id, []).append(f)
+    for fs in per_media.values():
+        assert 1 <= len(fs) <= 4
+        assert [f.frame_idx for f in sorted(fs, key=lambda x: x.ts_ms)] == list(
+            range(len(fs))
+        )
 
 
 def test_multimodal_strict_raises(spark):
