@@ -111,6 +111,12 @@ def asof_join_bucketed(
 
     The big window's partition count scales with time coverage, and the
     only per-key-global pass runs over bucket summaries, not events.
+
+    Plan note: this trades exchange COUNT for exchange WIDTH — ~7 shuffles
+    appear in the plan, but all except the final (key, bucket) window move
+    bucket-summary or spine rows (<= |keys| x |buckets|); the plain
+    asof_join's single shuffle moves every event into one partition per
+    key, which is exactly what melts under a hot key.
     """
     value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
 

@@ -222,6 +222,28 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_skew_kurtosis",
+    oracle="""
+    SELECT l_returnflag,
+           round(skewness(l_quantity), 4) AS skew_qty,
+           round(kurtosis(l_quantity), 4) AS kurt_qty,
+           round(skewness(l_extendedprice), 4) AS skew_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape aggregates: skewness + excess kurtosis. Spark
+    computes the population form, DuckDB the sample-corrected form — they
+    differ by ~1/n relative (1e-7 here), invisible at 4-digit rounding."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+        F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+    )
+
+
+@register(
     "global_stats",
     oracle="""
     SELECT count(*)                              AS n_rows,
