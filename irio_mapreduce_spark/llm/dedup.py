@@ -169,10 +169,12 @@ def minhash_lsh_pairs(
 
 
 def jaccard(set1: Column, set2: Column, digits: int = 6) -> Column:
-    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    """Exact Jaccard similarity of two (distinct-element) arrays; NULL when
+    both are empty (0/0 — found by the hypothesis property suite, and a
+    real case for sub-``n``-token documents whose shingle set is empty)."""
     inter = F.size(F.array_intersect(set1, set2))
     union = F.size(set1) + F.size(set2) - inter
-    return F.round(inter / union, digits)
+    return F.when(union > 0, F.round(inter / union, digits))
 
 
 def near_dup_pairs_minhash(

