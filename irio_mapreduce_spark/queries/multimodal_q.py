@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.io import read_table
-from irio_mapreduce_spark.llm.multimodal import documents_as_media
+from irio_mapreduce_spark.llm.multimodal import decode_image_features, documents_as_media
 from irio_mapreduce_spark.queries.catalog import register
 
 
@@ -38,4 +38,23 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("payload")).alias("total_bytes"),
         F.min(F.length("payload")).alias("min_bytes"),
         F.max(F.length("payload")).alias("max_bytes"),
+    )
+
+
+@register("multimodal_decode_features")  # stubbed decoder -> rows-only check
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched decode/feature-extract stage over mapInPandas
+    (deterministic fake decoder — real image libs absent by design),
+    aggregated to per-channel feature statistics. Proves the binary-column
+    -> pandas -> typed-struct round trip under the driver's harness."""
+    media = documents_as_media(read_table(spark, sf_dir, "documents"))
+    feats = decode_image_features(media, n_features=8)
+    return (
+        feats.select("media_id", F.posexplode("features").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("x"), 4).alias("mean_x"),
+            F.round(F.max("x"), 4).alias("max_x"),
+        )
     )
