@@ -224,22 +224,32 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stats_skew_kurtosis",
     oracle="""
+    WITH mu AS (SELECT l_returnflag AS rf, avg(l_quantity) AS muq,
+                       avg(l_extendedprice) AS mup
+                FROM lineitem GROUP BY 1)
     SELECT l_returnflag,
-           round(skewness(l_quantity), 4) AS skew_qty,
-           round(kurtosis(l_quantity), 4) AS kurt_qty,
-           round(skewness(l_extendedprice), 4) AS skew_price
-    FROM lineitem GROUP BY l_returnflag
+           round(avg(pow(l_quantity - muq, 3))
+                 / pow(avg(pow(l_quantity - muq, 2)), 1.5), 4) + 0 AS skew_qty,
+           round(avg(pow(l_quantity - muq, 4))
+                 / pow(avg(pow(l_quantity - muq, 2)), 2) - 3, 4) + 0 AS kurt_qty,
+           round(avg(pow(l_extendedprice - mup, 3))
+                 / pow(avg(pow(l_extendedprice - mup, 2)), 1.5), 4) + 0 AS skew_price
+    FROM lineitem JOIN mu ON l_returnflag = rf
+    GROUP BY l_returnflag
     """,
 )
 def stats_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shape aggregates: skewness + excess kurtosis. Spark
-    computes the population form, DuckDB the sample-corrected form — they
-    differ by ~1/n relative (1e-7 here), invisible at 4-digit rounding."""
+    computes POPULATION moments while DuckDB's built-ins are sample-
+    corrected — a ~1/n relative difference that flips 4-digit rounding on
+    small groups — so the oracle states the population formula explicitly.
+    The ``+ 0`` / ``+ lit(0.0)`` on both sides normalizes IEEE -0.0 (the
+    driver's value hash is exact; -0.0 vs 0.0 would mismatch)."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
-        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
-        F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+        (F.round(F.skewness("l_quantity"), 4) + F.lit(0.0)).alias("skew_qty"),
+        (F.round(F.kurtosis("l_quantity"), 4) + F.lit(0.0)).alias("kurt_qty"),
+        (F.round(F.skewness("l_extendedprice"), 4) + F.lit(0.0)).alias("skew_price"),
     )
 
 
