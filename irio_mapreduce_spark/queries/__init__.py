@@ -17,4 +17,5 @@ from irio_mapreduce_spark.queries import dedup_q  # noqa: E402,F401
 from irio_mapreduce_spark.queries import similarity_q  # noqa: E402,F401
 from irio_mapreduce_spark.queries import multimodal_q  # noqa: E402,F401
 from irio_mapreduce_spark.queries import udf_q  # noqa: E402,F401
+from irio_mapreduce_spark.queries import streaming_q  # noqa: E402,F401
 from irio_mapreduce_spark.queries import pipeline_q  # noqa: E402,F401

@@ -1,0 +1,115 @@
+"""Streaming catalog queries: each entry REALLY RUNS Structured Streaming
+(file-stream replay of ``events`` -> windowed/stateful query -> memory
+sink, availableNow trigger) and returns the drained result, so the
+driver's correctness gate exercises the streaming engine itself — not
+just the batch twin. Results are deterministic (complete/append modes
+over a finite replay), so the same DuckDB oracles as the batch entries
+apply.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.queries.catalog import register
+from irio_mapreduce_spark.streaming import (
+    dedup_events,
+    read_events_stream,
+    replay_chunks,
+    run_to_completion,
+    stream_static_enrich,
+    tumbling_value_rollup,
+)
+
+
+def _replayed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = replay_chunks(
+        spark, sf_dir, tempfile.mkdtemp(prefix="stream_q_") + "/events", n_chunks=4
+    )
+    return read_events_stream(spark, d, max_files_per_trigger=2)
+
+
+@register(
+    "stream_tumbling_rollup",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate executed BY THE STREAMING ENGINE (4-chunk
+    out-of-order file replay, complete output mode) — the oracle is the
+    same SQL that checks the batch twin, proving stream/batch equivalence
+    under the driver's hash, not just in pytest."""
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    run_to_completion(
+        tumbling_value_rollup(_replayed_stream(spark, sf_dir)), name, "complete"
+    )
+    return spark.table(name).select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "stream_stateful_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_keys
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) across
+    micro-batches, then a per-type count of the emitted first-seen rows —
+    equals batch DISTINCT regardless of replay order."""
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    run_to_completion(
+        dedup_events(_replayed_stream(spark, sf_dir), ["user_id", "event_type"]),
+        name,
+        "append",
+    )
+    return spark.table(name).groupBy("event_type").agg(F.count("*").alias("n_keys"))
+
+
+@register(
+    "stream_static_join_rollup",
+    oracle="""
+    SELECT e.event_type,
+           round(sum(e.value * w.weight), 2) AS weighted_value,
+           count(*) AS n
+    FROM events e
+      JOIN (VALUES ('click', 1.0), ('view', 0.1), ('purchase', 10.0),
+                   ('signup', 5.0), ('error', -1.0)) AS w(event_type, weight)
+        ON e.event_type = w.event_type
+    GROUP BY e.event_type
+    """,
+)
+def stream_static_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (broadcast dimension re-read per
+    micro-batch) aggregated per type, run on the streaming engine in
+    complete mode."""
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0), ("signup", 5.0), ("error", -1.0)],
+        ["event_type", "weight"],
+    )
+    enriched = stream_static_enrich(
+        _replayed_stream(spark, sf_dir), dim, "event_type"
+    )
+    agg = enriched.groupBy("event_type").agg(
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
+        F.count("*").alias("n"),
+    )
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    run_to_completion(agg, name, "complete")
+    return spark.table(name)
