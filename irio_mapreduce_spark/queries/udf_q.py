@@ -81,6 +81,38 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udf_python_udtf",
+    oracle="""
+    SELECT w AS word, length(w) AS wlen, count(*) AS n
+    FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                    t -> t <> '')) AS w
+          FROM documents WHERE doc_id % 29 = 0)
+    GROUP BY w
+    """,
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (1 row -> N rows, the table-function analog of a map
+    binary emitting many lines, reference R2): tokenize each document into
+    (word, wlen) rows, then aggregate. The lateral-join shape is
+    ``F.udtf`` + ``lateralJoin``; built-in explode remains the fast path
+    for anything expressible without Python."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, wlen int")
+    class Tokenize:
+        def eval(self, text: str):
+            for w in (text or "").lower().split():
+                if w:
+                    yield w, len(w)
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 0)
+    words = docs.lateralJoin(Tokenize(F.col("text").outer()))
+    return words.groupBy("word").agg(
+        F.max("wlen").alias("wlen"), F.count("*").alias("n")
+    )
+
+
+@register(
     "udf_row_at_a_time",
     oracle="""
     SELECT string_split(o_orderpriority, '-')[1] AS code, count(*) AS n
