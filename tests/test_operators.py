@@ -37,6 +37,33 @@ def test_approx_count_distinct_error_bound(spark):
         assert abs(r.approx - r.exact) / r.exact <= 0.05, r
 
 
+def test_sketch_suite_error_bounds(spark):
+    """DataSketches estimates must track exact values: HLL/theta distinct
+    within 3%, KLL median within 2% of exact, and approx_top_k must return
+    the true top event types with near-exact counts (5 distinct values
+    fit the sketch exactly)."""
+    from irio_mapreduce_spark.queries.relational import agg_sketch_suite
+
+    e = read_table(spark, SF_DIR, "events")
+    exact_users = e.select("user_id").distinct().count()
+    exact_median = e.selectExpr("percentile(value, 0.5)").head()[0]
+    exact_types = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+
+    row = agg_sketch_suite(spark, SF_DIR).head()
+    assert abs(row.hll_users - exact_users) / exact_users <= 0.03
+    assert abs(row.theta_users - exact_users) / exact_users <= 0.03
+    assert abs(row.kll_median_value - exact_median) / abs(exact_median) <= 0.02
+    # t["count"], not t.count: the struct field shadows Row.count()
+    top = {t["item"]: t["count"] for t in row.top_types}
+    true_top3 = dict(sorted(exact_types.items(), key=lambda kv: -kv[1])[:3])
+    assert set(top) == set(true_top3)
+    for k, n in true_top3.items():
+        assert abs(top[k] - n) / n <= 0.01, (k, top[k], n)
+
+
 def test_percentile_approx_close_to_exact(spark):
     """percentile_approx(accuracy=10000) must track exact percentile within
     0.5% relative error — backs the agg_percentiles_approx entry."""
