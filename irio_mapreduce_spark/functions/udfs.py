@@ -35,22 +35,32 @@ def weighted_avg_grouped_agg(price: pd.Series, qty: pd.Series) -> float:
 
 
 def normalize_by_group(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
-    """Grouped-map via ``applyInPandas``: subtract the group mean (the
-    classic per-group normalization). Output schema = input + ``dev``.
+    """Grouped-map via ``applyInPandas``: per-group mean-centering as EXACT
+    integer arithmetic — ``dev`` = value-in-cents x group size minus the
+    group's cent total (i.e. the mean-deviation scaled by 100·n). Output
+    schema = input + ``dev`` (bigint).
+
+    Why scaled integers and not ``value - mean``: 2-decimal money values
+    make raw deviations land EXACTLY on decimal rounding boundaries
+    whenever the group size divides a power of ten times two, so the two
+    engines' float summation noise flips the rounded digit in either
+    direction — a systematic oracle-hash hazard, observed at sf0.1.
+    Integer math is bit-exact in both engines at any scale.
 
     NOTE the scale contract of grouped-map: one pandas frame PER GROUP must
     fit in executor memory — correct for bounded groups (per-customer,
     per-session), wrong for whole-partition-sized groups; use window
     functions for those (as subq_orders_vs_customer_avg does).
     """
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark.sql.types import LongType, StructField, StructType
 
     # Copy, don't df.schema.add(...): add() mutates the DataFrame's CACHED
     # schema object, corrupting df.columns with the not-yet-existing field.
-    schema = StructType(list(df.schema.fields) + [StructField("dev", DoubleType())])
+    schema = StructType(list(df.schema.fields) + [StructField("dev", LongType())])
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.assign(dev=(pdf[value_col] - pdf[value_col].mean()).round(4))
+        cents = (pdf[value_col] * 100).round().astype("int64")
+        return pdf.assign(dev=cents * len(pdf) - cents.sum())
 
     return df.groupBy(*keys).applyInPandas(norm, schema=schema)
 

@@ -16,6 +16,7 @@ from irio_mapreduce_spark.llm.text import (
     positional_fingerprint,
     quality_features,
     stopword_ratio,
+    type_token_ratio,
 )
 from irio_mapreduce_spark.queries.catalog import register
 
@@ -34,19 +35,26 @@ _DUCK_TOKS = (
            count(*) AS n_docs,
            round(avg(len(toks)), 4) AS avg_tokens,
            round(avg(n_chars), 4) AS avg_chars,
-           round(avg(len(list_distinct(toks)) * 1.0 / len(toks)), 6) AS avg_ttr
+           round(avg(len(list_distinct(toks)) * 1.0 / len(toks)), 4) AS avg_ttr
     FROM t GROUP BY lang
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token statistics per language: doc counts, mean token/char
-    counts, mean type-token ratio. One narrow pass + a 5-group aggregate."""
-    docs = quality_features(read_table(spark, sf_dir, "documents"))
+    counts, mean type-token ratio. One narrow pass + a 5-group aggregate.
+
+    avg_ttr averages the UNROUNDED per-doc ratio (matching the oracle) and
+    rounds only the final mean, at 4 digits: averaging pre-rounded ratios
+    shifted the mean by ~1e-6, enough to flip a 6-digit rounding boundary
+    between engines (caught by an exact-compare sweep)."""
+    docs = quality_features(read_table(spark, sf_dir, "documents")).withColumn(
+        "ttr_raw", type_token_ratio(F.col("text"))
+    )
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        F.round(F.avg("ttr_raw"), 4).alias("avg_ttr"),
     )
 
 
@@ -94,7 +102,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN s_de >= s_fr THEN 'de'
                 ELSE 'fr' END AS predicted,
            count(*) AS n_docs,
-           round(avg(s_en), 6) AS avg_s_en
+           round(avg(s_en), 4) AS avg_s_en
     FROM s GROUP BY 1, 2
     """,
 )
@@ -111,7 +119,7 @@ def text_langid_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("s_en"), 6).alias("avg_s_en"),
+            F.round(F.avg("s_en"), 4).alias("avg_s_en"),
         )
     )
 

@@ -64,16 +64,20 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_map",
     oracle="""
     SELECT o_orderkey,
-           round(o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_custkey), 4)
-             AS dev
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             * (count(*) OVER (PARTITION BY o_custkey))
+           - (sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              OVER (PARTITION BY o_custkey)) AS dev
     FROM orders
     WHERE o_custkey % 151 = 0
     """,
 )
 def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map ``applyInPandas`` (per-customer mean-centering) — the
-    oracle states the same thing as a window aggregate, which is also the
-    correct built-in at scale (one shuffle, no per-group pandas frames)."""
+    """Grouped-map ``applyInPandas`` (per-customer mean-centering, in
+    exact cents-scaled integer form — see functions.normalize_by_group for
+    why) — the oracle states the same thing as window aggregates, which is
+    also the correct built-in at scale (one shuffle, no per-group pandas
+    frames)."""
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 151 == 0)
     return normalize_by_group(
         o.select("o_custkey", "o_orderkey", "o_totalprice"), ["o_custkey"], "o_totalprice"
