@@ -100,6 +100,50 @@ def test_shingle_jaccard_matches_python(spark, n, corpus):
         assert v == expect, (i, j_)
 
 
+@given(
+    points=st.lists(
+        st.floats(min_value=0, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=12,
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=100, allow_nan=False, width=32),
+            st.floats(min_value=0, max_value=50, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    width=st.sampled_from([1.0, 7.0, 40.0]),
+)
+@SETTINGS
+def test_range_join_matches_python(spark, points, intervals, width):
+    """Bucketized range join == the O(n·m) Python reference for arbitrary
+    points/intervals and bucket widths: no misses (bucket math covers every
+    overlap) and no duplicates (one output row per matching pair)."""
+    from irio_mapreduce_spark.operators.joins import range_join
+
+    ivs = [(i, lo, lo + w) for i, (lo, w) in enumerate(intervals)]
+    pdf = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(points)], "pid long, x double"
+    )
+    idf = spark.createDataFrame(
+        [(i, float(lo), float(hi)) for i, lo, hi in ivs],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(pdf, idf, "x", "lo", "hi", bucket_width=width).collect()
+    )
+    want = sorted(
+        (pi, ii)
+        for pi, x in enumerate(points)
+        for ii, lo, hi in ivs
+        if lo <= x < hi
+    )
+    assert got == want
+
+
 events_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2),  # key
