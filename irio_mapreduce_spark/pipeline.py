@@ -17,8 +17,14 @@ Semantics guaranteed here, matching the reference contract:
   ``mr-bins/partition/partition.cpp:33-38``). Spark: one hash exchange.
   Bucket *membership* differs (C++ ``std::hash`` vs Spark's Murmur3) — the
   co-location contract is what's guaranteed, per SURVEY.md §7.
-* **reduce chain** — each reducer sees a whole partition (all records for
-  its keys, reference ``ReduceProcessor.java:24-52``), composed in order.
+* **reduce chain** — composed in order. In :func:`submit_batch`'s faithful
+  mode (``reduce_mode="partition"``) each ``reduce_fn`` receives one pandas
+  frame **per key group** (all records for ONE key), not per hash bucket —
+  stricter than the reference's whole-partition reducers
+  (``ReduceProcessor.java:24-52``): per-key output is identical, but a
+  reduce_fn computing cross-key/bucket-level results (e.g. per-bucket
+  top-k) must use :func:`pipe_batch`, whose steps do see whole co-located
+  partitions. Each chained ``reduce_fn`` pays its own groupBy shuffle.
 * **sink** — ``r_num`` output partitions in ``dest`` (reference R9 +
   ``common.proto:22``). Intentional deviation: a hash bucket that received
   no keys produces no file (Spark's writer skips empty partitions), where

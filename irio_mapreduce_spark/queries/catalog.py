@@ -12,7 +12,19 @@ comparison meaningful:
 * no raw timestamp columns in outputs — formatted to strings on both sides
   (timezone-independent);
 * results are sets: any ORDER BY inside a query exists only to make limits /
-  ranks deterministic (unique tie-breaks), never for output order.
+  ranks deterministic (unique tie-breaks), never for output order;
+* integer-valued ``sum()`` is CAST to BIGINT in the oracle (DuckDB types an
+  integer sum / ``list_sum`` as HUGEINT, which pandas materializes as
+  float64 -> ``5995.0`` vs Spark's ``5995`` hash-mismatches);
+* double sums needing rounding accumulate as ``DECIMAL(38,10)`` on BOTH
+  sides then cast back to double — decimal addition is exact and
+  partition-merge-order-insensitive, so the subsequent ``round`` can never
+  straddle a boundary run-to-run;
+* no array/map/struct columns in any output — even rows-only checks
+  canonicalize via pandas ``sort_values``, which crashes on unhashable
+  cells; wrap with ``to_json`` / ``array_join`` / explode to rows.
+
+These conventions are enforced by tests/test_conventions.py.
 
 Queries whose semantics are intentionally approximate or non-SQL (HLL counts,
 LSH bucketing, streaming state) register with ``oracle=None`` -> the driver

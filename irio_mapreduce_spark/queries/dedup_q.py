@@ -114,6 +114,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 seeds), so a local pass implies a driver pass on the same
     data. The LSH path's value is doing this WITHOUT the O(n²) join the
     oracle runs: candidates come from band-bucket collisions only.
+
+    This entry runs with ``max_bucket_size=None`` (the default): the bucket
+    cap is a recall valve that would silently drop every pair inside a
+    >cap-sized near-identical cluster, breaking the exactness claim — see
+    ``llm.dedup.minhash_lsh_pairs`` for when to enable it.
     """
     docs = read_table(spark, sf_dir, "documents")
     return near_dup_pairs_minhash(
@@ -123,10 +128,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_ngram_jaccard", oracle=_DUCK_JACCARD_PAIRS)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT trigram-Jaccard near-dup pairs (>= 0.8) via the inverted-index
-    join (explode shingles -> equi-join on shingle -> count). Same output
-    contract as dedup_minhash_lsh but exact by construction; the max_df
-    guard (unused at test scale) is the documented scale valve."""
+    """EXACT trigram-Jaccard near-dup pairs (>= 0.8) via prefix filtering
+    (llm.dedup.ngram_jaccard_pairs): only each document's rarest-first
+    ~(1-t) shingle prefix is indexed and self-joined, then candidates are
+    verified with exact set intersection — provably the same output as the
+    naive inverted-index join, without its O(df²) blow-up on shared
+    boilerplate shingles."""
     docs = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 

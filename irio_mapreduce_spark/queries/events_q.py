@@ -114,7 +114,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
       FROM u),
     sessions AS (
       SELECT user_id, ts, value,
@@ -132,7 +132,13 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session window (30-minute gap) per user — Spark's
     ``session_window`` merges events whose gaps are < the timeout; the
     oracle is the classic lag/flag/cumsum sessionization. Batch form of
-    the streaming session-window operator."""
+    the streaming session-window operator.
+
+    Boundary semantics: a session window is END-EXCLUSIVE — an event at
+    exactly ``prev_ts + 30min`` starts a NEW session, so the oracle's gap
+    test is strict ``<`` (an ``<=`` would merge exactly-on-boundary events;
+    latent on this corpus only because timestamps carry microsecond
+    jitter)."""
     e = read_table(spark, sf_dir, "events").filter(F.col("user_id") % 101 == 0)
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

@@ -98,12 +98,15 @@ def fn_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math_conditional",
     oracle="""
     SELECT p_brand,
-           round(sum(abs(p_retailprice - 1000.0)), 2) AS sum_abs_dev,
-           round(sum(floor(p_retailprice) + ceil(p_size / 10.0)), 2) AS sum_floors,
-           round(sum(sqrt(p_retailprice)), 4) AS sum_sqrt,
-           round(sum(pow(p_size, 2)), 2) AS sum_sq,
-           sum(p_partkey % 7) AS sum_pmod,
-           sum(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS n_large,
+           round(CAST(sum(CAST(abs(p_retailprice - 1000.0) AS DECIMAL(38,10)))
+                      AS DOUBLE), 2) AS sum_abs_dev,
+           CAST(sum(CAST(floor(p_retailprice) + ceil(p_size / 10.0) AS BIGINT))
+                AS BIGINT) AS sum_floors,
+           round(CAST(sum(CAST(sqrt(p_retailprice) AS DECIMAL(38,10)))
+                      AS DOUBLE), 4) AS sum_sqrt,
+           CAST(sum(CAST(pow(p_size, 2) AS BIGINT)) AS BIGINT) AS sum_sq,
+           CAST(sum(p_partkey % 7) AS BIGINT) AS sum_pmod,
+           CAST(sum(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
            count(coalesce(nullif(p_type, 'STANDARD'), NULL)) AS n_nonstandard
     FROM part
     GROUP BY p_brand
@@ -111,15 +114,28 @@ def fn_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math + conditional/null family: abs/floor/ceil/sqrt/pow/pmod,
-    when/otherwise, coalesce + nullif."""
+    when/otherwise, coalesce + nullif.
+
+    Hash-stability conventions (see catalog.py docstring): double sums
+    accumulate as DECIMAL(38,10) — decimal addition is exact and
+    partition-order-insensitive, unlike ``round(sum(double))`` which can
+    straddle a rounding boundary depending on merge order; integer-valued
+    sums are summed as BIGINT on both sides (DuckDB integer ``sum()`` is
+    HUGEINT, which pandas materializes as float64 -> hash mismatch vs
+    Spark's long)."""
     p = read_table(spark, sf_dir, "part")
+    dec = "decimal(38,10)"
     return p.groupBy("p_brand").agg(
-        F.round(F.sum(F.abs(F.col("p_retailprice") - 1000.0)), 2).alias("sum_abs_dev"),
         F.round(
-            F.sum(F.floor("p_retailprice") + F.ceil(F.col("p_size") / 10.0)), 2
+            F.sum(F.abs(F.col("p_retailprice") - 1000.0).cast(dec)).cast("double"), 2
+        ).alias("sum_abs_dev"),
+        F.sum(
+            (F.floor("p_retailprice") + F.ceil(F.col("p_size") / 10.0)).cast("long")
         ).alias("sum_floors"),
-        F.round(F.sum(F.sqrt("p_retailprice")), 4).alias("sum_sqrt"),
-        F.round(F.sum(F.pow("p_size", F.lit(2))), 2).alias("sum_sq"),
+        F.round(F.sum(F.sqrt("p_retailprice").cast(dec)).cast("double"), 4).alias(
+            "sum_sqrt"
+        ),
+        F.sum(F.pow("p_size", F.lit(2)).cast("long")).alias("sum_sq"),
         F.sum(F.pmod("p_partkey", F.lit(7))).alias("sum_pmod"),
         F.sum(F.when(F.col("p_size") > 25, 1).otherwise(0)).alias("n_large"),
         F.count(F.coalesce(F.nullif("p_type", F.lit("STANDARD")), F.lit(None))).alias(
@@ -138,7 +154,8 @@ def fn_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(toks) AS n_tokens,
            len(list_filter(toks, w -> length(w) > 4)) AS n_long,
-           list_sum(list_transform(toks, w -> length(w))) AS total_chars,
+           CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT)
+               AS total_chars,
            array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted,
            toks[1] AS first_tok,
            list_contains(toks, 'the') AS has_the

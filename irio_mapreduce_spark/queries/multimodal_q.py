@@ -19,7 +19,7 @@ from irio_mapreduce_spark.queries.catalog import register
     "multimodal_payload_stats",
     oracle="""
     SELECT meta_kind, count(*) AS n_media,
-           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            min(octet_length(encode(text))) AS min_bytes,
            max(octet_length(encode(text))) AS max_bytes
     FROM (SELECT 'text' AS meta_kind, text FROM documents)

@@ -18,6 +18,38 @@ from irio_mapreduce_spark.operators.topk import top_k_per_group
 from irio_mapreduce_spark.queries.catalog import register
 
 # ---------------------------------------------------------------------------
+# Mergeable sketches (registered first: see queries/__init__.py order note)
+# ---------------------------------------------------------------------------
+
+
+@register("agg_sketch_suite")  # sketch estimates -> rows-only check
+def agg_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch family (DataSketches built-ins) in one pass
+    over events: approx_top_k heavy hitters on event_type, HLL and theta
+    distinct-user estimates, KLL median of value. Sketches are fixed-size,
+    mergeable state — the 100 TB substitute for exact distinct/quantile/
+    top-k shuffles; map-side partial aggregation merges sketch pages, not
+    rows. Error bounds vs exact are asserted in tests/test_operators.py.
+
+    ``top_types`` is rendered with ``to_json`` — a rows-only driver check
+    still canonicalizes the frame with pandas ``sort_values``, which dies
+    on unhashable array<struct> cells; scalar string/double columns keep
+    the check crash-free."""
+    e = read_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_sketch_events")
+    return spark.sql(
+        """
+        SELECT to_json(approx_top_k(event_type, 3)) AS top_types_json,
+               hll_sketch_estimate(hll_sketch_agg(user_id)) AS hll_users,
+               theta_sketch_estimate(theta_sketch_agg(user_id)) AS theta_users,
+               round(kll_sketch_get_quantile_double(
+                     kll_sketch_agg_double(value), 0.5), 2) AS kll_median_value
+        FROM _sketch_events
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------
 
@@ -651,28 +683,6 @@ def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.expr("percentile_approx(l_extendedprice, 0.99, 10000)"), 4
         ).alias("p99_approx"),
-    )
-
-
-@register("agg_sketch_suite")  # sketch estimates -> rows-only check
-def agg_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mergeable-sketch family (DataSketches built-ins) in one pass
-    over events: approx_top_k heavy hitters on event_type, HLL and theta
-    distinct-user estimates, KLL median of value. Sketches are fixed-size,
-    mergeable state — the 100 TB substitute for exact distinct/quantile/
-    top-k shuffles; map-side partial aggregation merges sketch pages, not
-    rows. Error bounds vs exact are asserted in tests/test_operators.py."""
-    e = read_table(spark, sf_dir, "events")
-    e.createOrReplaceTempView("_sketch_events")
-    return spark.sql(
-        """
-        SELECT approx_top_k(event_type, 3) AS top_types,
-               hll_sketch_estimate(hll_sketch_agg(user_id)) AS hll_users,
-               theta_sketch_estimate(theta_sketch_agg(user_id)) AS theta_users,
-               round(kll_sketch_get_quantile_double(
-                     kll_sketch_agg_double(value), 0.5), 2) AS kll_median_value
-        FROM _sketch_events
-        """
     )
 
 

@@ -1,0 +1,109 @@
+"""Non-parquet source/sink catalog entries (SURVEY.md §2.2 "Sources").
+
+The reference's storage layer is format-agnostic directory scan + write
+(``DistrStorage.java:137-155`` scan, ``192-210`` write); parquet entries
+cover the scan contract elsewhere, and these two entries put the CSV and
+JSON source/sink paths under the same DuckDB oracle gate.
+
+Oracle strategy: each entry ROUND-TRIPS a parquet table through the text
+format (Spark sink -> Spark source -> aggregate), while the oracle computes
+the same aggregate straight from the parquet view. Equality proves the
+format writer and reader are lossless for the carried types — no shared
+file path between engines, so there is no ordering dependency between the
+driver's Spark and DuckDB runs.
+
+Scale notes: schemas are always EXPLICIT on read — ``inferSchema`` (CSV) or
+schema inference (JSON) is an extra full scan of the input at 100 TB and is
+never acceptable in a pipeline; the JSON entry derives its schema with
+``schema_of_json`` from a one-row sample instead, which is the idiomatic
+bounded-cost alternative. Writes stay partitioned (one file per task, the
+reference's exactly-R contract lives in io.write_exact_files).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.io import read_table
+from irio_mapreduce_spark.queries.catalog import register
+
+
+def _scratch(sf_dir: str, leaf: str) -> str:
+    """Deterministic per-SF scratch dir outside the repo tree."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(
+        tempfile.gettempdir(), "irio_mapreduce_spark_sources", tag, leaf
+    )
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_acctbal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source: supplier -> headered CSV -> explicit-schema read
+    -> aggregate. The oracle aggregates the original parquet, so a hash
+    match proves the CSV writer/reader are lossless for int/double/string
+    (incl. quoting of comma-bearing strings and round-trippable double
+    formatting)."""
+    path = _scratch(sf_dir, "supplier_csv")
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    s.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema(
+            "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, s_acctbal DOUBLE"
+        )
+        .option("header", True)
+        .csv(path)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey % 101 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source: orders subset -> json -> read with a
+    schema derived by ``schema_of_json`` from a one-row sample (the SURVEY
+    §2.2 JSON-family function not exercised elsewhere) -> aggregate vs the
+    parquet truth."""
+    path = _scratch(sf_dir, "orders_json")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    o.write.mode("overwrite").json(path)
+    sample = '{"o_orderkey": 1, "o_orderpriority": "1-URGENT", "o_totalprice": 1.0}'
+    back = (
+        spark.read.text(path)
+        .select(
+            F.from_json(F.col("value"), F.schema_of_json(F.lit(sample))).alias("r")
+        )
+        .select("r.*")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -129,9 +129,9 @@ def text_langid_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
     SELECT doc_id,
-           list_sum(list_transform(generate_series(1, len(toks)),
+           CAST(list_sum(list_transform(generate_series(1, len(toks)),
              i -> (i * ((length(toks[i]) * 31 + ord(toks[i][1])) % 2147483647))
-                  % 2147483647)) % 2147483647 AS fp
+                  % 2147483647)) % 2147483647 AS BIGINT) AS fp
     FROM t
     """,
 )
@@ -150,8 +150,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bpe_ish_tokens",
     oracle="""
     SELECT source,
-           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS total_bpe_ish,
-           sum(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))) AS total_ws
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))
+                AS BIGINT) AS total_bpe_ish,
+           CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')))
+                AS BIGINT) AS total_ws
     FROM documents GROUP BY source
     """,
 )

@@ -64,10 +64,10 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_map",
     oracle="""
     SELECT o_orderkey,
-           CAST(round(o_totalprice * 100) AS BIGINT)
-             * (count(*) OVER (PARTITION BY o_custkey))
-           - (sum(CAST(round(o_totalprice * 100) AS BIGINT))
-              OVER (PARTITION BY o_custkey)) AS dev
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                  * (count(*) OVER (PARTITION BY o_custkey))
+                - (sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   OVER (PARTITION BY o_custkey)) AS BIGINT) AS dev
     FROM orders
     WHERE o_custkey % 151 = 0
     """,

@@ -171,13 +171,22 @@ def session_rollup(
 def dedup_events(
     events: DataFrame, keys: list[str], watermark: str | None = None
 ) -> DataFrame:
-    """Stateful exactly-once-per-key dedup. On a stream, the watermark
-    bounds the dedup state: duplicates arriving later than the watermark
-    horizon are NOT suppressed (state was dropped) — the documented
-    trade-off; size the watermark to the real duplicate-arrival window."""
-    ev = events.withWatermark("ts", watermark) if watermark else events
-    cols = ["ts", *keys] if watermark else keys
-    return ev.dropDuplicates(cols)
+    """Stateful exactly-once-per-key dedup, KEY-ONLY in both modes.
+
+    Without a watermark the state is unbounded ``dropDuplicates(keys)``.
+    With one, ``dropDuplicatesWithinWatermark(keys)`` keeps the same
+    key-only semantics with bounded state: a key's state lives for the
+    watermark delay, so duplicates arriving within that horizon are
+    suppressed and later ones are not — the documented trade-off; size the
+    watermark to the real duplicate-arrival window. (Plain
+    ``dropDuplicates([ts, *keys])`` would NOT be a substitute: adding the
+    event time to the key silently stops suppressing same-key events with
+    different timestamps.)"""
+    if watermark:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
 
 
 def stateful_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:

@@ -1,0 +1,56 @@
+"""Catalog-convention enforcement: the two driver-canonicalization failure
+classes from round 2 must never reappear (see queries/catalog.py docstring).
+
+1. HUGEINT oracles: DuckDB types an integer ``sum()`` / ``list_sum()`` as
+   HUGEINT, which pandas materializes as float64 — ``5995.0`` vs Spark's
+   ``5995`` is a value-hash mismatch on cell-identical results. Every
+   integer sum must be ``CAST(... AS BIGINT)``. Checked precisely by asking
+   DuckDB for each oracle's result types (catches any future construct that
+   widens to HUGEINT, not just textual ``sum(``).
+
+2. Complex-typed outputs: the driver canonicalizes every result (even
+   rows-only checks) with pandas ``sort_values``, which crashes on
+   unhashable array/map cells. No catalog query may return array, map, or
+   struct columns — wrap with ``to_json`` / ``array_join`` or explode.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from irio_mapreduce_spark import queries as catalog
+from tests.conftest import SF_DIR
+
+_QUERIES = catalog.all_queries()
+_ORACLES = catalog.all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_returns_no_hugeint(name, duck):
+    rel = duck.sql(f"SELECT * FROM ({_ORACLES[name]}) LIMIT 0")
+    offenders = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()
+    ]
+    assert not offenders, (
+        f"{name}: oracle columns {offenders} are HUGEINT — pandas will "
+        "materialize them as float64 and the driver hash will mismatch "
+        "Spark's long; CAST the sum to BIGINT"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_returns_no_complex_columns(name, spark):
+    df = _QUERIES[name](spark, SF_DIR)
+    offenders = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not offenders, (
+        f"{name}: columns {offenders} are array/map/struct — the driver's "
+        "pandas canonicalization crashes on unhashable cells; render with "
+        "to_json/array_join or explode to rows"
+    )

@@ -56,8 +56,10 @@ def test_sketch_suite_error_bounds(spark):
     assert abs(row.hll_users - exact_users) / exact_users <= 0.03
     assert abs(row.theta_users - exact_users) / exact_users <= 0.03
     assert abs(row.kll_median_value - exact_median) / abs(exact_median) <= 0.02
-    # t["count"], not t.count: the struct field shadows Row.count()
-    top = {t["item"]: t["count"] for t in row.top_types}
+    # top_types is to_json'd (driver canon can't sort array<struct> cells)
+    import json
+
+    top = {t["item"]: t["count"] for t in json.loads(row.top_types_json)}
     true_top3 = dict(sorted(exact_types.items(), key=lambda kv: -kv[1])[:3])
     assert set(top) == set(true_top3)
     for k, n in true_top3.items():
