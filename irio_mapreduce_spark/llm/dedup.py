@@ -22,7 +22,15 @@ def widen(df: DataFrame) -> DataFrame:
     CPU-heavy per row; a small corpus read from one parquet file would
     otherwise run them on ONE core (measured 15s -> 3s on the sf0.1
     MinHash pass). At real scale inputs already have enough partitions and
-    this is a no-op."""
+    this is a no-op.
+
+    Cost note: ``df.rdd.getNumPartitions()`` forces a DataFrame->RDD
+    lineage conversion (~0.1 s warm, no job). A plan-level probe is not a
+    substitute (``executedPlan().outputPartitioning()`` is
+    UnknownPartitioning for scans), and unconditionally repartitioning
+    would add a real shuffle at scale precisely when the input is already
+    wide — the probe is the cheapest branch that keeps the no-op path
+    shuffle-free."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     return df.repartition(target) if df.rdd.getNumPartitions() < target else df
 

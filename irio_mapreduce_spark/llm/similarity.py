@@ -245,6 +245,53 @@ def ivf_topk(
     )
 
 
+def dedup_embedding_cosine(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.99,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP: drop every row that has a
+    lower-``id_col`` neighbor with cosine >= ``threshold``; keep the rest.
+
+    The near-dup relation SQL-expressibly deduplicated (one pass, not
+    transitive-closure clustering): survivor set = rows with NO smaller-id
+    neighbor above the threshold — deterministic, order-independent.
+
+    Scale shape: candidates come from the multi-table random-hyperplane
+    LSH bucket join (never all-pairs), exact cosine verifies candidates,
+    and one left-anti join drops the losers. Recall follows the banding
+    math (1-(1-(1-θ/π)^p)^L — effectively 1 as θ→0, i.e. for genuinely
+    near-identical vectors); SCALE-VARIANT duplicates (c·v, c>0 — e.g.
+    un-normalized re-encodes, the case byte-level exact dedup cannot see)
+    are caught with recall exactly 1: multiplying by a positive scalar
+    never flips a projection sign, so every table buckets c·v with v.
+    """
+    keys = _table_buckets(F.col(vec_col), random_hyperplanes(dim, n_tables * planes_per_table, seed), n_tables, planes_per_table)
+    banded = widen(df).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(keys).alias("_bucket"),
+    )
+    a = banded.select(F.col("_id").alias("_id1"), F.col("_v").alias("_v1"), "_bucket")
+    b = banded.select(F.col("_id").alias("_id2"), F.col("_v").alias("_v2"), "_bucket")
+    losers = (
+        a.join(b, "_bucket")
+        .filter(F.col("_id1") < F.col("_id2"))
+        .dropDuplicates(["_id1", "_id2"])
+        .filter(
+            cosine(as_double(F.col("_v1")), as_double(F.col("_v2"))) >= threshold
+        )
+        .select(F.col("_id2").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def rp_lsh_topk(
     df: DataFrame,
     vec_col: str,

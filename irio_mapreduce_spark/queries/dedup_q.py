@@ -21,6 +21,10 @@ from irio_mapreduce_spark.llm.dedup import (
     simhash_near_pairs,
     tokens,
 )
+from irio_mapreduce_spark.llm.similarity import as_double
+from irio_mapreduce_spark.llm.similarity import (
+    dedup_embedding_cosine as dedup_embedding_cosine_op,
+)
 from irio_mapreduce_spark.queries.catalog import register
 
 # Shared DuckDB fragment: distinct word trigrams per document, matching
@@ -136,6 +140,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate shingles."""
     docs = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 0.5)
+      FROM embeddings
+    )
+    SELECT e.vec_id FROM corpus e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM corpus o
+      WHERE o.vec_id < e.vec_id
+        AND list_cosine_similarity(o.v, e.v) >= 0.99
+    )
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: keep rows with no lower-id neighbor
+    at cosine >= 0.99; candidates from the multi-table RP-LSH bucket join,
+    exact cosine verify, one anti-join (llm.similarity.dedup_embedding_cosine).
+
+    The corpus plants a scale-variant duplicate of every vector (0.5·v
+    under vec_id+10000) — byte-different, so sha-based exact dedup cannot
+    see it; cosine dedup must. The oracle is the brute-force NOT EXISTS
+    sweep. Exactness argument: (a) positive scaling never flips a
+    hyperplane-projection sign (x*0.5 is exact IEEE scaling), so every
+    planted pair shares ALL LSH buckets — recall 1 by construction, no
+    banding probability involved; (b) the original corpus's max pairwise
+    cosine is ~0.6 (verified at sf0.01/0.1), far from the 0.99 threshold,
+    so both engines agree on every keep/drop decision with no
+    float-boundary risk."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    orig = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    copies = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(as_double(F.col("embedding")), lambda x: x * 0.5).alias("v"),
+    )
+    corpus = orig.unionByName(copies)
+    return dedup_embedding_cosine_op(
+        corpus, "v", "vec_id", threshold=0.99, n_tables=8, planes_per_table=4,
+        dim=64, seed=42,
+    ).select("vec_id")
 
 
 @register("dedup_simhash")  # engine-specific 64-bit hashing -> no SQL oracle

@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.functions import (
     normalize_by_group,
-    priority_code_udf,
     taxed_price_pandas,
     weighted_avg_grouped_agg,
 )
@@ -116,18 +115,6 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "udf_row_at_a_time",
-    oracle="""
-    SELECT string_split(o_orderpriority, '-')[1] AS code, count(*) AS n
-    FROM orders GROUP BY code
-    """,
-)
-def udf_row_at_a_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-at-a-time F.udf — declared surface, documented slow path (the
-    per-row Python round trip breaks codegen; the oracle shows the
-    built-in equivalent)."""
-    o = read_table(spark, sf_dir, "orders")
-    return o.select(priority_code_udf(F.col("o_orderpriority")).alias("code")).groupBy(
-        "code"
-    ).agg(F.count("*").alias("n"))
+# NB: udf_row_at_a_time (the documented row-UDF slow-path demo) lives in
+# slowpath_q.py so it registers at the catalog tail, keeping this family's
+# front-window slots for the vectorized surfaces above.

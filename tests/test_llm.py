@@ -210,3 +210,38 @@ def test_multimodal_strict_raises(spark):
     media = documents_as_media(read_table(spark, SF_DIR, "documents")).limit(1)
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         decode_image_features(media, strict=True).collect()
+
+
+def test_dedup_embedding_cosine_scaled_and_near(spark):
+    """Scale-variant duplicates (c*v) MUST be dropped (guaranteed LSH
+    recall: positive scaling never flips a projection sign); a genuinely
+    distinct vector must survive; near-but-below-threshold stays."""
+    from irio_mapreduce_spark.llm.similarity import dedup_embedding_cosine
+
+    base = [1.0, 0.5] + [0.0] * 62
+    near = [1.0, 0.5 + 1e-4] + [0.0] * 62          # cosine ~ 0.999999+
+    ortho = [0.0] * 62 + [1.0, -0.5]               # cosine 0 with base
+    rows = [
+        (0, base),
+        (1, [x * 0.5 for x in base]),              # scaled dup of 0 -> drop
+        (2, near),                                 # cosine > 0.99 vs 0 -> drop
+        (3, ortho),                                # keep
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    kept = {
+        r.vec_id
+        for r in dedup_embedding_cosine(
+            df, "v", "vec_id", threshold=0.99, dim=64
+        ).collect()
+    }
+    assert kept == {0, 3}
+
+
+def test_simhash_rejects_unreachable_hamming(spark):
+    """max_hamming > 7 would silently miss pairs (8-byte pigeonhole bound)
+    — the operator must refuse it."""
+    from irio_mapreduce_spark.llm.dedup import simhash_near_pairs
+
+    docs = read_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
