@@ -66,6 +66,7 @@ def dedup_exact_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact_prefix",
+    tail=True,  # variant of dedup_exact_sha, which holds the window slot
     oracle="""
     SELECT doc_id, lang, source FROM (
       SELECT doc_id, lang, source,

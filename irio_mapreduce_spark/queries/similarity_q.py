@@ -55,6 +55,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_pairs_bruteforce",
+    tail=True,  # intentionally-O(n²) recall oracle; sim_cosine_topk holds the slot
     oracle="""
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            round(list_cosine_similarity(a.embedding::DOUBLE[],
