@@ -69,13 +69,28 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     read via ``spark.sql.legacy.parquet.nanosAsLong`` and converted to
     microsecond timestamps (matching DuckDB, which also reads parquet ns
     timestamps at µs precision).
+
+    Timestamp columns that arrive as TIMESTAMP_NTZ (µs parquet with
+    isAdjustedToUTC=false — how the synthetic data is written as of round 3)
+    are normalized to TIMESTAMP (LTZ): Structured Streaming's
+    ``withWatermark`` hard-requires LTZ event time, and the cast is
+    wall-clock-preserving (interpret in session tz, render in session tz),
+    so every date/window/format expression — and every DuckDB oracle, which
+    treats naive timestamps as wall-clock too — is unaffected.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    def _ltz(df: DataFrame) -> DataFrame:
+        for f in df.schema.fields:
+            if isinstance(f.dataType, TimestampNTZType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        return df
 
     path = table_path(sf_dir, name)
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _ltz(spark.read.parquet(path))
     # Session-wide side effect, also set at session build (session.py): the
     # conf must hold at *execution* time of this lazy plan, so it cannot be
     # save/restored here. Documented contract: this engine always reads

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.io import read_table
 from irio_mapreduce_spark.llm.dedup import (
+    connected_components,
     exact_dedup,
     near_dup_pairs_minhash,
     ngram_jaccard_pairs,
@@ -186,6 +187,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "v", "vec_id", threshold=0.99, n_tables=8, planes_per_table=4,
         dim=64, seed=42,
     ).select("vec_id")
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_TRIGRAMS},
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+             FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    jp AS (SELECT id1, id2
+           FROM cand
+             JOIN sizes s1 ON id1 = s1.doc_id
+             JOIN sizes s2 ON id2 = s2.doc_id
+           WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.8),
+    e AS (SELECT id1 AS u, id2 AS v FROM jp
+          UNION SELECT id2, id1 FROM jp),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: near-dup pairs (exact trigram Jaccard
+    >= 0.8, same pair generation as ``dedup_ngram_jaccard``) -> connected
+    components by iterative min-label propagation -> every document labeled
+    with its cluster representative (min reachable doc_id; singletons label
+    themselves). Pairs only say "a dups b"; dedup at corpus scale keeps ONE
+    doc per transitive cluster, which is exactly the component map — filter
+    ``doc_id == component`` for the keep-list.
+
+    This is the catalog's genuinely-iterative operator (no fixed-depth SQL
+    equivalent); the oracle is a DuckDB RECURSIVE CTE computing the same
+    fixpoint, so even the iteration is hash-checked, not rows-only.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return connected_components(
+        pairs, "id1", "id2", nodes=docs.select("doc_id"), id_col="doc_id"
+    )
 
 
 @register("dedup_simhash")  # engine-specific 64-bit hashing -> no SQL oracle

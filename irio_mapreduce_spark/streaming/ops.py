@@ -49,7 +49,10 @@ def replay_time_ordered(
     real window/session so append-mode output is complete."""
     ev = read_table(spark, sf_dir, "events")
     # approxQuantile rejects timestamps -> quantile the epoch seconds.
-    with_e = ev.withColumn("_e", F.col("ts").cast("double"))
+    # NTZ timestamps (µs parquet, isAdjustedToUTC=false) don't cast straight
+    # to double; go via TIMESTAMP first. Only used for ordering/chunking, so
+    # the session-tz interpretation is self-consistent whatever the tz.
+    with_e = ev.withColumn("_e", F.col("ts").cast("timestamp").cast("double"))
     bounds = with_e.approxQuantile(
         "_e", [i / n_chunks for i in range(1, n_chunks)], 0.001
     )

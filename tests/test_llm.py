@@ -245,3 +245,48 @@ def test_simhash_rejects_unreachable_hamming(spark):
     docs = read_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation on an adversarial graph shape mix — a long
+    chain (worst case for propagation round count), two cliques bridged by
+    one edge, isolated nodes from the ``nodes`` frame — must equal a plain
+    Python union-find."""
+    from irio_mapreduce_spark.llm.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 110)]
+    clique_a = [(a, b) for a in range(0, 5) for b in range(a + 1, 5)]
+    clique_b = [(a, b) for a in range(20, 25) for b in range(a + 1, 25)]
+    bridge = [(4, 20)]
+    edges = chain + clique_a + clique_b + bridge
+    node_ids = sorted({n for e in edges for n in e} | {500, 501})
+
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {n: min(m for m in node_ids if find(m) == find(n)) for n in node_ids}
+
+    e_df = spark.createDataFrame(edges, "a long, b long")
+    n_df = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    got = {
+        r.id: r.component
+        for r in connected_components(e_df, "a", "b", nodes=n_df).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """A chain longer than max_iter rounds must raise, not return a
+    silently half-merged labeling."""
+    from irio_mapreduce_spark.llm.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)], "a long, b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, "a", "b", max_iter=2)
