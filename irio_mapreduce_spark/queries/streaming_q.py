@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from irio_mapreduce_spark.queries.catalog import register
 from irio_mapreduce_spark.streaming import (
     dedup_events,
+    stream_stream_interval_join,
     read_events_stream,
     replay_chunks,
     run_to_completion,
@@ -112,4 +113,49 @@ def stream_static_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"t_sq_{uuid.uuid4().hex[:8]}"
     run_to_completion(agg, name, "complete")
+    return spark.table(name)
+
+@register(
+    "stream_stream_join_attrib",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS buy_id,
+           l.user_id AS user_id,
+           CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS delay_us
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 24 HOUR
+    """,
+)
+def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join on the streaming engine: clicks joined to
+    purchases by the same user within 24 h (the attribution topology). Both
+    sides are independent file-stream sources over the same out-of-order
+    replay; matches are emitted as both rows land in join state, whatever
+    order the chunks deliver them. Run unwatermarked (finite replay -> no
+    eviction -> drained result equals the batch join, which is the oracle);
+    the watermarked bounded-state form is exercised by
+    tests/test_streaming.py::test_stream_stream_join_batch_equivalence.
+    ``delay_us`` is an exact integer microsecond difference — tz-shift-
+    invariant and float-free on both engines."""
+    d = replay_chunks(
+        spark, sf_dir, tempfile.mkdtemp(prefix="stream_q_") + "/events", n_chunks=4
+    )
+    clicks = read_events_stream(spark, d, max_files_per_trigger=2).filter(
+        F.col("event_type") == "click"
+    )
+    buys = read_events_stream(spark, d, max_files_per_trigger=2).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_interval_join(clicks, buys, "user_id", "24 hours")
+    out = joined.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("buy_id"),
+        F.col("l.user_id").alias("user_id"),
+        (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts"))).alias(
+            "delay_us"
+        ),
+    )
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    run_to_completion(out, name, "append")
     return spark.table(name)

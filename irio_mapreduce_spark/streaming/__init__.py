@@ -24,5 +24,7 @@ from irio_mapreduce_spark.streaming.ops import (  # noqa: F401
     sliding_value_rollup,
     stateful_user_totals,
     stream_static_enrich,
+    stream_stream_interval_join,
     tumbling_value_rollup,
+    write_stream_parquet_exactly_once,
 )

@@ -232,3 +232,76 @@ def stream_static_enrich(
     broadcast when small — no state, no watermark needed (static side is
     immutable within a batch). The classic enrichment topology."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    interval: str = "24 hours",
+    left_watermark: str | None = None,
+    right_watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream INNER join: equality on ``key`` plus the event-time
+    interval ``l.ts <= r.ts <= l.ts + interval`` (the attribution-join
+    shape: which right-events happened within ``interval`` after a
+    left-event). Works batch and streaming (unified Dataset model).
+
+    On a stream, Spark buffers both sides in join state and emits a match
+    the micro-batch both rows exist. The time-range condition is what makes
+    the state PRUNABLE: with watermarks on both sides the engine derives
+    per-side eviction thresholds (a left row is dead once the watermark
+    passes ``l.ts + interval``, a right row once it passes ``r.ts``) —
+    without them, inner-join state grows without bound. Watermarks are
+    therefore mandatory at scale; the defaults keep them off because the
+    correctness harness drains a FINITE out-of-order replay, where "never
+    evict" is exactly what makes the drained result equal the batch join
+    (eviction under replay-speed watermark advancement would race real
+    matches). Size them to interval + max disorder in production — the
+    equivalence test runs the watermarked form over a time-ordered replay.
+    """
+    l, r = left, right
+    if left_watermark:
+        l = l.withWatermark("ts", left_watermark)
+    if right_watermark:
+        r = r.withWatermark("ts", right_watermark)
+    l, r = l.alias("l"), r.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "inner")
+
+
+def write_stream_parquet_exactly_once(
+    df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """``foreachBatch`` parquet sink with end-to-end exactly-once: each
+    micro-batch lands in its own hive-style ``_batch_id=<n>`` partition
+    directory with ``mode("overwrite")``, so a retried batch (failure
+    between write and checkpoint commit) REPLACES its own partial output
+    instead of appending a duplicate. Replayable source + checkpointed
+    offsets + this idempotent write = exactly-once, the standard recipe
+    when the built-in file sink's transaction log can't be used (e.g.
+    writing to multiple destinations or doing merges per batch).
+
+    ``foreachBatch`` is the general-purpose sink escape hatch: the closure
+    receives an ordinary batch DataFrame per micro-batch, so any batch
+    writer (JDBC upsert, delta merge, multi-sink fan-out) slots in; this
+    parquet form is the one the tests drive. Reading ``out_dir`` recovers
+    ``_batch_id`` as a partition column — drop it for the logical result.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"_batch_id={batch_id}")
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
