@@ -184,7 +184,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = orig.unionByName(copies)
     return dedup_embedding_cosine_op(
-        corpus, "v", "vec_id", threshold=0.99, n_tables=8, planes_per_table=4,
+        corpus, "v", "vec_id", threshold=0.99, n_tables=8, planes_per_table=16,
         dim=64, seed=42,
     ).select("vec_id")
 

@@ -27,11 +27,23 @@ from irio_mapreduce_spark.streaming import (
 )
 
 
+# One materialized replay per (session, sf_dir): the chunking is
+# deterministic (event_id % n_chunks), so every streaming entry can stream
+# the same directory — re-materializing per entry was 4 write jobs each.
+_REPLAY_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _REPLAY_DIRS:
+        _REPLAY_DIRS[key] = replay_chunks(
+            spark, sf_dir, tempfile.mkdtemp(prefix="stream_q_") + "/events", n_chunks=4
+        )
+    return _REPLAY_DIRS[key]
+
+
 def _replayed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = replay_chunks(
-        spark, sf_dir, tempfile.mkdtemp(prefix="stream_q_") + "/events", n_chunks=4
-    )
-    return read_events_stream(spark, d, max_files_per_trigger=2)
+    return read_events_stream(spark, _replay_dir(spark, sf_dir), max_files_per_trigger=2)
 
 
 @register(
@@ -138,9 +150,7 @@ def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py::test_stream_stream_join_batch_equivalence.
     ``delay_us`` is an exact integer microsecond difference — tz-shift-
     invariant and float-free on both engines."""
-    d = replay_chunks(
-        spark, sf_dir, tempfile.mkdtemp(prefix="stream_q_") + "/events", n_chunks=4
-    )
+    d = _replay_dir(spark, sf_dir)
     clicks = read_events_stream(spark, d, max_files_per_trigger=2).filter(
         F.col("event_type") == "click"
     )
