@@ -1,0 +1,93 @@
+"""Deterministic sampling for training-data pipelines: hash-mod sampling,
+train/validation splits, per-key quota caps.
+
+Why hash-based and not ``rand(seed)``: Spark's ``rand`` is seeded PER
+PARTITION — the sample changes whenever partitioning, task retries, or
+input split boundaries change, which silently breaks reproducibility and
+(worse) train/val hygiene across pipeline re-runs. A content hash of a
+stable key gives the same decision for the same row on any engine, any
+partitioning, any retry — and lets a DuckDB oracle verify the exact
+sampled set. md5 is used because both engines expose the identical hex
+digest (the catalog's hash-function entry already oracle-matches it).
+
+Scale shape: sampling and splitting are pure narrow maps (one hash per
+row, no shuffle, fully codegen-compatible); the quota cap is one window
+shuffle on the quota key. All decisions are made on the key columns only
+— the document payload never enters the hash unless asked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(
+    key_cols: list[str | Column], n_buckets: int = 100, salt: str = ""
+) -> Column:
+    """Deterministic bucket in ``[0, n_buckets)``: first 8 hex chars of
+    md5("col1|col2|...|salt") parsed as an integer, mod ``n_buckets``.
+    The 8-char prefix (32 bits) keeps the parse inside a long while
+    leaving bucket skew at O(n_buckets / 2^32) — negligible.
+
+    The salt picks an independent sampling "universe": re-sampling with a
+    new salt is uncorrelated with previous draws (the standard trick for
+    holdout rotation without storing membership lists).
+    """
+    cols = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
+            for c in key_cols]
+    key = F.concat_ws("|", *cols, F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    rate_pct: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep ~``rate_pct``% of rows, decided by :func:`hash_bucket` of the
+    key columns — reproducible across runs, engines, partitionings and
+    retries (none of which hold for ``df.sample``)."""
+    return df.filter(hash_bucket(key_cols, 100, salt) < rate_pct)
+
+
+def train_val_split(
+    df: DataFrame,
+    key_cols: list[str],
+    val_pct: int = 10,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag each row ``train``/``val`` by hash bucket. Deterministic and
+    leakage-safe under re-runs: a document's split never depends on what
+    else is in the batch, so incremental corpus growth cannot move rows
+    across the split boundary."""
+    b = hash_bucket(key_cols, 100, salt)
+    return df.withColumn(
+        split_col, F.when(b < 100 - val_pct, F.lit("train")).otherwise(F.lit("val"))
+    )
+
+
+def per_key_quota(
+    df: DataFrame,
+    quota_key: str,
+    quota: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Cap rows per ``quota_key`` at ``quota`` (per-domain/source caps — the
+    anti-boilerplate staple of corpus curation). Selection within a key is
+    by hash order (unbiased "random" quota, reproducible), tie-broken by
+    ``id_col``; one window shuffle on the quota key. A skewed key (one
+    domain = half the corpus) is one partition of the window — for that
+    regime pre-filter with :func:`deterministic_sample` at the expected
+    keep-rate first, which is a narrow map, then apply the exact cap."""
+    w = Window.partitionBy(quota_key).orderBy(
+        hash_bucket([id_col], 2**31, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_qrn", F.row_number().over(w))
+        .filter(F.col("_qrn") <= quota)
+        .drop("_qrn")
+    )

@@ -1,0 +1,89 @@
+"""Deterministic-sampling catalog queries over ``documents`` (the
+training-data curation family: reproducible sampling, split hygiene,
+per-source quotas). All three are exactly oracle-checked — the point of
+hash-based sampling is that an independent engine computes the SAME
+sampled set, which ``rand(seed)``-based sampling can never promise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.io import read_table
+from irio_mapreduce_spark.llm.sampling import (
+    deterministic_sample,
+    per_key_quota,
+    train_val_split,
+)
+from irio_mapreduce_spark.queries.catalog import register
+
+# DuckDB twin of llm.sampling.hash_bucket(["doc_id"], n, salt)
+_DUCK_BUCKET = (
+    "(('0x' || substr(md5(doc_id::VARCHAR || '|{salt}'), 1, 8))::BIGINT % {n})"
+)
+
+
+@register(
+    "sample_hash_mod",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_DUCK_BUCKET.format(salt="r3", n=100)} < 10
+    """,
+)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample of documents by md5 bucket of doc_id —
+    the exact sampled SET is the oracle contract (same rows on any
+    engine/partitioning/retry), which is the property rand()-sampling
+    lacks. Pure narrow map: no shuffle, filter sits on the scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    return deterministic_sample(
+        docs.select("doc_id", "lang", "source"), ["doc_id"], rate_pct=10, salt="r3"
+    )
+
+
+@register(
+    "sample_train_val_split",
+    oracle=f"""
+    SELECT CASE WHEN {_DUCK_BUCKET.format(salt="split", n=100)} < 90
+                THEN 'train' ELSE 'val' END AS split,
+           count(*) AS n,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def sample_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/10 train/validation split by doc_id hash: leakage-safe under
+    corpus growth (a row's split never depends on the rest of the batch).
+    Output is the per-split profile (count + distinct sources)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tagged = train_val_split(docs, ["doc_id"], val_pct=10, salt="split")
+    return tagged.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "sample_per_source_quota",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '|q'), 1, 8))::BIGINT
+                        % 2147483648,
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 15
+    """,
+)
+def sample_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap documents per source at 15, selected by hash order (unbiased,
+    reproducible) — the per-domain quota step of corpus curation. One
+    window shuffle on source."""
+    docs = read_table(spark, sf_dir, "documents")
+    return per_key_quota(
+        docs.select("doc_id", "source"), "source", quota=15, id_col="doc_id", salt="q"
+    )

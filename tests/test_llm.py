@@ -290,3 +290,44 @@ def test_connected_components_raises_without_convergence(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(8)], "a long, b long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(chain, "a", "b", max_iter=2)
+
+
+def test_deterministic_sampling_properties(spark):
+    """Hash-mod sampling is (a) reproducible across partitionings, (b) near
+    the nominal rate, (c) split-stable under corpus growth (a row's split
+    never changes when other rows are added)."""
+    from irio_mapreduce_spark.llm.sampling import (
+        deterministic_sample,
+        train_val_split,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id")
+    s1 = {r.doc_id for r in deterministic_sample(docs, ["doc_id"], 20, "s").collect()}
+    s2 = {
+        r.doc_id
+        for r in deterministic_sample(
+            docs.repartition(17), ["doc_id"], 20, "s"
+        ).collect()
+    }
+    assert s1 == s2 and s1
+    n = docs.count()
+    assert 0.1 * n < len(s1) < 0.3 * n  # 20% nominal, wide tolerance
+
+    full = train_val_split(docs, ["doc_id"], val_pct=10, salt="x")
+    half = train_val_split(docs.filter(F.col("doc_id") % 2 == 0), ["doc_id"],
+                           val_pct=10, salt="x")
+    fm = {r.doc_id: r.split for r in full.collect()}
+    for r in half.collect():
+        assert fm[r.doc_id] == r.split  # growth never moves rows across splits
+
+
+def test_per_key_quota_cap(spark):
+    from irio_mapreduce_spark.llm.sampling import per_key_quota
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    capped = per_key_quota(docs, "source", quota=5, id_col="doc_id")
+    per = capped.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 5 for r in per)
+    # deterministic: same selection on re-run
+    again = per_key_quota(docs, "source", quota=5, id_col="doc_id")
+    assert {r.doc_id for r in capped.collect()} == {r.doc_id for r in again.collect()}
