@@ -454,7 +454,12 @@ def connected_components(
     depth per round (each join references the previous round's full plan
     twice: once for propagation, once for the convergence check), and
     optimizer time — not the data — becomes the bottleneck. The edge list
-    is checkpointed once and reused every round.
+    is checkpointed once and reused every round. ``localCheckpoint``
+    trades fault-tolerance for speed (blocks live on executors; an
+    executor loss mid-iteration fails the job rather than recomputing) —
+    on a long-running 1000-executor job, set a reliable
+    ``spark.sparkContext.setCheckpointDir`` and swap in ``checkpoint()``;
+    the loop structure is unchanged.
 
     Convergence is verified, not assumed: a round with zero improved labels
     ends the loop; hitting ``max_iter`` without converging raises (a silent
@@ -496,4 +501,61 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds — "
         "the graph has a longer path than min-label propagation should see "
         "on a dedup workload; raise max_iter or switch to large-star/small-star"
+    )
+
+
+def ngram_containment_pairs(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus n-gram CONTAINMENT — the benchmark-decontamination
+    operator: for each ``probes`` document (eval/benchmark side), find
+    ``corpus`` documents (training side) sharing >= ``threshold`` of the
+    probe's distinct word n-grams. Asymmetric by design: containment is
+    ``|overlap| / |probe shingles|``, so a short eval item buried inside a
+    long training document still scores ~1 where symmetric Jaccard would
+    vanish — which is exactly why decontamination cannot be served by the
+    dedup operators.
+
+    Scale shape: inverted-index equi-join on the shingle — the PROBE side
+    (benchmarks: small, bounded) is exploded in full; the corpus side is
+    the 100 TB one and contributes one index row per (doc, shingle), never
+    a pairwise product. Join fan-out per shingle is |corpus docs with it| ×
+    |probe docs with it|; the second factor is tiny by construction, so the
+    O(df²) blow-up mode of symmetric self-joins doesn't exist here.
+    ``max_df`` optionally drops stop-shingles from the CORPUS index (lossy;
+    off by default — with word 5-grams, high-df shingles are rare).
+
+    Output: (corpus_id, probe_id, containment) rounded to 6 digits.
+    """
+    def side(df: DataFrame, out_id: str) -> DataFrame:
+        return widen(df).select(
+            F.col(id_col).alias(out_id),
+            shingles(tokens(F.col(text_col)), n).alias("_s"),
+        )
+
+    c = side(corpus, "corpus_id").select(
+        "corpus_id", F.explode("_s").alias("_g")
+    )
+    if max_df is not None:
+        df_counts = c.groupBy("_g").count().filter(F.col("count") <= max_df)
+        c = c.join(df_counts.select("_g"), "_g")
+    p = side(probes, "probe_id")
+    p_idx = p.select("probe_id", F.size("_s").alias("_np"), F.explode("_s").alias("_g"))
+    hits = (
+        c.join(p_idx, "_g")
+        .groupBy("corpus_id", "probe_id", "_np")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        hits.withColumn(
+            "containment", F.round(F.col("_inter") / F.col("_np"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("corpus_id", "probe_id", "containment")
     )

@@ -124,23 +124,6 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     ]
 
 
-def rp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """LSH bucket id = the sign pattern of the vector's projection onto each
-    hyperplane, packed into a long. Cosine-similar vectors agree on most
-    signs, so they collide with high probability."""
-    v = as_double(vec_col)
-    bits = [
-        F.when(dot(v, _lit_vec(p)) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        for i, p in enumerate(planes)
-    ]
-    out = bits[0]
-    for c in bits[1:]:
-        out = out.bitwiseOR(c)
-    return out
-
-
 def _table_buckets(
     vec_col: Column, planes: list[list[float]], n_tables: int, per_table: int
 ) -> Column:

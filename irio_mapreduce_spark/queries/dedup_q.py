@@ -18,10 +18,12 @@ from irio_mapreduce_spark.llm.dedup import (
     connected_components,
     exact_dedup,
     near_dup_pairs_minhash,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
     tokens,
 )
+from irio_mapreduce_spark.llm.sampling import train_val_split
 from irio_mapreduce_spark.llm.similarity import as_double
 from irio_mapreduce_spark.llm.similarity import (
     dedup_embedding_cosine as dedup_embedding_cosine_op,
@@ -241,3 +243,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrelated docs don't)."""
     docs = read_table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "text_decontamination",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     t -> t <> '') AS t
+                  FROM documents),
+    sh5 AS (SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, len(t) - 4),
+                                                i -> array_to_string(t[i:i+4], ' '))) AS s
+            FROM toks),
+    b AS (SELECT doc_id,
+                 (('0x' || substr(md5(doc_id::VARCHAR || '|split'), 1, 8))::BIGINT
+                  % 100) AS bk
+          FROM documents),
+    cx AS (SELECT s.doc_id, unnest(s.s) AS g
+           FROM sh5 s JOIN b USING (doc_id) WHERE b.bk < 90),
+    px AS (SELECT s.doc_id, len(s.s) AS np, unnest(s.s) AS g
+           FROM sh5 s JOIN b USING (doc_id) WHERE b.bk >= 90),
+    hits AS (SELECT cx.doc_id AS corpus_id, px.doc_id AS probe_id,
+                    max(px.np) AS np, count(*) AS inter
+             FROM cx JOIN px USING (g)
+             GROUP BY 1, 2)
+    SELECT corpus_id, probe_id,
+           round(inter * 1.0 / np, 6) AS containment
+    FROM hits
+    WHERE inter * 1.0 / np >= 0.5
+    """,
+)
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: split documents 90/10 into train/eval by
+    hash (the same leakage-safe split as ``sample_train_val_split``), then
+    flag train docs containing >= 50% of an eval doc's distinct word
+    5-grams (``llm.dedup.ngram_containment_pairs``). Asymmetric
+    containment — not Jaccard — because a short eval item buried in a long
+    training document is exactly the leak dedup misses. The probe side is
+    exploded in full (benchmarks are small by construction); the train
+    side contributes one inverted-index row per (doc, shingle), never a
+    pairwise product."""
+    docs = read_table(spark, sf_dir, "documents")
+    tagged = train_val_split(docs, ["doc_id"], val_pct=10, salt="split")
+    return ngram_containment_pairs(
+        tagged.filter(F.col("split") == "train"),
+        tagged.filter(F.col("split") == "val"),
+        "doc_id",
+        "text",
+        n=5,
+        threshold=0.5,
+    )

@@ -331,3 +331,30 @@ def test_per_key_quota_cap(spark):
     # deterministic: same selection on re-run
     again = per_key_quota(docs, "source", quota=5, id_col="doc_id")
     assert {r.doc_id for r in capped.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_ngram_containment_finds_planted_leak(spark):
+    """A probe document fully embedded in a long corpus document must be
+    flagged with containment 1.0 even though symmetric Jaccard between the
+    pair is tiny; unrelated probes must not be flagged."""
+    from irio_mapreduce_spark.llm.dedup import ngram_containment_pairs
+
+    leak = "the quick brown fox jumps over the lazy dog near the river bank"
+    filler = " ".join(f"w{i}" for i in range(300))
+    corpus = spark.createDataFrame(
+        [(1, filler + " " + leak + " " + filler),
+         (2, " ".join(f"x{i}" for i in range(100)))],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(10, leak), (11, "completely unrelated probe content here indeed")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.corpus_id, r.probe_id): r.containment
+        for r in ngram_containment_pairs(
+            corpus, probes, "doc_id", "text", n=5, threshold=0.5
+        ).collect()
+    }
+    assert set(got) == {(1, 10)}
+    assert got[(1, 10)] == 1.0

@@ -93,3 +93,51 @@ def test_no_catalog_query_uses_cartesian_product(spark, qs):
     ]:
         p = plan(spark, qs, name, mode="simple")
         assert "CartesianProduct" not in p, name
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The repo's skew story leans on AQE's runtime skew-join handling
+    ("a popular key is one join key, not a straggler"). Prove the
+    mechanism actually engages: a 95%-one-key join, thresholds scaled to
+    test size, must execute as SortMergeJoin(skew=true) with a skewed
+    AQEShuffleRead — i.e. Spark split the hot partition at runtime."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 100 < 95, F.lit(1))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            (F.col("id") * 7919 % 104729).alias("v"),  # incompressible payload
+        )
+        right = spark.range(100).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count("*").alias("n"))
+        [row] = j.collect()
+        assert row.n == 285000 * 1 + 15000  # every left row matches exactly one
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed
+        assert "skewed" in executed, executed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
