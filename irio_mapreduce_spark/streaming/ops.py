@@ -241,6 +241,7 @@ def stream_stream_interval_join(
     interval: str = "24 hours",
     left_watermark: str | None = None,
     right_watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INNER join: equality on ``key`` plus the event-time
     interval ``l.ts <= r.ts <= l.ts + interval`` (the attribution-join
@@ -259,6 +260,13 @@ def stream_stream_interval_join(
     (eviction under replay-speed watermark advancement would race real
     matches). Size them to interval + max disorder in production — the
     equivalence test runs the watermarked form over a time-ordered replay.
+
+    ``how``: Spark also supports outer stream-stream joins, where the
+    null-padded side of an unmatched row can only emit once the watermark
+    proves no match can still arrive — so outer joins REQUIRE watermarks,
+    and the emission is watermark-driven (a no-data micro-batch after the
+    last input advances it). The left-outer equivalence test drives this
+    with far-future sentinel events on both inputs to flush all state.
     """
     l, r = left, right
     if left_watermark:
@@ -271,7 +279,7 @@ def stream_stream_interval_join(
         & (F.col("r.ts") >= F.col("l.ts"))
         & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {interval}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def write_stream_parquet_exactly_once(

@@ -272,3 +272,65 @@ def test_foreach_batch_sink_exactly_once(spark, unordered_dir, tmp_path):
     )
     first.write.mode("overwrite").parquet(out + "/_batch_id=0")
     assert spark.read.parquet(out).count() == static.count()
+
+
+def test_stream_stream_left_outer_join_batch_equivalence(spark, tmp_path_factory):
+    """Left-outer stream-stream join: unmatched clicks must emit with a
+    null purchase — but only once the watermark PROVES no match can still
+    arrive. Far-future sentinel events on BOTH inputs advance the global
+    watermark past every real row (the join watermark is the min across
+    inputs, so one-sided sentinels would stall it), flushing all outer
+    state; the drained result must then equal the batch left-outer join."""
+    from irio_mapreduce_spark.streaming import stream_stream_interval_join
+
+    d = str(tmp_path_factory.mktemp("ev_ordered_ss"))
+    replay_time_ordered(spark, SF_DIR, d, n_chunks=4)
+    base = spark.read.parquet(d)
+    far = base.agg((F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
+    sentinels = far.selectExpr(
+        "stack(2, -1L, 'click', -2L, 'purchase') AS (event_id, event_type)",
+        "ts",
+    ).select(
+        "event_id",
+        "ts",
+        F.lit(SENTINEL_USER).cast("long").alias("user_id"),
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    sentinels.coalesce(1).write.mode("append").parquet(d)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    out_cols = [
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("buy_id"),
+    ]
+    sc, sb = split(read_events_stream(spark, d))
+    run_to_completion(
+        stream_stream_interval_join(
+            sc, sb, "user_id", "6 hours",
+            left_watermark="1 hour", right_watermark="1 hour", how="left_outer",
+        ).select(*out_cols),
+        "t_ssj_outer",
+        "append",
+    )
+    got = rows_set(
+        spark.table("t_ssj_outer").filter(F.col("click_id") >= 0),
+        ["click_id", "buy_id"],
+    )
+
+    static = spark.read.parquet(d).filter(F.col("user_id") != SENTINEL_USER)
+    bc, bb = split(static)
+    want = rows_set(
+        stream_stream_interval_join(
+            bc, bb, "user_id", "6 hours", how="left_outer"
+        ).select(*out_cols),
+        ["click_id", "buy_id"],
+    )
+    assert got == want and got
+    assert any(b is None for _, b in got)  # outer nulls actually exercised
