@@ -91,3 +91,39 @@ def per_key_quota(
         .filter(F.col("_qrn") <= quota)
         .drop("_qrn")
     )
+
+
+def token_budget_batches(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    token_col: Column,
+    budget: int,
+    batch_col: str = "batch_id",
+    tokens_out: str = "n_tokens",
+) -> DataFrame:
+    """Pack documents into token-budgeted training batches: within each
+    group, documents in a stable order accumulate tokens, and batch k
+    holds the docs whose EXCLUSIVE running total lies in
+    ``[k*budget, (k+1)*budget)`` — contiguous greedy packing, one window
+    cumulative sum, fully deterministic.
+
+    Semantics are budget-TARGET, not a hard cap: a batch can overshoot by
+    at most one document (the straddler stays with the batch it started
+    in). That is the streaming-friendly contract every sequence-packing
+    pipeline actually ships — exact bin packing is NP-hard and its result
+    depends on global order, which would make retries/engines disagree.
+    Oversized single documents (> budget) occupy a batch alone.
+
+    One shuffle on ``group_cols`` (the window). Batch ids are per-group;
+    (group, batch_id) is the global batch key.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(tokens_out, token_col).withColumn(
+        batch_col, F.floor(before / F.lit(budget)).cast("long")
+    )

@@ -14,6 +14,7 @@ from irio_mapreduce_spark.io import read_table
 from irio_mapreduce_spark.llm.sampling import (
     deterministic_sample,
     per_key_quota,
+    token_budget_batches,
     train_val_split,
 )
 from irio_mapreduce_spark.queries.catalog import register
@@ -87,3 +88,36 @@ def sample_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key_quota(
         docs.select("doc_id", "source"), "source", quota=15, id_col="doc_id", salt="q"
     )
+
+
+@register(
+    "sample_token_budget_batches",
+    tail=True,  # sampling family represented in-window by the three entries above
+    oracle="""
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)
+           AS BIGINT) AS batch_id
+    FROM (SELECT doc_id, lang,
+                 len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '')) AS n_tokens
+          FROM documents)
+    """,
+)
+def sample_token_budget_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~2000-token training batches per language
+    (contiguous greedy: exclusive running token total div budget — the
+    deterministic, retry-stable packing contract; see
+    ``llm.sampling.token_budget_batches``). Exact integer math on both
+    engines; one window shuffle on lang."""
+    from irio_mapreduce_spark.llm.dedup import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    return token_budget_batches(
+        docs.select("doc_id", "lang", "text"),
+        ["lang"],
+        "doc_id",
+        F.size(tokens(F.col("text"))),
+        budget=2000,
+    ).select("doc_id", "lang", "n_tokens", "batch_id")

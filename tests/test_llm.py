@@ -358,3 +358,43 @@ def test_ngram_containment_finds_planted_leak(spark):
     }
     assert set(got) == {(1, 10)}
     assert got[(1, 10)] == 1.0
+
+
+def test_token_budget_batches_contract(spark):
+    """Packing contract: batches are contiguous in order, overshoot the
+    budget by at most one document, and undershoot only at group end or
+    when the next doc would not fit... (budget-target greedy): every batch
+    except possibly the last has total >= budget - (its last doc's size)
+    + 1 equivalent — concretely: removing a batch's last doc leaves
+    < budget tokens."""
+    from irio_mapreduce_spark.llm.sampling import token_budget_batches
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    from irio_mapreduce_spark.llm.dedup import tokens
+
+    packed = token_budget_batches(
+        docs, ["lang"], "doc_id", F.size(tokens(F.col("text"))), budget=2000
+    ).select("doc_id", "lang", "n_tokens", "batch_id").collect()
+    from collections import defaultdict
+
+    by_group = defaultdict(list)
+    for r in sorted(packed, key=lambda r: (r.lang, r.doc_id)):
+        by_group[r.lang].append(r)
+    assert len(by_group) > 1
+    for lang, rows in by_group.items():
+        # batch ids are non-decreasing in doc order and start at 0
+        ids = [r.batch_id for r in rows]
+        assert ids[0] == 0 and all(a <= b for a, b in zip(ids, ids[1:]))
+        from itertools import groupby
+
+        batches = [(k, [r.n_tokens for r in g])
+                   for k, g in groupby(rows, key=lambda r: r.batch_id)]
+        prefix = 0
+        for i, (k, toks) in enumerate(batches):
+            # within-batch span < one budget (straddler overshoot only)
+            assert sum(toks) - toks[-1] < 2000
+            prefix += sum(toks)
+            if i < len(batches) - 1:
+                # the next batch only starts once the running total has
+                # crossed this batch's upper boundary
+                assert prefix >= (batches[i + 1][0]) * 2000
