@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from irio_mapreduce_spark.io import table_path
+from irio_mapreduce_spark.io import read_table, table_path
 from irio_mapreduce_spark.pipeline import BatchSpec, submit_batch
 from irio_mapreduce_spark.queries.catalog import register
 
@@ -62,3 +62,77 @@ def mr_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(20)
     )
+
+
+@register(
+    "pipeline_curation_end_to_end",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, source, text,
+                      list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  t -> t <> '') AS toks
+               FROM documents),
+    dd AS (SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                        ORDER BY doc_id) AS rn
+           FROM t),
+    q AS (SELECT doc_id, lang, source, len(toks) AS n_tokens
+          FROM dd
+          WHERE rn = 1
+            AND len(toks) BETWEEN 20 AND 200
+            AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.15),
+    qt AS (SELECT *, row_number() OVER (
+             PARTITION BY source
+             ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '|q'), 1, 8))::BIGINT
+                      % 2147483648, doc_id) AS qrn
+           FROM q),
+    sp AS (SELECT doc_id, lang, source, n_tokens,
+                  CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || '|split'), 1, 8))::BIGINT
+                             % 100) < 90
+                       THEN 'train' ELSE 'val' END AS split
+           FROM qt WHERE qrn <= 15)
+    SELECT doc_id, lang, source, split, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY split, lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)
+           AS BIGINT) AS batch_id
+    FROM sp
+    """,
+)
+def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation PIPELINE, composed end-to-end from this repo's
+    operators: exact content dedup (sha256 keep-first) -> C4-style quality
+    filter (token band + type-token ratio) -> per-source quota (hash-order
+    cap at 15) -> leakage-safe 90/10 train/val split -> token-budget batch
+    packing per (split, lang). One query plan: a scan-side filter chain,
+    three window shuffles (dedup hash, source quota, packing), zero
+    collects — the shape a 100 TB curation run actually executes. The
+    oracle chains the same five stages as one DuckDB CTE pipeline, so the
+    COMPOSITION is hash-checked, not just each stage."""
+    from irio_mapreduce_spark.llm.dedup import exact_dedup
+    from irio_mapreduce_spark.llm.sampling import (
+        per_key_quota,
+        token_budget_batches,
+        train_val_split,
+    )
+    from irio_mapreduce_spark.llm.text import quality_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    d1 = exact_dedup(
+        docs.select("doc_id", "lang", "source", "text"),
+        fingerprint=F.sha2(F.col("text"), 256),
+        order_by=[F.col("doc_id")],
+    )
+    d2 = quality_features(d1).filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 200)
+        & (F.col("ttr") >= 0.15)
+    )
+    d3 = per_key_quota(
+        d2.select("doc_id", "lang", "source", "n_tokens"),
+        "source", quota=15, id_col="doc_id", salt="q",
+    )
+    d4 = train_val_split(d3, ["doc_id"], val_pct=10, salt="split")
+    d5 = token_budget_batches(
+        d4, ["split", "lang"], "doc_id", F.col("n_tokens"), budget=2000,
+        tokens_out="n_tokens",
+    )
+    return d5.select("doc_id", "lang", "source", "split", "n_tokens", "batch_id")

@@ -45,6 +45,7 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_train_val_split",
+    tail=True,  # split stage is hash-checked in-window inside pipeline_curation_end_to_end
     oracle=f"""
     SELECT CASE WHEN {_DUCK_BUCKET.format(salt="split", n=100)} < 90
                 THEN 'train' ELSE 'val' END AS split,
