@@ -201,3 +201,32 @@ def test_range_join_boundary_semantics(spark):
         for r in range_join(points, bands, "x", "lo", "hi", bucket_width=2.0).collect()
     )
     assert out == [(0.0, "lo"), (5.0, "lo"), (10.0, "hi"), (25.0, "hi")]
+
+
+def test_observation_metrics_single_pass(spark):
+    """Pipeline observability without extra jobs: Observation metrics ride
+    on the one action, so stage row-counts / drop-rates come free — at
+    100 TB an extra .count() per stage would double the scan bill."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from irio_mapreduce_spark.io import read_table
+    from irio_mapreduce_spark.llm.text import quality_features
+
+    docs = quality_features(read_table(spark, SF_DIR, "documents"))
+    obs = Observation("quality_stage")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(
+            ((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 200)
+             & (F.col("ttr") >= 0.15)).cast("long")
+        ).alias("n_kept"),
+    )
+    kept = observed.filter(
+        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 200)
+        & (F.col("ttr") >= 0.15)
+    ).count()
+    m = obs.get
+    assert m["n_in"] == docs.count()
+    assert m["n_kept"] == kept > 0

@@ -334,3 +334,52 @@ def test_stream_stream_left_outer_join_batch_equivalence(spark, tmp_path_factory
     )
     assert got == want and got
     assert any(b is None for _, b in got)  # outer nulls actually exercised
+
+
+def test_rocksdb_state_store_provider(spark, unordered_dir, tmp_path):
+    """The 100 TB streaming-state story relies on RocksDB-backed state
+    (bounded executor memory, spill to local disk, incremental
+    checkpointing) rather than the default in-heap HDFS-backed provider.
+    Prove the bundled provider actually engages: run the stateful dedup
+    with the conf set, assert the drained result is unchanged AND the
+    state checkpoint contains RocksDB SST files."""
+    import glob
+    import os
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ck = str(tmp_path / "ck_rocks")
+        q = (
+            dedup_events(
+                read_events_stream(spark, unordered_dir),
+                ["user_id", "event_type"],
+            )
+            .writeStream.format("memory")
+            .queryName("t_rocksdb_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        static = spark.read.parquet(unordered_dir)
+        assert (
+            spark.table("t_rocksdb_dedup").count()
+            == static.select("user_id", "event_type").distinct().count()
+        )
+        ssts = glob.glob(os.path.join(ck, "state", "**", "*.sst"), recursive=True)
+        assert ssts, "RocksDB provider set but no SST files in state checkpoint"
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
