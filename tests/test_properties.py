@@ -192,3 +192,46 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0,
+        max_size=25,
+    ),
+    extra_nodes=st.sets(st.integers(0, 20), max_size=5),
+)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edges, extra_nodes):
+    """Min-label propagation on arbitrary small graphs (self-loops,
+    duplicates, disconnected nodes included) equals Python union-find."""
+    from irio_mapreduce_spark.llm.dedup import connected_components
+
+    node_ids = sorted({n for e in edges for n in e} | extra_nodes)
+    if not node_ids:
+        return
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp = collections.defaultdict(list)
+    for n in node_ids:
+        comp[find(n)].append(n)
+    expected = {n: min(comp[find(n)]) for n in node_ids}
+
+    e_df = spark.createDataFrame(
+        edges or [(node_ids[0], node_ids[0])], "a long, b long"
+    )
+    n_df = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    got = {
+        r.id: r.component
+        for r in connected_components(e_df, "a", "b", nodes=n_df).collect()
+    }
+    assert got == expected

@@ -1,6 +1,8 @@
 """Driver-protocol verification: plain SparkSession, __spark_entry__ contract,
 exact (bitwise) compare vs DuckDB oracles. Usage:
-  python /tmp/drive_driver_protocol.py [sf_dir] [name_substring ...]
+  python tools/drive_driver_protocol.py [sf_dir] [name_substring ...]
+Env: DRIVE_PARTS (shuffle partitions, default 8), DRIVE_CORES (default 8) —
+run with odd values to flush partition-order-dependent results.
 """
 import sys, math
 sys.path.insert(0, "/root/repo")
@@ -10,8 +12,9 @@ from pyspark.sql import SparkSession
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 only = sys.argv[2:]
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.sql.shuffle.partitions", "8")
+import os
+spark = (SparkSession.builder.master(f"local[{os.environ.get('DRIVE_CORES', '8')}]")
+         .config("spark.sql.shuffle.partitions", os.environ.get("DRIVE_PARTS", "8"))
          .config("spark.ui.showConsoleProgress", "false")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
