@@ -19,15 +19,22 @@ from irio_mapreduce_spark.io import read_table
 
 
 def replay_chunks(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 4,
+    table: str = "events",
+    id_col: str = "event_id",
 ) -> str:
-    """Materialize the static ``events`` table as ``n_chunks`` parquet files
-    under ``out_dir`` — a deterministic replayable file-stream source.
-    Chunking is by ``event_id % n_chunks`` (stable, not time-ordered, so
-    replay exercises out-of-order arrival like a real stream)."""
-    ev = read_table(spark, sf_dir, "events")
+    """Materialize a static table as ``n_chunks`` parquet files under
+    ``out_dir`` — a deterministic replayable file-stream source. Chunking
+    is by ``id_col % n_chunks`` (stable, not time-ordered, so replay
+    exercises out-of-order arrival like a real stream). Defaults replay
+    ``events``; any table with a stable integer id works (the streaming
+    curation test replays ``documents``)."""
+    ev = read_table(spark, sf_dir, table)
     for i in range(n_chunks):
-        ev.filter(F.col("event_id") % n_chunks == i).coalesce(1).write.mode(
+        ev.filter(F.col(id_col) % n_chunks == i).coalesce(1).write.mode(
             "overwrite" if i == 0 else "append"
         ).parquet(out_dir)
     return out_dir

@@ -383,3 +383,42 @@ def test_rocksdb_state_store_provider(spark, unordered_dir, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def test_streaming_curation_pipeline(spark, tmp_path):
+    """Curation as a stream: the SAME dedup + quality logic that runs the
+    batch backfill runs over a live document ingest — stateful content
+    dedup (sha256 fingerprint) across micro-batches, stateless quality
+    filter, exactly-once parquet sink. Kept fingerprints and row count
+    must equal the batch pipeline's (kept doc_ids may differ: streaming
+    keeps first-ARRIVED per content, batch keeps first-by-id — same
+    content either way)."""
+    from irio_mapreduce_spark.llm.text import quality_features
+    from irio_mapreduce_spark.streaming import write_stream_parquet_exactly_once
+
+    d = replay_chunks(
+        spark, SF_DIR, str(tmp_path / "docs"), n_chunks=4,
+        table="documents", id_col="doc_id",
+    )
+
+    def curate(df):
+        return (
+            quality_features(df.withColumn("fp", F.sha2(F.col("text"), 256)))
+            .filter(
+                (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 200)
+                & (F.col("ttr") >= 0.15)
+            )
+            .select("fp", "n_tokens")
+        )
+
+    stream = read_events_stream(spark, d).withColumn(
+        "fp", F.sha2(F.col("text"), 256)
+    ).dropDuplicates(["fp"]).drop("fp")
+    out, ckpt = str(tmp_path / "curated"), str(tmp_path / "ckpt")
+    write_stream_parquet_exactly_once(curate(stream), out, ckpt)
+    got = spark.read.parquet(out)
+
+    static = spark.read.parquet(d)
+    want = curate(static.dropDuplicates(["text"]))
+    assert rows_set(got, ["fp", "n_tokens"]) == rows_set(want, ["fp", "n_tokens"])
+    assert got.count() == want.count() > 0
