@@ -6,17 +6,30 @@ LLM-data pipeline actually runs, Spark-first:
 
 * ``dedup``      — exact (sha2 + keep-first), MinHash-LSH (banded, never
                    all-pairs), SimHash (byte-banded hamming), exact n-gram
-                   Jaccard on candidate pairs.
-* ``similarity`` — embedding cosine top-k: brute-force baseline + random-
-                   hyperplane LSH bucketing as the scale path.
+                   Jaccard (prefix-filtered), cross-corpus n-gram
+                   containment (benchmark decontamination), connected-
+                   components duplicate-cluster resolution.
+* ``similarity`` — embedding cosine top-k: brute-force baseline, multi-table
+                   RP-LSH, IVF (sample-trained coarse quantizer); embedding-
+                   cosine near-dup dedup.
+* ``sampling``   — deterministic hash-bucket sampling, leakage-safe
+                   train/val splits, per-source quotas, token-budget batch
+                   packing.
 * ``text``       — token stats, quality scoring, stopword-profile language
                    ID, positional fingerprints.
 * ``multimodal`` — opaque binary payload columns with typed metadata and a
                    (stubbed) decode/feature-extract stage over mapInPandas.
 
 Everything stays JVM-side (higher-order array functions, no Python UDFs)
-except the multimodal decode stage, which is inherently external-library
-work and is Arrow-batched.
+except the dense linear-map hot spots (LSH projections, IVF assignment,
+multimodal decode), which are Arrow-batched numpy — the vectorized-UDF
+path, never row-at-a-time Python.
 """
 
-from irio_mapreduce_spark.llm import dedup, multimodal, similarity, text  # noqa: F401
+from irio_mapreduce_spark.llm import (  # noqa: F401
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
