@@ -470,10 +470,19 @@ def connected_components(
         F.col(src).cast("long").alias("_u"), F.col(dst).cast("long").alias("_v")
     )
     e = e.union(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
-    e = e.distinct().localCheckpoint(eager=True)
     if nodes is not None:
+        # An explicit node set is a contract on BOTH output and graph:
+        # edges touching ids outside it are dropped (otherwise a foreign
+        # endpoint would propagate back in via the neighbor union and the
+        # result would contain ids the caller never declared).
         n = nodes.select(F.col(id_col).cast("long").alias("_n")).distinct()
+        e = (
+            e.join(n.withColumnRenamed("_n", "_u"), "_u", "left_semi")
+            .join(n.withColumnRenamed("_n", "_v"), "_v", "left_semi")
+        )
+        e = e.distinct().localCheckpoint(eager=True)
     else:
+        e = e.distinct().localCheckpoint(eager=True)
         n = e.select(F.col("_u").alias("_n")).distinct()
     labels = n.select("_n", F.col("_n").alias("_c")).localCheckpoint(eager=True)
     for _ in range(max_iter):

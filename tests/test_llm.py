@@ -398,3 +398,17 @@ def test_token_budget_batches_contract(spark):
                 # the next batch only starts once the running total has
                 # crossed this batch's upper boundary
                 assert prefix >= (batches[i + 1][0]) * 2000
+
+
+def test_connected_components_restricts_to_declared_nodes(spark):
+    """Edges touching ids outside an explicit nodes frame are dropped —
+    the output contains exactly the declared ids."""
+    from irio_mapreduce_spark.llm.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 99), (3, 4)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5)], "id long")
+    got = {
+        r.id: r.component
+        for r in connected_components(edges, "a", "b", nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
