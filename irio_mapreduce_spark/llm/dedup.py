@@ -568,3 +568,60 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("corpus_id", "probe_id", "containment")
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Dedup a NEW INGEST BATCH against a standing corpus — the production
+    dedup mode: the corpus is indexed, the (small) batch probes it; corpus
+    rows are never compared with each other. A batch row is dropped if the
+    corpus holds an exact duplicate (sha256) OR a near-duplicate (trigram
+    Jaccard >= ``threshold``, candidates from the banded MinHash equi-join
+    probing the corpus index).
+
+    Scale shape: exact pass is one left-anti join on the 32-byte hash; the
+    near pass joins the batch's band keys against the corpus's — join
+    fan-out is |batch| x (corpus rows per collided bucket), linear in the
+    batch, never quadratic in the corpus. Both passes shuffle fingerprints
+    and band keys, not documents. (Batch-internal duplicates are the
+    ordinary :func:`exact_dedup` / pair ops' job — run them first; this
+    operator's contract is batch-vs-corpus only.)
+
+    Returns the surviving batch rows (original columns).
+    """
+    fp = F.sha2(F.col(text_col), 256)
+    corpus_fp = corpus.select(fp.alias("_fp")).distinct()
+    survivors = batch.withColumn("_fp", fp).join(
+        corpus_fp, "_fp", "left_anti"
+    ).drop("_fp")
+
+    rows_per_band = num_hashes // bands
+    sh = shingles(tokens(F.col(text_col)), n)
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        return widen(df).select(
+            F.col(id_col).alias(f"_id{side}"),
+            sh.alias(f"_sh{side}"),
+            F.explode(
+                F.array(*[_band_key(sh, b, rows_per_band) for b in range(bands)])
+            ).alias("_bucket"),
+        )
+
+    cand = (
+        banded(survivors, "_b").join(banded(corpus, "_c"), "_bucket")
+        .dropDuplicates(["_id_b", "_id_c"])
+    )
+    near_hit = (
+        cand.filter(jaccard(F.col("_sh_b"), F.col("_sh_c")) >= threshold)
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(near_hit, id_col, "left_anti")

@@ -17,6 +17,7 @@ from irio_mapreduce_spark.io import read_table
 from irio_mapreduce_spark.llm.dedup import (
     connected_components,
     exact_dedup,
+    incremental_dedup,
     near_dup_pairs_minhash,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
@@ -294,3 +295,48 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=5,
         threshold=0.5,
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    tail=True,  # dedup family holds its window slots; local oracle test covers this
+    oracle="""
+    WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+               UNION ALL
+               SELECT doc_id + 100000, text FROM documents WHERE doc_id % 20 = 0),
+    bt AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(1, len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) - 2),
+                    i -> array_to_string(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')[i:i+2], ' '))) AS s,
+                  sha256(text) AS fp
+           FROM batch),
+    ct AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(1, len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) - 2),
+                    i -> array_to_string(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')[i:i+2], ' '))) AS s,
+                  sha256(text) AS fp
+           FROM corpus),
+    dup AS (SELECT DISTINCT b.doc_id
+            FROM bt b, ct c
+            WHERE c.fp = b.fp
+               OR len(list_intersect(c.s, b.s)) * 1.0
+                  / (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))) >= 0.8)
+    SELECT doc_id FROM bt WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — a new ingest batch (doc_id % 10 == 0) deduped
+    against the standing corpus (the rest, plus planted verbatim copies of
+    half the batch under shifted ids, so the exact pass demonstrably
+    fires; the corpus's natural near-dup clusters exercise the LSH pass).
+    The corpus is indexed and probed, never self-joined — the production
+    daily-ingest topology (llm.dedup.incremental_dedup). Oracle: brute-
+    force NOT EXISTS on sha256 and exact trigram Jaccard vs the corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    planted = docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).unionByName(planted)
+    return incremental_dedup(corpus, batch, "doc_id", "text").select("doc_id")

@@ -412,3 +412,29 @@ def test_connected_components_restricts_to_declared_nodes(spark):
         for r in connected_components(edges, "a", "b", nodes=nodes).collect()
     }
     assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+
+
+def test_incremental_dedup_batch_vs_corpus(spark):
+    """Batch rows drop iff the CORPUS holds an exact or near duplicate;
+    batch-internal duplicates are out of contract and survive."""
+    from irio_mapreduce_spark.llm.dedup import incremental_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base),                                  # exact dup of batch 10
+         (2, base + " lambda mu nu"),                # near dup of batch 11
+         (3, " ".join(f"c{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base),                                 # exact -> dropped
+         (11, base + " lambda mu xi"),               # near (J>=0.8) -> dropped
+         (12, " ".join(f"b{i}" for i in range(12))),  # novel -> kept
+         (13, " ".join(f"b{i}" for i in range(12)))],  # batch-internal dup -> kept
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id
+        for r in incremental_dedup(corpus, batch, "doc_id", "text").collect()
+    }
+    assert kept == {12, 13}
