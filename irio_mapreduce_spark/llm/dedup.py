@@ -595,6 +595,11 @@ def incremental_dedup(
     ordinary :func:`exact_dedup` / pair ops' job — run them first; this
     operator's contract is batch-vs-corpus only.)
 
+    At production scale the corpus-side band index is PERSISTED (it only
+    changes when the corpus does) and each ingest run pays only the batch
+    side plus the probe join; this function recomputes it per call because
+    the correctness harness owns no storage between runs.
+
     Returns the surviving batch rows (original columns).
     """
     fp = F.sha2(F.col(text_col), 256)
