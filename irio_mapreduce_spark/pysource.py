@@ -1,0 +1,129 @@
+"""Pure-Python custom data source: ``dirtext`` — directory-of-text-files
+datasets in the reference's storage model, on Spark 4's DataSource API.
+
+The reference's storage layer treats a DIRECTORY as the dataset and each
+FILE as one task's record stream (`DistrStorage.java:137-155` — directory
+scan; one map task per file, SURVEY.md §2.1 R1). Spark's built-in
+``text`` source covers reading, but the full reference surface includes
+its commit discipline: task outputs land under temporary names and become
+visible only at commit (`DistrStorage.java:116-123,213-233` — write as
+``<fileId>_R_<podName>``, first-wins rename at commit). This module
+re-expresses both halves on the modern pure-Python DataSource API — the
+idiomatic Spark 4 extension point for custom storage:
+
+* **reader**: one :class:`InputPartition` per file, so task parallelism =
+  file count, exactly the reference's split model. Plans compose: the
+  result is an ordinary DataFrame (filters/aggregates/joins on top).
+* **writer**: executors write ``_tmp_``-prefixed files and return their
+  names as commit messages; the DRIVER renames them to final names in
+  ``commit()`` and deletes them in ``abort()`` — so a failed/speculated
+  task can never leave a visible partial file, the same guarantee the
+  reference's rename-at-commit gives (and Spark's own FileOutputCommitter
+  for built-in formats).
+
+Scale note: this source is for formats/protocols Spark lacks, not a
+replacement for parquet — there is no column pruning or predicate
+pushdown in a line-oriented text stream; the value is the partition model
+and the exactly-once commit, with Catalyst taking over above the scan.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+
+class DirTextCommitMessage(WriterCommitMessage):
+    def __init__(self, tmp_path: str):
+        self.tmp_path = tmp_path
+
+
+class DirTextDataSource(DataSource):
+    """``spark.read.format("dirtext").option("path", d)`` /
+    ``df.write.format("dirtext").option("path", d)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dirtext"
+
+    def schema(self) -> str:
+        return "path string, line_no long, value string"
+
+    def reader(self, schema) -> DataSourceReader:
+        return DirTextReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return DirTextWriter(self.options, overwrite)
+
+
+class DirTextReader(DataSourceReader):
+    def __init__(self, options):
+        self.dir = options["path"]
+
+    def partitions(self):
+        # one partition per visible file = the reference's one-map-task-
+        # per-file split (split_count analog is the file count itself)
+        return [
+            InputPartition(os.path.join(self.dir, f))
+            for f in sorted(os.listdir(self.dir))
+            if not f.startswith((".", "_tmp_"))
+        ]
+
+    def read(self, partition):
+        with open(partition.value) as fh:
+            for i, line in enumerate(fh):
+                yield (partition.value, i, line.rstrip("\n"))
+
+
+class DirTextWriter(DataSourceWriter):
+    """Task: write ``_tmp_<uuid>`` and report it. Driver: rename to the
+    final ``part-<i>.txt`` at commit, delete at abort. Retried/speculated
+    duplicates of one task produce distinct tmp files, but only the
+    attempts whose messages reach ``commit()`` become visible — the
+    task-commit exactly-once contract."""
+
+    def __init__(self, options, overwrite: bool):
+        self.dir = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f"_tmp_{uuid.uuid4().hex}")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(str(row[-1]) + "\n")
+                n += 1
+        if n == 0:
+            os.remove(tmp)
+            return DirTextCommitMessage("")
+        return DirTextCommitMessage(tmp)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for f in os.listdir(self.dir):
+                if not f.startswith((".", "_tmp_")):
+                    os.remove(os.path.join(self.dir, f))
+        for i, m in enumerate(sorted(m.tmp_path for m in messages if m.tmp_path)):
+            os.rename(m, os.path.join(self.dir, f"part-{i:05d}.txt"))
+
+    def abort(self, messages):
+        for m in messages:
+            if m.tmp_path and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+def register(spark) -> None:
+    """Idempotently register the ``dirtext`` format on a session."""
+    try:
+        spark.dataSource.register(DirTextDataSource)
+    except Exception:
+        pass  # already registered on this session

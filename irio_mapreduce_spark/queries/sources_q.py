@@ -107,3 +107,48 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "source_dirtext_wordcount",
+    tail=True,  # sources family represented in-window by csv/json round-trips
+    oracle="""
+    SELECT w AS word, count(*) AS n FROM (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(regexp_replace(text, '[\\r\\n]+', ' ', 'g')),
+                                  '\\s+'),
+               t -> t <> '')) AS w
+      FROM documents)
+    GROUP BY w ORDER BY n DESC, w LIMIT 20
+    """,
+)
+def source_dirtext_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the pure-Python ``dirtext`` data source
+    (irio_mapreduce_spark.pysource — the reference's dir-of-files storage
+    model with tmp+driver-commit writes): documents flow OUT through the
+    custom writer (one line per doc, newlines flattened) and back IN
+    through the custom reader (one task per file), then a word count
+    top-20 — hash-checked against DuckDB computing the same count straight
+    from the parquet table, proving the custom source neither drops nor
+    mangles a byte."""
+    import tempfile
+
+    from irio_mapreduce_spark import pysource
+    from irio_mapreduce_spark.llm.dedup import tokens
+
+    pysource.register(spark)
+    d = tempfile.mkdtemp(prefix="dirtext_q_") + "/docs"
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.regexp_replace(F.col("text"), r"[\r\n]+", " ").alias("value")
+    )
+    docs.repartition(8).write.format("dirtext").option("path", d).mode(
+        "append"
+    ).save()
+    lines = spark.read.format("dirtext").option("path", d).load()
+    return (
+        lines.select(F.explode(tokens(F.col("value"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )

@@ -85,3 +85,30 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert "o_orderstatus" in [
         l for l in plan.splitlines() if "PartitionFilters" in l
     ][0]
+
+
+def test_dirtext_python_datasource_roundtrip(spark, tmp_path):
+    """Pure-Python DataSource (reference storage model: dir = dataset, one
+    task per file): write through the tmp+driver-commit writer, read back
+    with one partition per file, values preserved."""
+    from pyspark.sql import functions as F
+
+    from irio_mapreduce_spark import pysource
+
+    pysource.register(spark)
+    d = str(tmp_path / "dirtext_ds")
+    lines = [(f"line number {i}",) for i in range(50)]
+    df = spark.createDataFrame(lines, ["value"]).repartition(4)
+    df.write.format("dirtext").option("path", d).mode("append").save()
+
+    import os
+
+    files = [f for f in os.listdir(d) if not f.startswith(("_tmp_", "."))]
+    assert len(files) == 4 and all(f.startswith("part-") for f in files)
+    assert not [f for f in os.listdir(d) if f.startswith("_tmp_")]  # committed
+
+    back = spark.read.format("dirtext").option("path", d).load()
+    assert back.rdd.getNumPartitions() == 4  # one task per file (R1 split)
+    assert {r.value for r in back.collect()} == {v for (v,) in lines}
+    # line_no is per-file position; path identifies the file
+    assert back.filter(F.col("line_no") < 0).count() == 0
