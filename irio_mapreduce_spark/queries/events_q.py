@@ -149,3 +149,55 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "total_value")
     )
+
+
+@register(
+    "events_multires_rollup",
+    tail=True,  # window-agg family holds the in-window slots
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_value,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6)
+             AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style MULTI-RESOLUTION rollup: the daily aggregate is
+    built FROM the hourly partial aggregates, not from raw events —
+    count/sum are mergeable partials (avg is derived at the end from the
+    merged sums, never averaged-of-averages). This is the continuous-
+    aggregate maintenance pattern: at 100 TB the hourly rollup is the
+    materialized artifact and coarser resolutions re-aggregate it, paying
+    |hours| input rows instead of |events|. The oracle computes the daily
+    directly from raw events, so the hash-match proves the partial-merge
+    path is lossless. DECIMAL(38,10) accumulation on both sides keeps the
+    double rounding partition-merge-order-proof (the hourly stage makes
+    merge order differ from a direct daily sum by construction)."""
+    e = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,10)"
+    hourly = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(dec)).alias("sum_value"),
+    )
+    daily = hourly.groupBy(
+        F.date_format(F.window(F.col("w.start"), "1 day").start, "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").alias("sum_dec"),
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        F.round(F.col("sum_dec").cast("double"), 2).alias("total_value"),
+        F.round(F.col("sum_dec").cast("double") / F.col("n"), 6).alias("avg_value"),
+    )
