@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -122,8 +123,63 @@ class DirTextWriter(DataSourceWriter):
 
 
 def register(spark) -> None:
-    """Idempotently register the ``dirtext`` format on a session."""
-    try:
-        spark.dataSource.register(DirTextDataSource)
-    except Exception:
-        pass  # already registered on this session
+    """Idempotently register the ``dirtext`` + ``dirtail`` formats."""
+    for src in (DirTextDataSource, DirTailStreamSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:
+            pass  # already registered on this session
+
+
+class DirTailStreamSource(DataSource):
+    """``spark.readStream.format("dirtail").option("path", d)`` — the
+    streaming half of the dir-of-files model: a micro-batch consumes every
+    file not seen by a previous offset, and the offset (the consumed file
+    list) lives in the checkpoint, so a restarted query resumes exactly
+    where it stopped. ``readBetweenOffsets`` replays a committed batch
+    deterministically after failure — the source-side half of streaming
+    exactly-once (the sink side is the idempotent ``foreachBatch``
+    writer in ``streaming.ops``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dirtail"
+
+    def schema(self) -> str:
+        return "path string, value string"
+
+    def simpleStreamReader(self, schema):
+        return DirTailStreamReader(self.options)
+
+
+class DirTailStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.dir = options["path"]
+
+    def initialOffset(self):
+        return {"files": []}
+
+    def _files(self):
+        return sorted(
+            f
+            for f in os.listdir(self.dir)
+            if not f.startswith((".", "_tmp_"))
+        )
+
+    def _rows(self, names):
+        # materialized list, not a generator: the rows cross a pickle
+        # boundary back to the JVM planner
+        rows = []
+        for f in names:
+            with open(os.path.join(self.dir, f)) as fh:
+                rows.extend((f, line.rstrip("\n")) for line in fh)
+        return rows
+
+    def read(self, start):
+        seen = set(start["files"])
+        new = [f for f in self._files() if f not in seen]
+        return iter(self._rows(new)), {"files": start["files"] + new}
+
+    def readBetweenOffsets(self, start, end):
+        seen = set(start["files"])
+        return iter(self._rows([f for f in end["files"] if f not in seen]))
