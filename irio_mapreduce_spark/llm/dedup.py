@@ -30,7 +30,10 @@ def widen(df: DataFrame) -> DataFrame:
     UnknownPartitioning for scans), and unconditionally repartitioning
     would add a real shuffle at scale precisely when the input is already
     wide — the probe is the cheapest branch that keeps the no-op path
-    shuffle-free."""
+    shuffle-free. CAVEAT: on multi-branch plans (unions) the RDD conversion
+    is NOT cheap (measured ~6 s on a two-branch union of parquet scans at
+    sf0.1) — callers with union inputs should repartition explicitly
+    instead (see llm.dedup.incremental_dedup)."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     return df.repartition(target) if df.rdd.getNumPartitions() < target else df
 
@@ -147,6 +150,14 @@ def minhash_lsh_pairs(
     ``_sh2`` for exact verification. Never all-pairs: the only join is the
     equi-join on ``(band, bucket)``.
 
+    Shuffle discipline: the band join moves ``(id, bucket)`` LONGS only —
+    shingle sets are re-attached to the (deduped, few) candidate pairs by
+    two id-joins afterwards. Carrying the arrays through the band explode
+    would shuffle every document's shingle set ``bands`` times; candidates
+    are orders of magnitude rarer than band rows, so re-fetching payloads
+    for candidates is the scale-right trade (one extra pass over the
+    input, whose scan the band side shares anyway).
+
     ``max_bucket_size`` drops buckets larger than the cap before the
     self-join (the count is one cheap partial-agg pass; the join would be
     quadratic in bucket size). It is a RECALL valve, not a free guard: a
@@ -158,13 +169,27 @@ def minhash_lsh_pairs(
     affects pathological near-but-not-exact megaclusters.
     """
     rows_per_band = num_hashes // bands
-    sh = F.col(shingle_col)
-    keyed = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(shingle_col).alias("_sh"),
+    # Materialize (id, shingle set) ONCE behind an optimizer barrier. The
+    # barrier is load-bearing twice over: (a) Catalyst's projection
+    # collapse would otherwise inline the shingle expression into every
+    # minhash site — num_hashes copies of tokenize+zip_with+distinct in
+    # one whole-stage-codegen method, whose ~8 s Janino compile dominated
+    # the operator even on 500 rows (measured 10.8 s -> 3.0 s cold /
+    # 0.6 s warm at sf0.1 with the barrier); (b) it IS the LSH index-build
+    # artifact — shingles are computed once, and both the band keys and
+    # the candidate verification read the same materialized sets. At
+    # corpus scale, persist this projection to storage instead of
+    # localCheckpoint (same shape: the index outlives the query).
+    pre = (
+        widen(df.select(F.col(id_col).alias("_id"), F.col(shingle_col).alias("_sv")))
+        .localCheckpoint(eager=True)
+    )
+    shx = F.col("_sv")
+    keyed = pre.select(
+        "_id",
         F.explode(
             F.array(
-                *[_band_key(sh, b, rows_per_band) for b in range(bands)]
+                *[_band_key(shx, b, rows_per_band) for b in range(bands)]
             )
         ).alias("_bucket"),
     )
@@ -173,17 +198,18 @@ def minhash_lsh_pairs(
         sized = keyed.withColumn(
             "_bsz", F.count("*").over(Window.partitionBy("_bucket"))
         ).filter(F.col("_bsz") <= max_bucket_size)
-    a = sized.select(
-        F.col("_id").alias("id1"), F.col("_sh").alias("_sh1"), "_bucket"
-    )
-    b = sized.select(
-        F.col("_id").alias("id2"), F.col("_sh").alias("_sh2"), "_bucket"
-    )
-    return (
+    a = sized.select(F.col("_id").alias("id1"), "_bucket")
+    b = sized.select(F.col("_id").alias("id2"), "_bucket")
+    pairs = (
         a.join(b, "_bucket")
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "_sh1", "_sh2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        pairs.join(pre.select(F.col("_id").alias("id1"), F.col("_sv").alias("_sh1")), "id1")
+        .join(pre.select(F.col("_id").alias("id2"), F.col("_sv").alias("_sh2")), "id2")
+        .select("id1", "id2", "_sh1", "_sh2")
     )
 
 
@@ -603,30 +629,57 @@ def incremental_dedup(
     Returns the surviving batch rows (original columns).
     """
     fp = F.sha2(F.col(text_col), 256)
-    corpus_fp = corpus.select(fp.alias("_fp")).distinct()
-    survivors = batch.withColumn("_fp", fp).join(
-        corpus_fp, "_fp", "left_anti"
-    ).drop("_fp")
-
-    rows_per_band = num_hashes // bands
     sh = shingles(tokens(F.col(text_col)), n)
+    rows_per_band = num_hashes // bands
+    target = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Materialize the corpus INDEX once — (id, content hash, shingle set).
+    # Fingerprint anti-join, band keys and candidate verification all read
+    # this one artifact; the barrier also keeps the shingle expression out
+    # of the band-key codegen (see minhash_lsh_pairs — the inlined form's
+    # compile time dominates). This is the in-process analog of the
+    # persisted corpus index the production note below describes.
+    c_idx = (
+        corpus.select(
+            F.col(id_col).alias("_cid"), fp.alias("_cfp"), sh.alias("_csh")
+        )
+        .repartition(target)
+        .localCheckpoint(eager=True)
+    )
+    # The batch is small by contract; materialize its survivors' index the
+    # same way (referenced by band probing, verification and the keep join).
+    survivors = (
+        batch.withColumn("_fp", fp)
+        .join(c_idx.select(F.col("_cfp").alias("_fp")).distinct(), "_fp", "left_anti")
+        .drop("_fp")
+        .localCheckpoint(eager=True)
+    )
+    b_idx = (
+        survivors.select(F.col(id_col).alias("_bid"), sh.alias("_bsh"))
+        .localCheckpoint(eager=True)
+    )
 
-    def banded(df: DataFrame, side: str) -> DataFrame:
-        return widen(df).select(
-            F.col(id_col).alias(f"_id{side}"),
-            sh.alias(f"_sh{side}"),
+    def banded(df: DataFrame, id_c: str, sh_c: str) -> DataFrame:
+        # (id, bucket) longs only through the band join
+        return df.select(
+            id_c,
             F.explode(
-                F.array(*[_band_key(sh, b, rows_per_band) for b in range(bands)])
+                F.array(
+                    *[_band_key(F.col(sh_c), b, rows_per_band) for b in range(bands)]
+                )
             ).alias("_bucket"),
         )
 
     cand = (
-        banded(survivors, "_b").join(banded(corpus, "_c"), "_bucket")
-        .dropDuplicates(["_id_b", "_id_c"])
+        banded(b_idx, "_bid", "_bsh")
+        .join(banded(c_idx, "_cid", "_csh"), "_bucket")
+        .select("_bid", "_cid")
+        .dropDuplicates(["_bid", "_cid"])
     )
     near_hit = (
-        cand.filter(jaccard(F.col("_sh_b"), F.col("_sh_c")) >= threshold)
-        .select(F.col("_id_b").alias(id_col))
+        cand.join(b_idx, "_bid")
+        .join(c_idx.select("_cid", "_csh"), "_cid")
+        .filter(jaccard(F.col("_bsh"), F.col("_csh")) >= threshold)
+        .select(F.col("_bid").alias(id_col))
         .distinct()
     )
     return survivors.join(near_hit, id_col, "left_anti")
