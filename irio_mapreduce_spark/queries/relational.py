@@ -778,3 +778,60 @@ def distinct_part_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT = the reference's map-emit-(row,1) / reduce-first-per-key
     encoding (SURVEY.md §2.2); Spark plans it as a hash aggregate."""
     return read_table(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
+
+
+@register(
+    "agg_unpivot_part_metrics",
+    tail=True,  # pivot's inverse; the pivot representative holds the window slot
+    oracle="""
+    SELECT p_partkey, metric, CAST(value AS DOUBLE) AS value
+    FROM (SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size
+          FROM part WHERE p_partkey <= 200)
+    UNPIVOT (value FOR metric IN (p_retailprice, p_size))
+    """,
+)
+def agg_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long), the inverse of the pivot entry: metric
+    columns melt into (metric, value) rows — a per-row generator, no
+    shuffle (the 100 TB cost is row-count inflation, not movement)."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("double").alias("p_size")
+    ).unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "value")
+
+
+@register(
+    "fn_generator_family",
+    tail=True,  # explode already in-window via fn_array/map entries
+    oracle="""
+    WITH t AS (SELECT p_partkey,
+                      list_filter(string_split(p_type, ' '), w -> w <> '') AS words
+               FROM part WHERE p_partkey <= 50)
+    SELECT p_partkey,
+           CAST(pos AS INT) AS pos,
+           word,
+           n_words
+    FROM (SELECT p_partkey,
+                 generate_subscripts(words, 1) - 1 AS pos,
+                 unnest(words) AS word,
+                 len(words) AS n_words
+          FROM t)
+    """,
+)
+def fn_generator_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator functions: posexplode (element + 0-based position) over
+    the tokenized p_type, with the row-level array size carried alongside
+    — generators are per-row expansions inside the scan stage, never a
+    shuffle. (explode_outer's empty-input behavior is pinned by
+    tests/test_operators.py — empty arrays produce no inner rows but one
+    null outer row.)"""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    words = F.filter(F.split(F.col("p_type"), " "), lambda w: w != "")
+    return (
+        p.select("p_partkey", words.alias("words"))
+        .select(
+            "p_partkey",
+            F.posexplode("words").alias("pos", "word"),
+            F.size("words").alias("n_words"),
+        )
+    )

@@ -230,3 +230,17 @@ def test_observation_metrics_single_pass(spark):
     m = obs.get
     assert m["n_in"] == docs.count()
     assert m["n_kept"] == kept > 0
+
+
+def test_explode_outer_empty_array_semantics(spark):
+    """explode drops rows with empty arrays; explode_outer keeps one
+    null row — the distinction the generator-family docstring pins."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, [])], "id long, xs array<string>"
+    )
+    inner = df.select("id", F.explode("xs").alias("x"))
+    outer = df.select("id", F.explode_outer("xs").alias("x"))
+    assert {(r.id, r.x) for r in inner.collect()} == {(1, "a"), (1, "b")}
+    assert {(r.id, r.x) for r in outer.collect()} == {(1, "a"), (1, "b"), (2, None)}
