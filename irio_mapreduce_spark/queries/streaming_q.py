@@ -9,6 +9,7 @@ apply.
 
 from __future__ import annotations
 
+import contextlib
 import tempfile
 import uuid
 
@@ -42,6 +43,24 @@ def _replay_dir(spark: SparkSession, sf_dir: str) -> str:
     return _REPLAY_DIRS[key]
 
 
+@contextlib.contextmanager
+def _stream_partitions(spark: SparkSession, n: int = 8):
+    """Run a streaming drain with a small state-partition count. Stateful
+    streaming cost scales with ``spark.sql.shuffle.partitions`` — one
+    state store per partition per stateful operator PER TRIGGER (measured
+    on the stream-stream entry at sf0.1: 2.4 s at 8 partitions, 5.8 s at
+    32, 23.4 s at 200, Spark's default). State partitioning should be
+    sized to state volume, not CPU parallelism; these entries' state is
+    tiny. Conf is restored afterwards — it only matters at query START."""
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, saved)
+
+
 def _replayed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_events_stream(spark, _replay_dir(spark, sf_dir), max_files_per_trigger=2)
 
@@ -63,9 +82,10 @@ def stream_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same SQL that checks the batch twin, proving stream/batch equivalence
     under the driver's hash, not just in pytest."""
     name = f"t_sq_{uuid.uuid4().hex[:8]}"
-    run_to_completion(
-        tumbling_value_rollup(_replayed_stream(spark, sf_dir)), name, "complete"
-    )
+    with _stream_partitions(spark):
+        run_to_completion(
+            tumbling_value_rollup(_replayed_stream(spark, sf_dir)), name, "complete"
+        )
     return spark.table(name).select(
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
@@ -87,11 +107,12 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches, then a per-type count of the emitted first-seen rows —
     equals batch DISTINCT regardless of replay order."""
     name = f"t_sq_{uuid.uuid4().hex[:8]}"
-    run_to_completion(
-        dedup_events(_replayed_stream(spark, sf_dir), ["user_id", "event_type"]),
-        name,
-        "append",
-    )
+    with _stream_partitions(spark):
+        run_to_completion(
+            dedup_events(_replayed_stream(spark, sf_dir), ["user_id", "event_type"]),
+            name,
+            "append",
+        )
     return spark.table(name).groupBy("event_type").agg(F.count("*").alias("n_keys"))
 
 
@@ -124,7 +145,8 @@ def stream_static_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
     )
     name = f"t_sq_{uuid.uuid4().hex[:8]}"
-    run_to_completion(agg, name, "complete")
+    with _stream_partitions(spark):
+        run_to_completion(agg, name, "complete")
     return spark.table(name)
 
 @register(
@@ -167,5 +189,6 @@ def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     name = f"t_sq_{uuid.uuid4().hex[:8]}"
-    run_to_completion(out, name, "append")
+    with _stream_partitions(spark):
+        run_to_completion(out, name, "append")
     return spark.table(name)
