@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def widen(df: DataFrame) -> DataFrame:
+def widen(df: DataFrame, target_partitions: int | None = None) -> DataFrame:
     """Repartition up to the session's shuffle parallelism when the input
     has fewer partitions. The signature/shingle computations here are
     CPU-heavy per row; a small corpus read from one parquet file would
@@ -24,18 +24,45 @@ def widen(df: DataFrame) -> DataFrame:
     MinHash pass). At real scale inputs already have enough partitions and
     this is a no-op.
 
-    Cost note: ``df.rdd.getNumPartitions()`` forces a DataFrame->RDD
-    lineage conversion (~0.1 s warm, no job). A plan-level probe is not a
-    substitute (``executedPlan().outputPartitioning()`` is
-    UnknownPartitioning for scans), and unconditionally repartitioning
-    would add a real shuffle at scale precisely when the input is already
-    wide — the probe is the cheapest branch that keeps the no-op path
-    shuffle-free. CAVEAT: on multi-branch plans (unions) the RDD conversion
-    is NOT cheap (measured ~6 s on a two-branch union of parquet scans at
-    sf0.1) — callers with union inputs should repartition explicitly
-    instead (see llm.dedup.incremental_dedup)."""
+    ``target_partitions``: when the caller already knows how wide the
+    input should be, passing it skips the partition-count probe entirely
+    and repartitions unconditionally to that width. Use this for
+    multi-branch inputs (unions): the probe below forces a DataFrame->RDD
+    lineage conversion that is ~0.1 s on a plain scan but measured ~6 s on
+    a two-branch union of parquet scans at sf0.1.
+
+    Probe cost note (the ``target_partitions=None`` path):
+    ``df.rdd.getNumPartitions()`` forces a DataFrame->RDD lineage
+    conversion. A plan-level probe is not a substitute
+    (``executedPlan().outputPartitioning()`` is UnknownPartitioning for
+    scans), and unconditionally repartitioning would add a real shuffle at
+    scale precisely when the input is already wide — the probe is the
+    cheapest branch that keeps the no-op path shuffle-free on the common
+    single-scan inputs."""
+    if target_partitions is not None:
+        return df.repartition(target_partitions)
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
+def free_checkpoint(df: DataFrame) -> None:
+    """Release the executor block-manager blocks behind a
+    ``localCheckpoint``-ed DataFrame NOW, instead of waiting for the
+    nondeterministic ContextCleaner GC cycle. The frame (and every plan
+    built on it) is unusable afterwards — only call on superseded
+    intermediates, never on a frame still reachable by a caller.
+
+    Iterative builders here (``connected_components``) call this on each
+    round's superseded labels; long-running drivers that loop over catalog
+    entries can call it on retired index artifacts to keep block-manager
+    memory flat."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        # Not a checkpoint-backed plan (or a future Spark moved the
+        # accessor): fall back to ContextCleaner GC rather than fail the
+        # job over a memory-hygiene optimization.
+        pass
 
 
 def tokens(text_col: str | Column, lowercase: bool = True) -> Column:
@@ -213,13 +240,19 @@ def minhash_lsh_pairs(
     )
 
 
-def jaccard(set1: Column, set2: Column, digits: int = 6) -> Column:
+def jaccard(set1: Column, set2: Column, digits: int | None = 6) -> Column:
     """Exact Jaccard similarity of two (distinct-element) arrays; NULL when
     both are empty (0/0 — found by the hypothesis property suite, and a
-    real case for sub-``n``-token documents whose shingle set is empty)."""
+    real case for sub-``n``-token documents whose shingle set is empty).
+
+    ``digits=None`` returns the unrounded ratio — thresholds must filter
+    on THAT (matching the oracles' WHERE-on-raw-ratio structure) and round
+    only in the output projection: filtering on the rounded value is a
+    latent off-by-5e-7 oracle mismatch once set sizes approach ~10^6."""
     inter = F.size(F.array_intersect(set1, set2))
     union = F.size(set1) + F.size(set2) - inter
-    return F.when(union > 0, F.round(inter / union, digits))
+    ratio = inter / union
+    return F.when(union > 0, ratio if digits is None else F.round(ratio, digits))
 
 
 def near_dup_pairs_minhash(
@@ -247,10 +280,12 @@ def near_dup_pairs_minhash(
     cand = minhash_lsh_pairs(
         sh, "_doc_id", "_shingles", num_hashes, bands, max_bucket_size
     )
+    # Threshold on the UNROUNDED ratio (oracle WHERE-then-SELECT parity);
+    # round only in the output projection.
     return (
-        cand.withColumn("jaccard", jaccard(F.col("_sh1"), F.col("_sh2")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
+        cand.withColumn("_j", jaccard(F.col("_sh1"), F.col("_sh2"), digits=None))
+        .filter(F.col("_j") >= threshold)
+        .select("id1", "id2", F.round(F.col("_j"), 6).alias("jaccard"))
     )
 
 
@@ -324,9 +359,9 @@ def ngram_jaccard_pairs(
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
-        .withColumn("jaccard", jaccard(F.col("_sh1"), F.col("_sh2")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
+        .withColumn("_j", jaccard(F.col("_sh1"), F.col("_sh2"), digits=None))
+        .filter(F.col("_j") >= threshold)
+        .select("id1", "id2", F.round(F.col("_j"), 6).alias("jaccard"))
     )
 
 
@@ -527,11 +562,21 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # `new` is materialized and the convergence probe has run: the
+        # superseded round's blocks can be freed immediately instead of
+        # accumulating one label-table copy per round in the block manager
+        # until ContextCleaner GC.
+        free_checkpoint(labels)
         labels = new
         if improved == 0:
+            # The edge checkpoint is internal-only; the returned frame
+            # references only the final labels checkpoint (whose lifetime
+            # the caller owns).
+            free_checkpoint(e)
             return labels.select(
                 F.col("_n").alias(id_col), F.col("_c").alias("component")
             )
+    free_checkpoint(e)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "the graph has a longer path than min-label propagation should see "
@@ -587,12 +632,13 @@ def ngram_containment_pairs(
         .groupBy("corpus_id", "probe_id", "_np")
         .agg(F.count("*").alias("_inter"))
     )
+    # Threshold on the unrounded ratio (oracle parity); round in projection.
     return (
-        hits.withColumn(
-            "containment", F.round(F.col("_inter") / F.col("_np"), 6)
+        hits.withColumn("_ratio", F.col("_inter") / F.col("_np"))
+        .filter(F.col("_ratio") >= threshold)
+        .select(
+            "corpus_id", "probe_id", F.round(F.col("_ratio"), 6).alias("containment")
         )
-        .filter(F.col("containment") >= threshold)
-        .select("corpus_id", "probe_id", "containment")
     )
 
 
@@ -637,12 +683,16 @@ def incremental_dedup(
     # this one artifact; the barrier also keeps the shingle expression out
     # of the band-key codegen (see minhash_lsh_pairs — the inlined form's
     # compile time dominates). This is the in-process analog of the
-    # persisted corpus index the production note below describes.
+    # persisted corpus index the production note below describes. The
+    # corpus is a union-shaped input, so the target width is passed
+    # explicitly (widen's probe path is expensive on multi-branch plans).
     c_idx = (
-        corpus.select(
-            F.col(id_col).alias("_cid"), fp.alias("_cfp"), sh.alias("_csh")
+        widen(
+            corpus.select(
+                F.col(id_col).alias("_cid"), fp.alias("_cfp"), sh.alias("_csh")
+            ),
+            target_partitions=target,
         )
-        .repartition(target)
         .localCheckpoint(eager=True)
     )
     # The batch is small by contract; materialize its survivors' index the
@@ -678,7 +728,7 @@ def incremental_dedup(
     near_hit = (
         cand.join(b_idx, "_bid")
         .join(c_idx.select("_cid", "_csh"), "_cid")
-        .filter(jaccard(F.col("_bsh"), F.col("_csh")) >= threshold)
+        .filter(jaccard(F.col("_bsh"), F.col("_csh"), digits=None) >= threshold)
         .select(F.col("_bid").alias(id_col))
         .distinct()
     )

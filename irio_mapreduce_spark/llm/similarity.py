@@ -164,6 +164,12 @@ def _lloyd_kmeans(x, k: int, seed: int, max_iter: int = 25):
 
     rng = np.random.default_rng(seed)
     n = len(x)
+    if n == 0:
+        raise ValueError(
+            "k-means training sample is empty — the corpus has no rows (or "
+            "a sample fraction drew none); pass train_fraction=1.0 or a "
+            "non-empty corpus to ivf_topk"
+        )
     k = min(k, n)
     # k-means++ seeding
     centers = [x[rng.integers(n)]]
@@ -208,13 +214,17 @@ def ivf_topk(
     those candidates. The FAISS-IVF topology on DataFrames:
 
     * index build (the KMeans fit) is the offline, cluster-wide step — the
-      fit runs on a ``train_fraction`` SAMPLE of the corpus (k-means
-      centroid quality needs a representative sample, not every row; FAISS
-      trains IVF quantizers on ~max(10k, 50·n_cells) vectors regardless of
-      corpus size) and broadcasts the centroids (tiny literal arrays in
-      the plan). ``train_fraction=None`` picks the fraction that yields
-      ~``min_train_rows`` rows via one cheap count; iterating KMeans over
-      the full 100 TB corpus would be n_iter full scans for no recall gain;
+      fit runs on a bounded SAMPLE of the corpus (k-means centroid quality
+      needs a representative sample, not every row; FAISS trains IVF
+      quantizers on ~max(10k, 50·n_cells) vectors regardless of corpus
+      size) and broadcasts the centroids (tiny literal arrays in the
+      plan). ``train_fraction=None`` takes the first ``min_train_rows``
+      rows (``limit`` — one early-terminating job, no count of the full
+      corpus; at 100 TB a filtered count is itself a job). Pass an
+      explicit ``train_fraction`` when the leading rows are not
+      representative (e.g. the table is sorted by the embedding source);
+      iterating KMeans over the full corpus would be n_iter full scans
+      for no recall gain either way;
     * search is ONE equi-join on cell id — candidates per query ≈
       n_probe/n_cells of the corpus, and cells are hash-distributed so a
       popular cell is still one join key, not a task straggler (AQE skew
@@ -225,9 +235,8 @@ def ivf_topk(
     """
     feats = df.select(as_double(F.col(vec_col)).alias("_tv"))
     if train_fraction is None:
-        n_rows = df.count()
-        train_fraction = min(1.0, min_train_rows / max(n_rows, 1))
-    if train_fraction < 1.0:
+        feats = feats.limit(min_train_rows)
+    elif train_fraction < 1.0:
         feats = feats.sample(fraction=train_fraction, seed=seed)
     # The quantizer trains LOCALLY on the bounded sample (one collect of
     # ~min_train_rows vectors) — the FAISS topology: index training is a

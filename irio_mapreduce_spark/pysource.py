@@ -62,7 +62,7 @@ class DirTextDataSource(DataSource):
         return DirTextReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return DirTextWriter(self.options, overwrite)
+        return DirTextWriter(self.options, overwrite, schema)
 
 
 class DirTextReader(DataSourceReader):
@@ -91,9 +91,18 @@ class DirTextWriter(DataSourceWriter):
     attempts whose messages reach ``commit()`` become visible — the
     task-commit exactly-once contract."""
 
-    def __init__(self, options, overwrite: bool):
+    def __init__(self, options, overwrite: bool, schema=None):
         self.dir = options["path"]
         self.overwrite = overwrite
+        # The format is line-oriented BY CONTRACT (one value -> one line);
+        # silently serializing only one column of a wider frame would be
+        # data loss, so a wide schema is rejected at planning time.
+        if schema is not None and len(schema.fields) != 1:
+            raise ValueError(
+                "dirtext writes exactly one column per line; got schema "
+                f"{[f.name for f in schema.fields]} — select the single "
+                "column to serialize before writing"
+            )
 
     def write(self, iterator):
         os.makedirs(self.dir, exist_ok=True)
@@ -113,8 +122,18 @@ class DirTextWriter(DataSourceWriter):
             for f in os.listdir(self.dir):
                 if not f.startswith((".", "_tmp_")):
                     os.remove(os.path.join(self.dir, f))
+        # Append mode must not clobber a previous commit's part files:
+        # numbering starts after the existing max part index (overwrite
+        # cleared the dir above, so there it starts at 0).
+        next_i = 0
+        for f in os.listdir(self.dir):
+            if f.startswith("part-") and f.endswith(".txt"):
+                try:
+                    next_i = max(next_i, int(f[len("part-"):-len(".txt")]) + 1)
+                except ValueError:
+                    continue
         for i, m in enumerate(sorted(m.tmp_path for m in messages if m.tmp_path)):
-            os.rename(m, os.path.join(self.dir, f"part-{i:05d}.txt"))
+            os.rename(m, os.path.join(self.dir, f"part-{next_i + i:05d}.txt"))
 
     def abort(self, messages):
         for m in messages:

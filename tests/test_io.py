@@ -147,3 +147,51 @@ def test_dirtail_streaming_source_checkpoint_resume(spark, tmp_path):
     drain()  # resume from checkpoint: only f2 consumed, nothing re-read
     vals = [r.value for r in spark.read.parquet(out).collect()]
     assert sorted(vals) == ["a", "b", "c"]  # exactly-once across restarts
+
+
+def test_dirtext_append_twice_does_not_clobber(spark, tmp_path):
+    """ADVICE fix: a second mode("append") into a non-empty dir must start
+    part numbering after the existing max index, never os.rename over a
+    previously committed part file (silent data loss)."""
+    from irio_mapreduce_spark import pysource
+
+    pysource.register(spark)
+    d = str(tmp_path / "dirtext_append")
+    first = spark.createDataFrame([(f"one-{i}",) for i in range(8)], ["value"])
+    second = spark.createDataFrame([(f"two-{i}",) for i in range(8)], ["value"])
+    first.repartition(2).write.format("dirtext").option("path", d).mode(
+        "append"
+    ).save()
+    second.repartition(3).write.format("dirtext").option("path", d).mode(
+        "append"
+    ).save()
+
+    import os
+
+    parts = sorted(f for f in os.listdir(d) if f.startswith("part-"))
+    assert len(parts) == 5, parts  # 2 + 3, nothing clobbered
+    back = spark.read.format("dirtext").option("path", d).load()
+    got = sorted(r.value for r in back.collect())
+    assert got == sorted([f"one-{i}" for i in range(8)] + [f"two-{i}" for i in range(8)])
+
+    # overwrite still resets numbering from zero
+    second.repartition(1).write.format("dirtext").option("path", d).mode(
+        "overwrite"
+    ).save()
+    parts = sorted(f for f in os.listdir(d) if f.startswith("part-"))
+    assert parts == ["part-00000.txt"]
+
+
+def test_dirtext_rejects_multi_column_writes(spark, tmp_path):
+    """ADVICE fix: the format is line-oriented by contract (one column ->
+    one line); a wide frame must be rejected at planning time instead of
+    silently serializing only the last column."""
+    import pytest
+
+    from irio_mapreduce_spark import pysource
+
+    pysource.register(spark)
+    d = str(tmp_path / "dirtext_wide")
+    wide = spark.createDataFrame([(1, "x")], ["a", "b"])
+    with pytest.raises(Exception, match="exactly one column"):
+        wide.write.format("dirtext").option("path", d).mode("append").save()

@@ -438,3 +438,73 @@ def test_incremental_dedup_batch_vs_corpus(spark):
         for r in incremental_dedup(corpus, batch, "doc_id", "text").collect()
     }
     assert kept == {12, 13}
+
+
+def test_free_checkpoint_releases_blocks(spark):
+    """ADVICE fix: free_checkpoint drops a localCheckpoint's block-manager
+    blocks immediately (no waiting for ContextCleaner GC), and is a no-op
+    on non-checkpointed frames."""
+    from irio_mapreduce_spark.llm.dedup import free_checkpoint
+
+    def persistent_count() -> int:
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it, n = m.iterator(), 0
+        while it.hasNext():
+            it.next()
+            n += 1
+        return n
+
+    base = persistent_count()
+    lc = spark.range(100).selectExpr("id", "id * 2 AS y").localCheckpoint(eager=True)
+    assert persistent_count() == base + 1
+    free_checkpoint(lc)
+    assert persistent_count() == base
+    # harmless on a plain (non-checkpointed) frame
+    free_checkpoint(spark.range(5))
+
+
+def test_connected_components_frees_intermediate_checkpoints(spark):
+    """The iterative loop must not leak one label-table checkpoint per
+    round: after the result is collected, at most the final labels frame
+    remains pinned."""
+    from irio_mapreduce_spark.llm.dedup import connected_components, free_checkpoint
+
+    def persistent_count() -> int:
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it, n = m.iterator(), 0
+        while it.hasNext():
+            it.next()
+            n += 1
+        return n
+
+    base = persistent_count()
+    # a path graph forces several propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id1", "id2"]
+    )
+    out = connected_components(edges, "id1", "id2")
+    rows = {(r.id, r.component) for r in out.collect()}
+    assert rows == {(i, 0) for i in range(13)}
+    # everything except the final labels checkpoint was freed in-loop
+    assert persistent_count() <= base + 1
+    free_checkpoint(out)
+
+
+def test_ivf_topk_empty_corpus_raises_clearly(spark):
+    """ADVICE fix: an empty training sample raises a clear ValueError, not
+    an opaque rng.integers(0) crash."""
+    from pyspark.sql import types as T
+
+    import pytest
+
+    from irio_mapreduce_spark.llm.similarity import ivf_topk
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="training sample is empty"):
+        ivf_topk(empty, "embedding", "vec_id", empty, k=3).collect()
