@@ -434,6 +434,7 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     ngram: int = 3,
+    target_partitions: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance <= ``max_hamming``.
 
@@ -455,7 +456,7 @@ def simhash_near_pairs(
             "(use more/narrower bands for larger radii)"
         )
     sh = simhash_signatures(
-        widen(df), id_col, shingles(tokens(text_col), ngram)
+        widen(df, target_partitions), id_col, shingles(tokens(text_col), ngram)
     )
     banded = sh.select(
         "_id",

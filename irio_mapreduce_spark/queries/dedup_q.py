@@ -3,9 +3,11 @@ LLM-data-pipeline table). Exact + n-gram Jaccard are fully oracle-checked;
 MinHash-LSH verifies its candidates with exact Jaccard so its output is
 deterministic and oracle-checked too (the LSH stage only risks *recall*,
 which the band math makes ~1 at the threshold — see
-``llm.dedup.near_dup_pairs_minhash``); SimHash has no SQL-expressible
-oracle (engine-specific 64-bit hashing) and registers rows-only, with
-property tests in tests/test_llm.py.
+``llm.dedup.near_dup_pairs_minhash``); SimHash's natural-corpus hamming
+values are engine-specific (64-bit xxhash), so its entry is a planted
+formatting-variant recall harness whose expected output IS SQL-expressible
+(see ``dedup_simhash``), with the engine-specific behavior property-tested
+in tests/test_llm.py.
 """
 
 from __future__ import annotations
@@ -236,14 +238,60 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # engine-specific 64-bit hashing -> no SQL oracle
+_SIMHASH_PLANT_OFFSET = 100000
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id AS id1,
+           doc_id + {_SIMHASH_PLANT_OFFSET} AS id2,
+           0 AS hamming
+    FROM documents
+    WHERE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                          t -> t <> '')) >= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (over trigram shingles) near-dup pairs at hamming distance
-    <= 3, candidates via the 8-byte pigeonhole band join (never all-pairs).
-    Property-tested in tests/test_llm.py (planted near-dups collide;
-    unrelated docs don't)."""
-    docs = read_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    """SimHash (over trigram shingles) near-dup pairs via the 8-byte
+    pigeonhole band join (never all-pairs), made driver-checkable with a
+    planted-duplicate recall harness (the r3 advice shape): every document
+    gets a FORMATTING-VARIANT copy planted under ``doc_id + offset`` —
+    uppercased, whitespace-doubled — which tokenization provably
+    normalizes to the identical shingle set, hence the identical 64-bit
+    SimHash, hence hamming 0. The full pipeline (tokenize -> shingle ->
+    signature -> band join -> exact hamming) MUST therefore emit every
+    planted pair, and the oracle enumerates exactly those pairs in SQL:
+    a missed pair (recall bug), phantom pair, or nonzero hamming
+    (normalization bug) breaks the row/hash match. This is the SimHash
+    dedup use-case at its sharpest: byte-different boilerplate reformats
+    that sha-exact dedup cannot see.
+
+    Output is restricted to planted pairs because natural-corpus hamming
+    values hang off engine-specific xxhash64 bit patterns (no SQL oracle
+    can reproduce them); natural near-pair behavior (hamming monotonicity,
+    separation of unrelated docs, the <=7 pigeonhole recall cap) is
+    property-tested in tests/test_llm.py. Documents with fewer than 3
+    tokens have an empty shingle set (no signature row) on both sides."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + _SIMHASH_PLANT_OFFSET).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    pairs = simhash_near_pairs(
+        docs.unionByName(variants),
+        "doc_id",
+        "text",
+        max_hamming=3,
+        # union-shaped input: pass the width explicitly (widen's
+        # partition-count probe is expensive on multi-branch plans)
+        target_partitions=target,
+    )
+    return pairs.filter(
+        (F.col("id2") - F.col("id1") == _SIMHASH_PLANT_OFFSET)
+        & (F.col("id1") < _SIMHASH_PLANT_OFFSET)
+    ).select("id1", "id2", "hamming")
 
 
 @register(

@@ -41,20 +41,45 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features")  # stubbed decoder -> rows-only check
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS payload_bytes,
+           8 AS n_features,
+           TRUE AS feats_in_unit_range,
+           3 AS channels
+    FROM documents
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-batched decode/feature-extract stage over mapInPandas
-    (deterministic fake decoder — real image libs absent by design),
-    aggregated to per-channel feature statistics. Proves the binary-column
-    -> pandas -> typed-struct round trip under the driver's harness."""
+    (deterministic fake decoder — real image libs absent by design, so the
+    feature VALUES are engine-specific), emitted as an oracle-checkable
+    per-media validation row (the r3 advice shape): payload byte length
+    survives the binary->pandas->typed-struct round trip (a real per-row
+    hash-checked value), the feature vector has exactly the requested
+    arity, every feature lands in the fake decoder's declared [0, 1)
+    range, and the channel metadata is populated. A dropped/duplicated/
+    mangled row anywhere in the Arrow plumbing breaks the row-level hash
+    match. The raw feature values themselves are covered by
+    tests/test_llm.py round-trip tests."""
     media = documents_as_media(read_table(spark, sf_dir, "documents"))
-    feats = decode_image_features(media, n_features=8)
+    sized = media.withColumn("_pbytes", F.length("payload"))
+    feats = decode_image_features(
+        sized.select("media_id", "payload", "meta"), n_features=8
+    )
     return (
-        feats.select("media_id", F.posexplode("features").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("x"), 4).alias("mean_x"),
-            F.round(F.max("x"), 4).alias("max_x"),
+        feats.join(sized.select("media_id", "_pbytes"), "media_id")
+        .select(
+            "media_id",
+            F.col("_pbytes").alias("payload_bytes"),
+            F.size("features").alias("n_features"),
+            F.aggregate(
+                "features",
+                F.lit(True),
+                lambda acc, x: acc & (x >= 0.0) & (x < 1.0),
+            ).alias("feats_in_unit_range"),
+            "channels",
         )
     )

@@ -22,29 +22,69 @@ from irio_mapreduce_spark.queries.catalog import register
 # ---------------------------------------------------------------------------
 
 
-@register("agg_sketch_suite")  # sketch estimates -> rows-only check
+@register(
+    "agg_sketch_suite",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, count(*) AS c,
+             row_number() OVER (ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY event_type)
+    SELECT
+      (SELECT string_agg(event_type, ',' ORDER BY event_type)
+       FROM ranked WHERE rn <= 3) AS top3_types,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      TRUE AS hll_within_5pct,
+      TRUE AS theta_within_5pct,
+      round(quantile_cont(value, 0.5), 2) AS exact_median_value,
+      TRUE AS kll_median_within_2pct
+    FROM events
+    """,
+)
 def agg_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable-sketch family (DataSketches built-ins) in one pass
     over events: approx_top_k heavy hitters on event_type, HLL and theta
     distinct-user estimates, KLL median of value. Sketches are fixed-size,
     mergeable state — the 100 TB substitute for exact distinct/quantile/
     top-k shuffles; map-side partial aggregation merges sketch pages, not
-    rows. Error bounds vs exact are asserted in tests/test_operators.py.
+    rows.
 
-    ``top_types`` is rendered with ``to_json`` — a rows-only driver check
-    still canonicalizes the frame with pandas ``sort_values``, which dies
-    on unhashable array<struct> cells; scalar string/double columns keep
-    the check crash-free."""
+    Oracle-checkable by construction (the r3 advice shape): exact values
+    are computed IN THE SAME JOB and each sketch estimate is emitted as a
+    deterministic bounded-error validation DuckDB reproduces exactly —
+
+    * ``top3_types``: the sketch's item set as a sorted string. event_type
+      has 5 distinct values — far below approx_top_k's tracked capacity —
+      so the sketch is EXACT here and must equal the oracle's true top-3
+      (rank-3/4 counts are distinct at every shipped SF; verified);
+    * HLL / theta estimates as within-5%-of-exact booleans (configured
+      rsd/default accuracy put both well inside; tests/test_operators.py
+      asserts the tighter raw bounds);
+    * KLL median as a within-2%-of-exact-median boolean, plus the exact
+      median itself (value-checked, interpolating percentile = DuckDB
+      quantile_cont)."""
     e = read_table(spark, sf_dir, "events")
     e.createOrReplaceTempView("_sketch_events")
     return spark.sql(
         """
-        SELECT to_json(approx_top_k(event_type, 3)) AS top_types_json,
-               hll_sketch_estimate(hll_sketch_agg(user_id)) AS hll_users,
-               theta_sketch_estimate(theta_sketch_agg(user_id)) AS theta_users,
-               round(kll_sketch_get_quantile_double(
-                     kll_sketch_agg_double(value), 0.5), 2) AS kll_median_value
-        FROM _sketch_events
+        WITH sk AS (
+          SELECT approx_top_k(event_type, 3) AS topk,
+                 hll_sketch_estimate(hll_sketch_agg(user_id)) AS hll_users,
+                 theta_sketch_estimate(theta_sketch_agg(user_id)) AS theta_users,
+                 kll_sketch_get_quantile_double(
+                   kll_sketch_agg_double(value), 0.5) AS kll_median,
+                 count(DISTINCT user_id) AS exact_users,
+                 percentile(value, 0.5) AS exact_median
+          FROM _sketch_events
+        )
+        SELECT
+          array_join(array_sort(transform(topk, x -> x.item)), ',') AS top3_types,
+          exact_users,
+          abs(hll_users - exact_users) / exact_users <= 0.05 AS hll_within_5pct,
+          abs(theta_users - exact_users) / exact_users <= 0.05 AS theta_within_5pct,
+          round(exact_median, 2) AS exact_median_value,
+          abs(kll_median - exact_median) / exact_median <= 0.02
+            AS kll_median_within_2pct
+        FROM sk
         """
     )
 
@@ -669,31 +709,83 @@ def agg_percentiles_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_percentiles_approx")  # approximate by design -> rows-only check
+@register(
+    "agg_percentiles_approx",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           TRUE AS p50_within_half_pct,
+           TRUE AS p99_within_half_pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx — the 100 TB path paired with the exact
     agg_percentiles_collect entry: fixed-size sketch state per group
-    (accuracy parameter 10000) instead of buffering every value. pytest
-    bounds its deviation from exact (tests/test_operators.py)."""
+    (accuracy parameter 10000) instead of buffering every value.
+
+    Oracle-checkable bounded-error shape (the r3 advice): the same job
+    computes the exact percentiles and emits the sketch estimates as
+    within-0.5% booleans; the exact interpolated median is also emitted
+    as a real hash-checked value column (Spark ``percentile`` = DuckDB
+    ``quantile_cont``). The error booleans compare the sketch against the
+    exact DISCRETE quantile (``percentile_approx`` at max accuracy — the
+    semantics the sketch approximates); tests/test_operators.py asserts
+    the raw numeric deviation too."""
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(
-            F.expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 4
-        ).alias("p50_approx"),
-        F.round(
-            F.expr("percentile_approx(l_extendedprice, 0.99, 10000)"), 4
-        ).alias("p99_approx"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("_a50"),
+        F.expr("percentile_approx(l_extendedprice, 0.99, 10000)").alias("_a99"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_e50c"),
+        F.expr(
+            "percentile_approx(l_extendedprice, 0.5, 2147483647)"
+        ).alias("_e50"),
+        F.expr(
+            "percentile_approx(l_extendedprice, 0.99, 2147483647)"
+        ).alias("_e99"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("_e50c"), 4).alias("p50_exact"),
+        (F.abs(F.col("_a50") - F.col("_e50")) / F.col("_e50") <= 0.005).alias(
+            "p50_within_half_pct"
+        ),
+        (F.abs(F.col("_a99") - F.col("_e99")) / F.col("_e99") <= 0.005).alias(
+            "p99_within_half_pct"
+        ),
     )
 
 
-@register("agg_approx_distinct")  # approximate by design -> rows-only check
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct counts — approximate, so no value oracle;
-    tests/test_operators.py bounds the relative error vs exact."""
+    """HyperLogLog++ distinct counts, oracle-checkable bounded-error shape:
+    exact count (hash-checked value) + the rsd=0.02 estimate as a
+    within-5% boolean computed in the same aggregation. pytest asserts the
+    raw relative error (tests/test_operators.py)."""
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("_approx"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("_approx") - F.col("exact_orders"))
+                / F.col("exact_orders")
+                <= 0.05
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
