@@ -41,22 +41,72 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
-_TAIL: set[str] = set()
+
+# The external correctness driver checks the FIRST 50 entries of
+# ``all_queries()`` per round, so listing order is the scoreboard rotation
+# dial. This list pins the front of the window explicitly; everything else
+# follows in module-registration order. Round-4 rotation (VERDICT.md item
+# 1): every entry WITHOUT a green CORRECTNESS row from round 3 — the 13
+# never-driver-checked entries, the 28 last green in r1/r2, and the 7
+# reshaped approximate entries (now oracle-checkable) — fills the window;
+# r3-green entries rotate out on their standing rows, staying fully
+# oracle-tested in tests/test_oracle.py. tests/test_conventions.py asserts
+# this list stays consistent with the registry.
+FRONT_WINDOW: list[str] = [
+    # never driver-checked before round 4
+    "udf_row_at_a_time",
+    "events_multires_rollup",
+    "text_langid_stopwords",
+    "text_fingerprint",
+    "text_bpe_ish_tokens",
+    "dedup_exact_prefix",
+    "dedup_incremental_batch",
+    "sim_pairs_bruteforce",
+    "source_dirtext_wordcount",
+    "sample_train_val_split",
+    "sample_token_budget_batches",
+    "agg_unpivot_part_metrics",
+    "fn_generator_family",
+    # reshaped approximate entries: first possible hash-green rows
+    "dedup_simhash",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "agg_sketch_suite",
+    "agg_approx_distinct",
+    "agg_percentiles_approx",
+    "multimodal_decode_features",
+    # last green in r1/r2, outside r3's window
+    "mr_wordcount_top20",
+    "join_left_outer_nation_customers",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_right_outer_orders_customers",
+    "join_full_outer_nation_activity",
+    "join_cross_theta_acctbal",
+    "join_range_price_bands",
+    "join_asof_order_events",
+    "join_asof_bucketed",
+    "setops_customer_keys",
+    "setops_multiset_priorities",
+    "window_topk_orders_per_customer",
+    "window_rank_functions",
+    "window_running_and_moving",
+    "window_lag_lead_gaps",
+    "window_lead_next_order",
+    "agg_collect_list_orders",
+    "agg_rollup_flag_status",
+    "agg_cube_flag_status",
+    "agg_pivot_status_by_flag",
+    "agg_percentiles_collect",
+    "agg_salted_skew_sum",
+    "subq_above_average_spenders",
+    "subq_orders_vs_customer_avg",
+    "distinct_part_brand_type",
+]
 
 
-def register(
-    name: str, oracle: str | None = None, tail: bool = False
-) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: add a query (and its DuckDB oracle SQL) to the catalog.
-
-    ``tail=True`` lists the entry after all non-tail entries regardless of
-    module import order. Used for variants of an operator family whose
-    representative already sits in the front window (see
-    ``queries/__init__.py``): an external correctness driver that caps the
-    number of checked entries takes them in listing order, so tail entries
-    yield their front-window slot while remaining fully oracle-tested in
-    ``tests/test_oracle.py``.
-    """
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query (and its DuckDB oracle SQL) to the catalog."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
@@ -64,16 +114,14 @@ def register(
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle.strip()
-        if tail:
-            _TAIL.add(name)
         return fn
 
     return deco
 
 
 def all_queries() -> dict[str, QueryFn]:
-    front = {n: f for n, f in _QUERIES.items() if n not in _TAIL}
-    back = {n: f for n, f in _QUERIES.items() if n in _TAIL}
+    front = {n: _QUERIES[n] for n in FRONT_WINDOW if n in _QUERIES}
+    back = {n: f for n, f in _QUERIES.items() if n not in front}
     return {**front, **back}
 
 

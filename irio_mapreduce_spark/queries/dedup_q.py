@@ -72,7 +72,6 @@ def dedup_exact_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact_prefix",
-    tail=True,  # variant of dedup_exact_sha, which holds the window slot
     oracle="""
     SELECT doc_id, lang, source FROM (
       SELECT doc_id, lang, source,
@@ -347,7 +346,6 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_incremental_batch",
-    tail=True,  # dedup family holds its window slots; local oracle test covers this
     oracle="""
     WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
     corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0

@@ -153,7 +153,6 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_multires_rollup",
-    tail=True,  # window-agg family holds the in-window slots
     oracle="""
     SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
            event_type,

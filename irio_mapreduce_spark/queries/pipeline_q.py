@@ -44,7 +44,6 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mr_wordcount_top20",
-    tail=True,  # variant of mr_wordcount, which holds the window slot
     oracle="""
     SELECT word, count(*) AS cnt
     FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word

@@ -874,7 +874,6 @@ def distinct_part_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_unpivot_part_metrics",
-    tail=True,  # pivot's inverse; the pivot representative holds the window slot
     oracle="""
     SELECT p_partkey, metric, CAST(value AS DOUBLE) AS value
     FROM (SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size
@@ -894,7 +893,6 @@ def agg_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_generator_family",
-    tail=True,  # explode already in-window via fn_array/map entries
     oracle="""
     WITH t AS (SELECT p_partkey,
                       list_filter(string_split(p_type, ' '), w -> w <> '') AS words

@@ -45,7 +45,6 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_train_val_split",
-    tail=True,  # split stage is hash-checked in-window inside pipeline_curation_end_to_end
     oracle=f"""
     SELECT CASE WHEN {_DUCK_BUCKET.format(salt="split", n=100)} < 90
                 THEN 'train' ELSE 'val' END AS split,
@@ -93,7 +92,6 @@ def sample_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_token_budget_batches",
-    tail=True,  # sampling family represented in-window by the three entries above
     oracle="""
     SELECT doc_id, lang, n_tokens,
            CAST(floor(coalesce(sum(n_tokens) OVER (

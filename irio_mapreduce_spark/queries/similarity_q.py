@@ -1,8 +1,10 @@
 """Similarity-search catalog queries over ``embeddings`` (SURVEY.md §2.2
 LLM-data-pipeline table). Brute-force cosine paths are oracle-checked
 against DuckDB (both sides compute in double — float32 order-of-summation
-would otherwise diverge); the RP-LSH path is approximate by design and
-registers rows-only, with a recall bound in tests/test_llm.py.
+would otherwise diverge); the ANN paths (IVF, RP-LSH) are approximate by
+design, so their entries emit deterministic recall-vs-exact validation
+rows (see ``_ann_recall_validation``) that DuckDB reproduces exactly,
+with raw recall bounds additionally pytest-asserted in tests/test_llm.py.
 """
 
 from __future__ import annotations
@@ -55,7 +57,6 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_pairs_bruteforce",
-    tail=True,  # intentionally-O(n²) recall oracle; sim_cosine_topk holds the slot
     oracle="""
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -111,7 +111,6 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_dirtext_wordcount",
-    tail=True,  # sources family represented in-window by csv/json round-trips
     oracle="""
     SELECT w AS word, count(*) AS n FROM (
       SELECT unnest(list_filter(

@@ -90,7 +90,6 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_langid_stopwords",
-    tail=True,  # text family representatives (token_stats, quality) hold the window slots
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
     s AS (SELECT doc_id, lang,
@@ -127,7 +126,6 @@ def text_langid_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_fingerprint",
-    tail=True,  # text family representatives (token_stats, quality) hold the window slots
     oracle=f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
     SELECT doc_id,
@@ -150,7 +148,6 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_ish_tokens",
-    tail=True,  # text family representatives (token_stats, quality) hold the window slots
     oracle="""
     SELECT source,
            CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))

@@ -54,3 +54,44 @@ def test_query_returns_no_complex_columns(name, spark):
         "pandas canonicalization crashes on unhashable cells; render with "
         "to_json/array_join or explode to rows"
     )
+
+
+def test_front_window_consistent_with_registry():
+    """The driver checks the first 50 catalog entries in listing order;
+    FRONT_WINDOW pins that prefix. Every listed name must exist, fit the
+    50-slot budget, and actually lead all_queries()."""
+    from irio_mapreduce_spark.queries.catalog import FRONT_WINDOW
+
+    names = list(_QUERIES)
+    unknown = [n for n in FRONT_WINDOW if n not in _QUERIES]
+    assert not unknown, f"FRONT_WINDOW names not registered: {unknown}"
+    assert len(FRONT_WINDOW) == len(set(FRONT_WINDOW)), "duplicates in FRONT_WINDOW"
+    assert len(FRONT_WINDOW) <= 50, (
+        f"FRONT_WINDOW has {len(FRONT_WINDOW)} entries — the driver only "
+        "checks 50; trim it or accept silent exclusion"
+    )
+    assert names[: len(FRONT_WINDOW)] == FRONT_WINDOW
+
+
+def test_front_window_covers_all_unverified_entries():
+    """Round-4 rotation contract: every entry without a round-3 green
+    CORRECTNESS row (never-checked, r1/r2-only, or reshaped approximate)
+    sits inside the driver's 50-entry window this round."""
+    import json
+    import os
+
+    from irio_mapreduce_spark.queries.catalog import FRONT_WINDOW
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r3_path = os.path.join(root, "CORRECTNESS_r03.json")
+    if not os.path.exists(r3_path):
+        pytest.skip("no round-3 driver file in this checkout")
+    r3 = json.load(open(r3_path))
+    r3_green = {k for k, v in r3.items() if v.get("hash_match")}
+    needs_row = [n for n in _QUERIES if n not in r3_green]
+    window = set(list(_QUERIES)[:50])
+    missing = [n for n in needs_row if n not in window]
+    assert not missing, (
+        f"entries still lacking a driver-green row are outside the "
+        f"50-entry window: {missing}"
+    )
