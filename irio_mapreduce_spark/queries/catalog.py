@@ -75,6 +75,8 @@ FRONT_WINDOW: list[str] = [
     "agg_approx_distinct",
     "agg_percentiles_approx",
     "multimodal_decode_features",
+    # new this round: the reference's JSON batch-file client surface
+    "mr_batch_json_wordcount",
     # last green in r1/r2, outside r3's window
     "mr_wordcount_top20",
     "join_left_outer_nation_customers",

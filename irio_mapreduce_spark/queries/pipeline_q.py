@@ -5,6 +5,8 @@ oracle-checked against DuckDB."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,6 +63,71 @@ def mr_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(20)
     )
+
+
+@register(
+    "mr_batch_json_wordcount",
+    oracle="""
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(regexp_replace(text, '[\\r\\n]+', ' ', 'g')),
+                                  '\\s+'),
+               t -> t <> '')) AS w
+      FROM documents)
+    GROUP BY w ORDER BY cnt DESC, w LIMIT 20
+    """,
+)
+def mr_batch_json_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL client surface, driver-checked: documents flow
+    into a directory-storage root (numbered text files — the reference
+    data plane), a literal batch JSON in the reference fixture shape
+    (``mr-bins/batchJsons/batch1.json:1-9``) is parsed by
+    ``batch_json.batch_from_json`` and executed via the ``__BINARY``-style
+    id->command registry — real fork/exec'd awk processes through
+    ``RDD.pipe`` implementing map.cpp's tokenize-to-"word 1" and
+    reduce.cpp's per-key sum contracts — and the resulting lines are
+    parsed back and top-20'd against DuckDB counting the same corpus
+    straight from parquet. Exercises JSON parse, binary registry, dir
+    storage, external-process map/reduce chain, hash partition and the
+    exact-R sink in one hash-checked entry."""
+    import tempfile
+
+    from irio_mapreduce_spark import pysource
+    from irio_mapreduce_spark.batch_json import BinaryRegistry, submit_json_batch
+
+    pysource.register(spark)
+    root = tempfile.mkdtemp(prefix="batchjson_q_")
+    data = os.path.join(root, "0")
+    # The corpus lands in the storage root DISTRIBUTED (the dirtext
+    # writer's tmp+driver-commit path — no driver-side collect): 8 data
+    # files = the reference's dir-of-files dataset, one map split each.
+    (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            F.lower(F.regexp_replace(F.col("text"), r"[\r\n]+", " ")).alias("v")
+        )
+        .repartition(8)
+        .write.format("dirtext")
+        .option("path", data)
+        .mode("append")
+        .save()
+    )
+    batch = """
+    {"map_bin_ids": [0], "partition_bin_id": 1, "reduce_bin_ids": [2],
+     "input_id": "0", "final_dest_dir_id": "1",
+     "split_count": 8, "r_num": 4}
+    """
+    reg = (
+        BinaryRegistry(root)
+        .put(0, "awk '{for (i = 1; i <= NF; i++) print $i, 1}'")
+        .put(2, "awk '{c[$1] += $2} END {for (k in c) print k, c[k]}'")
+    )
+    rdd = submit_json_batch(spark, root, batch, registry=reg)
+    counts = rdd.map(lambda line: line.split()).map(
+        lambda kv: (kv[0], int(kv[1]))
+    )
+    out = spark.createDataFrame(counts, "word string, cnt long")
+    return out.orderBy(F.col("cnt").desc(), "word").limit(20)
 
 
 @register(

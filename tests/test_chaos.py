@@ -44,3 +44,47 @@ def test_retry_recovers_failed_task():
 @pytest.mark.slow
 def test_commit_protocol_exactly_once_under_retry():
     run_job("commit")
+
+
+def test_status_tracker_health_surface(spark):
+    """The reference's health-check chain (Master -> TaskManager -> Worker
+    ping forwarding, master/MasterImpl.java:93-105, healthcheck.proto:8-25)
+    maps to Spark's StatusTracker: liveness = the context answering at all,
+    readiness = executors registered, progress = active job/stage ids
+    while work runs. This smoke demonstrates each probe a k8s
+    liveness/readiness hook would call (SURVEY.md §3 entry point 3)."""
+    import threading
+    import time
+
+    st = spark.sparkContext.statusTracker()
+
+    # readiness: the "worker layer" is up (local mode: the driver executor).
+    # Executor enumeration lives on the JVM tracker; the Python wrapper
+    # exposes the job/stage surface only.
+    jvm_tracker = spark.sparkContext._jsc.sc().statusTracker()
+    assert len(jvm_tracker.getExecutorInfos()) >= 1
+
+    # idle: no active jobs
+    before = st.getActiveJobsIds()
+
+    seen_active = []
+
+    def probe():
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            jobs = st.getActiveJobsIds()
+            if jobs:
+                seen_active.extend(jobs)
+                return
+            time.sleep(0.01)
+
+    t = threading.Thread(target=probe)
+    t.start()
+    # progress: a running job becomes visible to the tracker
+    spark.range(2_000_000).selectExpr("sum(id * id)").collect()
+    t.join()
+    assert seen_active, "active job never appeared in the status tracker"
+    jid = seen_active[0]
+    info = st.getJobInfo(jid)
+    assert info is None or info.status in ("SUCCEEDED", "RUNNING", "FAILED")
+    assert jid not in before
