@@ -13,6 +13,7 @@ from irio_mapreduce_spark.queries.catalog import all_oracles, all_queries, regis
 # import order below only sequences the remainder. Every entry, in or out of
 # the window, is oracle-tested per-entry in tests/test_oracle.py.
 from irio_mapreduce_spark.queries import tpch  # noqa: E402,F401
+from irio_mapreduce_spark.queries import tpch_ext  # noqa: E402,F401
 from irio_mapreduce_spark.queries import functions_q  # noqa: E402,F401
 from irio_mapreduce_spark.queries import events_q  # noqa: E402,F401
 from irio_mapreduce_spark.queries import text_q  # noqa: E402,F401

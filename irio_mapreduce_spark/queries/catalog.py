@@ -104,6 +104,27 @@ FRONT_WINDOW: list[str] = [
     "subq_above_average_spenders",
     "subq_orders_vs_customer_avg",
     "distinct_part_brand_type",
+    # round-4 additions: three shape-diverse representatives of the new
+    # adapted-TPC-H module take the window's remaining slots
+    "q4_priority_exists",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+]
+
+# Round-4 additions that do NOT fit the 50-slot window (47 slots carry the
+# rotation debt from rounds 1-3, 3 carry the new module's representatives).
+# These are fully oracle-tested per-entry in tests/test_oracle.py and are
+# first in line for the round-5 window rotation.
+DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_bracketed_or_revenue",
+    "q22_idle_customers",
+    "source_orc_roundtrip",
 ]
 
 

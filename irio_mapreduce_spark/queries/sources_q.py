@@ -110,6 +110,38 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, p_type, count(*) AS n_parts,
+           round(CAST(sum(CAST(p_retailprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+             AS total_retail,
+           CAST(sum(p_size) AS BIGINT) AS total_size
+    FROM part
+    GROUP BY p_brand, p_type
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source: part -> ORC -> read -> aggregate vs the parquet
+    truth. ORC is Spark's second first-class columnar format (built-in
+    reader/writer, predicate pushdown, column pruning) — the reference's
+    format-agnostic storage scan (``DistrStorage.java:137-155``) maps to
+    either columnar container. ORC carries its schema, so the read needs
+    no explicit schema (unlike the CSV/JSON entries); a hash match proves
+    writer/reader are lossless for int/double/string."""
+    path = _scratch(sf_dir, "part_orc")
+    p = read_table(spark, sf_dir, "part")
+    p.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand", "p_type").agg(
+        F.count("*").alias("n_parts"),
+        F.round(
+            F.sum(F.col("p_retailprice").cast("decimal(38,10)")).cast("double"), 2
+        ).alias("total_retail"),
+        F.sum("p_size").cast("long").alias("total_size"),
+    )
+
+
+@register(
     "source_dirtext_wordcount",
     oracle="""
     SELECT w AS word, count(*) AS n FROM (

@@ -84,6 +84,36 @@ def mode_retry() -> None:
     print(f"RESULT ok total={total}")
 
 
+def mode_worker_kill() -> None:
+    """A worker PROCESS dies mid-task (SIGKILL, not a Python exception) —
+    the ServerBreaker KILL scenario (``serverbreaker/ServerBreakerImpl.java:
+    10-41`` kills whole worker pods). ``local[N]`` cannot kill an executor
+    JVM without killing the driver, but the Python worker that runs this
+    task IS a real separate OS process: SIGKILL-ing it exercises the
+    process-death detection path (worker socket drops, task fails with
+    "Python worker exited unexpectedly" — no Python traceback to hand
+    back), scheduler retry, and exactly-once results after a hard kill.
+
+    The kill fires only on attempt 0 of one partition; the fresh worker
+    spawned for the retry sees attemptNumber 1 and completes."""
+    import os
+    import signal
+
+    spark = build("local[8,4]", {})
+    sc = spark.sparkContext
+
+    def die_hard(it):
+        ctx = TaskContext.get()
+        rows = list(it)
+        if ctx.partitionId() == 2 and ctx.attemptNumber() == 0:
+            os.kill(os.getpid(), signal.SIGKILL)  # process death, not raise
+        return rows
+
+    total = sc.parallelize(range(500), 8).mapPartitions(die_hard).sum()
+    assert total == sum(range(500)), f"duplicate/lost rows after kill: {total}"
+    print(f"RESULT ok total={total}")
+
+
 def mode_commit() -> None:
     """Exactly-once sink under retry: a write task fails after producing
     rows on its first attempt; the commit protocol must discard the failed
@@ -109,6 +139,9 @@ def mode_commit() -> None:
 
 
 if __name__ == "__main__":
-    {"speculation": mode_speculation, "retry": mode_retry, "commit": mode_commit}[
-        sys.argv[1]
-    ]()
+    {
+        "speculation": mode_speculation,
+        "retry": mode_retry,
+        "commit": mode_commit,
+        "worker_kill": mode_worker_kill,
+    }[sys.argv[1]]()

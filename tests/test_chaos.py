@@ -46,6 +46,14 @@ def test_commit_protocol_exactly_once_under_retry():
     run_job("commit")
 
 
+@pytest.mark.slow
+def test_worker_process_kill_recovers():
+    """ServerBreaker KILL analog: SIGKILL a real worker OS process mid-task
+    (not an injected exception); the scheduler must detect process death,
+    retry, and land the exact result (see _chaos_job.mode_worker_kill)."""
+    run_job("worker_kill")
+
+
 def test_status_tracker_health_surface(spark):
     """The reference's health-check chain (Master -> TaskManager -> Worker
     ping forwarding, master/MasterImpl.java:93-105, healthcheck.proto:8-25)
