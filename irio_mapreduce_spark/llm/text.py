@@ -97,6 +97,103 @@ def langid_predict(text_col: str | Column) -> Column:
     )
 
 
+def chunk_list(
+    toks_col: Column, chunk_size: int = 16, stride: int = 12
+) -> Column:
+    """Fixed-size token windows with overlap (``chunk_size - stride``
+    tokens shared between adjacent chunks) — the standard long-document →
+    training-sequence split. Returns ``array<string>`` of space-joined
+    chunks; the last chunk may be short, and a doc with ≤ chunk_size
+    tokens yields exactly one chunk.
+
+    ``toks_col`` must be a MATERIALIZED token-array column (project
+    ``tokens(text).alias("toks")`` in a separate select first), not the
+    tokenize expression itself: the slice inside the per-chunk lambda
+    re-evaluates its captured subexpression per element, so an inlined
+    regex split turns an n-token doc into O(n²/stride) split work — the
+    same re-evaluation trap as ``_max_run_count`` documents. On a column
+    reference the slice is O(chunk_size) per chunk.
+
+    Chunking 100 TB is a single narrow pass (no shuffle); the downstream
+    explode multiplies rows ~n/stride — partition sizing should budget
+    for that fan-out, not the input."""
+    n = F.size(toks_col)
+    n_chunks = (
+        F.when(n <= chunk_size, F.lit(1))
+        .otherwise(F.ceil((n - chunk_size) / F.lit(float(stride))).cast("int") + 1)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks_col, i * stride + 1, chunk_size), " "),
+    )
+
+
+def _max_run_count(arr: Column) -> Column:
+    """Highest multiplicity of any element: sort, then one fold counting
+    the longest equal-run. O(n log n) per row, and the input array
+    expression is evaluated ONCE.
+
+    Why not the obvious ``transform(array_distinct(a), d ->
+    size(filter(a, x -> x = d)))``: nested higher-order lambdas re-evaluate
+    the captured array expression per outer element (and ``a`` here is a
+    regex split of the text), turning a 5k-row pass into minutes —
+    measured on both Spark and DuckDB. A single fold sidesteps the
+    re-evaluation entirely."""
+    s = F.array_sort(arr)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(s, init, step, lambda acc: acc["best"])
+
+
+def max_token_share(text_col: str | Column) -> Column:
+    """Share of the most frequent token — the Gopher-style repetition
+    signal (a doc dominated by one token is boilerplate/spam). Per-row
+    sorted-fold expression; no shuffle."""
+    t = tokens(text_col)
+    return _max_run_count(t) / F.size(t)
+
+
+def max_bigram_share(text_col: str | Column) -> Column:
+    """Share of the most frequent adjacent-token bigram (catches looped
+    phrases that single-token share misses). NULL for single-token docs
+    (no bigrams) — aggregate with ``avg``, which skips nulls."""
+    t = tokens(text_col)
+    n = F.size(t)
+    # zip_with over two slices (not transform-over-indices with element_at):
+    # its array arguments are evaluated once, while element_at(t, i) inside
+    # a lambda re-evaluates the regex split per element.
+    bgs = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return _max_run_count(bgs) / (n - 1)
+
+
+# PII patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b\d{3}[- ]\d{4}\b"
+
+
+def redact_pii(text_col: str | Column) -> Column:
+    """Mask email addresses and phone-like digit groups with typed
+    placeholder tokens — the standard pre-training PII scrub. Pure
+    ``regexp_replace`` composition (JVM-side, codegen; no UDF)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"), PHONE_PATTERN, "<PHONE>"
+    )
+
+
 def positional_fingerprint(text_col: str | Column, mod: int = 2147483647) -> Column:
     """Order-sensitive document fingerprint: sum over token positions of
     ``i * h(token_i) mod M`` where ``h`` uses only portable primitives

@@ -125,6 +125,10 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "q19_bracketed_or_revenue",
     "q22_idle_customers",
     "source_orc_roundtrip",
+    "text_chunk_windows",
+    "text_repetition_metrics",
+    "text_pii_redaction",
+    "stream_session_rollup",
 ]
 
 

@@ -22,7 +22,9 @@ from irio_mapreduce_spark.streaming import (
     stream_stream_interval_join,
     read_events_stream,
     replay_chunks,
+    replay_time_ordered,
     run_to_completion,
+    session_rollup,
     stream_static_enrich,
     tumbling_value_rollup,
 )
@@ -148,6 +150,85 @@ def stream_static_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_partitions(spark):
         run_to_completion(agg, name, "complete")
     return spark.table(name)
+
+# Sentinel for the session entry: divisible by 101 so it passes the entry's
+# user filter (the watermark node only sees post-filter rows), far outside
+# the real user-id range.
+_SESSION_SENTINEL = 101 * 10**7
+
+_ORDERED_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _ordered_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ORDERED_DIRS:
+        _ORDERED_DIRS[key] = replay_time_ordered(
+            spark,
+            sf_dir,
+            tempfile.mkdtemp(prefix="stream_q_ord_") + "/events",
+            n_chunks=4,
+            sentinel_user=_SESSION_SENTINEL,
+        )
+    return _ORDERED_DIRS[key]
+
+
+@register(
+    "stream_session_rollup",
+    oracle="""
+    WITH u AS (SELECT user_id, ts, value FROM events WHERE user_id % 101 = 0),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM u),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION windows executed by the streaming engine (append mode +
+    watermark — the only mode streaming sessionization supports): 30-min
+    gap sessions per user over a TIME-ORDERED 4-chunk replay, with a
+    far-future sentinel event that advances the watermark past every real
+    session so append-mode output is complete (the
+    tests/test_streaming.py sentinel technique, now under the driver's
+    oracle gate). The oracle is the same lag/flag/cumsum sessionization
+    that checks the batch twin (strict ``<`` gap test — session windows
+    are end-exclusive). The sentinel user id is divisible by 101 so it
+    passes the entry's user filter (the watermark node only sees
+    post-filter rows); its own never-closed session is excluded from the
+    output."""
+    d = _ordered_replay_dir(spark, sf_dir)
+    # 2 files/trigger: 3 micro-batches (2 real + the sentinel's own),
+    # same 963-row output as 1-file triggers, half the drain time.
+    stream = read_events_stream(spark, d, max_files_per_trigger=2).filter(
+        (F.col("user_id") % 101 == 0)
+    )
+    sessions = session_rollup(stream, gap="30 minutes", watermark="1 minute")
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_to_completion(sessions, name, "append")
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") != _SESSION_SENTINEL)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
 
 @register(
     "stream_stream_join_attrib",

@@ -12,9 +12,13 @@ from pyspark.sql import functions as F
 from irio_mapreduce_spark.io import read_table
 from irio_mapreduce_spark.llm.text import (
     bpe_ish_count,
+    chunk_list,
     langid_predict,
+    max_bigram_share,
+    max_token_share,
     positional_fingerprint,
     quality_features,
+    redact_pii,
     stopword_ratio,
     type_token_ratio,
 )
@@ -143,6 +147,172 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", positional_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+            CASE WHEN len(toks) <= 16 THEN 1
+                 ELSE CAST(ceil((len(toks) - 16) / 12.0) AS INT) + 1 END AS n_chunks
+          FROM t)
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(toks[i*12+1 : i*12+16], ' ') AS chunk_text,
+           least(16, len(toks) - i*12) AS chunk_tokens
+    FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS s(i)
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking into overlapping token windows (chunk 16, stride
+    12 → 4-token overlap; llm.text.chunk_list) — the long-document →
+    training-sequence split. Hash-checked chunk-by-chunk: ids, window
+    contents, and short-tail lengths must match the oracle exactly."""
+    docs = read_table(spark, sf_dir, "documents")
+    from irio_mapreduce_spark.llm.dedup import tokens
+
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return (
+        toks.select(
+            "doc_id",
+            F.size("toks").alias("n_toks"),
+            F.posexplode(chunk_list(F.col("toks"))).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_text",
+            F.least(F.lit(16), F.col("n_toks") - F.col("chunk_idx") * 12).alias(
+                "chunk_tokens"
+            ),
+        )
+    )
+
+
+@register(
+    "text_repetition_metrics",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+    -- bind bgs once: inlining the bigram list inside BOTH list_distinct and
+    -- the counting lambda makes DuckDB rebuild it per lambda call
+    -- (O(n^2 * distinct) per row -- measured minutes at sf0.1; 2.5 s bound)
+    b AS (SELECT doc_id, source, toks,
+            list_transform(generate_series(1, len(toks)-1),
+                           i -> toks[i] || ' ' || toks[i+1]) AS bgs
+          FROM t),
+    m AS (SELECT doc_id, source,
+            list_max(list_transform(list_distinct(toks),
+                     d -> len(list_filter(toks, x -> x = d)))) * 1.0 / len(toks)
+              AS tok_share,
+            list_max(list_transform(list_distinct(bgs),
+                     d -> len(list_filter(bgs, x -> x = d)))) * 1.0 / len(bgs)
+              AS bg_share
+          FROM b)
+    SELECT source, count(*) AS n_docs,
+           round(avg(tok_share), 6) AS avg_max_tok_share,
+           round(avg(bg_share), 6) AS avg_max_bigram_share,
+           CAST(sum(CASE WHEN tok_share > 0.12 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive
+    FROM m GROUP BY source
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per source: mean share of
+    the most frequent token and most frequent adjacent bigram, plus a
+    flagged count over a threshold. Per-row higher-order expressions (no
+    UDF, no shuffle beyond the final 20-group aggregate)."""
+    docs = read_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "source",
+        max_token_share(F.col("text")).alias("tok_share"),
+        max_bigram_share(F.col("text")).alias("bg_share"),
+    )
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("tok_share"), 6).alias("avg_max_tok_share"),
+        F.round(F.avg("bg_share"), 6).alias("avg_max_bigram_share"),
+        F.sum(F.when(F.col("tok_share") > 0.12, 1).otherwise(0)).alias("n_repetitive"),
+    )
+
+
+@register(
+    "text_pii_redaction",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id, source,
+             text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact agent_' || doc_id || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call 555-0142 today' ELSE '' END AS text
+      FROM documents),
+    red AS (
+      SELECT doc_id, source,
+             regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}[- ]\\d{4}\\b', '<PHONE>', 'g') AS rtext
+      FROM planted)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_email_planted,
+           CAST(sum(CASE WHEN contains(rtext, '<EMAIL>') THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_email_redacted,
+           CAST(sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_phone_planted,
+           CAST(sum(CASE WHEN contains(rtext, '<PHONE>') THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_phone_redacted,
+           CAST(sum(CASE WHEN contains(rtext, '@') THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_residual_at
+    FROM red GROUP BY source
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with a planted-recall harness: the corpus carries no PII,
+    so deterministic email/phone strings are planted on known doc-id
+    residues in-query, then ``llm.text.redact_pii`` masks them. The
+    oracle recomputes the plant + regex redaction — a hash match proves
+    planted == redacted per source and zero residual '@' after the scrub
+    (same pattern as dedup_simhash's planted variant harness). Pure
+    regexp_replace, JVM-side."""
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact agent_"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-0142 today")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    red = planted.withColumn("rtext", redact_pii(F.col("text")))
+    return red.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0)).alias(
+            "n_email_planted"
+        ),
+        F.sum(F.when(F.col("rtext").contains("<EMAIL>"), 1).otherwise(0)).alias(
+            "n_email_redacted"
+        ),
+        F.sum(F.when(F.col("doc_id") % 11 == 0, 1).otherwise(0)).alias(
+            "n_phone_planted"
+        ),
+        F.sum(F.when(F.col("rtext").contains("<PHONE>"), 1).otherwise(0)).alias(
+            "n_phone_redacted"
+        ),
+        F.sum(F.when(F.col("rtext").contains("@"), 1).otherwise(0)).alias(
+            "n_residual_at"
+        ),
     )
 
 

@@ -18,6 +18,35 @@ from irio_mapreduce_spark.io import read_table
 # ---------------------------------------------------------------------------
 
 
+def _write_replay_sequenced(df: DataFrame, chunk_col: str, n_chunks: int, out_dir: str) -> None:
+    """Write ``df`` as one parquet file per ``chunk_col`` value, with file
+    MODIFICATION TIMES ascending in chunk order — the property the file
+    stream source actually replays by. One Spark job (repartition by chunk
+    + partitionBy write) instead of n sequential write jobs: per-job fixed
+    overhead dominates these tiny harness writes (measured ~1 s/job, so
+    the old loop cost ~n seconds of pure scheduling); the replay ORDER is
+    then established driver-side by ``os.utime``, which is free."""
+    import glob
+    import shutil
+    import time as _time
+
+    stage = out_dir.rstrip("/") + "__stage"
+    (
+        df.repartition(n_chunks, F.col(chunk_col))
+        .write.partitionBy(chunk_col)
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    base = _time.time() - 2.0 * (n_chunks + 2)
+    for i in range(n_chunks):
+        for j, f in enumerate(sorted(glob.glob(f"{stage}/{chunk_col}={i}/part-*.parquet"))):
+            dst = os.path.join(out_dir, f"chunk{i:03d}_{j}.parquet")
+            shutil.move(f, dst)
+            os.utime(dst, (base + 2.0 * i, base + 2.0 * i))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def replay_chunks(
     spark: SparkSession,
     sf_dir: str,
@@ -33,10 +62,8 @@ def replay_chunks(
     ``events``; any table with a stable integer id works (the streaming
     curation test replays ``documents``)."""
     ev = read_table(spark, sf_dir, table)
-    for i in range(n_chunks):
-        ev.filter(F.col(id_col) % n_chunks == i).coalesce(1).write.mode(
-            "overwrite" if i == 0 else "append"
-        ).parquet(out_dir)
+    chunked = ev.withColumn("_chunk", (F.col(id_col) % n_chunks).cast("int"))
+    _write_replay_sequenced(chunked, "_chunk", n_chunks, out_dir)
     return out_dir
 
 
@@ -63,19 +90,12 @@ def replay_time_ordered(
     bounds = with_e.approxQuantile(
         "_e", [i / n_chunks for i in range(1, n_chunks)], 0.001
     )
-    lo = None
-    for i in range(n_chunks):
-        hi = bounds[i] if i < n_chunks - 1 else None
-        chunk = with_e
-        if lo is not None:
-            chunk = chunk.filter(F.col("_e") > lo)
-        if hi is not None:
-            chunk = chunk.filter(F.col("_e") <= hi)
-        chunk = chunk.drop("_e")
-        chunk.coalesce(1).write.mode("overwrite" if i == 0 else "append").parquet(
-            out_dir
-        )
-        lo = hi
+    # Range-bucket on the quantile bounds, then one sequenced write job.
+    chunk = F.lit(n_chunks - 1).cast("int")
+    for i in range(n_chunks - 2, -1, -1):
+        chunk = F.when(F.col("_e") <= bounds[i], F.lit(i)).otherwise(chunk)
+    chunked = with_e.withColumn("_chunk", chunk.cast("int")).drop("_e")
+    _write_replay_sequenced(chunked, "_chunk", n_chunks, out_dir)
     if sentinel_user is not None:
         far = ev.agg(
             (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")
@@ -87,6 +107,8 @@ def replay_time_ordered(
             F.lit(0.0).alias("value"),
             F.lit(None).cast("string").alias("props"),
         )
+        # Single-row append; the fresh file's natural mtime lands after all
+        # sequenced chunk mtimes (they are back-dated), keeping it last.
         far.coalesce(1).write.mode("append").parquet(out_dir)
     return out_dir
 

@@ -508,3 +508,97 @@ def test_ivf_topk_empty_corpus_raises_clearly(spark):
     empty = spark.createDataFrame([], schema)
     with pytest.raises(ValueError, match="training sample is empty"):
         ivf_topk(empty, "embedding", "vec_id", empty, k=3).collect()
+
+
+def test_chunk_list_overlap_contract(spark):
+    """Chunking contract: chunk 0 starts at token 0; adjacent chunks
+    overlap by chunk_size - stride tokens; every token appears in some
+    chunk; short docs yield exactly one chunk."""
+    from irio_mapreduce_spark.llm.dedup import tokens
+    from irio_mapreduce_spark.llm.text import chunk_list
+
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(40))),  # 40 toks -> 3 chunks
+            (2, " ".join(f"t{i}" for i in range(16))),  # exactly chunk_size
+            (3, "one two three"),  # short -> 1 chunk
+        ],
+        ["doc_id", "text"],
+    )
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    out = toks.select(
+        "doc_id", F.posexplode(chunk_list(F.col("toks"))).alias("idx", "chunk")
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.idx] = r.chunk.split(" ")
+    # doc 1: ceil((40-16)/12)+1 = 3 chunks; starts at 0, 12, 24
+    assert sorted(by_doc[1]) == [0, 1, 2]
+    assert by_doc[1][0] == [f"t{i}" for i in range(16)]
+    assert by_doc[1][1][:4] == [f"t{i}" for i in range(12, 16)]  # 4-token overlap
+    assert by_doc[1][2] == [f"t{i}" for i in range(24, 40)]  # full tail window
+    # coverage: union of chunks == all tokens
+    assert set().union(*by_doc[1].values()) == {f"t{i}" for i in range(40)}
+    assert sorted(by_doc[2]) == [0] and len(by_doc[2][0]) == 16
+    assert by_doc[3] == {0: ["one", "two", "three"]}
+
+
+def test_repetition_shares(spark):
+    """max_token_share / max_bigram_share on hand-built docs with known
+    multiplicities, including the looped-phrase case that token share
+    alone misses."""
+    import pyspark.sql.functions as F
+
+    from irio_mapreduce_spark.llm.text import max_bigram_share, max_token_share
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c a d"),  # 'a' x3 of 6 tokens
+            (2, "x y x y x y x y"),  # looped phrase: 'x y' 4 of 7 bigrams
+            (3, "u v w"),  # all unique
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.ts, r.bs)
+        for r in docs.select(
+            "doc_id",
+            max_token_share(F.col("text")).alias("ts"),
+            max_bigram_share(F.col("text")).alias("bs"),
+        ).collect()
+    }
+    assert abs(out[1][0] - 3 / 6) < 1e-12
+    assert abs(out[2][0] - 4 / 8) < 1e-12
+    assert abs(out[2][1] - 4 / 7) < 1e-12  # 'x y' dominates bigrams
+    assert abs(out[3][0] - 1 / 3) < 1e-12
+    assert abs(out[3][1] - 1 / 2) < 1e-12
+
+
+def test_pii_redaction_masks_and_preserves(spark):
+    """redact_pii masks emails and phone-like groups, leaves clean text
+    byte-identical, and is idempotent (re-redacting changes nothing)."""
+    import pyspark.sql.functions as F
+
+    from irio_mapreduce_spark.llm.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to alice.smith+x@sub.example.co.uk today"),
+            (2, "call 555-0142 or 555 0143 now"),
+            (3, "no pii here, just text with @ alone and 12-34"),
+        ],
+        ["doc_id", "text"],
+    )
+    red = docs.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("r1"),
+        redact_pii(redact_pii(F.col("text"))).alias("r2"),
+    ).collect()
+    by_id = {r.doc_id: r for r in red}
+    assert by_id[1].r1 == "write to <EMAIL> today"
+    assert by_id[2].r1 == "call <PHONE> or <PHONE> now"
+    assert by_id[3].r1 == docs.filter("doc_id=3").head().text  # untouched
+    for r in red:
+        assert r.r1 == r.r2  # idempotent

@@ -141,3 +141,42 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q8_broadcasts_all_dimensions(spark, qs):
+    """TPC-H Q8 (7-way join): all six dimension sides (part filter, ASIA
+    customers, supplier+nation, both nation copies folded into them) plan
+    as BroadcastHashJoin; the only shuffles are the fact-fact orderkey
+    exchange and the final year aggregate."""
+    p = plan(spark, qs, "q8_market_share", mode="simple")
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "CartesianProduct" not in p
+    # fact side never shuffles for a dimension: at most orderkey join +
+    # aggregation exchanges
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_q15_single_lineitem_scan(spark, qs):
+    """TPC-H Q15's 'create view, take its max, join back' must NOT
+    recompute the revenue view for the scalar subquery: expressed as one
+    window-max over the aggregated frame, the plan scans lineitem exactly
+    once (the naive translation scans it twice)."""
+    p = plan(spark, qs, "q15_top_supplier", mode="formatted")
+    # one Location line per scan node; the naive two-pass form shows two
+    assert p.count("lineitem.parquet") == 1, p
+
+
+def test_q17_threshold_join_broadcasts_aggregate(spark, qs):
+    """Q17's decorrelated per-partkey aggregate (one row per partkey) must
+    broadcast back onto the fact scan, not shuffle the fact table."""
+    p = plan(spark, qs, "q17_small_quantity_revenue", mode="simple")
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_q19_quantity_bracket_prunes_scan(spark, qs):
+    """Q19's OR-of-ANDs: the disjunction references both tables so it
+    cannot fully push, but the query must still avoid a cartesian — it
+    joins on partkey first, bracket second."""
+    p = plan(spark, qs, "q19_bracketed_or_revenue", mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p, p
