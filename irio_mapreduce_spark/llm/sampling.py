@@ -93,6 +93,40 @@ def per_key_quota(
     )
 
 
+def mixture_resample(
+    df: DataFrame,
+    weight: Column,
+    key_cols: list[str],
+    salt: str = "",
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic mixture-weight resampling — the data-mixture stage of
+    a pre-training pipeline (oversample high-quality sources, downsample
+    boilerplate ones, per-source weights from the mixture recipe).
+
+    Each row is kept ``floor(w)`` times plus one more with probability
+    ``frac(w)``, the fractional draw decided by the row's hash bucket —
+    so expected multiplicity is exactly ``w``, and the REALIZED multiset
+    is a pure function of (key, salt): identical on any engine,
+    partitioning, or retry, and exactly verifiable by an oracle (none of
+    which holds for ``rand(seed)``). ``copy_col`` indexes the replicas so
+    a downstream shuffle/pack stage can separate them.
+
+    Scale shape: a narrow map + explode — no shuffle; output row count is
+    sum(w) of the input, so partition sizing should budget for the
+    mixture's expansion factor, not the input."""
+    base = F.floor(weight).cast("int")
+    frac = weight - F.floor(weight)
+    u = hash_bucket(key_cols, 2**31, salt) / F.lit(float(2**31))
+    n_copies = base + F.when(u < frac, 1).otherwise(0)
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+        .drop("_n_copies")
+    )
+
+
 def token_budget_batches(
     df: DataFrame,
     group_cols: list[str],

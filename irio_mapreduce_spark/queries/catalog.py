@@ -129,6 +129,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_repetition_metrics",
     "text_pii_redaction",
     "stream_session_rollup",
+    "sample_mixture_weights",
+    "join_null_safe_eq",
 ]
 
 

@@ -925,3 +925,36 @@ def fn_generator_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("words").alias("n_words"),
         )
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH l AS (SELECT DISTINCT nullif(c_nationkey % 7, 3) AS k FROM customer),
+         r AS (SELECT nullif(n_nationkey % 7, 3) AS k, count(*) AS n_nations
+               FROM nation GROUP BY 1)
+    SELECT l.k AS k, r.n_nations
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing, the semantics needed when
+    a join key is legitimately absent on both sides (here: a derived key
+    with one residue nulled out on each side). A plain equi-join drops
+    the NULL group entirely — the hash match proves the NULL-NULL row
+    survives. Spark still plans this as a hash-partitionable join (null-
+    safe equality is an equi-key for partitioning purposes), not a
+    cartesian."""
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    left = (
+        t["customer"]
+        .select(F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("lk"))
+        .distinct()
+    )
+    right = t["nation"].groupBy(
+        F.nullif(F.col("n_nationkey") % 7, F.lit(3)).alias("rk")
+    ).agg(F.count("*").alias("n_nations"))
+    return left.join(F.broadcast(right), left.lk.eqNullSafe(right.rk)).select(
+        F.col("lk").alias("k"), "n_nations"
+    )

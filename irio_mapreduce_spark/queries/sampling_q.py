@@ -120,3 +120,45 @@ def sample_token_budget_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens(F.col("text"))),
         budget=2000,
     ).select("doc_id", "lang", "n_tokens", "batch_id")
+
+
+@register(
+    "sample_mixture_weights",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2.5
+                  WHEN source IN ('src5','src6','src7','src8','src9') THEN 1.0
+                  WHEN source IN ('src10','src11','src12','src13','src14') THEN 0.5
+                  ELSE 0.25 END AS wt
+      FROM documents),
+    n AS (
+      SELECT doc_id, source,
+             CAST(floor(wt) AS INT)
+               + CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || '|mix'), 1, 8))::BIGINT
+                            % 2147483648) / 2147483648.0 < wt - floor(wt)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM w)
+    SELECT doc_id, source, i AS copy_id
+    FROM n, UNNEST(generate_series(0, n_copies - 1)) AS s(i)
+    WHERE n_copies > 0
+    """,
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture resampling: per-source weights (2.5x oversample down
+    to 0.25x downsample) realized as deterministic row replication —
+    floor(w) copies plus a hash-decided fractional copy (expected
+    multiplicity exactly w; see ``llm.sampling.mixture_resample``). The
+    oracle reproduces the exact replicated multiset including copy ids —
+    the mixture a re-run or another engine materializes is bit-identical,
+    which rand()-based resampling cannot promise."""
+    from irio_mapreduce_spark.llm.sampling import mixture_resample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    wt = (
+        F.when(F.col("source").isin([f"src{i}" for i in range(5)]), 2.5)
+        .when(F.col("source").isin([f"src{i}" for i in range(5, 10)]), 1.0)
+        .when(F.col("source").isin([f"src{i}" for i in range(10, 15)]), 0.5)
+        .otherwise(0.25)
+    )
+    return mixture_resample(docs, wt, ["doc_id"], salt="mix")

@@ -602,3 +602,38 @@ def test_pii_redaction_masks_and_preserves(spark):
     assert by_id[3].r1 == docs.filter("doc_id=3").head().text  # untouched
     for r in red:
         assert r.r1 == r.r2  # idempotent
+
+
+def test_mixture_resample_contract(spark):
+    """Mixture resampling: integer weights replicate exactly; fractional
+    weights realize floor/ceil with hash-decided extras; the multiset is
+    invariant under repartitioning; copy ids are dense from 0."""
+    import pyspark.sql.functions as F
+
+    from irio_mapreduce_spark.llm.sampling import mixture_resample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    wt = F.when(F.col("grp") == "a", 3.0).otherwise(0.5)
+    out = mixture_resample(df, wt, ["id"], salt="t")
+    got = [(r.id, r.copy_id) for r in out.collect()]
+    # grp a (weight 3.0): every row exactly 3 copies, ids 0..2
+    a_counts = {}
+    for i, c in got:
+        if i % 2 == 0:
+            a_counts.setdefault(i, []).append(c)
+    assert all(sorted(v) == [0, 1, 2] for v in a_counts.values())
+    assert len(a_counts) == 100
+    # grp b (weight 0.5): kept rows have exactly one copy with id 0;
+    # keep-rate is hash-decided, loosely around half
+    b_rows = [(i, c) for i, c in got if i % 2 == 1]
+    assert all(c == 0 for _, c in b_rows)
+    assert 25 <= len(b_rows) <= 75
+    # partitioning invariance: identical multiset at a different layout
+    out2 = mixture_resample(df.repartition(7, "grp"), wt, ["id"], salt="t")
+    assert sorted(got) == sorted((r.id, r.copy_id) for r in out2.collect())
+    # a different salt draws a different fractional subset (universes are
+    # independent) but the same integer-weight copies
+    out3 = mixture_resample(df, wt, ["id"], salt="u")
+    b3 = {i for i, _ in ((r.id, r.copy_id) for r in out3.collect()) if i % 2 == 1}
+    assert b3 != {i for i, _ in b_rows}
