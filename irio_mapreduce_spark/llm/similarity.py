@@ -45,7 +45,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero vector yields NULL cosine (undefined angle) instead
+    # of an ANSI DIVIDE_BY_ZERO mid-job — downstream threshold filters then
+    # drop the row, which is the only sane semantics for it.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def _lit_vec(vec: list[float]) -> Column:
@@ -79,7 +82,9 @@ def unit_vector(vec_col: Column) -> Column:
     """L2-normalized copy of the vector (double precision)."""
     v = as_double(vec_col)
     n = norm(v)
-    return F.transform(v, lambda x: x / n)
+    # try_divide: the zero vector normalizes to all-NULL (no direction)
+    # rather than raising under ANSI mode.
+    return F.transform(v, lambda x: F.try_divide(x, n))
 
 
 def cosine_pairs_bruteforce(

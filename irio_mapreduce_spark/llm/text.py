@@ -37,22 +37,28 @@ def bpe_ish_count(text_col: str | Column) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
 
 
+# Ratios use try_divide throughout: Spark 4 runs ANSI mode by default, where
+# a bare `/` on an empty/single-token document raises DIVIDE_BY_ZERO mid-job.
+# try_divide returns NULL on zero denominators — which is also exactly what
+# DuckDB's `/` does, so the oracle semantics stay aligned on degenerate rows.
+
+
 def type_token_ratio(text_col: str | Column) -> Column:
     t = tokens(text_col)
-    return F.size(F.array_distinct(t)) / F.size(t)
+    return F.try_divide(F.size(F.array_distinct(t)), F.size(t))
 
 
 def stopword_ratio(text_col: str | Column, stopwords: tuple[str, ...]) -> Column:
     t = tokens(text_col)
     sw = F.array(*[F.lit(s) for s in stopwords])
     hits = F.size(F.filter(t, lambda w: F.array_contains(sw, w)))
-    return hits / F.size(t)
+    return F.try_divide(hits, F.size(t))
 
 
 def punct_ratio(text_col: str | Column) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    return n_punct / F.length(c)
+    return F.try_divide(n_punct, F.length(c))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -65,10 +71,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_bpe_ish": bpe_ish_count(text_col),
             "ttr": F.round(type_token_ratio(text_col), 6),
             "mean_word_len": F.round(
-                F.aggregate(
-                    tokens(text_col), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-                )
-                / token_count(text_col),
+                F.try_divide(
+                    F.aggregate(
+                        tokens(text_col),
+                        F.lit(0).cast("long"),
+                        lambda a, t: a + F.length(t),
+                    ),
+                    token_count(text_col),
+                ),
                 6,
             ),
         }
@@ -82,7 +92,9 @@ def langid_scores(text_col: str | Column) -> dict[str, Column]:
     out = {}
     for lang, words in LANG_PROFILES.items():
         sw = F.array(*[F.lit(s) for s in words])
-        out[lang] = F.size(F.filter(t, lambda w: F.array_contains(sw, w))) / F.size(t)
+        out[lang] = F.try_divide(
+            F.size(F.filter(t, lambda w: F.array_contains(sw, w))), F.size(t)
+        )
     return out
 
 
@@ -158,7 +170,7 @@ def max_token_share(text_col: str | Column) -> Column:
     signal (a doc dominated by one token is boilerplate/spam). Per-row
     sorted-fold expression; no shuffle."""
     t = tokens(text_col)
-    return _max_run_count(t) / F.size(t)
+    return F.try_divide(_max_run_count(t), F.size(t))
 
 
 def max_bigram_share(text_col: str | Column) -> Column:
@@ -170,12 +182,15 @@ def max_bigram_share(text_col: str | Column) -> Column:
     # zip_with over two slices (not transform-over-indices with element_at):
     # its array arguments are evaluated once, while element_at(t, i) inside
     # a lambda re-evaluates the regex split per element.
+    # greatest(n-1, 0): slice rejects negative lengths, which n-1 hits on
+    # an EMPTY document (tokens('') = []).
+    m = F.greatest(n - 1, F.lit(0))
     bgs = F.zip_with(
-        F.slice(t, 1, n - 1),
-        F.slice(t, 2, n - 1),
+        F.slice(t, 1, m),
+        F.slice(t, 2, m),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    return _max_run_count(bgs) / (n - 1)
+    return F.try_divide(_max_run_count(bgs), m)
 
 
 # PII patterns restricted to syntax shared by Java regex (Spark) and RE2

@@ -637,3 +637,56 @@ def test_mixture_resample_contract(spark):
     out3 = mixture_resample(df, wt, ["id"], salt="u")
     b3 = {i for i, _ in ((r.id, r.copy_id) for r in out3.collect()) if i % 2 == 1}
     assert b3 != {i for i, _ in b_rows}
+
+
+def test_text_ratios_survive_degenerate_docs(spark):
+    """Spark 4 runs ANSI mode by default: empty and single-token documents
+    must yield NULL ratios (matching DuckDB's NULL-on-zero-division), not
+    a DIVIDE_BY_ZERO or negative-slice crash mid-job."""
+    import pyspark.sql.functions as F
+
+    from irio_mapreduce_spark.llm.text import (
+        max_bigram_share,
+        max_token_share,
+        quality_features,
+        type_token_ratio,
+    )
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    df = spark.createDataFrame([(1, "solo"), (2, ""), (3, "   ")], ["id", "text"])
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            max_token_share(F.col("text")).alias("ts"),
+            max_bigram_share(F.col("text")).alias("bs"),
+            type_token_ratio(F.col("text")).alias("ttr"),
+        ).collect()
+    }
+    assert rows[1].ts == 1.0 and rows[1].bs is None  # no bigrams -> NULL
+    assert rows[2].ts is None and rows[2].bs is None and rows[2].ttr is None
+    assert rows[3].ts is None and rows[3].bs is None
+    q = {r.id: r for r in quality_features(df).collect()}
+    assert q[2].ttr is None and q[2].mean_word_len is None
+
+
+def test_cosine_zero_vector_yields_null_not_error(spark):
+    """ANSI-mode hazard: a zero embedding must produce NULL cosine /
+    all-NULL unit vector (undefined direction), never DIVIDE_BY_ZERO."""
+    import pyspark.sql.functions as F
+
+    from irio_mapreduce_spark.llm.similarity import cosine, unit_vector
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0])], ["id", "v"]
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            cosine(F.col("v"), F.array(F.lit(1.0), F.lit(0.0))).alias("c"),
+            unit_vector(F.col("v")).alias("u"),
+        ).collect()
+    }
+    assert rows[1].c is None and rows[1].u == [None, None]
+    assert abs(rows[2].c - 0.6) < 1e-12 and abs(rows[2].u[1] - 0.8) < 1e-12
