@@ -19,7 +19,10 @@ comparison meaningful:
 * double sums needing rounding accumulate as ``DECIMAL(38,10)`` on BOTH
   sides then cast back to double — decimal addition is exact and
   partition-merge-order-insensitive, so the subsequent ``round`` can never
-  straddle a boundary run-to-run;
+  straddle a boundary run-to-run; prefer rounding the DECIMAL itself and
+  casting after (``round(dec, 2)::DOUBLE``): rounding the cast double
+  still hits exact half-boundary values that the engines break
+  differently (found at sf0.1 by q11: 290998.915 → .92 vs .91);
 * no array/map/struct columns in any output — even rows-only checks
   canonicalize via pandas ``sort_values``, which crashes on unhashable
   cells; wrap with ``to_json`` / ``array_join`` / explode to rows.
@@ -131,6 +134,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stream_session_rollup",
     "sample_mixture_weights",
     "join_null_safe_eq",
+    "q11_important_part_value",
+    "agg_histogram_totalprice",
+    "stream_custom_stateful_totals",
 ]
 
 

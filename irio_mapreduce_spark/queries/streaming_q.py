@@ -25,6 +25,7 @@ from irio_mapreduce_spark.streaming import (
     replay_time_ordered,
     run_to_completion,
     session_rollup,
+    stateful_user_totals,
     stream_static_enrich,
     tumbling_value_rollup,
 )
@@ -150,6 +151,38 @@ def stream_static_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_partitions(spark):
         run_to_completion(agg, name, "complete")
     return spark.table(name)
+
+@register(
+    "stream_custom_stateful_totals",
+    oracle="""
+    SELECT user_id, round(sum(value), 2) AS total, count(*) AS n
+    FROM events WHERE user_id % 11 = 0
+    GROUP BY user_id
+    """,
+)
+def stream_custom_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator (``applyInPandasWithState``) under the
+    driver's oracle gate: per-user running (total, count) state carried
+    across micro-batches in update mode — the escape hatch for operators
+    the built-in windows can't express. Each user's FINAL emission (the
+    one with the highest monotonically-growing count, picked by a window
+    rank) must equal the batch aggregate over the whole replay. The
+    emission order across batches is deterministic here (fixed chunk →
+    batch assignment), so the rounded totals are stable run-to-run."""
+    from pyspark.sql.window import Window
+
+    stream = _replayed_stream(spark, sf_dir).filter(F.col("user_id") % 11 == 0)
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_to_completion(stateful_user_totals(stream), name, "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "total", "n")
+    )
+
 
 # Sentinel for the session entry: divisible by 101 so it passes the entry's
 # user filter (the watermark node only sees post-filter rows), far outside

@@ -17,7 +17,9 @@ covered beyond the q1/q3/q5/q6/q10 set in ``tpch.py``:
 * correlated scalar subquery against a per-group average (q17);
 * IN over a grouped HAVING subquery (q18);
 * OR-of-AND-brackets pushdown predicate (q19);
-* group-by-derived-column over anti-joined, avg-thresholded rows (q22).
+* group-by-derived-column over anti-joined, avg-thresholded rows (q22);
+* grouped aggregate filtered by a scalar over itself (q11);
+* equal-width histogram profiling (`agg_histogram_totalprice`).
 
 These are the reference's map -> hash-partition -> reduce chains
 (``mr-bins/partition/partition.cpp:33-38``, ``mr-bins/reduce/reduce.cpp:9-40``)
@@ -595,4 +597,97 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("nation", F.year("l_shipdate").alias("o_year"))
         .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_part_value",
+    oracle="""
+    WITH pv AS (
+      SELECT l.l_partkey AS partkey,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS value
+      FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+      GROUP BY l.l_partkey),
+    tot AS (SELECT CAST(sum(value) AS DECIMAL(38,10)) AS total,
+                   count(*) AS n_parts FROM pv)
+    SELECT pv.partkey, CAST(round(pv.value, 2) AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE CAST(pv.value AS DOUBLE) > CAST(tot.total AS DOUBLE) / tot.n_parts * 1.5
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value restricted to one nation group,
+    kept only where it exceeds a multiple of the MEAN per-part value — a
+    grouped aggregate filtered by a scalar subquery over the same
+    aggregate (TPC-H uses a fixed global fraction, which degenerates to 0
+    rows as part count grows; the mean-relative form selects a stable
+    slice at every scale). Decorrelated as: aggregate once, broadcast the
+    1-row total/count back onto the (already tiny) aggregated frame — the
+    base fact is scanned ONCE (the naive form recomputes the aggregate
+    for the scalar). Both sums accumulate DECIMAL so the threshold
+    comparison is merge-order-exact."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    nations = t["nation"].filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_13")
+    )
+    sup = (
+        t["supplier"]
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    pv = (
+        t["lineitem"]
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_revenue_dec()).alias("value"))
+    )
+    tot = pv.agg(
+        F.sum("value").cast(DEC).alias("total"), F.count("*").alias("n_parts")
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(
+            F.col("value").cast("double")
+            > F.col("total").cast("double") / F.col("n_parts") * 1.5
+        )
+        # round the exact DECIMAL then cast (rounding the double lands on
+        # half-boundaries that the engines break differently — caught by
+        # the sf0.1 exact sweep at 290998.915)
+        .select("partkey", F.round(F.col("value"), 2).cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "agg_histogram_totalprice",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+             AS total,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order value (25k-wide buckets, last bucket
+    open-ended) — the profiling staple. Fixed bucket bounds keep it a
+    single map + 20-group aggregate: deriving bounds from min/max needs a
+    scalar-subquery pass first (the q11/q22 pattern shows that shape);
+    fixed bounds are what a 100 TB profiling sweep uses anyway so the
+    histogram is comparable across partitions/days."""
+    o = read_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(19)).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias(
+            "total"
+        ),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
