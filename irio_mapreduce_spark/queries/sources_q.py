@@ -113,7 +113,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_orc_roundtrip",
     oracle="""
     SELECT p_brand, p_type, count(*) AS n_parts,
-           round(CAST(sum(CAST(p_retailprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(p_retailprice AS DECIMAL(38,10))), 2) AS DOUBLE)
              AS total_retail,
            CAST(sum(p_size) AS BIGINT) AS total_size
     FROM part
@@ -134,9 +134,9 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(path)
     return back.groupBy("p_brand", "p_type").agg(
         F.count("*").alias("n_parts"),
-        F.round(
-            F.sum(F.col("p_retailprice").cast("decimal(38,10)")).cast("double"), 2
-        ).alias("total_retail"),
+        F.round(F.sum(F.col("p_retailprice").cast("decimal(38,10)")), 2)
+        .cast("double")
+        .alias("total_retail"),
         F.sum("p_size").cast("long").alias("total_size"),
     )
 

@@ -99,7 +99,7 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+           CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l.l_shipdate) AS l_year,
@@ -124,7 +124,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter over two broadcast-joined nation copies (aliased n1/n2). The
     fact side shuffles once (lineitem x orders on orderkey); supplier,
     customer, and both nation copies broadcast."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
     n1 = t["nation"].select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
@@ -145,7 +145,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -180,7 +180,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive) and only the final ratio becomes a rounded double.
     All six dimension sides broadcast; lineitem x orders is the one
     shuffle."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation",
+        "part", "region",
+    )
     n1 = t["nation"].select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
     )
@@ -294,8 +297,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_revenue
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,10))), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -324,7 +327,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("total_revenue"))
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("total_revenue"))
     )
     top = rev.withColumn(
         "max_rev", F.max("total_revenue").over(Window.partitionBy())
@@ -394,7 +397,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            round(o.o_totalprice, 2) AS totalprice,
-           round(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,10))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l.l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE)
              AS sum_qty
     FROM customer c
       JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -432,10 +435,16 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(
-            F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 2).alias(
-                "sum_qty"
-            )
+            F.round(F.sum(F.col("l_quantity").cast(DEC)), 2)
+            .cast("double")
+            .alias("sum_qty")
         )
+        # sort by the RAW price (matching the oracle's ORDER BY
+        # o.o_totalprice) and round only in the projection — sorting the
+        # rounded value would pick a different top-25 boundary row if the
+        # corpus ever carried >2-decimal prices
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
         .select(
             "c_name",
             "c_custkey",
@@ -444,16 +453,14 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("totalprice"),
             "sum_qty",
         )
-        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
-        .limit(25)
     )
 
 
 @register(
     "q19_bracketed_or_revenue",
     oracle="""
-    SELECT round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                               AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -482,7 +489,7 @@ def q19_bracketed_or_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .filter(bracket)
         .agg(
-            F.round(F.sum(_revenue_dec()).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -497,7 +504,7 @@ def q19_bracketed_or_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer WHERE c_acctbal > 0.0
     )
     SELECT cntrycode, count(*) AS numcust,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 2) AS DOUBLE)
              AS totacctbal
     FROM (
       SELECT substring(c.c_name, 17, 2) AS cntrycode, c.c_acctbal
@@ -547,9 +554,9 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum(F.col("c_acctbal").cast(DEC)).cast("double"), 2).alias(
-                "totacctbal"
-            ),
+            F.round(F.sum(F.col("c_acctbal").cast(DEC)), 2)
+            .cast("double")
+            .alias("totacctbal"),
         )
     )
 
@@ -557,7 +564,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_profit_by_nation_year",
     oracle="""
-    SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+    SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
              CAST(l.l_extendedprice * (1 - l.l_discount)
@@ -596,7 +603,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("nation", F.year("l_shipdate").alias("o_year"))
-        .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
     )
 
 
@@ -666,7 +673,7 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT) AS bucket,
            count(*) AS n_orders,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DOUBLE)
              AS total,
            round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi
@@ -685,9 +692,9 @@ def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(19)).cast("long")
     return o.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias(
-            "total"
-        ),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2)
+        .cast("double")
+        .alias("total"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )

@@ -31,20 +31,28 @@ def _write_replay_sequenced(df: DataFrame, chunk_col: str, n_chunks: int, out_di
     import time as _time
 
     stage = out_dir.rstrip("/") + "__stage"
-    (
-        df.repartition(n_chunks, F.col(chunk_col))
-        .write.partitionBy(chunk_col)
-        .mode("overwrite")
-        .parquet(stage)
-    )
-    os.makedirs(out_dir, exist_ok=True)
-    base = _time.time() - 2.0 * (n_chunks + 2)
-    for i in range(n_chunks):
-        for j, f in enumerate(sorted(glob.glob(f"{stage}/{chunk_col}={i}/part-*.parquet"))):
-            dst = os.path.join(out_dir, f"chunk{i:03d}_{j}.parquet")
-            shutil.move(f, dst)
-            os.utime(dst, (base + 2.0 * i, base + 2.0 * i))
-    shutil.rmtree(stage, ignore_errors=True)
+    try:
+        (
+            df.repartition(n_chunks, F.col(chunk_col))
+            .write.partitionBy(chunk_col)
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        # Overwrite semantics, like the sequential writer this replaced:
+        # stale files from a prior replay in the same dir would otherwise
+        # merge into this one and be replayed as duplicate events.
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        base = _time.time() - 2.0 * (n_chunks + 2)
+        for i in range(n_chunks):
+            parts = sorted(glob.glob(f"{stage}/{chunk_col}={i}/part-*.parquet"))
+            for j, f in enumerate(parts):
+                dst = os.path.join(out_dir, f"chunk{i:03d}_{j}.parquet")
+                shutil.move(f, dst)
+                os.utime(dst, (base + 2.0 * i, base + 2.0 * i))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def replay_chunks(
