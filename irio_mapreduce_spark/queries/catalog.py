@@ -137,6 +137,11 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "q11_important_part_value",
     "agg_histogram_totalprice",
     "stream_custom_stateful_totals",
+    "q2_min_cost_supplier",
+    "q12_shipmode_priority",
+    "q16_supplier_part_counts",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
 ]
 
 
