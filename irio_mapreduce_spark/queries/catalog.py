@@ -142,6 +142,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "q16_supplier_part_counts",
     "q20_potential_promotion",
     "q21_waiting_suppliers",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_daily_gap_fill",
 ]
 
 

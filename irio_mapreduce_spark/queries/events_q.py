@@ -200,3 +200,254 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_dec").cast("double"), 2).alias("total_value"),
         F.round(F.col("sum_dec").cast("double") / F.col("n"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2, any_value(s1.t1) AS t1
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s1) AS n_view,
+           (SELECT count(*) FROM s2) AS n_click,
+           (SELECT count(*) FROM s3) AS n_purchase,
+           round(CAST((SELECT count(*) FROM s2) AS DOUBLE)
+                 / (SELECT count(*) FROM s1), 6) AS click_rate,
+           round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+                 / (SELECT count(*) FROM s1), 6) AS purchase_rate
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: view -> click -> purchase per user, each
+    step strictly after the previous and within 7 days of the first view
+    — the product-analytics staple the reference would run as three
+    chained map/partition/reduce batches (one per stage, each feeding the
+    next through ``final_dest_dir_id``).
+
+    Stage k is a per-user MIN over events filtered by the stage-(k-1)
+    timestamps — three aggregates all partitioned on user_id, so Spark
+    reuses one hash partitioning across the chain; the per-stage user
+    sets only ever shrink, and the stage outputs (one row per qualifying
+    user) are broadcast back onto the events scan. At 100 TB the fact
+    table is scanned once per stage with the stage filter pushed down
+    (event_type is a scan predicate) — no self-join of raw events ever
+    materializes. Final result is a single funnel row with conversion
+    rates."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.any_value("t1").alias("t1"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count("*").alias("n_view"))
+        .join(s2.agg(F.count("*").alias("n_click")))
+        .join(s3.agg(F.count("*").alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(
+            F.try_divide(F.col("n_click").cast("double"), F.col("n_view")), 6
+        ).alias("click_rate"),
+        F.round(
+            F.try_divide(F.col("n_purchase").cast("double"), F.col("n_view")), 6
+        ).alias("purchase_rate"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id,
+             time_bucket(INTERVAL 7 DAY, min(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, time_bucket(INTERVAL 7 DAY, ts) AS week
+      FROM events),
+    joined AS (
+      SELECT c.cohort_week, datediff('day', c.cohort_week, a.week) / 7 AS week_n,
+             a.user_id
+      FROM active a JOIN cohort c ON a.user_id = c.user_id),
+    sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY cohort_week)
+    SELECT strftime(j.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(j.week_n AS BIGINT) AS week_n,
+           count(DISTINCT j.user_id) AS n_active,
+           round(CAST(count(DISTINCT j.user_id) AS DOUBLE) / any_value(s.cohort_size), 6)
+             AS retention
+    FROM joined j JOIN sizes s ON j.cohort_week = s.cohort_week
+    GROUP BY j.cohort_week, j.week_n
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by the epoch-aligned week
+    of their first event; each cell counts how many of that cohort were
+    active ``week_n`` weeks later (week 0 = 100% by construction — the
+    hash-check pins that invariant too).
+
+    Week alignment: DuckDB's ``time_bucket(INTERVAL 7 DAY, ts)`` aligns
+    to MONDAY (its multi-day origin is 2000-01-03), while Spark's
+    ``F.window`` aligns to the 1970-01-01 epoch — a Thursday. The Spark
+    side therefore passes ``startTime='4 days'`` (1970-01-05 was a
+    Monday) so both engines bucket weeks Monday-to-Sunday.
+    Plan: one distinct over (user, week) + one per-user min — both
+    partition on user_id and reuse the exchange; the cohort dimension
+    (#users rows) broadcasts onto the activity frame. At 100 TB the
+    (user, week) distinct is the only wide state and it is exactly the
+    active-users rollup a warehouse materializes anyway."""
+    e = read_table(spark, sf_dir, "events")
+    week = lambda c: F.window(c, "7 days", "7 days", "4 days").start  # noqa: E731
+    # bucket AFTER aggregating: F.window injects an implicit ts-not-null
+    # filter that is illegal over an aggregate expression
+    cohort = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", week(F.col("first_ts")).alias("cohort_week"))
+    )
+    active = e.select("user_id", week(F.col("ts")).alias("week")).distinct()
+    sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    joined = active.join(F.broadcast(cohort), "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long").alias(
+            "week_n"
+        ),
+        "user_id",
+    )
+    return (
+        joined.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_n")
+        .agg(
+            F.count_distinct("user_id").alias("n_active"),
+            F.round(
+                F.try_divide(
+                    F.count_distinct("user_id").cast("double"),
+                    F.any_value("cohort_size"),
+                ),
+                6,
+            ).alias("retention"),
+        )
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_n",
+            "n_active",
+            "retention",
+        )
+    )
+
+
+@register(
+    "events_daily_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, time_bucket(INTERVAL 1 DAY, ts) AS day,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS sum_dec
+      FROM events GROUP BY 1, 2),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT s.user_id, unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS day
+      FROM span s),
+    joined AS (
+      SELECT sp.user_id, sp.day, coalesce(d.n, 0) AS n,
+             CAST(d.sum_dec AS DOUBLE) / d.n AS avg_raw
+      FROM spine sp LEFT JOIN daily d
+        ON d.user_id = sp.user_id AND d.day = sp.day)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+           round(last_value(avg_raw IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS avg_value_ffill,
+           (n = 0) AS is_gap
+    FROM joined
+    """,
+)
+def events_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user daily resample onto a dense
+    date spine (generated per user from their first to last active day)
+    with forward-fill of the daily mean across gap days — the
+    prepare-for-modeling step every time-series pipeline needs and plain
+    SQL engines make painful.
+
+    The spine is ``explode(sequence(d0, d1, 1 day))`` off the per-user
+    span — generated, never stored, and linear in output size. The
+    left join back to the daily partials and the forward-fill window both
+    partition on user_id, so the whole plan is one exchange of the
+    (tiny) daily aggregate frame. Forward fill is ``last(ignorenulls)``
+    over an unbounded-preceding row frame — no UDF, no driver loop.
+    The daily mean divides a DECIMAL-exact sum by the day count once,
+    before filling, so the copied values are bitwise-stable."""
+    e = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,10)"
+    daily = e.groupBy(
+        "user_id", F.window("ts", "1 day").start.alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(dec)).alias("sum_dec"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.try_divide(F.col("sum_dec").cast("double"), F.col("n")).alias("avg_raw"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round(F.last("avg_raw", ignorenulls=True).over(w), 6).alias(
+            "avg_value_ffill"
+        ),
+        (F.col("n") == 0).alias("is_gap"),
+    )
