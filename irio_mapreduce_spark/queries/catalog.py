@@ -145,6 +145,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_daily_gap_fill",
+    "udf_grouped_map_arrow",
+    "events_variant_props",
+    "recursive_cte_hierarchy",
 ]
 
 

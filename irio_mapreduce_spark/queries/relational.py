@@ -958,3 +958,63 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(F.broadcast(right), left.lk.eqNullSafe(right.rk)).select(
         F.col("lk").alias("k"), "n_nations"
     )
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT 'R' || CAST(r.r_regionkey AS VARCHAR) AS parent,
+             'N' || CAST(n.n_nationkey AS VARCHAR) AS child
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      UNION ALL
+      SELECT 'N' || CAST(s.s_nationkey AS VARCHAR),
+             'S' || CAST(s.s_suppkey AS VARCHAR)
+      FROM supplier s),
+    walk AS (
+      SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS node,
+             0 AS depth,
+             'R' || CAST(r_regionkey AS VARCHAR) AS path
+      FROM region
+      UNION ALL
+      SELECT e.child, w.depth + 1, w.path || '/' || e.child
+      FROM walk w JOIN edges e ON e.parent = w.node)
+    SELECT node, CAST(depth AS BIGINT) AS depth, path FROM walk
+    """,
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 ``WITH RECURSIVE``): walk the
+    region -> nation -> supplier containment hierarchy from the roots,
+    accumulating depth and a materialized path — the iterative-join
+    shape (org charts, BOM explosions, graph reachability) that needed a
+    driver-side loop (see ``llm/dedup.py`` connected components) before
+    recursive CTEs landed in the engine. Each recursion level is one
+    equi-join of the frontier against the (broadcastable) edge list;
+    the engine iterates to fixpoint — depth is data-driven, not
+    hardcoded. DuckDB runs the IDENTICAL recursion (modulo VARCHAR
+    spelling), making the fixpoint itself the oracle contract."""
+    tables = load_tables(spark, sf_dir, "region", "nation", "supplier")
+    for name in ("region", "nation", "supplier"):
+        tables[name].createOrReplaceTempView(f"rc_{name}")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT concat('R', CAST(r_regionkey AS STRING)) AS node,
+                 0 AS depth,
+                 concat('R', CAST(r_regionkey AS STRING)) AS path
+          FROM rc_region
+          UNION ALL
+          SELECT e.child, w.depth + 1, concat(w.path, '/', e.child)
+          FROM walk w
+          JOIN (
+            SELECT concat('R', CAST(r.r_regionkey AS STRING)) AS parent,
+                   concat('N', CAST(n.n_nationkey AS STRING)) AS child
+            FROM rc_nation n JOIN rc_region r ON n.n_regionkey = r.r_regionkey
+            UNION ALL
+            SELECT concat('N', CAST(s.s_nationkey AS STRING)),
+                   concat('S', CAST(s.s_suppkey AS STRING))
+            FROM rc_supplier s
+          ) e ON e.parent = w.node)
+        SELECT node, CAST(depth AS BIGINT) AS depth, path FROM walk
+        """
+    )

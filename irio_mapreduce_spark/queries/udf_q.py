@@ -118,3 +118,80 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NB: udf_row_at_a_time (the documented row-UDF slow-path demo) lives in
 # slowpath_q.py so it registers at the catalog tail, keeping this family's
 # front-window slots for the vectorized surfaces above.
+
+
+@register(
+    "udf_grouped_map_arrow",
+    oracle="""
+    SELECT c_custkey,
+           CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                - min(CAST(round(c_acctbal * 100) AS BIGINT))
+                    OVER (PARTITION BY c_nationkey) AS BIGINT) AS delta_cents
+    FROM customer
+    WHERE c_custkey % 11 = 0
+    """,
+)
+def udf_grouped_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInArrow`` (Spark 4): the zero-pandas Arrow-native
+    grouped transform — each group arrives as a ``pyarrow.Table``, is
+    rebased against its group minimum, and returns a ``pyarrow.Table``.
+    Skips the Arrow->pandas->Arrow conversion ``applyInPandas`` pays (no
+    index materialization, no object boxing), which is the right grouped
+    Python path when the logic is pure columnar compute. Money is
+    cents-scaled BEFORE differencing so the result is exact integers on
+    both engines (catalog.py half-boundary convention). The oracle states
+    the same rebase as a window MIN — also the built-in form a 100 TB run
+    should prefer when the logic fits expressions."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def rebase(table: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(table.column("c_acctbal"), 100.0)), pa.int64())
+        delta = pc.subtract(cents, pc.min(cents))
+        return pa.table(
+            {"c_custkey": table.column("c_custkey"), "delta_cents": delta}
+        )
+
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 11 == 0)
+    return (
+        c.select("c_nationkey", "c_custkey", "c_acctbal")
+        .groupBy("c_nationkey")
+        .applyInArrow(rebase, schema="c_custkey long, delta_cents long")
+    )
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           count(CASE WHEN json_extract_string(props, '$.absent') IS NULL
+                      THEN NULL ELSE 1 END) AS n_absent
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path over semi-structured data: ``parse_json`` the
+    props column ONCE into a VARIANT value, then ``variant_get`` typed
+    scalars out of it — the open-schema alternative to ``from_json`` when
+    the schema isn't known up front (VARIANT stores a parsed binary form;
+    repeated ``get_json_object`` re-parses the string per call). VARIANT
+    itself never appears in the output (driver canon can't hash it):
+    only extracted scalars do. The miss path (``$.absent``) must come
+    back NULL, counted to prove absent-key semantics match JSON SQL."""
+    e = read_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("pv")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("pv"), "$.k", "bigint").alias("k"),
+        F.variant_get(F.col("pv"), "$.absent", "string").alias("absent"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.count("absent").alias("n_absent"),
+    )
