@@ -180,3 +180,103 @@ def test_q19_quantity_bracket_prunes_scan(spark, qs):
     p = plan(spark, qs, "q19_bracketed_or_revenue", mode="simple")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_q12_filters_pushed_single_fact_exchange(spark, qs):
+    """Q12: the flag IN-list and ship-year range are lineitem scan
+    predicates; at this SF orders broadcasts, so the only hash exchange
+    is the final two-row aggregate."""
+    p = plan(spark, qs, "q12_shipmode_priority")
+    assert "In(l_returnflag" in p, p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    simple = plan(spark, qs, "q12_shipmode_priority", mode="simple")
+    assert simple.count("Exchange hashpartitioning") == 1, simple
+
+
+def test_q2_pair_aggregate_then_window_two_exchanges(spark, qs):
+    """Q2: one exchange builds the (partkey, suppkey) supply-cost
+    relation, one re-keys the region-filtered candidates for the
+    per-part window MIN; part/supplier/nation/region all broadcast.
+    A third fact exchange would mean the correlated MIN re-aggregated."""
+    p = plan(spark, qs, "q2_min_cost_supplier", mode="simple")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p
+
+
+def test_q16_part_filters_pushed(spark, qs):
+    p = plan(spark, qs, "q16_supplier_part_counts")
+    assert "In(p_size" in p, p
+    assert "Not(EqualTo(p_brand" in p, p
+    simple = plan(spark, qs, "q16_supplier_part_counts", mode="simple")
+    # NOT IN decorrelates to a broadcast anti-join, never a shuffle
+    assert "LeftAnti, BuildRight" in simple, simple
+
+
+def test_q21_two_fact_exchanges_not_three(spark, qs):
+    """Q21 decorrelated: the per-order aggregate + join-back reuse the
+    orderkey partitioning — the plan must NOT pay the textbook three
+    self-join shuffles of lineitem. Allowed hash exchanges: lineitem x
+    orders (2 at most when orders exceeds the broadcast threshold), the
+    per-order aggregate, the join-back, the final name aggregate."""
+    p = plan(spark, qs, "q21_waiting_suppliers", mode="simple")
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 4, p
+
+
+def test_funnel_stage_filters_pushed(spark, qs):
+    """Each funnel stage scans events with its event_type pushed to
+    parquet — no stage materializes unfiltered raw events."""
+    p = plan(spark, qs, "events_funnel_conversion")
+    assert "EqualTo(event_type,view)" in p, p
+    assert "EqualTo(event_type,click)" in p, p
+    assert "EqualTo(event_type,purchase)" in p, p
+
+
+def test_recursive_cte_runs_in_engine(spark, qs):
+    """The recursion must execute as the engine's iterative union node
+    (UnionLoop), not a driver-side unrolled union."""
+    p = plan(spark, qs, "recursive_cte_hierarchy", mode="simple")
+    assert "UnionLoop" in p, p
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering (SURVEY §4 scale technique): a
+    selective dimension-side predicate on a NON-broadcast join injects a
+    bloom filter (might_contain) into the fact side's scan stage, so a
+    100 TB probe side drops non-matching rows before the shuffle.
+    Thresholds are scaled down to engage the optimizer at test size."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy().count()
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, optimized
+        # and the result is still correct
+        [row] = j.collect()
+        dim = o.count()
+        assert row["count"] > 0 and dim > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
