@@ -161,3 +161,37 @@ def token_budget_batches(
     return df.withColumn(tokens_out, token_col).withColumn(
         batch_col, F.floor(before / F.lit(budget)).cast("long")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    id_col: str | None = None,
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement: each row gets a
+    deterministic priority ``u / w`` (u = hash-uniform in (0, 1], w = its
+    weight) and the k smallest priorities win — heavier rows draw smaller
+    keys more often, so selection probability grows with weight.
+
+    This is the rational-arithmetic variant of the Efraimidis-Spirakis
+    exponential scheme (keys ``-ln(u)/w``): exact proportionality is
+    traded for cross-engine bitwise reproducibility, because ``u`` is an
+    exact dyadic rational ((b+1)/2^31) and one IEEE division is
+    correctly rounded on every engine, while ``ln``/``pow`` are not
+    (Java ``Math.log`` and libm both allow 1-ulp error, which could flip
+    the k-th boundary between engines). Same reasoning as
+    :func:`hash_bucket` vs ``rand(seed)``.
+
+    Scale shape: the priority is a narrow map; selection is a global
+    top-k (``TakeOrdered`` — per-partition heaps, no sort shuffle).
+    Deterministic under retries/partitioning; ties broken by id.
+    """
+    b = hash_bucket(key_cols, 2**31, salt)
+    u = (b + 1).cast("double") / F.lit(float(2**31))
+    pri = F.try_divide(u, F.col(weight_col).cast("double"))
+    order = [F.col(priority_col)] + ([F.col(id_col)] if id_col else [])
+    return df.withColumn(priority_col, pri).orderBy(*order).limit(k)

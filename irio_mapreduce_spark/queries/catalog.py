@@ -148,6 +148,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "udf_grouped_map_arrow",
     "events_variant_props",
     "recursive_cte_hierarchy",
+    "text_tfidf_top_terms",
+    "sample_weighted_priority",
 ]
 
 

@@ -162,3 +162,40 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.25)
     )
     return mixture_resample(docs, wt, ["doc_id"], salt="mix")
+
+
+@register(
+    "sample_weighted_priority",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS weight,
+           round(priority * 1e9, 6) AS priority_scaled
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             CAST((('0x' || substr(md5(o_orderkey::VARCHAR || '|wps'), 1, 8))::BIGINT
+                   % 2147483648 + 1) AS DOUBLE) / 2147483648.0 / o_totalprice
+               AS priority
+      FROM orders)
+    ORDER BY priority, o_orderkey LIMIT 50
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling of orders (weight = order value,
+    k = 50): the fixed-size without-replacement draw a data-mixture
+    pipeline uses when it wants value-weighted exemplars rather than
+    rate-based sampling (`sample_hash_mod`) or expected-multiplicity
+    resampling (`sample_mixture_weights`). Deterministic u/w priorities
+    (see ``llm.sampling.weighted_priority_sample`` for the exact-
+    arithmetic rationale); the oracle recomputes the identical 50-row
+    set in DuckDB. Output scales the priority by 1e9 before rounding —
+    raw priorities are ~1e-8 and 6-decimal rounding would zero them."""
+    from irio_mapreduce_spark.llm.sampling import weighted_priority_sample
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    picked = weighted_priority_sample(
+        o, ["o_orderkey"], "o_totalprice", k=50, salt="wps", id_col="o_orderkey"
+    )
+    return picked.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("weight"),
+        F.round(F.col("priority") * 1e9, 6).alias("priority_scaled"),
+    )

@@ -6,7 +6,7 @@ built-in functions -> all fully oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.io import read_table
@@ -336,4 +336,79 @@ def text_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.sum(bpe_ish_count("text")).alias("total_bpe_ish"),
         F.sum(ws).alias("total_ws"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, w AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents)
+      GROUP BY doc_id, w),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(score, 6) AS score
+    FROM ranked WHERE rn <= 3 AND doc_id % 7 = 0
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style characteristic terms per document — THE canonical
+    two-pass MapReduce workload (pass 1: term counts per doc; pass 2:
+    document frequencies joined back; the reference would chain two
+    Batches through ``final_dest_dir_id``).
+
+    Scoring uses the exact-rational reciprocal-df form
+    ``tf * N / df`` instead of ``tf * ln(N/df)``: integer products and
+    one IEEE division are bitwise-identical across engines, while
+    ``ln``/``pow`` are not correctly-rounded in either Spark (Java
+    ``Math.log``) or DuckDB (libm) — the same reproducibility reasoning
+    as the engine's hash-based sampling. The ranking is per-doc top-3
+    with a term tie-break, so the output is a deterministic set.
+
+    Plan: tokenize+explode -> (doc, term) count [shuffle 1], term df
+    [shuffle 2, reduced frame], df joined back on term [shuffle 3 —
+    vocabulary-sized, NOT broadcast: at 100 TB the vocabulary does not
+    fit one executor], scalar N broadcast, per-doc window top-3
+    [shuffle 4, WindowGroupLimit prunes map-side]. df is computed over
+    the FULL corpus; only the reported doc subset (doc_id % 7) is
+    row-filtered at the end so the statistics stay corpus-wide."""
+    from irio_mapreduce_spark.llm.dedup import tokens
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") % 7 == 0))
+        .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"))
     )

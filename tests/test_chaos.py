@@ -96,3 +96,31 @@ def test_status_tracker_health_surface(spark):
     info = st.getJobInfo(jid)
     assert info is None or info.status in ("SUCCEEDED", "RUNNING", "FAILED")
     assert jid not in before
+
+
+def test_observed_metrics_surface(spark):
+    """Per-job metric observability (`df.observe`): the accumulator-backed
+    analog of the reference's per-task progress reporting
+    (`TaskManagerImpl.java` tracks per-task completion; Spark attaches
+    named aggregates to a plan node and reports them with job completion
+    — zero extra jobs, zero extra scans). A 100 TB pipeline uses this for
+    row-count/quality telemetry instead of re-running `count()`s."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    obs = Observation("li_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias(
+            "high_discount_rows"
+        ),
+    )
+    # one real job over the observed frame; metrics ride along for free
+    n_returned = observed.filter(F.col("l_quantity") >= 1).count()
+    got = obs.get
+    assert got["rows_seen"] == li.count()
+    assert got["rows_seen"] >= n_returned
+    exact = li.filter(F.col("l_discount") > 0.05).count()
+    assert got["high_discount_rows"] == exact
