@@ -189,9 +189,23 @@ def weighted_priority_sample(
     Scale shape: the priority is a narrow map; selection is a global
     top-k (``TakeOrdered`` — per-partition heaps, no sort shuffle).
     Deterministic under retries/partitioning; ties broken by id.
+
+    Rows whose weight is NULL or <= 0 are unsampleable and are EXCLUDED
+    before ranking — without the filter, ``try_divide``'s NULL (w = 0 or
+    NULL) sorts FIRST under Spark's ascending NULLS FIRST default and a
+    negative weight's negative priority beats every valid row, so
+    degenerate rows would deterministically steal top-k slots (and
+    DuckDB's NULLS LAST would disagree about them).
     """
     b = hash_bucket(key_cols, 2**31, salt)
     u = (b + 1).cast("double") / F.lit(float(2**31))
     pri = F.try_divide(u, F.col(weight_col).cast("double"))
-    order = [F.col(priority_col)] + ([F.col(id_col)] if id_col else [])
-    return df.withColumn(priority_col, pri).orderBy(*order).limit(k)
+    order = [F.col(priority_col).asc_nulls_last()] + (
+        [F.col(id_col)] if id_col else []
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(priority_col, pri)
+        .orderBy(*order)
+        .limit(k)
+    )

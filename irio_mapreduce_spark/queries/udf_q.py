@@ -146,7 +146,16 @@ def udf_grouped_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.compute as pc
 
     def rebase(table: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(table.column("c_acctbal"), 100.0)), pa.int64())
+        # half_towards_infinity = round-half-away-from-zero, matching
+        # DuckDB/Spark round(); pyarrow's default is banker's rounding,
+        # which would break on an exact-half cents boundary
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(table.column("c_acctbal"), 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
         delta = pc.subtract(cents, pc.min(cents))
         return pa.table(
             {"c_custkey": table.column("c_custkey"), "delta_cents": delta}

@@ -108,7 +108,9 @@ def test_observed_metrics_surface(spark):
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     obs = Observation("li_metrics")
     observed = li.observe(
         obs,

@@ -690,3 +690,26 @@ def test_cosine_zero_vector_yields_null_not_error(spark):
     }
     assert rows[1].c is None and rows[1].u == [None, None]
     assert abs(rows[2].c - 0.6) < 1e-12 and abs(rows[2].u[1] - 0.8) < 1e-12
+
+
+def test_weighted_priority_sample_excludes_degenerate_weights(spark):
+    """Zero/NULL/negative weights are unsampleable: without the guard,
+    try_divide's NULL priority sorts FIRST (Spark ascending = NULLS
+    FIRST) and a negative weight's negative priority beats every valid
+    row — degenerate rows would deterministically steal top-k slots."""
+    from irio_mapreduce_spark.llm.sampling import weighted_priority_sample
+
+    rows = [(1, 10.0), (2, 0.0), (3, None), (4, -5.0), (5, 1e6), (6, 2e6), (7, 3.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picked = weighted_priority_sample(df, ["id"], "w", k=3, id_col="id")
+    got = {r.id for r in picked.collect()}
+    assert len(got) == 3
+    assert got.isdisjoint({2, 3, 4}), got  # degenerate rows never selected
+    # determinism across partitionings
+    got2 = {
+        r.id
+        for r in weighted_priority_sample(
+            df.repartition(5), ["id"], "w", k=3, id_col="id"
+        ).collect()
+    }
+    assert got == got2
