@@ -150,6 +150,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "recursive_cte_hierarchy",
     "text_tfidf_top_terms",
     "sample_weighted_priority",
+    "events_type_change_intervals",
 ]
 
 

@@ -451,3 +451,71 @@ def events_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n") == 0).alias("is_gap"),
     )
+
+
+@register(
+    "events_type_change_intervals",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE user_id % 10 = 0),
+    seq AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM u),
+    changes AS (
+      SELECT user_id, event_type, ts FROM seq
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    iv AS (
+      SELECT user_id, event_type, ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS change_seq
+      FROM changes)
+    SELECT user_id, event_type,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(vt, '%Y-%m-%d %H:%M:%S'),
+                    '9999-01-01 00:00:00') AS valid_to,
+           CAST(change_seq AS BIGINT) AS change_seq
+    FROM iv
+    """,
+)
+def events_type_change_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style change-interval reconstruction: collapse each user's
+    event stream into [valid_from, valid_to) intervals of constant
+    event_type — the slowly-changing-dimension history a warehouse
+    maintains for point-in-time ("as of") queries (the open interval
+    carries the far-future sentinel, the SCD2 convention).
+
+    Change capture is lag-over-(user, time) != current; interval ends
+    are lead over the change rows only. Both windows and the change
+    filter share ONE user_id partitioning — Spark plans a single
+    exchange for the whole reconstruction. Ordering ties are broken by
+    event_id so the lag comparison is deterministic under jitter-free
+    duplicate timestamps. At 100 TB this is the standard CDC-compaction
+    pass: state per user is one open interval, and the same shape runs
+    incrementally under applyInPandasWithState (see streaming/ops.py)."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w_seq).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w_ch = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w_ch), "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-01-01 00:00:00"),
+        ).alias("valid_to"),
+        F.row_number().over(w_ch).cast("long").alias("change_seq"),
+    )
