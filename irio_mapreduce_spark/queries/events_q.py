@@ -493,8 +493,10 @@ def events_type_change_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange for the whole reconstruction. Ordering ties are broken by
     event_id so the lag comparison is deterministic under jitter-free
     duplicate timestamps. At 100 TB this is the standard CDC-compaction
-    pass: state per user is one open interval, and the same shape runs
-    incrementally under applyInPandasWithState (see streaming/ops.py)."""
+    pass: state per user is one open interval, and the incremental twin
+    is ``streaming.ops.stateful_change_intervals``
+    (applyInPandasWithState; closed-interval equivalence proven in
+    tests/test_streaming.py)."""
     from pyspark.sql.window import Window
 
     e = read_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)

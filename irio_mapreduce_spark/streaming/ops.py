@@ -350,3 +350,57 @@ def write_stream_parquet_exactly_once(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_change_intervals(events: DataFrame) -> DataFrame:
+    """Streaming SCD2 / CDC compaction via ``applyInPandasWithState`` —
+    the incremental twin of the batch change-interval reconstruction
+    (``queries/events_q.py:events_type_change_intervals``): per-user
+    state holds the OPEN interval (last event_type, its start, change
+    ordinal); a micro-batch row with a different type CLOSES the open
+    interval (emitted) and opens the next. Only closed intervals are
+    emitted — the open one lives in state until a later change (or, in
+    production, an EventTimeTimeout flush; the harness drains finite
+    replays, so the batch twin's sentinel-open row is the state that
+    was never emitted).
+
+    Correctness contract: rows are sorted (ts, event_id) WITHIN each
+    micro-batch, and change detection across batches rides the state —
+    so the replay must be TIME-ORDERED across batches (the same
+    requirement CDC log consumption has; out-of-order ingestion needs
+    the watermarked sort-buffer pattern instead). State is one small
+    tuple per user; timestamps cross the Arrow boundary as epoch-µs
+    longs (exact integers — no tz/precision drift)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cols = ["user_id", "event_type", "valid_from_us", "valid_to_us", "change_seq"]
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            last_type, open_from_us, seq = state.get
+        else:
+            last_type, open_from_us, seq = None, 0, 0
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].astype("int64") // 1000
+            for t_us, et in zip(ts_us, pdf["event_type"]):
+                if last_type is None:
+                    last_type, open_from_us, seq = et, int(t_us), 1
+                elif et != last_type:
+                    out.append((key[0], last_type, open_from_us, int(t_us), seq))
+                    last_type, open_from_us, seq = et, int(t_us), seq + 1
+        state.update((last_type, int(open_from_us), int(seq)))
+        yield pd.DataFrame(out, columns=cols)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, event_type string, valid_from_us long, "
+            "valid_to_us long, change_seq long"
+        ),
+        stateStructType="last_type string, open_from_us long, seq long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

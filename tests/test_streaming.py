@@ -422,3 +422,54 @@ def test_streaming_curation_pipeline(spark, tmp_path):
     want = curate(static.dropDuplicates(["text"]))
     assert rows_set(got, ["fp", "n_tokens"]) == rows_set(want, ["fp", "n_tokens"])
     assert got.count() == want.count() > 0
+
+
+def test_stateful_change_intervals_batch_equivalence(spark, ordered_dir):
+    """Streaming SCD2 (applyInPandasWithState) over a time-ordered replay
+    must emit exactly the CLOSED change intervals the batch lag/lead
+    reconstruction produces — interval boundaries crossing micro-batch
+    borders ride the per-user state."""
+    from pyspark.sql import Window
+
+    from irio_mapreduce_spark.streaming import stateful_change_intervals
+
+    static = spark.read.parquet(ordered_dir).filter(
+        F.col("user_id") != SENTINEL_USER
+    )
+    stream = read_events_stream(spark, ordered_dir).filter(
+        F.col("user_id") != SENTINEL_USER
+    )
+    run_to_completion(stateful_change_intervals(stream), "t_scd2", "append")
+    got = rows_set(
+        spark.table("t_scd2"),
+        ["user_id", "event_type", "valid_from_us", "valid_to_us", "change_seq"],
+    )
+
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        static.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w_seq).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w_ch = Window.partitionBy("user_id").orderBy("ts")
+    closed = (
+        changes.select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.unix_micros(F.lead("ts").over(w_ch)).alias("valid_to_us"),
+            F.row_number().over(w_ch).cast("long").alias("change_seq"),
+        )
+        .filter(F.col("valid_to_us").isNotNull())
+    )
+    want = rows_set(
+        closed, ["user_id", "event_type", "valid_from_us", "valid_to_us", "change_seq"]
+    )
+    assert got == want and got
