@@ -151,6 +151,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_tfidf_top_terms",
     "sample_weighted_priority",
     "events_type_change_intervals",
+    "sim_int8_quantization",
 ]
 
 

@@ -198,3 +198,99 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes_per_table=4, dim=64, seed=42,
     )
     return _ann_recall_validation(emb, ann, k=5, bound=0.6)
+
+
+@register(
+    "sim_int8_quantization",
+    oracle="""
+    WITH xd AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    sc AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+      FROM xd),
+    codes AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                         ELSE CAST(round(x / scale) AS BIGINT)
+                                    END) AS code
+      FROM sc),
+    errs AS (
+      SELECT vec_id, scale, code,
+             list_max(list_transform(generate_series(1, len(v)),
+                                     i -> abs(v[i] - code[i] * scale))) AS max_err
+      FROM codes)
+    SELECT vec_id, round(scale, 8) AS scale_r,
+           CAST(list_sum(code) AS BIGINT) AS code_sum,
+           CAST(list_min(code) AS BIGINT) AS code_min,
+           CAST(list_max(code) AS BIGINT) AS code_max,
+           (scale = 0 OR max_err <= scale * 0.5000001) AS err_ok
+    FROM errs
+    """,
+)
+def sim_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization of the embedding column — the 4×
+    storage compression (float32 -> 1 byte/dim + one scale) a 100 TB
+    embedding corpus applies before ANN indexing. Symmetric max-abs
+    scheme: scale = max|x|/127, code = round(x/scale) ∈ [-127, 127],
+    reconstruction x̂ = code·scale with |x - x̂| <= scale/2.
+
+    Everything is JVM-side higher-order expressions over the array
+    column — no UDF, no explode (the narrow per-row shape survives any
+    scale). Each derivation stage (double-cast, scale, codes, error) is
+    BOUND in its own select: inlining them would re-evaluate the
+    captured array expression per element (the nested-HOF trap,
+    catalog.py conventions). Exactness: float32 -> double is exact, the
+    two divisions are IEEE-identical cross-engine, round() is
+    half-away-from-zero on both, and the error-bound flag carries a
+    1e-7 relative slack because round-up across the half boundary can
+    exceed scale/2 by one ulp. Output per vector: rounded scale, the
+    code checksum (sum/min/max — proves the codes match bit-for-bit
+    without emitting an array column), and the bound flag. Zero vectors
+    quantize to all-zero codes (try_divide NULL path), not a crash."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    xd = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    sc = xd.select(
+        "vec_id",
+        "v",
+        (F.array_max(F.transform(F.col("v"), F.abs)) / 127).alias("scale"),
+    )
+    codes = sc.select(
+        "vec_id",
+        "v",
+        "scale",
+        F.transform(
+            F.col("v"),
+            lambda x: F.coalesce(
+                F.round(F.try_divide(x, F.col("scale"))), F.lit(0.0)
+            ).cast("long"),
+        ).alias("code"),
+    )
+    errs = codes.select(
+        "vec_id",
+        "scale",
+        "code",
+        F.array_max(
+            F.zip_with(
+                F.col("v"),
+                F.col("code"),
+                lambda x, c: F.abs(x - c.cast("double") * F.col("scale")),
+            )
+        ).alias("max_err"),
+    )
+    return errs.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale_r"),
+        F.aggregate(
+            F.col("code"), F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("code_sum"),
+        F.array_min("code").alias("code_min"),
+        F.array_max("code").alias("code_max"),
+        ((F.col("scale") == 0) | (F.col("max_err") <= F.col("scale") * 0.5000001)).alias(
+            "err_ok"
+        ),
+    )
