@@ -152,6 +152,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "sample_weighted_priority",
     "events_type_change_intervals",
     "sim_int8_quantization",
+    "sim_ann_pq_topk",
 ]
 
 

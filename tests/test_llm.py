@@ -713,3 +713,33 @@ def test_weighted_priority_sample_excludes_degenerate_weights(spark):
         ).collect()
     }
     assert got == got2
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """PQ-ADC (16 subspaces x 32 centroids, top-100 shortlist, exact
+    re-rank) must recover most of the exact top-5 — the compressed-domain
+    scan plus refine step, so recall well above any bucket-sampling
+    baseline."""
+    from irio_mapreduce_spark.llm.similarity import pq_topk
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = pq_topk(
+        emb, "embedding", "vec_id", queries, k=5, m=16, ksub=32, shortlist=20, seed=42
+    ).collect()
+    got = {(r.query_id, r.vec_id) for r in approx}
+
+    hits, total = 0, 0
+    for q in queries.collect():
+        exact = cosine_topk(
+            emb.filter(F.col("vec_id") != q.vec_id),
+            "embedding",
+            "vec_id",
+            [float(x) for x in q.embedding],
+            k=5,
+        ).collect()
+        for r in exact:
+            total += 1
+            hits += (q.vec_id, r.vec_id) in got
+    recall = hits / total
+    assert recall >= 0.6, f"recall {recall}"
