@@ -153,6 +153,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_type_change_intervals",
     "sim_int8_quantization",
     "sim_ann_pq_topk",
+    "stats_chisq_contingency",
 ]
 
 

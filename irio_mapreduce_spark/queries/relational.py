@@ -1018,3 +1018,60 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node, CAST(depth AS BIGINT) AS depth, path FROM walk
         """
     )
+
+
+@register(
+    "stats_chisq_contingency",
+    oracle="""
+    WITH obs AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS o
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    rt AS (SELECT rf, sum(o) AS row_tot FROM obs GROUP BY rf),
+    ct AS (SELECT ls, sum(o) AS col_tot FROM obs GROUP BY ls),
+    cells AS (
+      SELECT obs.rf, obs.ls, obs.o,
+             CAST(rt.row_tot AS DOUBLE) * ct.col_tot / tot.n AS e
+      FROM obs JOIN rt USING (rf) JOIN ct USING (ls) CROSS JOIN tot)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(round(sum(CAST((o - e) * (o - e) / e AS DECIMAL(38,10))), 6)
+                AS DOUBLE) AS chi2
+    FROM cells
+    """,
+)
+def stats_chisq_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic over the l_returnflag x l_linestatus
+    contingency table — the categorical-independence profiling step
+    (feature-vs-label screening in a data-curation pipeline). Entirely
+    exact-rational arithmetic: observed and marginal counts are
+    integers, expected = row_tot*col_tot/N is one IEEE division, and
+    each cell's (o-e)^2/e term is cast to DECIMAL(38,10) BEFORE the
+    final sum so cell-merge order cannot move the rounded statistic
+    (the catalog's decimal-accumulation convention; no transcendental
+    p-value on purpose — the statistic is the cross-engine-exact part).
+    Plan: one count aggregate of the fact table (6 cells), marginals
+    derived from the cells (no second fact scan), everything after the
+    first aggregate is literal-sized."""
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count("*").alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    rt = obs.groupBy("rf").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("ls").agg(F.sum("o").alias("col_tot"))
+    cells = (
+        obs.join(F.broadcast(rt), "rf")
+        .join(F.broadcast(ct), "ls")
+        .join(F.broadcast(tot))
+        .withColumn(
+            "e",
+            F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n"),
+        )
+    )
+    term = ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).cast(
+        "decimal(38,10)"
+    )
+    return cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum(term), 6).cast("double").alias("chi2"),
+    )
