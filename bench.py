@@ -12,6 +12,15 @@ which inherits fd 1 — so no library can leak bytes onto stdout before the
 final line. The JSON itself is kept compact (3-decimal timings, no spaces);
 full-precision detail goes to ``BENCH_DETAIL.json`` next to this file.
 
+Line-size contract: the recording harness keeps only the LAST ~2000 bytes
+of stdout (observed in BENCH_r01..r03: ``tail`` truncated to 2000 chars and
+``parsed: null`` every round once the catalog outgrew the budget). The
+printed line therefore trims ``queries`` to the SLOWEST entries that fit a
+1800-byte budget (the informative ones for a perf read), and adds
+``queries_measured`` / ``detail`` fields so the full 100+-entry per-query
+map in ``BENCH_DETAIL.json`` is discoverable. ``value`` is always the total
+over ALL measured entries, not just the printed subset.
+
 Execution is forced with a ``noop``-format write — full computation, no
 driver-side collect, so the timing measures the distributed plan, not
 result serialization.
@@ -58,6 +67,37 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def compact_result(
+    timings: dict[str, float], total: float, sf: float, budget: int = 1800
+) -> dict:
+    """Build the printed JSON payload, trimming ``queries`` to the slowest
+    entries that keep the serialized line within ``budget`` bytes (the
+    recording harness stores only the last ~2000 bytes of stdout). Failures
+    (-1.0 sentinel) sort ahead of every timing so they are never trimmed.
+    ``value`` stays the total over ALL measured entries."""
+    printed: dict[str, float] = {}
+    by_cost = sorted(timings.items(), key=lambda kv: (kv[1] >= 0, -kv[1]))
+
+    def _payload(queries: dict[str, float]) -> dict:
+        return {
+            "metric": "catalog_total",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "queries_measured": len(timings),
+            "detail": "BENCH_DETAIL.json",
+            "sf": sf,
+        }
+
+    for name, t in by_cost:
+        candidate = dict(printed)
+        candidate[name] = t
+        if len(json.dumps(_payload(candidate), separators=(",", ":"))) > budget:
+            break
+        printed = candidate
+    return _payload(printed)
+
+
 def main() -> int:
     # Park the real stdout; everything during the run (Python prints, JVM
     # child output) goes to stderr. Restored only for the final JSON line.
@@ -92,14 +132,10 @@ def main() -> int:
             print(f"[bench] {name}: FAILED {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    result = {
-        "metric": "catalog_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": _sf_of(sf_dir),
-    }
-    detail = dict(result, excluded=skipped, sf_dir=sf_dir, n_queries=len(timings))
+    result = compact_result(timings, total, _sf_of(sf_dir))
+    detail = dict(
+        result, queries=timings, excluded=skipped, sf_dir=sf_dir, n_queries=len(timings)
+    )
     try:
         with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)

@@ -585,6 +585,133 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star edge
+    rewriting (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the adversarial-diameter upgrade over
+    :func:`connected_components`. Min-label propagation needs O(diameter)
+    rounds, which is fine for dedup graphs (unions of near-cliques) but
+    degrades to O(n) rounds on path-shaped graphs; star contraction
+    converges in O(log^2 n) rounds REGARDLESS of diameter, with the same
+    per-round shape: one groupBy (min per node) + one equi-join on node id,
+    state never exceeding one row per edge.
+
+    * large-star: for each node u, link every neighbor v > u to
+      m = min(N(u) ∪ {u}) — strictly-larger neighbors hop toward the
+      current local minimum without ever creating an edge to a larger id
+      (monotone, so edge ids only shrink; termination is structural).
+    * small-star: orient every edge (max, min); for each u, link u and all
+      its smaller neighbors to m = min(N(u)) — contracts each partial star
+      one level.
+
+    The alternation converges to a fixpoint where the edge set IS the
+    component map: every non-root node carries exactly one edge to its
+    component's minimum id. Convergence is detected when a round leaves the
+    canonical (min, max) edge set unchanged (checked with ``exceptAll`` in
+    BOTH directions on the (long, long) pairs — cheap, and exact even with
+    duplicate-free invariants violated). Same checkpoint discipline as
+    ``connected_components``: eager ``localCheckpoint`` per round (plan
+    depth would otherwise double per round), superseded rounds freed
+    immediately; swap in reliable ``checkpoint()`` for long cluster jobs.
+
+    Returns one row per node: (``id_col``, ``component``) with component =
+    min node id of the component — bit-identical contract to
+    :func:`connected_components` (equivalence is property-tested on random
+    graphs and on the real dup-pair graph in tests/test_llm.py).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("_u"), F.col(dst).cast("long").alias("_v")
+    ).filter(F.col("_u").isNotNull() & F.col("_v").isNotNull())
+    if nodes is not None:
+        n = nodes.select(F.col(id_col).cast("long").alias("_n")).distinct()
+        e = (
+            e.join(n.withColumnRenamed("_n", "_u"), "_u", "left_semi")
+            .join(n.withColumnRenamed("_n", "_v"), "_v", "left_semi")
+        )
+    else:
+        n = (
+            e.select(F.col("_u").alias("_n"))
+            .union(e.select(F.col("_v").alias("_n")))
+            .distinct()
+        )
+    # Canonical (small, large) orientation; self-loops carry no information.
+    cur = (
+        e.filter(F.col("_u") != F.col("_v"))
+        .select(
+            F.least("_u", "_v").alias("_v"), F.greatest("_u", "_v").alias("_u")
+        )
+        .select("_u", "_v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = n.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # large-star over the symmetric closure: neighbors v > u attach to
+        # m = min(neighborhood ∪ {u}).
+        sym = cur.union(cur.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+        mins = (
+            sym.groupBy("_u")
+            .agg(F.min("_v").alias("_mv"))
+            .select("_u", F.least("_mv", "_u").alias("_m"))
+        )
+        large = (
+            sym.join(mins, "_u")
+            .filter(F.col("_v") > F.col("_u"))
+            .select(F.col("_m").alias("_small"), F.col("_v").alias("_big"))
+        )
+        large = (
+            large.filter(F.col("_small") != F.col("_big"))
+            .select(F.col("_big").alias("_u"), F.col("_small").alias("_v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star on the (big=_u, small=_v) orientation: u and all its
+        # smaller neighbors attach to the smallest neighbor m.
+        mins2 = large.groupBy("_u").agg(F.min("_v").alias("_m"))
+        attach = (
+            large.join(mins2, "_u")
+            .filter(F.col("_v") != F.col("_m"))
+            .select(F.col("_v").alias("_big"), F.col("_m").alias("_small"))
+        )
+        roots = mins2.select(F.col("_u").alias("_big"), F.col("_m").alias("_small"))
+        new = (
+            attach.union(roots)
+            .filter(F.col("_small") != F.col("_big"))
+            .select(F.col("_big").alias("_u"), F.col("_small").alias("_v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        free_checkpoint(large)
+        changed = (
+            new.exceptAll(cur).limit(1).count() + cur.exceptAll(new).limit(1).count()
+        )
+        free_checkpoint(cur)
+        cur = new
+        if changed == 0:
+            labels = n.join(
+                cur.select(F.col("_u").alias("_n"), F.col("_v").alias("_c")),
+                "_n",
+                "left",
+            ).select("_n", F.coalesce("_c", "_n").alias("_c"))
+            out = labels.select(
+                F.col("_n").alias(id_col), F.col("_c").alias("component")
+            )
+            return out
+    free_checkpoint(cur)
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds — "
+        "star contraction is O(log^2 n); this indicates a bug, not a hard graph"
+    )
+
+
 def ngram_containment_pairs(
     corpus: DataFrame,
     probes: DataFrame,

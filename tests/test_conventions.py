@@ -113,3 +113,28 @@ def test_front_window_covers_all_unverified_entries():
                 f"deferred entries {overlap} already had driver rows in "
                 f"{rnd} — they are rotation debt, not new overflow"
             )
+
+
+def test_bench_line_fits_recorder_tail():
+    """BENCH_r01..r03 all recorded ``parsed: null``: the recording harness
+    keeps only the last ~2000 bytes of stdout, and the full 100+-entry
+    per-query map outgrew that. The printed line must trim to the slowest
+    entries within budget while keeping the total over ALL entries."""
+    import json
+
+    import bench
+
+    timings = {f"q{i:03d}_some_longish_query_name": round(0.1 + i * 0.01, 3) for i in range(130)}
+    timings["broken_entry"] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    payload = bench.compact_result(timings, total, 0.1)
+    line = json.dumps(payload, separators=(",", ":")) + "\n"
+    assert len(line) <= 2000
+    assert payload["value"] == total
+    assert payload["queries_measured"] == len(timings)
+    # failures are never trimmed out of the printed subset
+    assert payload["queries"]["broken_entry"] == -1.0
+    # the printed subset is the slowest measured entries
+    slowest = max(timings.items(), key=lambda kv: kv[1])
+    assert payload["queries"][slowest[0]] == slowest[1]
+    assert len(payload["queries"]) > 20

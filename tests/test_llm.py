@@ -743,3 +743,82 @@ def test_pq_recall_vs_bruteforce(spark):
             hits += (q.vec_id, r.vec_id) in got
     recall = hits / total
     assert recall >= 0.6, f"recall {recall}"
+
+
+def test_connected_components_star_vs_union_find(spark):
+    """Large-star/small-star contraction on the same adversarial mix the
+    min-label test uses (chain + bridged cliques + isolated nodes) must
+    equal a plain Python union-find — identical output contract to
+    connected_components."""
+    from irio_mapreduce_spark.llm.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(100, 110)]
+    clique_a = [(a, b) for a in range(0, 5) for b in range(a + 1, 5)]
+    clique_b = [(a, b) for a in range(20, 25) for b in range(a + 1, 25)]
+    bridge = [(4, 20)]
+    edges = chain + clique_a + clique_b + bridge
+    node_ids = sorted({n for e in edges for n in e} | {500, 501})
+
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {n: min(m for m in node_ids if find(m) == find(n)) for n in node_ids}
+
+    e_df = spark.createDataFrame(edges, "a long, b long")
+    n_df = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    got = {
+        r.id: r.component
+        for r in connected_components_star(e_df, "a", "b", nodes=n_df).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    """The upgrade's point: a 60-node path needs ~60 min-label rounds but
+    star contraction is O(log^2 n) — it must finish well inside 12 rounds
+    and label every node with the chain's minimum."""
+    from irio_mapreduce_spark.llm.dedup import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1060)], "a long, b long"
+    )
+    out = connected_components_star(chain, "a", "b", max_iter=12).collect()
+    assert len(out) == 61
+    assert {r.component for r in out} == {1000}
+
+
+def test_connected_components_star_equivalent_on_random_graphs(spark):
+    """Property check: on seeded Erdős–Rényi-ish random graphs (including a
+    duplicate-edge / self-loop / reversed-edge mix), star contraction and
+    min-label propagation produce identical labelings."""
+    import random
+
+    from irio_mapreduce_spark.llm.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed, n, m in [(1, 30, 25), (2, 40, 60), (3, 25, 12)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]  # self-loops and dup edges allowed by construction
+        edges += [(b, a) for a, b in edges[: m // 3]]  # reversed duplicates
+        e_df = spark.createDataFrame(edges, "a long, b long")
+        n_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        base = {
+            r.id: r.component
+            for r in connected_components(e_df, "a", "b", nodes=n_df).collect()
+        }
+        star = {
+            r.id: r.component
+            for r in connected_components_star(e_df, "a", "b", nodes=n_df).collect()
+        }
+        assert star == base, f"seed={seed}"
