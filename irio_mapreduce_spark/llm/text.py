@@ -226,3 +226,50 @@ def positional_fingerprint(text_col: str | Column, mod: int = 2147483647) -> Col
         F.lit(0).cast("long"),
         lambda acc, x: (acc + x) % F.lit(mod),
     )
+
+
+def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram-LM rarity score — the perplexity-proxy quality
+    filter (CCNet-style: score each document under a corpus LM, threshold
+    the tails). The LM here is the corpus's own unigram frequency table;
+    each token occurrence contributes its inverse relative frequency
+    ``N / count(token)``; the output carries the exact per-document sum
+    plus the token count (score = sum / n_tokens, one division away).
+    Common-word documents score near the corpus mean, gibberish or
+    rare-token-dense documents score high — the same signal shape as
+    ``exp(mean surprisal)``, kept exact-rational instead of transcendental
+    (``ln``/``exp`` are not correctly-rounded cross-engine; the monotone
+    transform preserves every thresholding decision).
+
+    Exactness: counts are integers, each token's term is ONE IEEE division
+    rounded into DECIMAL(38,10) before the per-document sum (the catalog's
+    decimal-accumulation convention), so partition merge order cannot move
+    the rounded score. Plan shape: the classic two-pass MapReduce job —
+    one shuffle to build the frequency table keyed by token, the terms
+    join back on the same key, one shuffle to the per-document sum. The
+    frequency table is the persistable LM artifact at production scale.
+    """
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_tok"))
+    cnt = ex.groupBy("_tok").agg(F.count("*").alias("_c"))
+    tot = cnt.agg(F.sum("_c").alias("_n"))
+    term = cnt.join(F.broadcast(tot)).select(
+        "_tok",
+        (F.col("_n") / F.col("_c")).cast("decimal(38,10)").alias("_r"),
+    )
+    return (
+        ex.join(term, "_tok")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("_r").alias("_s"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            # Round the DECIMAL itself, cast after (catalog convention —
+            # rounding a derived double can straddle a half boundary
+            # differently per engine). The mean is the consumer's one
+            # division away; emitting (sum, count) keeps the row exact.
+            F.round(F.col("_s"), 6).cast("double").alias("sum_inv_freq"),
+        )
+    )

@@ -154,6 +154,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "sim_int8_quantization",
     "sim_ann_pq_topk",
     "stats_chisq_contingency",
+    "dedup_bloom_prefilter",
+    "dedup_substring_spans",
+    "text_unigram_surprisal",
 ]
 
 

@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.io import read_table
 from irio_mapreduce_spark.llm.dedup import (
+    bloom_prefiltered_new,
     connected_components,
+    duplicate_substring_spans,
     exact_dedup,
     incremental_dedup,
     near_dup_pairs_minhash,
@@ -386,3 +388,84 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.filter(F.col("doc_id") % 10 != 0).unionByName(planted)
     return incremental_dedup(corpus, batch, "doc_id", "text").select("doc_id")
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle="""
+    WITH batch AS (SELECT doc_id, sha256(text) AS fp FROM documents
+                   WHERE doc_id % 10 = 0),
+    corpus AS (SELECT sha256(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+               UNION ALL
+               SELECT sha256(text) FROM documents WHERE doc_id % 20 = 0)
+    SELECT doc_id FROM batch
+    WHERE fp NOT IN (SELECT fp FROM corpus)
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact membership dedup: the ingest batch
+    (doc_id % 10 == 0) probes a distributed-built Bloom sketch of the
+    corpus's sha256 fingerprints; only "maybe duplicate" rows pay the anti-join
+    (planted verbatim copies of half the batch guarantee true hits; the
+    sketch's false positives are re-checked exactly, so the output is
+    bit-identical to the plain anti-join the oracle runs). See
+    ``llm.dedup.bloom_prefiltered_new`` for the 100 TB rationale — the
+    sketch is the persistable corpus summary, the join input shrinks to
+    |dups| + fpp*|batch|."""
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    planted = docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).unionByName(planted)
+    new_rows = bloom_prefiltered_new(
+        corpus.select("doc_id", "text"),
+        batch.select("doc_id", "text"),
+        fingerprint=F.sha2(F.col("text"), 256),
+        expected_items=100_000,
+    )
+    return new_rows.select("doc_id")
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     t -> t <> '') AS t
+                  FROM documents),
+    tl AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 8),
+    idx AS (SELECT doc_id, t, n, unnest(generate_series(1, n - 7)) AS i FROM tl),
+    win AS (SELECT doc_id, n, i, array_to_string(t[i:i+7], ' ') AS w FROM idx),
+    dupw AS (SELECT w FROM win GROUP BY w HAVING min(doc_id) <> max(doc_id)),
+    pos AS (SELECT doc_id, n, i FROM win WHERE w IN (SELECT w FROM dupw)),
+    mk AS (SELECT doc_id, n, i,
+                  lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           FROM pos),
+    isl AS (SELECT doc_id, n, i,
+                   sum(CASE WHEN prev IS NULL OR i - prev > 8 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY i) AS island
+            FROM mk),
+    spans AS (SELECT doc_id, n, island, min(i) AS s, max(i) + 7 AS e
+              FROM isl GROUP BY 1, 2, 3)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id, n
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring detection (Lee et al. 2021 restated
+    Spark-first): 8-token sliding grams fingerprinted with xxhash64, grams
+    present in >= 2 distinct documents merged per-document into maximal
+    spans (gap-and-islands window). Output is the per-document duplicated
+    span census a curation pipeline thresholds on. The oracle recomputes
+    the identical span algebra on the gram STRINGS — agreement also
+    certifies the 64-bit fingerprint path collision-free on this corpus.
+    See ``llm.dedup.duplicate_substring_spans`` for the shuffle budget
+    (two 8-byte-key shuffles + one per-doc window)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicate_substring_spans(
+        docs.select("doc_id", "text"), "doc_id", "text", window=8
+    )

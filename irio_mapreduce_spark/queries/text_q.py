@@ -21,6 +21,7 @@ from irio_mapreduce_spark.llm.text import (
     redact_pii,
     stopword_ratio,
     type_token_ratio,
+    unigram_surprisal,
 )
 from irio_mapreduce_spark.queries.catalog import register
 
@@ -412,3 +413,28 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 3) & (F.col("doc_id") % 7 == 0))
         .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"))
     )
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+    term AS (SELECT tok, CAST(n / c AS DECIMAL(38,10)) AS r FROM cnt, tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(round(sum(r), 6) AS DOUBLE) AS sum_inv_freq
+    FROM ex JOIN term USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM rarity scoring — the perplexity-proxy quality filter:
+    each token occurrence contributes its inverse corpus frequency
+    ``N / count(token)``, DECIMAL-accumulated per document (see
+    ``llm.text.unigram_surprisal`` for the exactness argument and the
+    two-shuffle MapReduce plan shape; the token frequency table is the
+    persistable LM artifact)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs.select("doc_id", "text"), "doc_id", "text")
