@@ -157,6 +157,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_bloom_prefilter",
     "dedup_substring_spans",
     "text_unigram_surprisal",
+    "graph_pagerank_purchases",
 ]
 
 

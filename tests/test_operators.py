@@ -260,3 +260,34 @@ def test_explode_outer_empty_array_semantics(spark):
     outer = df.select("id", F.explode_outer("xs").alias("x"))
     assert {(r.id, r.x) for r in inner.collect()} == {(1, "a"), (1, "b")}
     assert {(r.id, r.x) for r in outer.collect()} == {(1, "a"), (1, "b"), (2, None)}
+
+
+def test_pagerank_fixed_point_properties(spark):
+    """Fixed-point PageRank: on a directed 3-cycle all ranks are equal; on
+    a star (hub mirrored to k spokes) the hub out-ranks every spoke; total
+    mass is conserved up to floor truncation; and the result is invariant
+    under input repartitioning (integer arithmetic has no merge-order
+    freedom)."""
+    from pyspark.sql import functions as F
+
+    from irio_mapreduce_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    out = {r.node: r.pr_fp for r in pagerank(cycle, "src", "dst").collect()}
+    assert len(set(out.values())) == 1  # symmetric graph -> equal ranks
+
+    spokes = [chr(ord("p") + i) for i in range(5)]
+    star_edges = [("hub", s) for s in spokes] + [(s, "hub") for s in spokes]
+    star = spark.createDataFrame(star_edges, "src string, dst string")
+    ranks = {r.node: r.pr_fp for r in pagerank(star, "src", "dst").collect()}
+    assert all(ranks["hub"] > ranks[s] for s in spokes)
+    total = sum(ranks.values())
+    assert 0 < PAGERANK_SCALE - total < len(ranks) * 600  # floor loss only
+
+    again = {
+        r.node: r.pr_fp
+        for r in pagerank(star.repartition(7), "src", "dst").collect()
+    }
+    assert again == ranks
