@@ -158,6 +158,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_substring_spans",
     "text_unigram_surprisal",
     "graph_pagerank_purchases",
+    "merge_scd1_upsert",
 ]
 
 

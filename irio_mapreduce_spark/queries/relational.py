@@ -1075,3 +1075,56 @@ def stats_chisq_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_cells"),
         F.round(F.sum(term), 6).cast("double").alias("chi2"),
     )
+
+
+@register(
+    "merge_scd1_upsert",
+    oracle="""
+    WITH tgt AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
+    src AS (
+      SELECT c_custkey, c_nationkey,
+             c_acctbal + CAST(100.0 AS DOUBLE) AS c_acctbal
+      FROM tgt WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM tgt WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_nationkey, c_acctbal
+      FROM tgt WHERE c_custkey % 13 = 0)
+    SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+           coalesce(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+           coalesce(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+           CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                     AND t.c_nationkey IS NOT DISTINCT FROM s.c_nationkey
+                     AND t.c_acctbal IS NOT DISTINCT FROM s.c_acctbal
+                  THEN 'unchanged'
+                WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                  THEN 'update'
+                WHEN s.c_custkey IS NOT NULL THEN 'insert'
+                ELSE 'keep' END AS action
+    FROM tgt t FULL JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+)
+def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert (SCD1, source wins) of a deterministic change batch
+    into the customer table: +100.00 balance corrections (custkey % 7),
+    verbatim re-sends (% 11, proving the 'unchanged' label), and brand-new
+    customers (% 13, shifted keys). One full-outer shuffle join produces
+    the merged table AND the per-row action labels from the same join's
+    null pattern — see ``operators.merge.merge_upsert`` for the scale
+    rationale (bucketed co-location removes the exchange; AQE streams the
+    small side)."""
+    from irio_mapreduce_spark.operators.merge import merge_upsert
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    resend = cust.filter((F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0))
+    inserts = cust.filter(F.col("c_custkey") % 13 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1000000)
+    )
+    source = updates.unionByName(resend).unionByName(inserts)
+    return merge_upsert(cust, source, ["c_custkey"])

@@ -291,3 +291,28 @@ def test_pagerank_fixed_point_properties(spark):
         for r in pagerank(star.repartition(7), "src", "dst").collect()
     }
     assert again == ranks
+
+
+def test_merge_upsert_null_safe_and_schema_guard(spark):
+    """NULL == NULL counts as unchanged (null-safe comparison); a schema
+    mismatch raises instead of silently mis-merging."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from irio_mapreduce_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "y")], "k int, v string"
+    )
+    s = spark.createDataFrame(
+        [(1, None), (2, "x2"), (4, "new")], "k int, v string"
+    )
+    out = {r.k: (r.v, r.action) for r in merge_upsert(t, s, ["k"]).collect()}
+    assert out == {
+        1: (None, "unchanged"),
+        2: ("x2", "update"),
+        3: ("y", "keep"),
+        4: ("new", "insert"),
+    }
+    with pytest.raises(ValueError, match="identical schemas"):
+        merge_upsert(t, s.select("v", "k"), ["k"])
