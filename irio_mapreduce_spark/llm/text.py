@@ -273,3 +273,18 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.col("_s"), 6).cast("double").alias("sum_inv_freq"),
         )
     )
+
+
+def normalize_text(text_col: str | Column) -> Column:
+    """C4-style text normalization: strip URLs and bracketed citation
+    markers, collapse runs of whitespace, trim. The cheap cleanup pass a
+    curation pipeline runs before fingerprinting/dedup so that cosmetic
+    noise (tracking URLs, footnote markers, ragged spacing) doesn't break
+    exact-hash grouping. Chained ``regexp_replace`` — JVM-side, narrow,
+    zero shuffle; patterns restricted to the Java-regex ∩ RE2 subset like
+    :func:`redact_pii` so any engine reproduces them byte-for-byte.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    no_url = F.regexp_replace(c, r"https?://[^\s]+", "")
+    no_cite = F.regexp_replace(no_url, r"\[\d+\]", "")
+    return F.trim(F.regexp_replace(no_cite, r"\s+", " "))

@@ -159,6 +159,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_unigram_surprisal",
     "graph_pagerank_purchases",
     "merge_scd1_upsert",
+    "text_normalize_c4",
 ]
 
 

@@ -19,6 +19,7 @@ from irio_mapreduce_spark.llm.text import (
     positional_fingerprint,
     quality_features,
     redact_pii,
+    normalize_text,
     stopword_ratio,
     type_token_ratio,
     unigram_surprisal,
@@ -438,3 +439,67 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     persistable LM artifact)."""
     docs = read_table(spark, sf_dir, "documents")
     return unigram_surprisal(docs.select("doc_id", "text"), "doc_id", "text")
+
+
+@register(
+    "text_normalize_c4",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id, text AS orig,
+             text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN '  see https://example.com/p/' || doc_id || '?ref=x '
+                       ELSE '' END
+               || CASE WHEN doc_id % 9 = 0 THEN ' [12]  noted' ELSE '' END AS text
+      FROM documents),
+    norm AS (
+      SELECT doc_id, orig, text,
+             trim(regexp_replace(regexp_replace(regexp_replace(text,
+               'https?://[^\\s]+', '', 'g'),
+               '\\[\\d+\\]', '', 'g'),
+               '\\s+', ' ', 'g')) AS ntext
+      FROM planted)
+    SELECT doc_id,
+           sha256(ntext) AS norm_fp,
+           CAST(length(text) AS BIGINT) AS n_before,
+           CAST(length(ntext) AS BIGINT) AS n_after,
+           (doc_id % 5 = 0) AS had_url,
+           NOT contains(ntext, 'http') AS url_gone
+    FROM norm
+    """,
+)
+def text_normalize_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style normalization with a planted-noise harness: deterministic
+    tracking URLs, citation markers and ragged spacing are planted on
+    known doc-id residues, then ``llm.text.normalize_text`` strips them.
+    The oracle replays the plant + normalization; the hash match proves
+    byte-identical cleanup and zero residual 'http' across engines.
+    Narrow JVM pass — the pre-fingerprint cleanup stage of the curation
+    pipeline."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit("  see https://example.com/p/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("?ref=x "),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(" [12]  noted")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    norm = planted.withColumn("ntext", normalize_text(F.col("text")))
+    return norm.select(
+        "doc_id",
+        F.sha2(F.col("ntext"), 256).alias("norm_fp"),
+        F.length("text").cast("long").alias("n_before"),
+        F.length("ntext").cast("long").alias("n_after"),
+        (F.col("doc_id") % 5 == 0).alias("had_url"),
+        (~F.col("ntext").contains("http")).alias("url_gone"),
+    )

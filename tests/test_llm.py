@@ -933,3 +933,23 @@ def test_unigram_surprisal_ranks_rare_docs_higher(spark):
     assert rare_mean > common_mean
     for r in out.values():
         assert r.sum_inv_freq / r.n_tokens >= 1.0
+
+
+def test_normalize_text_degenerate_inputs(spark):
+    """URL-only and empty documents normalize to empty strings; citation
+    markers vanish; interior runs of whitespace collapse to single
+    spaces."""
+    from irio_mapreduce_spark.llm.text import normalize_text
+
+    rows = [
+        (1, "https://only.example.com/x?a=1"),
+        (2, ""),
+        (3, "text  with   gaps [3] and [44] cites"),
+        (4, "pre https://a.b/c post"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.n for r in df.select("id", normalize_text("text").alias("n")).collect()}
+    assert out[1] == ""
+    assert out[2] == ""
+    assert out[3] == "text with gaps and cites"
+    assert out[4] == "pre post"
