@@ -280,3 +280,39 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_prefilter_broadcasts_word_table_and_dup_set(spark, qs):
+    """The bloom entry's scale contract: the sketch word-table probe and
+    the final duplicate-fingerprint anti-join are BOTH broadcast joins —
+    full batch rows never shuffle (the only exchanges key on fingerprints
+    / word indexes)."""
+    p = plan(spark, qs, "dedup_bloom_prefilter")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    # the anti-join against the duplicate-fp set must be the broadcast kind
+    assert "LeftAnti, BuildRight" in p.replace("(", " ").replace(")", " ") or (
+        "LeftAnti" in p and "BroadcastHashJoin" in p
+    ), p
+
+
+def test_pagerank_three_rounds_no_cartesian_bounded_joins(spark, qs):
+    """Three fixed-point PageRank rounds = bounded Pregel cost: no
+    CartesianProduct anywhere; at most 2 shuffle joins per round
+    (edges⋈ranks, ⋈deg — the rest ride broadcasts, including the
+    single-row N scalar, which is the only nested-loop join allowed)."""
+    p = plan(spark, qs, "graph_pagerank_purchases", mode="simple")
+    assert "CartesianProduct" not in p, p
+    n_shuffle_joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
+    assert n_shuffle_joins <= 6, p
+
+
+def test_merge_upsert_single_join(spark, qs):
+    """The MERGE entry pays exactly one (outer) join over the prepared
+    sides — action labels and merged values come from the same join, not
+    a second pass."""
+    p = plan(spark, qs, "merge_scd1_upsert", mode="simple")
+    n_joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count(
+        "BroadcastHashJoin"
+    )
+    assert n_joins == 1, p
+    assert "FullOuter" in p, p
