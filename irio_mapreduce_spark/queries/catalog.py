@@ -160,6 +160,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "graph_pagerank_purchases",
     "merge_scd1_upsert",
     "text_normalize_c4",
+    "source_hive_partitioned_pruned",
+    "window_time_range_revenue",
 ]
 
 

@@ -1128,3 +1128,62 @@ def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     source = updates.unionByName(resend).unionByName(inserts)
     return merge_upsert(cust, source, ["c_custkey"])
+
+
+@register(
+    "window_time_range_revenue",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(epoch(o_orderdate) AS BIGINT) AS ts,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             CAST(o_totalprice AS DECIMAL(38,10)) AS price
+      FROM orders WHERE o_custkey % 50 = 0)
+    SELECT o_orderkey, o_custkey, order_date,
+           CAST(round(sum(price) OVER (
+                  PARTITION BY o_custkey ORDER BY ts
+                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS trailing_30d_revenue,
+           CAST(count(*) OVER (
+                  PARTITION BY o_custkey ORDER BY ts
+                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_30d_orders
+    FROM o
+    """,
+)
+def window_time_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per customer, each order's trailing-30-day
+    revenue and order count (RANGE frame over epoch seconds — peers at the
+    same timestamp aggregate together, which a ROWS frame cannot express).
+    The moving sum rides DECIMAL(38,10) so the frame-merge order cannot
+    move the rounded output (catalog convention). One shuffle on
+    o_custkey; the customer-slice filter (custkey % 50) is
+    partition-aligned, so pre-filtering whole partitions leaves every
+    window intact. The time-bounded trailing aggregate is the standard
+    feature-engineering shape (rolling spend, rate limits, freshness
+    windows) at any scale."""
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("ts"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice").cast("decimal(38,10)").alias("price"),
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts")
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_date",
+        F.round(F.sum("price").over(w), 2).cast("double").alias(
+            "trailing_30d_revenue"
+        ),
+        F.count("*").over(w).cast("long").alias("trailing_30d_orders"),
+    )

@@ -183,3 +183,38 @@ def source_dirtext_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "word")
         .limit(20)
     )
+
+
+@register(
+    "source_hive_partitioned_pruned",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    """,
+)
+def source_hive_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-PRUNED source: documents written
+    ``partitionBy("lang")``, read back with a ``lang = 'en'`` predicate
+    that Spark satisfies from directory names alone — the non-'en'
+    partitions are never opened (tests/test_plans.py asserts the plan's
+    PartitionFilters; tests/test_io.py proves pruning file-count-wise).
+    At 100 TB this is THE first-order scan reducer: partition layout turns
+    a full-corpus read into a per-slice read before any row-level filter
+    runs. The oracle aggregates the original parquet under the same
+    predicate, so a hash match also proves the partitioned layout is
+    lossless (values in partition columns round-trip through directory
+    encoding)."""
+    path = _scratch(sf_dir, "documents_by_lang")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

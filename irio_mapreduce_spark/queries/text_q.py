@@ -17,9 +17,9 @@ from irio_mapreduce_spark.llm.text import (
     max_bigram_share,
     max_token_share,
     positional_fingerprint,
+    normalize_text,
     quality_features,
     redact_pii,
-    normalize_text,
     stopword_ratio,
     type_token_ratio,
     unigram_surprisal,

@@ -316,3 +316,15 @@ def test_merge_upsert_single_join(spark, qs):
     )
     assert n_joins == 1, p
     assert "FullOuter" in p, p
+
+
+def test_hive_partitioned_entry_prunes_partitions(spark, qs):
+    """The partitioned-roundtrip entry's read must carry the lang predicate
+    as a PartitionFilter (directory-level pruning), not a row-level
+    post-scan filter."""
+    p = plan(spark, qs, "source_hive_partitioned_pruned")
+    assert "PartitionFilters" in p, p
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert pf and "lang" in pf.group(1), p
