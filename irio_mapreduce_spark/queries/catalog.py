@@ -162,6 +162,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_normalize_c4",
     "source_hive_partitioned_pruned",
     "window_time_range_revenue",
+    "sim_matryoshka_recall",
 ]
 
 

@@ -317,3 +317,95 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "embedding", "vec_id", queries, k=5, m=16, ksub=32, shortlist=20, seed=42
     )
     return _ann_recall_validation(emb, ann, k=5, bound=0.6)
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    pairs AS (
+      SELECT qid, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], qv), 6) AS fc,
+             round(list_cosine_similarity(e.embedding[1:16]::DOUBLE[], qv[1:16]), 6) AS tc
+      FROM embeddings e, q WHERE e.vec_id <> qid),
+    fr AS (SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY fc DESC, vec_id) AS rk
+           FROM pairs),
+    tr AS (SELECT qid, vec_id, tc,
+                  row_number() OVER (PARTITION BY qid ORDER BY tc DESC, vec_id) AS rk
+           FROM pairs),
+    hits AS (SELECT f.qid, CAST(count(*) AS BIGINT) AS recall_hits
+             FROM fr f JOIN tr t ON f.qid = t.qid AND f.vec_id = t.vec_id
+             WHERE f.rk <= 5 AND t.rk <= 5
+             GROUP BY f.qid),
+    t1 AS (SELECT qid, vec_id AS trunc_top1_id, tc AS trunc_top1_cos
+           FROM tr WHERE rk = 1)
+    SELECT q.qid, coalesce(h.recall_hits, 0) AS recall_hits,
+           t1.trunc_top1_id, t1.trunc_top1_cos
+    FROM q LEFT JOIN hits h ON q.qid = h.qid JOIN t1 ON q.qid = t1.qid
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality measurement: for each query point
+    (vec_id % 100), compare the exact top-5 under FULL 64-dim cosine with
+    the exact top-5 under the first-16-dims truncation (the MRL trade: 4×
+    cheaper vectors, how much ranking survives?). Both rankings are exact
+    and rank on the 6-digit-rounded cosine with a vec_id tie-break (the
+    catalog's rank-boundary convention), so recall_hits is deterministic
+    and fully SQL-expressible — unlike the LSH/IVF entries there is no
+    approximate stage at all; this is the measurement harness itself.
+
+    Plan shape: the bounded query set broadcasts across the corpus scan
+    (nq·n similarity rows, nq fixed), two row_number windows share one
+    qid exchange. Per-query output: overlap count + the truncated top-1
+    (a real hash-checked value column)."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = (
+        emb.join(F.broadcast(q), emb["vec_id"] != q["qid"])
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("fc"),
+            F.round(
+                cosine(F.slice("v", 1, 16), F.slice("qv", 1, 16)), 6
+            ).alias("tc"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_f = Window.partitionBy("qid").orderBy(F.desc("fc"), F.asc("vec_id"))
+    w_t = Window.partitionBy("qid").orderBy(F.desc("tc"), F.asc("vec_id"))
+    ranked = pairs.select(
+        "qid",
+        "vec_id",
+        "tc",
+        F.row_number().over(w_f).alias("frk"),
+        F.row_number().over(w_t).alias("trk"),
+    )
+    hits = (
+        ranked.filter((F.col("frk") <= 5) & (F.col("trk") <= 5))
+        .groupBy("qid")
+        .agg(F.count("*").cast("long").alias("recall_hits"))
+    )
+    t1 = ranked.filter(F.col("trk") == 1).select(
+        "qid",
+        F.col("vec_id").alias("trunc_top1_id"),
+        F.col("tc").alias("trunc_top1_cos"),
+    )
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .join(t1, "qid")
+        .select(
+            "qid",
+            F.coalesce(F.col("recall_hits"), F.lit(0)).alias("recall_hits"),
+            "trunc_top1_id",
+            "trunc_top1_cos",
+        )
+    )
