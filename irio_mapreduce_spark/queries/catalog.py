@@ -163,6 +163,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "source_hive_partitioned_pruned",
     "window_time_range_revenue",
     "sim_matryoshka_recall",
+    "profile_documents_columns",
 ]
 
 

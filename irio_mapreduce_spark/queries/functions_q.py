@@ -322,3 +322,64 @@ def sort_global_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", "o_totalprice").withColumn(
         "pos", F.row_number().over(w)
     )
+
+
+@register(
+    "profile_documents_columns",
+    oracle="""
+    SELECT 'doc_id' AS col,
+           CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_str,
+           CAST(max(doc_id) AS VARCHAR) AS max_str
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(count(*) - count(lang) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(count(*) - count(source) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(count(*) - count(n_chars) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling surface (the ANALYZE/stats-collection step that
+    feeds CBO and data-quality monitoring): per column, null count, exact
+    distinct count, and min/max rendered as strings so one schema carries
+    every type. Computed in ONE pass over the table — a single aggregate
+    evaluates all per-column expressions simultaneously (count_distinct
+    per column partial-aggregates map-side), then the wide row unpivots to
+    the (col, stat...) shape. The oracle computes each column's profile
+    independently; a hash match proves the fused single-pass form equals
+    the per-column truth. At 100 TB: one scan, no joins; distinct counts
+    are the only shuffle-bearing state (swap in approx_count_distinct when
+    exactness isn't required — the catalog's sketch entries cover that
+    trade)."""
+    docs = read_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS "
+            "(col, n_nulls, n_distinct, min_str, max_str)"
+        )
+    )
