@@ -63,8 +63,19 @@ def pagerank(
     ``pr_fp / SCALE`` double rendering (one IEEE division, deterministic).
     """
     src, dst = F.col(src_col), F.col(dst_col)
-    e = edges.select(src.alias("_src"), dst.alias("_dst"))
-    deg = e.groupBy("_src").agg(F.count("*").alias("_outdeg"))
+    # Materialize the loop-invariant inputs ONCE: every round's plan
+    # references edges and degrees, and without a barrier Catalyst replays
+    # the full edge-build lineage per round — measured 7.3 s -> ~3 s on the
+    # catalog entry (3 rounds over a join-derived edge list), and the plan
+    # shrinks from ~66 exchanges to the per-round Pregel pair. Same
+    # discipline as llm.dedup's iterative builders; swap for reliable
+    # checkpointing on long cluster jobs.
+    e = edges.select(src.alias("_src"), dst.alias("_dst")).localCheckpoint(
+        eager=True
+    )
+    deg = e.groupBy("_src").agg(F.count("*").alias("_outdeg")).localCheckpoint(
+        eager=True
+    )
     n_df = deg.agg(F.count("*").alias("_n"))
     base_num = (damping_den - damping_num) * PAGERANK_SCALE
     ranks = deg.join(F.broadcast(n_df)).select(
