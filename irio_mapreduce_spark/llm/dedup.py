@@ -917,7 +917,37 @@ def bloom_prefiltered_new(
 
     Returns the surviving (new) batch rows with their original columns.
     """
-    num_bits = expected_items * bits_per_item
+    corpus_fp = corpus.select(fingerprint.alias("_fp"))
+    probed = bloom_probe(
+        corpus_fp,
+        batch.select(fingerprint.alias("_fp")),
+        expected_items * bits_per_item,
+        num_hashes,
+    )
+    dup_fps = (
+        probed.filter(F.col("_maybe"))
+        .select("_fp")
+        .join(corpus_fp, "_fp", "left_semi")
+    )
+    return (
+        batch.withColumn("_fp", fingerprint)
+        .join(F.broadcast(dup_fps), "_fp", "left_anti")
+        .drop("_fp")
+    )
+
+
+def bloom_probe(
+    corpus_fp: DataFrame,
+    batch_fp: DataFrame,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Build the Bloom word table over ``corpus_fp._fp`` and probe it with
+    ``batch_fp._fp``; returns one row per distinct batch fingerprint with
+    a ``_maybe`` membership verdict. Factored out of
+    :func:`bloom_prefiltered_new` so tests can measure the probe's actual
+    selectivity (maybe-slice size) rather than only end-to-end equality.
+    """
     # 1 << i as signed int64 (bit 63 wraps to the sign bit); indexed by
     # element_at so no column-valued shift is needed (Spark's shiftleft
     # only takes a literal shift amount).
@@ -931,7 +961,6 @@ def bloom_prefiltered_new(
             F.element_at(masks_lit, ((bit_col % 64) + 1).cast("int")).alias("_m"),
         ]
 
-    corpus_fp = corpus.select(fingerprint.alias("_fp"))
     words = (
         corpus_fp.select(
             F.explode(
@@ -942,9 +971,8 @@ def bloom_prefiltered_new(
         .groupBy("_w")
         .agg(F.bit_or("_m").alias("_word"))
     )
-    probed = (
-        batch.select(fingerprint.alias("_fp"))
-        .select(
+    return (
+        batch_fp.select(
             "_fp",
             F.explode(
                 F.array(*_bloom_bit_positions(F.col("_fp"), num_bits, num_hashes))
@@ -959,16 +987,6 @@ def bloom_prefiltered_new(
         )
         .groupBy("_fp")
         .agg(F.bool_and("_hit").alias("_maybe"))
-    )
-    dup_fps = (
-        probed.filter(F.col("_maybe"))
-        .select("_fp")
-        .join(corpus_fp, "_fp", "left_semi")
-    )
-    return (
-        batch.withColumn("_fp", fingerprint)
-        .join(F.broadcast(dup_fps), "_fp", "left_anti")
-        .drop("_fp")
     )
 
 

@@ -241,36 +241,46 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (``ln``/``exp`` are not correctly-rounded cross-engine; the monotone
     transform preserves every thresholding decision).
 
-    Exactness: counts are integers, each token's term is ONE IEEE division
-    rounded into DECIMAL(38,10) before the per-document sum (the catalog's
-    decimal-accumulation convention), so partition merge order cannot move
-    the rounded score. Plan shape: the classic two-pass MapReduce job —
-    one shuffle to build the frequency table keyed by token, the terms
-    join back on the same key, one shuffle to the per-document sum. The
-    frequency table is the persistable LM artifact at production scale.
+    Exactness: FIXED-POINT INTEGER arithmetic, like
+    ``operators.graph.pagerank`` — each token's term is
+    ``(N * 10^8) div count`` (BIGINT floor division) and the per-document
+    sum is an exact integer, bit-identical in any engine under any
+    partitioning. (A first cut cast the ``N/count`` double to
+    DECIMAL(38,10); that cast itself rounds differently between engines
+    in the last ulp — Spark rounds the exact BigDecimal expansion, DuckDB
+    the double-scaled product — the same divergence pagerank's float
+    formulation hit.) Headroom: max term = N·10^8 (a hapax), so a
+    document of d hapaxes sums to d·N·10^8 — overflow-safe while
+    d·N < 9·10^10; corpora past that scale lower the term scale.
+
+    Plan shape: the classic two-pass MapReduce job — one shuffle to build
+    the frequency table keyed by token, the terms join back on the same
+    key, one shuffle to the per-document sum. The frequency table is the
+    persistable LM artifact at production scale.
+
+    Output: (id, n_tokens, sum_inv_freq_fp) with the fixed-point sum at
+    10^8 units per 1.0 — score = sum / (n_tokens * 10^8), one consumer
+    division away.
     """
+    scale = 10**8
     ex = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_tok"))
     cnt = ex.groupBy("_tok").agg(F.count("*").alias("_c"))
     tot = cnt.agg(F.sum("_c").alias("_n"))
     term = cnt.join(F.broadcast(tot)).select(
         "_tok",
-        (F.col("_n") / F.col("_c")).cast("decimal(38,10)").alias("_r"),
+        F.expr(f"(_n * {scale}) div _c").alias("_r"),
     )
     return (
         ex.join(term, "_tok")
         .groupBy("_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            F.sum("_r").alias("_s"),
+            F.sum("_r").cast("long").alias("sum_inv_freq_fp"),
         )
         .select(
             F.col("_id").alias(id_col),
             "n_tokens",
-            # Round the DECIMAL itself, cast after (catalog convention —
-            # rounding a derived double can straddle a half boundary
-            # differently per engine). The mean is the consumer's one
-            # division away; emitting (sum, count) keeps the row exact.
-            F.round(F.col("_s"), 6).cast("double").alias("sum_inv_freq"),
+            "sum_inv_freq_fp",
         )
     )
 
@@ -282,9 +292,12 @@ def normalize_text(text_col: str | Column) -> Column:
     noise (tracking URLs, footnote markers, ragged spacing) doesn't break
     exact-hash grouping. Chained ``regexp_replace`` — JVM-side, narrow,
     zero shuffle; patterns restricted to the Java-regex ∩ RE2 subset like
-    :func:`redact_pii` so any engine reproduces them byte-for-byte.
+    :func:`redact_pii` so any engine reproduces them byte-for-byte. The
+    whitespace class is EXPLICIT (``[ \\t\\n\\r\\f]``) rather than ``\\s``:
+    Java's ``\\s`` includes vertical tab (\\x0B), RE2's does not, so
+    ``\\s`` would diverge between engines on \\x0B-bearing text.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    no_url = F.regexp_replace(c, r"https?://[^\s]+", "")
+    no_url = F.regexp_replace(c, r"https?://[^ \t\n\r\f]+", "")
     no_cite = F.regexp_replace(no_url, r"\[\d+\]", "")
-    return F.trim(F.regexp_replace(no_cite, r"\s+", " "))
+    return F.trim(F.regexp_replace(no_cite, r"[ \t\n\r\f]+", " "))

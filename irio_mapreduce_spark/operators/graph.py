@@ -54,10 +54,12 @@ def pagerank(
     ``llm.dedup.connected_components`` applies if it grows).
 
     Scale shape per round: contributions shuffle once on ``src`` (the join
-    with ranks) and once on ``dst`` (the sum) — the classic Pregel cost.
-    At production scale, pre-partition ``edges`` by ``src`` once so every
-    round's join reuses the exchange; ranks are O(nodes) rows of
-    (node, int64).
+    with ranks) and once on ``dst`` (the sum) — the classic Pregel cost —
+    plus the node-universe rebuild join (degrees ⋈ sums, both keyed by
+    node, so the exchange is shared) that keeps zero-in-degree nodes
+    alive with their teleport share. At production scale, pre-partition
+    ``edges`` by ``src`` once so every round's join reuses the exchange;
+    ranks are O(nodes) rows of (node, int64).
 
     Returns (node, pr_fp, pr): the exact fixed-point rank and its
     ``pr_fp / SCALE`` double rendering (one IEEE division, deterministic).
@@ -88,15 +90,23 @@ def pagerank(
             .join(deg, "_src")
             .select("_dst", F.expr("_ri div _outdeg").alias("_ci"))
         )
+        # Rebuild ranks over the FULL node universe (deg), not just the
+        # aggregation's keys: a node with out-edges but zero in-edges
+        # receives no contributions yet must keep its teleport share —
+        # dropping it would delete its outgoing mass from every later
+        # round.
         ranks = (
-            contrib.groupBy("_dst")
-            .agg(F.sum("_ci").alias("_s"))
+            deg.join(
+                contrib.groupBy("_dst").agg(F.sum("_ci").alias("_s")),
+                deg["_src"] == F.col("_dst"),
+                "left",
+            )
             .join(F.broadcast(n_df))
             .select(
-                F.col("_dst").alias("_node"),
+                F.col("_src").alias("_node"),
                 F.expr(
                     f"({base_num} div ({damping_den} * _n))"
-                    f" + (({damping_num} * _s) div {damping_den})"
+                    f" + (({damping_num} * coalesce(_s, 0L)) div {damping_den})"
                 ).alias("_ri"),
             )
         )

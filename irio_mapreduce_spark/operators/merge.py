@@ -50,18 +50,23 @@ def merge_upsert(
             f"target={target.columns} source={source.columns}"
         )
     value_cols = [c for c in target.columns if c not in key_cols]
+    # Presence markers, not key-null checks: a NULL-keyed row must still
+    # be detected as present on its own side (NULL keys never join-match,
+    # so a NULL-keyed source row is an 'insert', not a mislabeled 'keep').
     t = target.select(
-        *[F.col(c).alias(f"_t_{c}") for c in target.columns]
+        F.lit(True).alias("_t_present"),
+        *[F.col(c).alias(f"_t_{c}") for c in target.columns],
     )
     s = source.select(
-        *[F.col(c).alias(f"_s_{c}") for c in source.columns]
+        F.lit(True).alias("_s_present"),
+        *[F.col(c).alias(f"_s_{c}") for c in source.columns],
     )
     cond: Column = F.lit(True)
     for k in key_cols:
         cond = cond & (F.col(f"_t_{k}") == F.col(f"_s_{k}"))
     joined = t.join(s, cond, "full_outer")
-    in_t = F.col(f"_t_{key_cols[0]}").isNotNull()
-    in_s = F.col(f"_s_{key_cols[0]}").isNotNull()
+    in_t = F.col("_t_present").isNotNull()
+    in_s = F.col("_s_present").isNotNull()
     same: Column = F.lit(True)
     for c in value_cols:
         same = same & F.col(f"_t_{c}").eqNullSafe(F.col(f"_s_{c}"))
@@ -71,8 +76,10 @@ def merge_upsert(
         .when(in_s, F.lit("insert"))
         .otherwise(F.lit("keep"))
     )
+    # Source WINS when present — including a source NULL overwriting a
+    # target value (coalesce would silently resurrect the old value).
     merged = [
-        F.coalesce(F.col(f"_s_{c}"), F.col(f"_t_{c}")).alias(c)
+        F.when(in_s, F.col(f"_s_{c}")).otherwise(F.col(f"_t_{c}")).alias(c)
         for c in target.columns
     ]
     return joined.select(*merged, action.alias(action_col))

@@ -1089,11 +1089,14 @@ def stats_chisq_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey, c_nationkey, c_acctbal
       FROM tgt WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
       UNION ALL
-      SELECT c_custkey + 1000000, c_nationkey, c_acctbal
+      SELECT -c_custkey, c_nationkey, c_acctbal
       FROM tgt WHERE c_custkey % 13 = 0)
-    SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
-           coalesce(s.c_nationkey, t.c_nationkey) AS c_nationkey,
-           coalesce(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+    SELECT CASE WHEN s.c_custkey IS NOT NULL THEN s.c_custkey
+                ELSE t.c_custkey END AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey
+                ELSE t.c_nationkey END AS c_nationkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
            CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
                      AND t.c_nationkey IS NOT DISTINCT FROM s.c_nationkey
                      AND t.c_acctbal IS NOT DISTINCT FROM s.c_acctbal
@@ -1109,7 +1112,9 @@ def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE / upsert (SCD1, source wins) of a deterministic change batch
     into the customer table: +100.00 balance corrections (custkey % 7),
     verbatim re-sends (% 11, proving the 'unchanged' label), and brand-new
-    customers (% 13, shifted keys). One full-outer shuffle join produces
+    customers (% 13, NEGATED keys — a key domain disjoint from real
+    custkeys at every scale factor, unlike an additive shift that collides
+    once SF reaches ~7). One full-outer shuffle join produces
     the merged table AND the per-row action labels from the same join's
     null pattern — see ``operators.merge.merge_upsert`` for the scale
     rationale (bucketed co-location removes the exchange; AQE streams the
@@ -1124,7 +1129,7 @@ def merge_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resend = cust.filter((F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0))
     inserts = cust.filter(F.col("c_custkey") % 13 == 0).withColumn(
-        "c_custkey", F.col("c_custkey") + F.lit(1000000)
+        "c_custkey", -F.col("c_custkey")
     )
     source = updates.unionByName(resend).unionByName(inserts)
     return merge_upsert(cust, source, ["c_custkey"])

@@ -16,8 +16,8 @@ from irio_mapreduce_spark.llm.text import (
     langid_predict,
     max_bigram_share,
     max_token_share,
-    positional_fingerprint,
     normalize_text,
+    positional_fingerprint,
     quality_features,
     redact_pii,
     stopword_ratio,
@@ -422,21 +422,21 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ex AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
     cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY 1),
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
-    term AS (SELECT tok, CAST(n / c AS DECIMAL(38,10)) AS r FROM cnt, tot)
+    term AS (SELECT tok, (n * 100000000) // c AS r FROM cnt, tot)
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(round(sum(r), 6) AS DOUBLE) AS sum_inv_freq
+           CAST(sum(r) AS BIGINT) AS sum_inv_freq_fp
     FROM ex JOIN term USING (tok)
     GROUP BY doc_id
     """,
 )
 def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM rarity scoring — the perplexity-proxy quality filter:
-    each token occurrence contributes its inverse corpus frequency
-    ``N / count(token)``, DECIMAL-accumulated per document (see
-    ``llm.text.unigram_surprisal`` for the exactness argument and the
-    two-shuffle MapReduce plan shape; the token frequency table is the
-    persistable LM artifact)."""
+    each token occurrence contributes its inverse corpus frequency as a
+    fixed-point integer ``(N * 10^8) div count(token)``, summed exactly
+    per document (see ``llm.text.unigram_surprisal`` for why fixed-point
+    replaced the DECIMAL-cast form, and the two-shuffle MapReduce plan
+    shape; the token frequency table is the persistable LM artifact)."""
     docs = read_table(spark, sf_dir, "documents")
     return unigram_surprisal(docs.select("doc_id", "text"), "doc_id", "text")
 
@@ -455,9 +455,9 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm AS (
       SELECT doc_id, orig, text,
              trim(regexp_replace(regexp_replace(regexp_replace(text,
-               'https?://[^\\s]+', '', 'g'),
+               'https?://[^ \t\n\r\f]+', '', 'g'),
                '\\[\\d+\\]', '', 'g'),
-               '\\s+', ' ', 'g')) AS ntext
+               '[ \t\n\r\f]+', ' ', 'g')) AS ntext
       FROM planted)
     SELECT doc_id,
            sha256(ntext) AS norm_fp,

@@ -854,14 +854,28 @@ def test_bloom_prefilter_matches_plain_antijoin_and_prunes(spark):
         .collect()
     )
     assert got == want and len(got) > 0
-    # Pruning: at 10 bits/item the fpp is ~1%, so on a 50-row batch the
-    # maybe-slice should be the ~25 true dups plus at most a couple of
-    # false positives — far below the full batch size.
+    # Pruning: measure the probe's actual selectivity. At 10 bits/item the
+    # fpp is ~1%, so the maybe-slice must be the true dups plus at most a
+    # few false positives — far below the full batch size. (A probe
+    # regression that marks everything 'maybe' keeps the output correct
+    # via the exact recheck but voids the pruning; this catches it.)
+    from irio_mapreduce_spark.llm.dedup import bloom_probe
+
     n_batch = batch.count()
     n_dups = n_batch - len(got)
-    # reproduce the probe side only (white-box: _maybe is internal, so
-    # recount via the public output: definite-new rows never join)
-    assert n_dups < n_batch  # sanity: the planted dups exist
+    assert n_dups > 0  # the planted dups exist
+    probed = bloom_probe(
+        corpus.select(fp.alias("_fp")),
+        batch.select(fp.alias("_fp")),
+        num_bits=100_000 * 10,
+        num_hashes=7,
+    )
+    n_maybe = probed.filter(F.col("_maybe")).count()
+    assert n_dups <= n_maybe <= n_dups + max(3, n_batch // 10), (
+        n_maybe,
+        n_dups,
+        n_batch,
+    )
 
 
 def test_bloom_prefilter_empty_corpus_passes_everything(spark):
@@ -928,11 +942,13 @@ def test_unigram_surprisal_ranks_rare_docs_higher(spark):
     rows.append((99, "xylophone quixotic zephyr brouhaha"))
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in unigram_surprisal(df, "doc_id", "text").collect()}
-    common_mean = out[0].sum_inv_freq / out[0].n_tokens
-    rare_mean = out[99].sum_inv_freq / out[99].n_tokens
+    scale = 10**8
+    common_mean = out[0].sum_inv_freq_fp / out[0].n_tokens / scale
+    rare_mean = out[99].sum_inv_freq_fp / out[99].n_tokens / scale
     assert rare_mean > common_mean
     for r in out.values():
-        assert r.sum_inv_freq / r.n_tokens >= 1.0
+        # N/c >= 1 always; floor division loses < 1 fixed-point unit/term
+        assert r.sum_inv_freq_fp / r.n_tokens >= scale - 1
 
 
 def test_normalize_text_degenerate_inputs(spark):

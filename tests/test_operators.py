@@ -302,10 +302,10 @@ def test_merge_upsert_null_safe_and_schema_guard(spark):
     from irio_mapreduce_spark.operators.merge import merge_upsert
 
     t = spark.createDataFrame(
-        [(1, None), (2, "x"), (3, "y")], "k int, v string"
+        [(1, None), (2, "x"), (3, "y"), (5, "q")], "k int, v string"
     )
     s = spark.createDataFrame(
-        [(1, None), (2, "x2"), (4, "new")], "k int, v string"
+        [(1, None), (2, "x2"), (4, "new"), (5, None)], "k int, v string"
     )
     out = {r.k: (r.v, r.action) for r in merge_upsert(t, s, ["k"]).collect()}
     assert out == {
@@ -313,6 +313,26 @@ def test_merge_upsert_null_safe_and_schema_guard(spark):
         2: ("x2", "update"),
         3: ("y", "keep"),
         4: ("new", "insert"),
+        # source wins INCLUDING a NULL overwrite — coalesce would
+        # silently resurrect 'q'
+        5: (None, "update"),
     }
     with pytest.raises(ValueError, match="identical schemas"):
         merge_upsert(t, s.select("v", "k"), ["k"])
+
+
+def test_pagerank_keeps_zero_indegree_nodes(spark):
+    """A node with out-edges but no in-edges must stay in the output with
+    its teleport share every round (dropping it would delete its outgoing
+    mass from later rounds — a real bug caught in review)."""
+    from irio_mapreduce_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+    # a -> b, b -> c, c -> b: 'a' has out-degree 1, in-degree 0
+    g = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "b")], "src string, dst string"
+    )
+    ranks = {r.node: r.pr_fp for r in pagerank(g, "src", "dst").collect()}
+    assert set(ranks) == {"a", "b", "c"}
+    teleport = (100 - 85) * PAGERANK_SCALE // (100 * 3)
+    assert ranks["a"] == teleport  # nothing points at a
+    assert ranks["b"] > ranks["a"] and ranks["c"] > ranks["a"]

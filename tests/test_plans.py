@@ -287,23 +287,28 @@ def test_bloom_prefilter_broadcasts_word_table_and_dup_set(spark, qs):
     the final duplicate-fingerprint anti-join are BOTH broadcast joins —
     full batch rows never shuffle (the only exchanges key on fingerprints
     / word indexes)."""
-    p = plan(spark, qs, "dedup_bloom_prefilter")
+    import re
+
+    p = plan(spark, qs, "dedup_bloom_prefilter", mode="simple")
     assert p.count("BroadcastHashJoin") >= 2, p
-    # the anti-join against the duplicate-fp set must be the broadcast kind
-    assert "LeftAnti, BuildRight" in p.replace("(", " ").replace(")", " ") or (
-        "LeftAnti" in p and "BroadcastHashJoin" in p
+    # the anti-join against the duplicate-fp set must itself be the
+    # broadcast kind — a SortMergeJoin(LeftAnti) would shuffle the batch
+    anti_lines = [l for l in p.splitlines() if "LeftAnti" in l]
+    assert anti_lines and all(
+        "BroadcastHashJoin" in l for l in anti_lines
     ), p
 
 
 def test_pagerank_three_rounds_no_cartesian_bounded_joins(spark, qs):
     """Three fixed-point PageRank rounds = bounded Pregel cost: no
-    CartesianProduct anywhere; at most 2 shuffle joins per round
-    (edges⋈ranks, ⋈deg — the rest ride broadcasts, including the
-    single-row N scalar, which is the only nested-loop join allowed)."""
+    CartesianProduct anywhere; at most 3 shuffle joins per round
+    (edges⋈ranks, ⋈deg, and the node-universe rebuild left-join that
+    keeps zero-in-degree nodes alive — the rest ride broadcasts,
+    including the single-row N scalar)."""
     p = plan(spark, qs, "graph_pagerank_purchases", mode="simple")
     assert "CartesianProduct" not in p, p
     n_shuffle_joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
-    assert n_shuffle_joins <= 6, p
+    assert n_shuffle_joins <= 9, p
 
 
 def test_merge_upsert_single_join(spark, qs):
