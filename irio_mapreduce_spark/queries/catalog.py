@@ -164,6 +164,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "window_time_range_revenue",
     "sim_matryoshka_recall",
     "profile_documents_columns",
+    "stats_ols_price_vs_qty",
+    "events_markov_transitions",
 ]
 
 

@@ -1192,3 +1192,100 @@ def window_time_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").over(w).cast("long").alias("trailing_30d_orders"),
     )
+
+
+@register(
+    "stats_ols_price_vs_qty",
+    oracle="""
+    WITH pts AS (SELECT CAST(l_quantity AS BIGINT) AS xi,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+                 FROM lineitem),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(xi) AS BIGINT) AS sx,
+                 CAST(sum(yc) AS BIGINT) AS syc,
+                 CAST(sum(xi * yc) AS BIGINT) AS sxyc,
+                 CAST(sum(xi * xi) AS BIGINT) AS sxx
+          FROM pts)
+    SELECT n,
+           ((CAST(n AS DOUBLE) * CAST(sxyc AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(syc AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100 AS slope,
+           (CAST(syc AS DOUBLE) / CAST(n AS DOUBLE)
+             - ((CAST(n AS DOUBLE) * CAST(sxyc AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(syc AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100 AS intercept
+    FROM m
+    """,
+)
+def stats_ols_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS fit of extendedprice on quantity — the regression
+    profiling step (drift detection, anomaly baselines). Exact without
+    output rounding, via INTEGER moments: quantity is integer-valued and
+    price is 2-decimal money, so (xi, cents) moments are exact BIGINT
+    sums — no DECIMAL anywhere (a first cut accumulated DECIMAL(38,10)
+    moments, and DuckDB's decimal->double conversion double-rounds where
+    Spark's is correctly rounded: last-ulp mismatch). Each moment then
+    casts to double (one correctly-rounded conversion in both engines)
+    and slope/intercept are a FIXED sequence of scalar IEEE ops, so even
+    the unrounded doubles hash-match. One scan, one 1-row aggregate;
+    contrast with ``stats_skew_kurtosis``, which needed rounding because
+    Spark's built-in moment aggregates accumulate in floating point."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("xi"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("yc"),
+    )
+    m = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("syc"),
+        F.sum(F.col("xi") * F.col("yc")).cast("long").alias("sxyc"),
+        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    syc = F.col("syc").cast("double")
+    sxyc = F.col("sxyc").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope_c = (n * sxyc - sx * syc) / (n * sxx - sx * sx)
+    return m.select(
+        "n",
+        (slope_c / 100).alias("slope"),
+        ((syc / n - slope_c * (sx / n)) / 100).alias("intercept"),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event sequences
+    (lead window ordered by (ts, event_id) — the unique tie-break makes
+    the sequence deterministic) — the behavioral-sequence profiling step
+    (funnel discovery, anomalous-flow detection). One user_id exchange
+    for the sequencing window, then an integer pair count. All-integer
+    output, exact at any scale."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
