@@ -25,7 +25,17 @@ comparison meaningful:
   differently (found at sf0.1 by q11: 290998.915 → .92 vs .91);
 * no array/map/struct columns in any output — even rows-only checks
   canonicalize via pandas ``sort_values``, which crashes on unhashable
-  cells; wrap with ``to_json`` / ``array_join`` / explode to rows.
+  cells; wrap with ``to_json`` / ``array_join`` / explode to rows;
+* when per-term values are rational, prefer FIXED-POINT BIGINT arithmetic
+  (``(num * 10^k) div den``, exact integer sums) over casting the double
+  quotient to DECIMAL: the double→DECIMAL cast itself rounds differently
+  between engines in the last ulp (Spark rounds the exact BigDecimal
+  expansion, DuckDB the double-scaled product), and DuckDB's
+  DECIMAL→DOUBLE conversion double-rounds where Spark's is correctly
+  rounded — both observed (pagerank 5/1600 nodes; OLS moments). Casting
+  an exact BIGINT to double is correctly rounded in both engines, so a
+  fixed sequence of scalar IEEE ops on integer moments can even
+  hash-match UNROUNDED doubles (``stats_ols_price_vs_qty``).
 
 These conventions are enforced by tests/test_conventions.py.
 
