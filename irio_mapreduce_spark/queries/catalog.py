@@ -176,6 +176,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "profile_documents_columns",
     "stats_ols_price_vs_qty",
     "events_markov_transitions",
+    "stream_cdc_upsert",
 ]
 
 

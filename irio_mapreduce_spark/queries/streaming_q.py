@@ -306,3 +306,49 @@ def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_partitions(spark):
         run_to_completion(out, name, "append")
     return spark.table(name)
+
+
+@register(
+    "stream_cdc_upsert",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type AS last_type, value AS last_value,
+           ts_s AS last_ts
+    FROM r WHERE rn = 1
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert (the Delta-style 'streaming MERGE into a
+    table'): the replayed event stream drains through ``foreachBatch``,
+    each micro-batch compacted to its latest record per user and merged
+    into a versioned parquet target with recency semantics — see
+    ``streaming.ops.cdc_upsert_drain`` for the idempotent-retry version
+    discipline. The final committed target (the latest record per user
+    across the whole stream) is compared against the batch argmax oracle,
+    proving the incremental merge path equals the batch truth."""
+    import tempfile as _tf
+
+    from irio_mapreduce_spark.streaming import (
+        cdc_upsert_drain,
+        read_cdc_target,
+        read_events_stream,
+    )
+
+    replay = _replay_dir(spark, sf_dir)
+    tdir = _tf.mkdtemp(prefix="cdc_target_")
+    ckpt = _tf.mkdtemp(prefix="cdc_ckpt_") + "/cp"
+    with _stream_partitions(spark):
+        ev = read_events_stream(spark, replay)
+        cdc_upsert_drain(ev, tdir, ckpt)
+    out = read_cdc_target(spark, tdir)
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

@@ -15,7 +15,9 @@ explicit watermark parameter rather than defaulting to unbounded state.
 """
 
 from irio_mapreduce_spark.streaming.ops import (  # noqa: F401
+    cdc_upsert_drain,
     dedup_events,
+    read_cdc_target,
     read_events_stream,
     replay_chunks,
     replay_time_ordered,

@@ -473,3 +473,56 @@ def test_stateful_change_intervals_batch_equivalence(spark, ordered_dir):
         closed, ["user_id", "event_type", "valid_from_us", "valid_to_us", "change_seq"]
     )
     assert got == want and got
+
+
+def test_cdc_upsert_batch_retry_is_idempotent(spark, tmp_path):
+    """Re-running a micro-batch merge (failure between version write and
+    checkpoint commit) must rewrite its own version from the same inputs
+    — the final target is unchanged."""
+    import os
+
+    from irio_mapreduce_spark.streaming.ops import cdc_upsert_drain, read_cdc_target
+    from tests.conftest import SF_DIR
+    from irio_mapreduce_spark.io import read_table
+    from irio_mapreduce_spark.streaming import read_events_stream, replay_chunks
+
+    replay = replay_chunks(
+        spark, SF_DIR, str(tmp_path / "replay"), n_chunks=3
+    )
+    tdir = str(tmp_path / "target")
+    cdc_upsert_drain(
+        read_events_stream(spark, replay), tdir, str(tmp_path / "cp")
+    )
+    before = {
+        (r.user_id, r.event_id)
+        for r in read_cdc_target(spark, tdir).collect()
+    }
+    versions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(tdir) if d.startswith("v=")
+    )
+    # simulate the retry of the LAST batch: re-merge (previous version +
+    # the same final chunk) into the same version slot
+    last = versions[-1]
+    ev = read_table(spark, SF_DIR, "events")
+    import pyspark.sql.functions as F
+    last_chunk = ev.filter(F.col("event_id") % 3 == last % 3)
+    # the drain's merge_batch logic, replayed by hand on the same inputs
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    prior = spark.read.parquet(os.path.join(tdir, f"v={versions[-2]}"))
+    merged = (
+        prior.unionByName(
+            last_chunk.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(tdir, f"v={last}"))
+    after = {
+        (r.user_id, r.event_id)
+        for r in read_cdc_target(spark, tdir).collect()
+    }
+    assert after == before
