@@ -235,3 +235,92 @@ def test_connected_components_matches_union_find(spark, edges, extra_nodes):
         for r in connected_components(e_df, "a", "b", nodes=n_df).collect()
     }
     assert got == expected
+
+
+def test_duplicate_substring_spans_matches_python_reference(spark):
+    """Randomized cross-check: the distributed gram/island pipeline must
+    equal a direct per-document Python computation of duplicated-window
+    spans on seeded random corpora (including heavy shared boilerplate
+    and docs below the window size)."""
+    import random
+
+    from irio_mapreduce_spark.llm.dedup import duplicate_substring_spans
+
+    W = 8
+    for seed in (11, 23, 37):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        boiler = [rng.choice(vocab) for _ in range(12)]
+        docs = {}
+        for d in range(14):
+            n = rng.randrange(2, 40)
+            toks = [rng.choice(vocab) for _ in range(n)]
+            if rng.random() < 0.5:
+                pos = rng.randrange(0, len(toks) + 1)
+                toks[pos:pos] = boiler
+            docs[d] = toks
+
+        # python reference
+        from collections import defaultdict
+
+        where = defaultdict(set)
+        for d, toks in docs.items():
+            for i in range(len(toks) - W + 1):
+                where[tuple(toks[i : i + W])].add(d)
+        expect = {}
+        for d, toks in docs.items():
+            pos = [
+                i + 1
+                for i in range(len(toks) - W + 1)
+                if len(where[tuple(toks[i : i + W])]) >= 2
+            ]
+            if not pos:
+                continue
+            spans = []
+            for i in pos:
+                if spans and i - spans[-1][1] <= W:
+                    spans[-1][1] = i
+                else:
+                    spans.append([i, i])
+            dup_tokens = sum(e + W - 1 - s + 1 for s, e in spans)
+            expect[d] = (len(toks), len(spans), dup_tokens)
+
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_spans, r.dup_tokens)
+            for r in duplicate_substring_spans(df, "doc_id", "text", window=W).collect()
+        }
+        assert got == expect, f"seed={seed}"
+
+
+def test_merge_upsert_matches_python_reference(spark):
+    """Randomized cross-check incl. NULL values and NULL overwrites: the
+    one-join merge must equal the dict-based reference merge."""
+    import random
+
+    from irio_mapreduce_spark.operators.merge import merge_upsert
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        keys = list(range(20))
+        tgt = {k: rng.choice(["a", "b", None]) for k in rng.sample(keys, 12)}
+        src = {k: rng.choice(["a", "z", None]) for k in rng.sample(keys, 12)}
+        expect = {}
+        for k, v in tgt.items():
+            if k in src:
+                expect[k] = (
+                    src[k],
+                    "unchanged" if src[k] == v else "update",
+                )
+            else:
+                expect[k] = (v, "keep")
+        for k, v in src.items():
+            if k not in tgt:
+                expect[k] = (v, "insert")
+
+        t = spark.createDataFrame(list(tgt.items()), "k long, v string")
+        s = spark.createDataFrame(list(src.items()), "k long, v string")
+        got = {r.k: (r.v, r.action) for r in merge_upsert(t, s, ["k"]).collect()}
+        assert got == expect, f"seed={seed}"
