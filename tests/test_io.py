@@ -195,3 +195,60 @@ def test_dirtext_rejects_multi_column_writes(spark, tmp_path):
     wide = spark.createDataFrame([(1, "x")], ["a", "b"])
     with pytest.raises(Exception, match="exactly one column"):
         wide.write.format("dirtext").option("path", d).mode("append").save()
+
+
+def test_range_partitioned_sorted_write_narrows_rowgroup_stats(spark, tmp_path):
+    """The 100 TB data-clustering move: repartitionByRange + sortWithin-
+    Partitions on the filter column writes parquet whose row-group min/max
+    ranges are NARROW and DISJOINT, so a date-bounded scan can skip most
+    row groups on footer stats alone; an unsorted write leaves every row
+    group spanning (almost) the full domain — no skipping possible.
+    Verified on the actual parquet footers via pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from irio_mapreduce_spark.io import read_table
+    from tests.conftest import SF_DIR
+
+    orders = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("long").alias("od")
+    )
+    lo, hi = orders.agg(F.min("od"), F.max("od")).head()
+    domain = hi - lo
+
+    def spans(path):
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "od"
+            )
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                out.append((st.min, st.max))
+        return out
+
+    clustered = str(tmp_path / "clustered")
+    (
+        orders.repartitionByRange(8, "od")
+        .sortWithinPartitions("od")
+        .write.mode("overwrite")
+        .parquet(clustered)
+    )
+    unsorted = str(tmp_path / "unsorted")
+    orders.repartition(8).write.mode("overwrite").parquet(unsorted)
+
+    c_spans = spans(clustered)
+    u_spans = spans(unsorted)
+    assert c_spans and u_spans
+    # clustered: every row group covers a small slice of the domain
+    assert max((mx - mn) for mn, mx in c_spans) <= domain / 4
+    # unsorted: row groups span (nearly) everything — no stats-skipping
+    assert min((mx - mn) for mn, mx in u_spans) >= domain * 0.8
+    # and a bounded predicate could skip most clustered row groups
+    probe_lo, probe_hi = lo, lo + domain // 8
+    overlapping = [1 for mn, mx in c_spans if not (mx < probe_lo or mn > probe_hi)]
+    assert len(overlapping) <= max(2, len(c_spans) // 4)
