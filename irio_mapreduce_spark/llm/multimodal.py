@@ -218,3 +218,223 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL binary decode: formats parseable without external codec libraries.
+#
+# PIL/av stay absent from this container, so JPEG/MP4 decode remains the
+# honestly-stubbed path above. BMP (24-bit uncompressed) and WAV (PCM16)
+# however are fully specified header+array formats that the stdlib parses
+# exactly — so this section gives the multimodal pipeline a REAL
+# bytes->pixels/samples path: payloads are genuinely encoded to spec,
+# shipped through the binary column, and genuinely parsed back (struct
+# unpack, row padding, chunk walking) inside the Arrow stage. The
+# generators are deterministic closed-form functions of (media_id, x, y,
+# channel) / (media_id, i), which is what makes the decoded features
+# oracle-checkable end-to-end: a SQL engine reproduces the expected sums
+# without ever seeing the bytes, so a hash match proves encoder and
+# decoder invert each other exactly.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def _bmp_pixel(seed: int, x: int, y: int, c: int) -> int:
+    """Deterministic pixel byte for channel c (0=B, 1=G, 2=R)."""
+    return (seed * 31 + y * 17 + x * 7 + c * 13) % 256
+
+
+def synth_bmp(seed: int, width: int, height: int) -> bytes:
+    """A real, to-spec 24-bit uncompressed BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes."""
+    row_size = (3 * width + 3) & ~3
+    data_size = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for stored_row in range(height):  # bottom-up storage
+        y = height - 1 - stored_row
+        for x in range(width):
+            rows += bytes(
+                (_bmp_pixel(seed, x, y, 0), _bmp_pixel(seed, x, y, 1),
+                 _bmp_pixel(seed, x, y, 2))
+            )
+        rows += b"\x00" * (row_size - 3 * width)
+    return bytes(header + info + rows)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a 24-bit BMP from its actual bytes: header fields, row
+    padding, bottom-up order. Returns dims + exact per-channel integer
+    sums."""
+    magic, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, width, height, _planes, bpp = struct.unpack_from(
+        "<IiiHH", payload, 14
+    )
+    if bpp != 24 or hdr_size < 40:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp}")
+    row_size = (3 * width + 3) & ~3
+    sums = [0, 0, 0]  # B, G, R
+    for stored_row in range(height):
+        base = offset + stored_row * row_size
+        for x in range(width):
+            px = base + 3 * x
+            sums[0] += payload[px]
+            sums[1] += payload[px + 1]
+            sums[2] += payload[px + 2]
+    return {
+        "width": width,
+        "height": height,
+        "sum_b": sums[0],
+        "sum_g": sums[1],
+        "sum_r": sums[2],
+    }
+
+
+def _wav_sample(seed: int, i: int) -> int:
+    """Deterministic PCM16 sample."""
+    return ((seed * 7919 + i * 104729) % 65536) - 32768
+
+
+def synth_wav(seed: int, sample_rate: int, n_samples: int) -> bytes:
+    """A real, to-spec PCM16 mono WAV (RIFF/fmt /data)."""
+    samples = [_wav_sample(seed, i) for i in range(n_samples)]
+    data = struct.pack(f"<{n_samples}h", *samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+        sample_rate, sample_rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Walk the RIFF chunks, parse fmt, unpack the PCM16 data chunk.
+    Returns rate + exact integer amplitude statistics."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            if fmt != 1 or channels != 1:
+                raise ValueError("unsupported WAV variant")
+        elif cid == b"data":
+            samples = struct.unpack(f"<{csize // 2}h", body[: csize // 2 * 2])
+        pos += 8 + csize + (csize & 1)
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": len(samples),
+        "sum_abs": sum(abs(s) for s in samples),
+        "n_nonneg": sum(1 for s in samples if s >= 0),
+    }
+
+
+REAL_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("n_nonneg", T.LongType()),
+    ]
+)
+
+
+def synthesize_real_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Materialize a media table with REAL payload bytes: even ids become
+    24-bit BMPs (dims a function of the id), odd ids become PCM16 WAVs.
+    Runs distributed (mapInPandas); payload bytes never visit the
+    driver."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w, h = 8 + mid % 9, 6 + mid % 7
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "payload": mm.synth_bmp(mid, w, h),
+                            "meta": {
+                                "kind": "image", "mime": "image/bmp",
+                                "width": w, "height": h,
+                                "sample_rate": None, "duration_ms": None,
+                            },
+                        }
+                    )
+                else:
+                    sr = 4000 + (mid % 5) * 1000
+                    n = 64 + mid % 129
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "payload": mm.synth_wav(mid, sr, n),
+                            "meta": {
+                                "kind": "audio", "mime": "audio/wav",
+                                "width": None, "height": None,
+                                "sample_rate": sr,
+                                "duration_ms": 1000 * n // sr,
+                            },
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_real_media_features(media: DataFrame) -> DataFrame:
+    """REAL decode stage: dispatch on the payload's own magic bytes (not
+    the metadata — the decoder trusts the bytes), parse to pixels/samples,
+    emit exact integer features. Arrow-batched ``mapInPandas``; payload
+    columns are pruned upstream of any query that doesn't call this."""
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"] or b"")
+                base = {
+                    "media_id": int(r["media_id"]),
+                    "kind": None, "width": None, "height": None,
+                    "sum_b": None, "sum_g": None, "sum_r": None,
+                    "sample_rate": None, "n_samples": None,
+                    "sum_abs": None, "n_nonneg": None,
+                }
+                if payload[:2] == b"BM":
+                    base.update(kind="image", **mm.decode_bmp(payload))
+                elif payload[:4] == b"RIFF":
+                    base.update(kind="audio", **mm.decode_wav(payload))
+                else:
+                    base.update(kind="unknown")
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=[f.name for f in REAL_FEATURES_SCHEMA])
+
+    return media.mapInPandas(run, schema=REAL_FEATURES_SCHEMA)

@@ -177,6 +177,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stats_ols_price_vs_qty",
     "events_markov_transitions",
     "stream_cdc_upsert",
+    "multimodal_real_roundtrip",
 ]
 
 

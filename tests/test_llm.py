@@ -969,3 +969,26 @@ def test_normalize_text_degenerate_inputs(spark):
     assert out[2] == ""
     assert out[3] == "text with gaps and cites"
     assert out[4] == "pre post"
+
+
+def test_real_bmp_wav_codecs_roundtrip_and_reject_garbage():
+    """The BMP/WAV codecs must invert exactly (including BMP row padding
+    on non-multiple-of-4 widths and bottom-up row order) and reject
+    non-conforming bytes instead of fabricating features."""
+    import pytest
+
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    for w, h in [(9, 5), (8, 6), (10, 1), (1, 1)]:  # 9,10: padded rows
+        d = mm.decode_bmp(mm.synth_bmp(7, w, h))
+        assert (d["width"], d["height"]) == (w, h)
+        for c, key in [(0, "sum_b"), (1, "sum_g"), (2, "sum_r")]:
+            assert d[key] == sum(
+                mm._bmp_pixel(7, x, y, c) for x in range(w) for y in range(h)
+            )
+    dw = mm.decode_wav(mm.synth_wav(9, 8000, 33))
+    assert dw["n_samples"] == 33 and dw["sample_rate"] == 8000
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"JUNKJUNKJUNKJUNKJUNK")
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxNOPE")
