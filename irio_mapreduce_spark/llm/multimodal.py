@@ -438,3 +438,82 @@ def decode_real_media_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in REAL_FEATURES_SCHEMA])
 
     return media.mapInPandas(run, schema=REAL_FEATURES_SCHEMA)
+
+
+def encode_bmp(width: int, height: int, pixel) -> bytes:
+    """Encode a to-spec 24-bit BMP from a ``pixel(x, y, c)`` accessor
+    (c: 0=B, 1=G, 2=R)."""
+    row_size = (3 * width + 3) & ~3
+    data_size = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for stored_row in range(height):
+        y = height - 1 - stored_row
+        for x in range(width):
+            rows += bytes((pixel(x, y, 0), pixel(x, y, 1), pixel(x, y, 2)))
+        rows += b"\x00" * (row_size - 3 * width)
+    return bytes(header + info + rows)
+
+
+def decode_bmp_pixels(payload: bytes):
+    """Parse a 24-bit BMP into (width, height, pixel-accessor) — the
+    random-access counterpart of :func:`decode_bmp`."""
+    magic, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, width, height, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    if bpp != 24 or hdr_size < 40:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp}")
+    row_size = (3 * width + 3) & ~3
+
+    def pixel(x: int, y: int, c: int) -> int:
+        stored_row = height - 1 - y
+        return payload[offset + stored_row * row_size + 3 * x + c]
+
+    return width, height, pixel
+
+
+def resize_bmp(payload: bytes, new_width: int, new_height: int) -> bytes:
+    """REAL nearest-neighbor resize of a 24-bit BMP: genuine byte-level
+    decode, integer source mapping ``src = (dst * old) // new`` (exact,
+    engine-reproducible), genuine re-encode. No codec library involved —
+    BMP is fully specified."""
+    w, h, pixel = decode_bmp_pixels(payload)
+
+    def resampled(x: int, y: int, c: int) -> int:
+        return pixel((x * w) // new_width, (y * h) // new_height, c)
+
+    return encode_bmp(new_width, new_height, resampled)
+
+
+def resize_real_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize stage over ``mapInPandas``: BMP payloads are decoded,
+    nearest-neighbor resampled and re-encoded byte-for-byte; non-BMP rows
+    pass through untouched (the stubbed path covers codec-library
+    formats). Meta dims are rewritten to match the new payload."""
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            def do(row):
+                p = bytes(row["payload"] or b"")
+                if p[:2] == b"BM":
+                    return mm.resize_bmp(p, width, height)
+                return p
+
+            def meta(row):
+                m = dict(row["meta"] or {})
+                if bytes(row["payload"] or b"")[:2] == b"BM":
+                    m["width"], m["height"] = width, height
+                return m
+
+            yield pdf.assign(
+                payload=pdf.apply(do, axis=1), meta=pdf.apply(meta, axis=1)
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -178,6 +178,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_markov_transitions",
     "stream_cdc_upsert",
     "multimodal_real_roundtrip",
+    "multimodal_real_resize",
 ]
 
 

@@ -151,3 +151,48 @@ def multimodal_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = synthesize_real_media(docs)
     return decode_real_media_features(media)
+
+
+@register(
+    "multimodal_real_resize",
+    oracle="""
+    WITH img AS (SELECT doc_id AS media_id,
+                        8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+                 FROM documents WHERE doc_id % 2 = 0),
+    ix AS (SELECT media_id, w, h,
+                  unnest(generate_series(0, 6 * 4 - 1)) AS p
+           FROM img),
+    px AS (SELECT media_id,
+                  ((p % 6) * w) // 6 AS sx, ((p // 6) * h) // 4 AS sy
+           FROM ix)
+    SELECT media_id,
+           CAST(6 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+           CAST(sum((media_id*31 + sy*17 + sx*7) % 256) AS BIGINT) AS sum_b,
+           CAST(sum((media_id*31 + sy*17 + sx*7 + 13) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((media_id*31 + sy*17 + sx*7 + 26) % 256) AS BIGINT) AS sum_r
+    FROM px GROUP BY media_id
+    """,
+)
+def multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize chain under the exact oracle: genuine BMP bytes
+    -> byte-level decode -> nearest-neighbor resample (integer source
+    mapping ``src = (dst*old) div new``) -> genuine re-encode -> second
+    genuine decode -> exact integer channel sums. The oracle computes the
+    resampled sums in closed form from the pixel generator — matching
+    hashes prove the full decode/resize/encode/decode chain is
+    byte-faithful. (The codec-library resize path stays stubbed in
+    ``resize_images``; this is the stdlib-parseable-format twin.)"""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        resize_real_images,
+        synthesize_real_media,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_real_media(docs).filter(F.col("meta.kind") == "image")
+    resized = resize_real_images(media, 6, 4)
+    return decode_real_media_features(resized).select(
+        "media_id", "width", "height", "sum_b", "sum_g", "sum_r"
+    )
