@@ -179,6 +179,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stream_cdc_upsert",
     "multimodal_real_roundtrip",
     "multimodal_real_resize",
+    "dedup_cluster_pick_best",
 ]
 
 

@@ -469,3 +469,77 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_substring_spans(
         docs.select("doc_id", "text"), "doc_id", "text", window=8
     )
+
+
+@register(
+    "dedup_cluster_pick_best",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_TRIGRAMS},
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+             FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    jp AS (SELECT id1, id2
+           FROM cand
+             JOIN sizes s1 ON id1 = s1.doc_id
+             JOIN sizes s2 ON id2 = s2.doc_id
+           WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.8),
+    e AS (SELECT id1 AS u, id2 AS v FROM jp
+          UNION SELECT id2, id1 FROM jp),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    tct AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+    ranked AS (
+      SELECT c.component, c.doc_id, t.n_tokens,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY t.n_tokens DESC, c.doc_id) AS rk,
+             count(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN tct t USING (doc_id))
+    SELECT component, doc_id AS kept_doc_id,
+           CAST(n_tokens AS BIGINT) AS kept_n_tokens,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rk = 1 AND n_members >= 2
+    """,
+)
+def dedup_cluster_pick_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection — the step AFTER duplicate clustering:
+    within each non-singleton near-dup cluster (same component map as
+    ``dedup_cluster_components``), keep the best copy by a deterministic
+    integer quality signal (longest document, doc_id tie-break — the
+    'keep longest' heuristic real pipelines default to). One window over
+    the component partitioning on top of the iterative component map;
+    singleton clusters are excluded (nothing to pick between). Output is
+    the cluster keep-list a curation run would anti-join against."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = connected_components(
+        pairs, "id1", "id2", nodes=docs.select("doc_id"), id_col="doc_id"
+    )
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    ranked = (
+        comp.join(toks, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.desc("n_tokens"), F.asc("doc_id")
+                )
+            ),
+        )
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("component"))
+        )
+    )
+    return ranked.filter((F.col("rk") == 1) & (F.col("n_members") >= 2)).select(
+        "component",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_tokens").cast("long").alias("kept_n_tokens"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
