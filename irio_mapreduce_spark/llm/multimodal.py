@@ -517,3 +517,101 @@ def resize_real_images(media: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def segment_wav(payload: bytes, segment_ms: int, max_segments: int) -> list:
+    """REAL audio segmentation: parse the WAV, slice the PCM16 sample
+    array into ``segment_ms`` chunks (at most ``max_segments``), and
+    re-encode EVERY chunk as a complete, to-spec WAV. Returns
+    ``[(seg_idx, wav_bytes)]`` — the audio analog of video frame
+    sampling, with genuine bytes at every step."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            _fmt, _ch, sample_rate = struct.unpack_from("<HHI", body, 0)
+        elif cid == b"data":
+            samples = list(struct.unpack(f"<{csize // 2}h", body[: csize // 2 * 2]))
+        pos += 8 + csize + (csize & 1)
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    seg_len = max(1, sample_rate * segment_ms // 1000)
+    out = []
+    for i in range(min(max_segments, (len(samples) + seg_len - 1) // seg_len)):
+        chunk = samples[i * seg_len : (i + 1) * seg_len]
+        data = struct.pack(f"<{len(chunk)}h", *chunk)
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+            sample_rate, sample_rate * 2, 2, 16, b"data", len(data),
+        )
+        out.append((i, hdr + data))
+    return out
+
+
+def segment_real_audio(
+    media: DataFrame, segment_ms: int = 20, max_segments: int = 4
+) -> DataFrame:
+    """1→N REAL segmentation stage over ``mapInPandas`` (the flatMap
+    shape, reference R2): each WAV payload yields up to ``max_segments``
+    re-encoded WAV rows. Non-WAV rows are dropped (the codec-library
+    formats go through the stubbed ``sample_frames``)."""
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"] or b"")
+                if payload[:4] != b"RIFF":
+                    continue
+                for idx, seg in mm.segment_wav(payload, segment_ms, max_segments):
+                    rows.append(
+                        {"media_id": int(r["media_id"]), "seg_idx": idx,
+                         "payload": seg}
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "seg_idx", "payload"])
+
+    return media.mapInPandas(run, schema="media_id long, seg_idx int, payload binary")
+
+
+def decode_wav_segments(segs: DataFrame) -> DataFrame:
+    """Decode a (media_id, seg_idx, payload) segment table: each segment's
+    REAL WAV bytes parsed back to exact integer amplitude statistics,
+    seg_idx preserved through the Arrow stage."""
+    ensure_package_shipped(segs.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                d = mm.decode_wav(bytes(r["payload"]))
+                rows.append(
+                    {
+                        "media_id": int(r["media_id"]),
+                        "seg_idx": int(r["seg_idx"]),
+                        "n_samples": d["n_samples"],
+                        "sum_abs": d["sum_abs"],
+                        "n_nonneg": d["n_nonneg"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "seg_idx", "n_samples", "sum_abs", "n_nonneg"],
+            )
+
+    return segs.mapInPandas(
+        run,
+        schema="media_id long, seg_idx int, n_samples long, sum_abs long, n_nonneg long",
+    )

@@ -180,6 +180,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "multimodal_real_roundtrip",
     "multimodal_real_resize",
     "dedup_cluster_pick_best",
+    "multimodal_real_segments",
 ]
 
 

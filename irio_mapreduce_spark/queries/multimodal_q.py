@@ -196,3 +196,51 @@ def multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_real_media_features(resized).select(
         "media_id", "width", "height", "sum_b", "sum_g", "sum_r"
     )
+
+
+@register(
+    "multimodal_real_segments",
+    oracle="""
+    WITH aud AS (SELECT doc_id AS media_id,
+                        4000 + (doc_id % 5) * 1000 AS sr, 64 + doc_id % 129 AS n
+                 FROM documents WHERE doc_id % 2 = 1),
+    segp AS (SELECT media_id, sr, n, sr * 20 // 1000 AS seg_len FROM aud),
+    segs AS (SELECT media_id, sr, n, seg_len,
+                    unnest(generate_series(0,
+                      least(4, (n + seg_len - 1) // seg_len) - 1)) AS seg_idx
+             FROM segp),
+    si AS (SELECT media_id, seg_idx,
+                  unnest(generate_series(seg_idx * seg_len,
+                    least((seg_idx + 1) * seg_len, n) - 1)) AS i
+           FROM segs),
+    sv AS (SELECT media_id, seg_idx,
+                  ((media_id*7919 + i*104729) % 65536) - 32768 AS v
+           FROM si)
+    SELECT media_id, seg_idx,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(sum(CASE WHEN v >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonneg
+    FROM sv GROUP BY media_id, seg_idx
+    """,
+)
+def multimodal_real_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 1→N audio segmentation chain: genuine PCM16 WAV payloads are
+    parsed, sliced into 20 ms sample windows (max 4), each window
+    RE-ENCODED as a complete to-spec WAV, then each segment genuinely
+    decoded back to exact integer amplitude statistics. The oracle
+    reproduces per-segment sums in closed form from the sample generator
+    — the flatMap analog of video frame sampling with real bytes end to
+    end (codec-library formats stay on the stubbed ``sample_frames``
+    path)."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_wav_segments,
+        segment_real_audio,
+        synthesize_real_media,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_real_media(docs).filter(F.col("meta.kind") == "audio")
+    segs = segment_real_audio(media, segment_ms=20, max_segments=4)
+    return decode_wav_segments(segs)
