@@ -992,3 +992,24 @@ def test_real_bmp_wav_codecs_roundtrip_and_reject_garbage():
         mm.decode_bmp(b"JUNKJUNKJUNKJUNKJUNK")
     with pytest.raises(ValueError):
         mm.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_segment_wav_tail_and_short_inputs():
+    """Segment slicing: the final segment carries the short tail exactly;
+    an input shorter than one segment yields a single segment; re-encoded
+    segments decode to the original sample slices."""
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    wav = mm.synth_wav(5, 5000, 250)  # seg_len at 20ms/5kHz = 100
+    segs = mm.segment_wav(wav, 20, 4)
+    assert [i for i, _ in segs] == [0, 1, 2]
+    sizes = [mm.decode_wav(b)["n_samples"] for _, b in segs]
+    assert sizes == [100, 100, 50]
+    all_samples = [mm._wav_sample(5, i) for i in range(250)]
+    got_sum = sum(mm.decode_wav(b)["sum_abs"] for _, b in segs)
+    assert got_sum == sum(abs(s) for s in all_samples)
+
+    tiny = mm.synth_wav(6, 5000, 7)
+    segs2 = mm.segment_wav(tiny, 20, 4)
+    assert len(segs2) == 1
+    assert mm.decode_wav(segs2[0][1])["n_samples"] == 7
