@@ -181,6 +181,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "multimodal_real_resize",
     "dedup_cluster_pick_best",
     "multimodal_real_segments",
+    "source_malformed_csv",
+    "source_schema_evolution",
 ]
 
 

@@ -218,3 +218,94 @@ def source_hive_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "source_malformed_csv",
+    oracle="""
+    WITH base AS (SELECT s_suppkey, s_nationkey FROM supplier)
+    SELECT CAST((SELECT count(*) FROM base WHERE s_suppkey % 7 <> 0) AS BIGINT)
+             AS n_good,
+           CAST((SELECT count(*) FROM base WHERE s_suppkey % 7 = 0) AS BIGINT)
+             AS n_bad,
+           CAST((SELECT sum(s_suppkey) FROM base WHERE s_suppkey % 7 <> 0)
+                AS BIGINT) AS good_key_sum
+    """,
+)
+def source_malformed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust ingest: a CSV with PLANTED corrupt rows (every suppkey % 7
+    row becomes non-numeric garbage with the wrong arity) read in
+    PERMISSIVE mode with a ``_corrupt_record`` column — the 100 TB ingest
+    reality where a fraction of upstream records is broken and the job
+    must quarantine, not crash. Output: good/bad row counts and the key
+    sum over clean rows; the oracle derives all three from the plant
+    recipe. DROPMALFORMED/FAILFAST are the documented alternatives; the
+    corrupt-record column is the quarantine-and-audit mode."""
+    path = _scratch(sf_dir, "supplier_malformed_csv")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    lines = s.select(
+        F.when(
+            F.col("s_suppkey") % 7 == 0,
+            F.concat(F.lit("garbage|not,a,number,"), F.col("s_suppkey").cast("string")),
+        )
+        .otherwise(
+            F.concat_ws(",", F.col("s_suppkey").cast("string"),
+                        F.col("s_nationkey").cast("string"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "s_suppkey BIGINT, s_nationkey BIGINT, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    back = back.cache()  # corrupt-record column requires a materialized frame
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).cast("long").alias(
+            "n_good"
+        ),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).cast("long").alias(
+            "n_bad"
+        ),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("s_suppkey")))
+        .cast("long")
+        .alias("good_key_sum"),
+    )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT n_nationkey AS key_col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN batch = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_region
+    FROM (
+      SELECT n_nationkey, 0 AS batch FROM nation
+      UNION ALL
+      SELECT n_nationkey, 1 FROM nation
+    ) GROUP BY n_nationkey
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake: batch v1 writes (key, name), batch v2
+    adds a region column; ``mergeSchema`` reads both under the unified
+    schema with NULLs for the missing column — the append-only evolution
+    path a long-lived 100 TB table actually takes (schema-on-read; no
+    rewrite of historical partitions). Counts per key prove both batches
+    surfaced and exactly the v2 rows carry the new column."""
+    path = _scratch(sf_dir, "nation_evolving")
+    n = read_table(spark, sf_dir, "nation")
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(path + "/b0")
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode("overwrite").parquet(
+        path + "/b1"
+    )
+    back = spark.read.option("mergeSchema", True).parquet(path + "/b0", path + "/b1")
+    return back.groupBy(F.col("n_nationkey").alias("key_col")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("n_regionkey").cast("long").alias("n_with_region"),
+    )
