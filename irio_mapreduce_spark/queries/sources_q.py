@@ -263,7 +263,14 @@ def source_malformed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
     )
-    back = back.cache()  # corrupt-record column requires a materialized frame
+    # Spark disallows queries over raw CSV that touch the corrupt-record
+    # column without a materialization barrier (UNSUPPORTED_FEATURE.
+    # QUERY_ONLY_CORRUPT_RECORD_COLUMN — verified: the aggregate below
+    # trips it even though it also references s_suppkey). cache() is the
+    # documented unblock; at 100 TB the equivalent one-pass shape is to
+    # SPLIT-WRITE immediately (good rows -> table, bad rows ->
+    # badRecordsPath-style quarantine dir) instead of caching the input.
+    back = back.cache()
     return back.agg(
         F.count(F.when(F.col("_corrupt_record").isNull(), 1)).cast("long").alias(
             "n_good"
