@@ -183,6 +183,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "multimodal_real_segments",
     "source_malformed_csv",
     "source_schema_evolution",
+    "fn_bitwise_family",
 ]
 
 

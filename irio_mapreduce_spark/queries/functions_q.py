@@ -383,3 +383,34 @@ def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col, n_nulls, n_distinct, min_str, max_str)"
         )
     )
+
+
+@register(
+    "fn_bitwise_family",
+    oracle="""
+    SELECT l_linenumber,
+           CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_and,
+           CAST(bit_or(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_or,
+           CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_xor,
+           CAST(sum(CAST(l_quantity AS BIGINT) & 7) AS BIGINT) AS low3_sum,
+           CAST(sum(CAST(l_quantity AS BIGINT) >> 2) AS BIGINT) AS hi_sum,
+           CAST(sum(xor(CAST(l_quantity AS BIGINT), 21)) AS BIGINT) AS xor21_sum
+    FROM lineitem GROUP BY l_linenumber
+    """,
+)
+def fn_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family — scalar ops (&, >>, xor) and the bit_and / bit_or /
+    bit_xor aggregates (the machinery behind the Bloom word table and flag
+    packing generally). Integer-exact everywhere; grouped by line number
+    so the aggregates fold across a real distribution of values."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_linenumber", F.col("l_quantity").cast("long").alias("q")
+    )
+    return li.groupBy("l_linenumber").agg(
+        F.bit_and("q").cast("long").alias("q_and"),
+        F.bit_or("q").cast("long").alias("q_or"),
+        F.bit_xor("q").cast("long").alias("q_xor"),
+        F.sum(F.col("q").bitwiseAND(F.lit(7))).cast("long").alias("low3_sum"),
+        F.sum(F.shiftright("q", 2)).cast("long").alias("hi_sum"),
+        F.sum(F.col("q").bitwiseXOR(F.lit(21))).cast("long").alias("xor21_sum"),
+    )
