@@ -248,37 +248,40 @@ def _bmp_pixel(seed: int, x: int, y: int, c: int) -> int:
 def synth_bmp(seed: int, width: int, height: int) -> bytes:
     """A real, to-spec 24-bit uncompressed BMP: BITMAPFILEHEADER +
     BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes."""
-    row_size = (3 * width + 3) & ~3
-    data_size = row_size * height
-    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40)
-    info = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    return encode_bmp(width, height, lambda x, y, c: _bmp_pixel(seed, x, y, c))
+
+
+def _bmp_header(payload: bytes):
+    """Validate + parse the BMP headers shared by every decoder here.
+    Rejects (ValueError) anything outside the supported profile —
+    bottom-up, uncompressed, 24-bit — rather than fabricating features:
+    top-down files (negative biHeight), RLE compression, other depths,
+    and payloads shorter than their declared pixel array."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    magic, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
     )
-    rows = bytearray()
-    for stored_row in range(height):  # bottom-up storage
-        y = height - 1 - stored_row
-        for x in range(width):
-            rows += bytes(
-                (_bmp_pixel(seed, x, y, 0), _bmp_pixel(seed, x, y, 1),
-                 _bmp_pixel(seed, x, y, 2))
-            )
-        rows += b"\x00" * (row_size - 3 * width)
-    return bytes(header + info + rows)
+    if bpp != 24 or hdr_size < 40:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp}")
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression: {compression}")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"unsupported BMP orientation/dims: {width}x{height}")
+    row_size = (3 * width + 3) & ~3
+    if offset + row_size * height > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    return offset, width, height, row_size
 
 
 def decode_bmp(payload: bytes) -> dict:
     """Parse a 24-bit BMP from its actual bytes: header fields, row
     padding, bottom-up order. Returns dims + exact per-channel integer
     sums."""
-    magic, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
-    if magic != b"BM":
-        raise ValueError("not a BMP payload")
-    hdr_size, width, height, _planes, bpp = struct.unpack_from(
-        "<IiiHH", payload, 14
-    )
-    if bpp != 24 or hdr_size < 40:
-        raise ValueError(f"unsupported BMP variant: bpp={bpp}")
-    row_size = (3 * width + 3) & ~3
+    offset, width, height, row_size = _bmp_header(payload)
     sums = [0, 0, 0]  # B, G, R
     for stored_row in range(height):
         base = offset + stored_row * row_size
@@ -301,10 +304,9 @@ def _wav_sample(seed: int, i: int) -> int:
     return ((seed * 7919 + i * 104729) % 65536) - 32768
 
 
-def synth_wav(seed: int, sample_rate: int, n_samples: int) -> bytes:
-    """A real, to-spec PCM16 mono WAV (RIFF/fmt /data)."""
-    samples = [_wav_sample(seed, i) for i in range(n_samples)]
-    data = struct.pack(f"<{n_samples}h", *samples)
+def _wav_bytes(sample_rate: int, samples) -> bytes:
+    """Encode PCM16 mono samples as a complete, to-spec WAV."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
@@ -313,24 +315,43 @@ def synth_wav(seed: int, sample_rate: int, n_samples: int) -> bytes:
     return hdr + data
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Walk the RIFF chunks, parse fmt, unpack the PCM16 data chunk.
-    Returns rate + exact integer amplitude statistics."""
+def _wav_parse(payload: bytes):
+    """Walk the RIFF chunks shared by every WAV consumer here; validate
+    the profile (PCM, mono, 16-bit) and chunk sizes against the actual
+    payload length so truncated files reject with ValueError instead of
+    leaking struct.error. Returns (sample_rate, samples tuple)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, sample_rate, samples = 12, None, None
     while pos + 8 <= len(payload):
         cid, csize = struct.unpack_from("<4sI", payload, pos)
+        if pos + 8 + csize > len(payload):
+            raise ValueError("truncated WAV chunk")
         body = payload[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
-            fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
-            if fmt != 1 or channels != 1:
+            if csize < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt != 1 or channels != 1 or bits != 16:
                 raise ValueError("unsupported WAV variant")
         elif cid == b"data":
             samples = struct.unpack(f"<{csize // 2}h", body[: csize // 2 * 2])
         pos += 8 + csize + (csize & 1)
     if sample_rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")
+    return sample_rate, samples
+
+
+def synth_wav(seed: int, sample_rate: int, n_samples: int) -> bytes:
+    """A real, to-spec PCM16 mono WAV (RIFF/fmt /data)."""
+    return _wav_bytes(sample_rate, [_wav_sample(seed, i) for i in range(n_samples)])
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a PCM16 mono WAV; exact integer amplitude statistics."""
+    sample_rate, samples = _wav_parse(payload)
     return {
         "sample_rate": sample_rate,
         "n_samples": len(samples),
@@ -460,14 +481,9 @@ def encode_bmp(width: int, height: int, pixel) -> bytes:
 
 def decode_bmp_pixels(payload: bytes):
     """Parse a 24-bit BMP into (width, height, pixel-accessor) — the
-    random-access counterpart of :func:`decode_bmp`."""
-    magic, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
-    if magic != b"BM":
-        raise ValueError("not a BMP payload")
-    hdr_size, width, height, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
-    if bpp != 24 or hdr_size < 40:
-        raise ValueError(f"unsupported BMP variant: bpp={bpp}")
-    row_size = (3 * width + 3) & ~3
+    random-access counterpart of :func:`decode_bmp` (same validated
+    profile via :func:`_bmp_header`)."""
+    offset, width, height, row_size = _bmp_header(payload)
 
     def pixel(x: int, y: int, c: int) -> int:
         stored_row = height - 1 - y
@@ -520,35 +536,17 @@ def resize_real_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def segment_wav(payload: bytes, segment_ms: int, max_segments: int) -> list:
-    """REAL audio segmentation: parse the WAV, slice the PCM16 sample
-    array into ``segment_ms`` chunks (at most ``max_segments``), and
-    re-encode EVERY chunk as a complete, to-spec WAV. Returns
-    ``[(seg_idx, wav_bytes)]`` — the audio analog of video frame
-    sampling, with genuine bytes at every step."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a WAV payload")
-    pos, sample_rate, samples = 12, None, None
-    while pos + 8 <= len(payload):
-        cid, csize = struct.unpack_from("<4sI", payload, pos)
-        body = payload[pos + 8 : pos + 8 + csize]
-        if cid == b"fmt ":
-            _fmt, _ch, sample_rate = struct.unpack_from("<HHI", body, 0)
-        elif cid == b"data":
-            samples = list(struct.unpack(f"<{csize // 2}h", body[: csize // 2 * 2]))
-        pos += 8 + csize + (csize & 1)
-    if sample_rate is None or samples is None:
-        raise ValueError("missing fmt/data chunk")
+    """REAL audio segmentation: parse the WAV (validated PCM16 mono via
+    :func:`_wav_parse`), slice the sample array into ``segment_ms`` chunks
+    (at most ``max_segments``), and re-encode EVERY chunk as a complete,
+    to-spec WAV. Returns ``[(seg_idx, wav_bytes)]`` — the audio analog of
+    video frame sampling, with genuine bytes at every step."""
+    sample_rate, samples = _wav_parse(payload)
     seg_len = max(1, sample_rate * segment_ms // 1000)
     out = []
     for i in range(min(max_segments, (len(samples) + seg_len - 1) // seg_len)):
         chunk = samples[i * seg_len : (i + 1) * seg_len]
-        data = struct.pack(f"<{len(chunk)}h", *chunk)
-        hdr = struct.pack(
-            "<4sI4s4sIHHIIHH4sI",
-            b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
-            sample_rate, sample_rate * 2, 2, 16, b"data", len(data),
-        )
-        out.append((i, hdr + data))
+        out.append((i, _wav_bytes(sample_rate, chunk)))
     return out
 
 

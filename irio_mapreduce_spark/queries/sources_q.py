@@ -271,7 +271,7 @@ def source_malformed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SPLIT-WRITE immediately (good rows -> table, bad rows ->
     # badRecordsPath-style quarantine dir) instead of caching the input.
     back = back.cache()
-    return back.agg(
+    result = back.agg(
         F.count(F.when(F.col("_corrupt_record").isNull(), 1)).cast("long").alias(
             "n_good"
         ),
@@ -281,7 +281,11 @@ def source_malformed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("s_suppkey")))
         .cast("long")
         .alias("good_key_sum"),
-    )
+    ).localCheckpoint(eager=True)
+    # the aggregate is materialized above, so the cached CSV can be
+    # released immediately instead of pinning executor storage until GC
+    back.unpersist()
+    return result
 
 
 @register(

@@ -410,7 +410,6 @@ def cdc_upsert_drain(
     events: DataFrame,
     target_dir: str,
     checkpoint_dir: str,
-    spark=None,
 ) -> None:
     """Streaming CDC UPSERT via ``foreachBatch`` + merge — the Delta-style
     "streaming merge into a table" pattern over plain parquet: each
@@ -436,18 +435,6 @@ def cdc_upsert_drain(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        latest = (
-            batch_df.withColumn(
-                "_rn",
-                F.row_number().over(
-                    _W.partitionBy("user_id").orderBy(
-                        F.desc("ts"), F.desc("event_id")
-                    )
-                ),
-            )
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
         versions = sorted(
             int(d.split("=")[1])
             for d in _os.listdir(target_dir)
@@ -456,9 +443,14 @@ def cdc_upsert_drain(
         prior = [v for v in versions if v < batch_id]
         if prior:
             tgt = s.read.parquet(_os.path.join(target_dir, f"v={prior[-1]}"))
-            both = tgt.unionByName(latest)
+            both = tgt.unionByName(batch_df)
         else:
-            both = latest
+            both = batch_df
+        # ONE global argmax window over (prior target ∪ raw batch): a
+        # separate pre-compaction of the batch ranks by the identical
+        # window and is therefore pure redundant work — the single
+        # ranking is the same result with one shuffle/sort fewer per
+        # micro-batch.
         merged = (
             both.withColumn(
                 "_rn",
@@ -486,12 +478,18 @@ def cdc_upsert_drain(
 
 def read_cdc_target(spark, target_dir: str) -> DataFrame:
     """Read the highest committed version of a :func:`cdc_upsert_drain`
-    target."""
+    target. Raises a descriptive error when the drain produced no
+    micro-batches (empty stream) instead of a bare IndexError."""
     import os as _os
 
     versions = sorted(
         int(d.split("=")[1])
         for d in _os.listdir(target_dir)
         if d.startswith("v=")
-    )
+    ) if _os.path.isdir(target_dir) else []
+    if not versions:
+        raise ValueError(
+            f"no committed CDC versions under {target_dir} — the stream "
+            "produced zero micro-batches (empty source?)"
+        )
     return spark.read.parquet(_os.path.join(target_dir, f"v={versions[-1]}"))
