@@ -184,6 +184,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "source_malformed_csv",
     "source_schema_evolution",
     "fn_bitwise_family",
+    "window_distribution_ranks",
+    "quality_fk_conformance",
 ]
 
 

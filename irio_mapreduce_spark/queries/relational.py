@@ -1289,3 +1289,101 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@register(
+    "window_distribution_ranks",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+               FROM orders WHERE o_orderkey % 101 = 0)
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM o
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile / percent_rank / cume_dist
+    (the quantile-bucketing and empirical-CDF surface, completing the
+    ranking family next to rank/dense_rank/row_number). percent_rank =
+    (rank-1)/(n-1) and cume_dist = peers≤current/n are single integer
+    divisions, so the doubles hash-match unrounded; the (value, key)
+    ordering makes every rank unique and deterministic."""
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "quality_fk_conformance",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    """,
+)
+def quality_fk_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the data-quality sweep a lake
+    without enforced constraints runs after every ingest: orphan counts
+    per declared FK edge via left-anti joins (child side streams, parent
+    key sets broadcast when small). All-integer output; zero orphans on
+    this corpus is itself the assertion (a planted-violation harness
+    isn't needed — the oracle recomputes the same anti-join counts, so a
+    conformance regression in either engine's join surfaces as a
+    mismatch)."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    rows = []
+    for name, child, key, parent, pkey in [
+        ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("orders->customer", o, "o_custkey", c, "c_custkey"),
+        ("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+    ]:
+        total = child.select(F.count("*").cast("long").alias("n_child"))
+        orphans = (
+            child.select(F.col(key).alias("_k"))
+            .join(parent.select(F.col(pkey).alias("_k")).distinct(), "_k", "left_anti")
+            .select(F.count("*").cast("long").alias("n_orphans"))
+        )
+        rows.append(
+            total.join(orphans).select(
+                F.lit(name).alias("fk"), "n_child", "n_orphans"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
