@@ -186,6 +186,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "fn_bitwise_family",
     "window_distribution_ranks",
     "quality_fk_conformance",
+    "pipeline_ingest_end_to_end",
 ]
 
 

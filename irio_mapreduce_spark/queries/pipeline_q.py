@@ -202,3 +202,94 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_out="n_tokens",
     )
     return d5.select("doc_id", "lang", "source", "split", "n_tokens", "batch_id")
+
+
+@register(
+    "pipeline_ingest_end_to_end",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(text,
+               'https?://[^ \\t\\n\\r\\f]+', '', 'g'),
+               '\\[\\d+\\]', '', 'g'),
+               '[ \\t\\n\\r\\f]+', ' ', 'g')) AS text
+      FROM documents),
+    corpus AS (SELECT * FROM norm WHERE doc_id % 10 <> 0),
+    batch AS (SELECT * FROM norm WHERE doc_id % 10 = 0),
+    b1 AS (SELECT * FROM batch
+           WHERE sha256(text) NOT IN (SELECT sha256(text) FROM corpus)),
+    bt AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(1, len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) - 2),
+                    i -> array_to_string(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')[i:i+2], ' '))) AS s
+           FROM b1),
+    ct AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(1, len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) - 2),
+                    i -> array_to_string(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')[i:i+2], ' '))) AS s
+           FROM corpus),
+    near AS (SELECT DISTINCT b.doc_id
+             FROM bt b, ct c
+             WHERE len(list_intersect(c.s, b.s)) * 1.0
+                   / (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))) >= 0.8),
+    b2 AS (SELECT * FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM near)),
+    b3 AS (SELECT * FROM b2
+           WHERE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '')) >= 10)
+    SELECT 'batch' AS stage, CAST((SELECT count(*) FROM batch) AS BIGINT) AS n
+    UNION ALL SELECT 'after_exact', CAST((SELECT count(*) FROM b1) AS BIGINT)
+    UNION ALL SELECT 'after_near', CAST((SELECT count(*) FROM b2) AS BIGINT)
+    UNION ALL SELECT 'after_quality', CAST((SELECT count(*) FROM b3) AS BIGINT)
+    UNION ALL SELECT 'corpus_before', CAST((SELECT count(*) FROM corpus) AS BIGINT)
+    UNION ALL SELECT 'corpus_after',
+      CAST((SELECT count(*) FROM corpus) + (SELECT count(*) FROM b3) AS BIGINT)
+    """,
+)
+def pipeline_ingest_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INGEST pipeline composed end-to-end from this repo's operators —
+    the daily-batch production story, as one chained plan whose stage
+    counts the oracle replays:
+
+    normalize (C4 cleanup) → Bloom-prefiltered EXACT dedup vs the standing
+    corpus (`bloom_prefiltered_new`) → LSH NEAR-dedup vs the corpus index
+    (`incremental_dedup`) → quality gate (≥10 tokens) → SCD1 merge of the
+    survivors into the corpus (`merge_upsert`; disjoint ids ⇒ all inserts,
+    asserted via the stage arithmetic). Complements
+    `pipeline_curation_end_to_end` (the corpus-wide curation story) with
+    the incremental-ingest topology: corpus is indexed and probed, never
+    self-joined; batch payloads never shuffle in the exact pass."""
+    from irio_mapreduce_spark.llm.dedup import (
+        bloom_prefiltered_new,
+        incremental_dedup,
+        tokens,
+    )
+    from irio_mapreduce_spark.llm.text import normalize_text
+    from irio_mapreduce_spark.operators.merge import merge_upsert
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    b1 = bloom_prefiltered_new(
+        corpus, batch, F.sha2(F.col("text"), 256), expected_items=100_000
+    )
+    b2 = incremental_dedup(corpus, b1, "doc_id", "text")
+    b3 = b2.filter(F.size(tokens(F.col("text"))) >= 10)
+    merged = merge_upsert(corpus, b3, ["doc_id"])
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+
+    out = stage("batch", batch)
+    for name, df in [
+        ("after_exact", b1),
+        ("after_near", b2),
+        ("after_quality", b3),
+        ("corpus_before", corpus),
+        ("corpus_after", merged),
+    ]:
+        out = out.unionByName(stage(name, df))
+    return out
