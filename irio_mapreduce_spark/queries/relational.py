@@ -1379,7 +1379,7 @@ def quality_fk_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.count("*").cast("long").alias("n_orphans"))
         )
         rows.append(
-            total.join(orphans).select(
+            total.join(F.broadcast(orphans)).select(
                 F.lit(name).alias("fk"), "n_child", "n_orphans"
             )
         )
