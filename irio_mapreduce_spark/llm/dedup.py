@@ -956,8 +956,12 @@ def bloom_probe(
     )
 
     def _word_mask(bit_col: Column) -> list[Column]:
+        # shiftright(b, 6) == b div 64 for the non-negative bit positions
+        # here — all-integer, where the previous (b / 64).cast("long")
+        # round-tripped through a double and would lose exactness past
+        # 2^53 bits.
         return [
-            (bit_col / 64).cast("long").alias("_w"),
+            F.shiftright(bit_col.cast("long"), 6).alias("_w"),
             F.element_at(masks_lit, ((bit_col % 64) + 1).cast("int")).alias("_m"),
         ]
 

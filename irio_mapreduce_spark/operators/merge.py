@@ -13,16 +13,63 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _assert_unique_keys(df: DataFrame, key_cols: list[str], side: str) -> DataFrame:
+    """In-plan uniqueness guard: raise on the first duplicated key tuple.
+
+    ``count(*) over (partition by key)`` + ``assert_true`` keeps the check
+    fully distributed (no driver collect, no separate count job) and
+    short-circuits the job at the first offending partition. NULL keys are
+    exempt: NULL never join-matches, so duplicate NULL-keyed rows cannot
+    fan out (each becomes its own insert/keep row, same as SQL MERGE).
+    """
+    from pyspark.sql import Window
+
+    key_null = F.lit(False)
+    for k in key_cols:
+        key_null = key_null | F.col(k).isNull()
+    n_over_key = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+    guard = F.assert_true(
+        key_null | (F.col("_key_n") == 1),
+        F.concat(
+            F.lit(f"merge_upsert: duplicate key in {side} for ("),
+            F.concat_ws(", ", *[F.col(k).cast("string") for k in key_cols]),
+            F.lit(")"),
+        ),
+    )
+    # The guard lives in a FILTER (assert_true yields NULL on success, so
+    # isNull() keeps every row) — a merely-projected-then-dropped column
+    # would be pruned by Catalyst and never evaluate.
+    return (
+        df.withColumn("_key_n", n_over_key)
+        .filter(guard.isNull())
+        .drop("_key_n")
+    )
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
     key_cols: list[str],
     action_col: str = "action",
+    check_duplicate_keys: bool = False,
 ) -> DataFrame:
     """SCD1 source-wins merge: every key in ``source`` inserts or
     overwrites its ``target`` row; unmatched target rows pass through.
-    Both inputs must share the same schema. Returns the merged table plus
-    an ``action`` column labeling each output row:
+    Both inputs must share the same schema.
+
+    PRECONDITION: ``key_cols`` uniquely identify rows on BOTH sides.
+    Duplicate keys on either side fan out through the full-outer join and
+    produce a multi-row "merge" where SQL ``MERGE`` would raise
+    ``Multiple source rows matched``. With ``check_duplicate_keys=True``
+    the plan itself enforces this: a per-key ``count(*) over (partition
+    by key)`` guard on each side raises mid-job on the first duplicate.
+    The guard's window hash-partitions by the same key the join shuffles
+    on, so it adds no NEW exchange under AQE-reused partitioning, but it
+    does add a per-side sort — off by default for trusted inputs (e.g.
+    the catalog entry, whose inputs are keyed tables).
+
+    Returns the merged table plus an ``action`` column labeling each
+    output row:
 
     * ``insert`` — key only in source;
     * ``update`` — key in both, at least one non-key column differs
@@ -49,6 +96,9 @@ def merge_upsert(
             f"merge_upsert requires identical schemas; "
             f"target={target.columns} source={source.columns}"
         )
+    if check_duplicate_keys:
+        target = _assert_unique_keys(target, key_cols, "target")
+        source = _assert_unique_keys(source, key_cols, "source")
     value_cols = [c for c in target.columns if c not in key_cols]
     # Presence markers, not key-null checks: a NULL-keyed row must still
     # be detected as present on its own side (NULL keys never join-match,

@@ -58,77 +58,16 @@ _ORACLES: dict[str, str] = {}
 # The external correctness driver checks the FIRST 50 entries of
 # ``all_queries()`` per round, so listing order is the scoreboard rotation
 # dial. This list pins the front of the window explicitly; everything else
-# follows in module-registration order. Round-4 rotation (VERDICT.md item
-# 1): every entry WITHOUT a green CORRECTNESS row from round 3 — the 13
-# never-driver-checked entries, the 28 last green in r1/r2, and the 7
-# reshaped approximate entries (now oracle-checkable) — fills the window;
-# r3-green entries rotate out on their standing rows, staying fully
+# follows in module-registration order. Round-5 rotation (r4 VERDICT.md
+# item 1): the 58 entries that had never received a driver CORRECTNESS row
+# through round 4 (the round-4 DEFERRED_TO_NEXT_WINDOW queue, all
+# judge-verified exact in r4) fill the window in their queued order; the 8
+# that do not fit the 50-slot budget are pinned at the head of the round-6
+# window below so the driver-green union reaches 153/153 mechanically.
+# r1-r4-green entries rotate out on their standing rows, staying fully
 # oracle-tested in tests/test_oracle.py. tests/test_conventions.py asserts
 # this list stays consistent with the registry.
 FRONT_WINDOW: list[str] = [
-    # never driver-checked before round 4
-    "udf_row_at_a_time",
-    "events_multires_rollup",
-    "text_langid_stopwords",
-    "text_fingerprint",
-    "text_bpe_ish_tokens",
-    "dedup_exact_prefix",
-    "dedup_incremental_batch",
-    "sim_pairs_bruteforce",
-    "source_dirtext_wordcount",
-    "sample_train_val_split",
-    "sample_token_budget_batches",
-    "agg_unpivot_part_metrics",
-    "fn_generator_family",
-    # reshaped approximate entries: first possible hash-green rows
-    "dedup_simhash",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "agg_sketch_suite",
-    "agg_approx_distinct",
-    "agg_percentiles_approx",
-    "multimodal_decode_features",
-    # new this round: the reference's JSON batch-file client surface
-    "mr_batch_json_wordcount",
-    # last green in r1/r2, outside r3's window
-    "mr_wordcount_top20",
-    "join_left_outer_nation_customers",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_right_outer_orders_customers",
-    "join_full_outer_nation_activity",
-    "join_cross_theta_acctbal",
-    "join_range_price_bands",
-    "join_asof_order_events",
-    "join_asof_bucketed",
-    "setops_customer_keys",
-    "setops_multiset_priorities",
-    "window_topk_orders_per_customer",
-    "window_rank_functions",
-    "window_running_and_moving",
-    "window_lag_lead_gaps",
-    "window_lead_next_order",
-    "agg_collect_list_orders",
-    "agg_rollup_flag_status",
-    "agg_cube_flag_status",
-    "agg_pivot_status_by_flag",
-    "agg_percentiles_collect",
-    "agg_salted_skew_sum",
-    "subq_above_average_spenders",
-    "subq_orders_vs_customer_avg",
-    "distinct_part_brand_type",
-    # round-4 additions: three shape-diverse representatives of the new
-    # adapted-TPC-H module take the window's remaining slots
-    "q4_priority_exists",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-]
-
-# Round-4 additions that do NOT fit the 50-slot window (47 slots carry the
-# rotation debt from rounds 1-3, 3 carry the new module's representatives).
-# These are fully oracle-tested per-entry in tests/test_oracle.py and are
-# first in line for the round-5 window rotation.
-DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",
@@ -179,6 +118,14 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stream_cdc_upsert",
     "multimodal_real_roundtrip",
     "multimodal_real_resize",
+]
+
+# The 8 entries left over from the round-5 rotation (58 deferred, 50
+# slots), followed by any round-5 additions. These are fully oracle-tested
+# per-entry in tests/test_oracle.py and form the MANDATORY head of the
+# round-6 window (tests/test_conventions.py asserts the plan): with them
+# driver-green union reaches 153/153 of the round-4 catalog.
+DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_cluster_pick_best",
     "multimodal_real_segments",
     "source_malformed_csv",

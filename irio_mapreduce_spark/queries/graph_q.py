@@ -21,16 +21,24 @@ from irio_mapreduce_spark.queries.catalog import register
 # One PageRank round in DuckDB, matching operators.graph.pagerank exactly:
 # contribution = ri // outdeg (BIGINT floor division), exact BIGINT sum,
 # update = (15*SCALE) // (100*N) + (85*sum) // 100 — all integer ops.
+# Like the operator, ranks are rebuilt over the FULL node universe (deg)
+# with a LEFT JOIN onto the contribution sums, so a zero-in-degree node
+# keeps its teleport share — a GROUP BY e.dst alone would drop it (on the
+# mirrored purchase graph both forms agree; the left join keeps the
+# fragment faithful for any no-dangling-node graph).
 _PR_ROUND = f"""
     {{out}} AS (
-      SELECT e.dst AS node,
+      SELECT d0.src AS node,
              ({15 * PAGERANK_SCALE} // (100 * n.n))
-               + ((85 * CAST(sum(r.ri // d.outdeg) AS BIGINT)) // 100) AS ri
-      FROM edges e
-        JOIN {{prev}} r ON e.src = r.node
-        JOIN deg d ON e.src = d.src
+               + ((85 * COALESCE(c.s, CAST(0 AS BIGINT))) // 100) AS ri
+      FROM deg d0
         CROSS JOIN n
-      GROUP BY e.dst, n.n)
+        LEFT JOIN (
+          SELECT e.dst, CAST(sum(r.ri // d.outdeg) AS BIGINT) AS s
+          FROM edges e
+            JOIN {{prev}} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src
+          GROUP BY e.dst) c ON c.dst = d0.src)
 """
 
 

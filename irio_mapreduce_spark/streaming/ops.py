@@ -435,11 +435,7 @@ def cdc_upsert_drain(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        versions = sorted(
-            int(d.split("=")[1])
-            for d in _os.listdir(target_dir)
-            if d.startswith("v=")
-        ) if _os.path.isdir(target_dir) else []
+        versions = _committed_versions(target_dir)
         prior = [v for v in versions if v < batch_id]
         if prior:
             tgt = s.read.parquet(_os.path.join(target_dir, f"v={prior[-1]}"))
@@ -476,17 +472,34 @@ def cdc_upsert_drain(
     q.awaitTermination()
 
 
-def read_cdc_target(spark, target_dir: str) -> DataFrame:
-    """Read the highest committed version of a :func:`cdc_upsert_drain`
-    target. Raises a descriptive error when the drain produced no
-    micro-batches (empty stream) instead of a bare IndexError."""
+def _committed_versions(target_dir: str) -> list[int]:
+    """Sorted version numbers of COMMITTED ``v=<n>`` directories — only
+    those containing Spark's ``_SUCCESS`` job-commit marker. A hard crash
+    mid-overwrite leaves a torn directory with no marker; filtering here
+    keeps both the per-batch prior-version lookup and the final read from
+    ever treating a torn write as committed (the checkpoint replays that
+    batch and rewrites its version on restart)."""
     import os as _os
 
-    versions = sorted(
+    if not _os.path.isdir(target_dir):
+        return []
+    return sorted(
         int(d.split("=")[1])
         for d in _os.listdir(target_dir)
         if d.startswith("v=")
-    ) if _os.path.isdir(target_dir) else []
+        and _os.path.exists(_os.path.join(target_dir, d, "_SUCCESS"))
+    )
+
+
+def read_cdc_target(spark, target_dir: str) -> DataFrame:
+    """Read the highest committed version (``_SUCCESS``-marked — torn
+    directories from a crash mid-overwrite are never selected) of a
+    :func:`cdc_upsert_drain` target. Raises a descriptive error when the
+    drain produced no micro-batches (empty stream) instead of a bare
+    IndexError."""
+    import os as _os
+
+    versions = _committed_versions(target_dir)
     if not versions:
         raise ValueError(
             f"no committed CDC versions under {target_dir} — the stream "

@@ -336,3 +336,33 @@ def test_pagerank_keeps_zero_indegree_nodes(spark):
     teleport = (100 - 85) * PAGERANK_SCALE // (100 * 3)
     assert ranks["a"] == teleport  # nothing points at a
     assert ranks["b"] > ranks["a"] and ranks["c"] > ranks["a"]
+
+
+def test_merge_upsert_duplicate_key_guard(spark):
+    """check_duplicate_keys=True raises mid-job on a duplicated source (or
+    target) key — the fan-out SQL MERGE would reject; NULL keys are exempt
+    (they never join-match, so they cannot fan out)."""
+    import pytest
+
+    from irio_mapreduce_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    s_dup = spark.createDataFrame([(2, "B"), (2, "B2")], "k int, v string")
+    with pytest.raises(Exception, match="duplicate key in source"):
+        merge_upsert(t, s_dup, ["k"], check_duplicate_keys=True).collect()
+    t_dup = spark.createDataFrame([(1, "a"), (1, "a2")], "k int, v string")
+    s = spark.createDataFrame([(2, "B")], "k int, v string")
+    with pytest.raises(Exception, match="duplicate key in target"):
+        merge_upsert(t_dup, s, ["k"], check_duplicate_keys=True).collect()
+    # duplicate NULL keys are legal: each is its own insert row
+    s_null = spark.createDataFrame([(None, "x"), (None, "y")], "k int, v string")
+    out = merge_upsert(t, s_null, ["k"], check_duplicate_keys=True).collect()
+    assert sorted(r.action for r in out) == ["insert", "insert", "keep", "keep"]
+    # and the guarded clean path returns the same merge as the unguarded
+    s2 = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    base = {(r.k, r.v, r.action) for r in merge_upsert(t, s2, ["k"]).collect()}
+    guarded = {
+        (r.k, r.v, r.action)
+        for r in merge_upsert(t, s2, ["k"], check_duplicate_keys=True).collect()
+    }
+    assert guarded == base

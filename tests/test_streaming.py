@@ -526,3 +526,39 @@ def test_cdc_upsert_batch_retry_is_idempotent(spark, tmp_path):
         for r in read_cdc_target(spark, tdir).collect()
     }
     assert after == before
+
+
+def test_cdc_read_skips_torn_uncommitted_version(spark, tmp_path):
+    """A hard crash mid-overwrite of v=N leaves a directory WITHOUT the
+    _SUCCESS job-commit marker; neither read_cdc_target nor the next
+    batch's prior-version lookup may treat it as committed."""
+    import os
+    import shutil
+
+    from irio_mapreduce_spark.streaming.ops import (
+        _committed_versions,
+        cdc_upsert_drain,
+        read_cdc_target,
+    )
+    from irio_mapreduce_spark.streaming import read_events_stream, replay_chunks
+
+    from tests.conftest import SF_DIR
+
+    replay = replay_chunks(spark, SF_DIR, str(tmp_path / "replay"), n_chunks=2)
+    tdir = str(tmp_path / "target")
+    cdc_upsert_drain(read_events_stream(spark, replay), tdir, str(tmp_path / "cp"))
+    committed = _committed_versions(tdir)
+    assert committed
+    want = {
+        (r.user_id, r.event_id) for r in read_cdc_target(spark, tdir).collect()
+    }
+
+    # fabricate a torn overwrite of a HIGHER version: copy the newest
+    # committed directory, bump the version, delete its _SUCCESS marker
+    torn = os.path.join(tdir, f"v={committed[-1] + 7}")
+    shutil.copytree(os.path.join(tdir, f"v={committed[-1]}"), torn)
+    os.remove(os.path.join(torn, "_SUCCESS"))
+
+    assert _committed_versions(tdir) == committed  # torn version invisible
+    got = {(r.user_id, r.event_id) for r in read_cdc_target(spark, tdir).collect()}
+    assert got == want
