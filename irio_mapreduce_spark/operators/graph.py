@@ -27,6 +27,7 @@ def pagerank(
     iterations: int = 3,
     damping_num: int = 85,
     damping_den: int = 100,
+    dangling: str = "assume_none",
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, computed in
     **fixed-point integer arithmetic** (BIGINT micro-ranks at
@@ -45,10 +46,23 @@ def pagerank(
       Floor truncation loses <1 unit per edge (relative error ≤1e-6 at
       realistic degrees), a deterministic bias, not noise.
 
-    The caller must pass a graph with no dangling nodes (every node has at
-    least one out-edge — e.g. mirror the edges for an affinity rank);
-    dangling-mass redistribution would add a second global aggregate per
-    round. ``iterations`` is a small fixed constant by contract — each
+    ``dangling`` picks the node-universe contract:
+
+    * ``"assume_none"`` (default) — the caller passes a graph where every
+      node has at least one out-edge (e.g. mirror the edges for an
+      affinity rank); the node universe is the out-degree table and no
+      extra work is done. Silently wrong on graphs with sinks.
+    * ``"redistribute"`` — arbitrary edge lists: the node universe is
+      ``distinct(src) ∪ distinct(dst)``, and each round the rank mass
+      sitting on sink nodes (no out-edges) is summed (one extra global
+      aggregate, an O(sinks)→1-row broadcast) and every node receives
+      ``damping * (dangling_mass div N)`` on top of its in-edge
+      contributions — the standard dangling-mass correction, kept in
+      exact integer arithmetic. Total mass stays ``PAGERANK_SCALE`` up
+      to deterministic floor truncation (≤1 unit per integer division:
+      bounded by ``edges + 3·nodes`` units per round — property-tested).
+
+    ``iterations`` is a small fixed constant by contract — each
     round appends one join + one aggregation to the lineage (at this depth
     no checkpoint barrier is needed; the iterative-state discussion in
     ``llm.dedup.connected_components`` applies if it grows).
@@ -64,6 +78,10 @@ def pagerank(
     Returns (node, pr_fp, pr): the exact fixed-point rank and its
     ``pr_fp / SCALE`` double rendering (one IEEE division, deterministic).
     """
+    if dangling not in ("assume_none", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'assume_none' or 'redistribute', got {dangling!r}"
+        )
     src, dst = F.col(src_col), F.col(dst_col)
     # Materialize the loop-invariant inputs ONCE: every round's plan
     # references edges and degrees, and without a barrier Catalyst replays
@@ -78,10 +96,21 @@ def pagerank(
     deg = e.groupBy("_src").agg(F.count("*").alias("_outdeg")).localCheckpoint(
         eager=True
     )
-    n_df = deg.agg(F.count("*").alias("_n"))
+    if dangling == "redistribute":
+        # Arbitrary edge lists: the universe includes pure sinks (nodes
+        # that only ever appear as _dst), which hold rank but emit none.
+        nodes = (
+            e.select(F.col("_src").alias("_node"))
+            .union(e.select(F.col("_dst").alias("_node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    else:
+        nodes = deg.select(F.col("_src").alias("_node"))
+    n_df = nodes.agg(F.count("*").alias("_n"))
     base_num = (damping_den - damping_num) * PAGERANK_SCALE
-    ranks = deg.join(F.broadcast(n_df)).select(
-        F.col("_src").alias("_node"),
+    ranks = nodes.join(F.broadcast(n_df)).select(
+        "_node",
         F.expr(f"{PAGERANK_SCALE} div _n").alias("_ri"),
     )
     for _ in range(iterations):
@@ -90,26 +119,37 @@ def pagerank(
             .join(deg, "_src")
             .select("_dst", F.expr("_ri div _outdeg").alias("_ci"))
         )
-        # Rebuild ranks over the FULL node universe (deg), not just the
+        sums = contrib.groupBy("_dst").agg(F.sum("_ci").alias("_s"))
+        if dangling == "redistribute":
+            # Rank mass parked on sink nodes this round: one global
+            # aggregate (anti-join against the out-degree table, broadcast
+            # back as a single row). Every node then receives
+            # damping * (dangling_mass div N) alongside its in-edge sum —
+            # all-integer, so still cross-engine exact.
+            dm_df = ranks.join(
+                deg, ranks["_node"] == deg["_src"], "left_anti"
+            ).agg(F.coalesce(F.sum("_ri"), F.lit(0).cast("long")).alias("_dm"))
+            update = (
+                f"({base_num} div ({damping_den} * _n))"
+                f" + (({damping_num} * (coalesce(_s, 0L) + (_dm div _n)))"
+                f" div {damping_den})"
+            )
+        else:
+            update = (
+                f"({base_num} div ({damping_den} * _n))"
+                f" + (({damping_num} * coalesce(_s, 0L)) div {damping_den})"
+            )
+        # Rebuild ranks over the FULL node universe (nodes), not just the
         # aggregation's keys: a node with out-edges but zero in-edges
         # receives no contributions yet must keep its teleport share —
         # dropping it would delete its outgoing mass from every later
         # round.
-        ranks = (
-            deg.join(
-                contrib.groupBy("_dst").agg(F.sum("_ci").alias("_s")),
-                deg["_src"] == F.col("_dst"),
-                "left",
-            )
-            .join(F.broadcast(n_df))
-            .select(
-                F.col("_src").alias("_node"),
-                F.expr(
-                    f"({base_num} div ({damping_den} * _n))"
-                    f" + (({damping_num} * coalesce(_s, 0L)) div {damping_den})"
-                ).alias("_ri"),
-            )
-        )
+        ranks = nodes.join(
+            sums, nodes["_node"] == F.col("_dst"), "left"
+        ).join(F.broadcast(n_df))
+        if dangling == "redistribute":
+            ranks = ranks.join(F.broadcast(dm_df))
+        ranks = ranks.select("_node", F.expr(update).alias("_ri"))
     return ranks.select(
         F.col("_node").alias("node"),
         F.col("_ri").cast("long").alias("pr_fp"),

@@ -366,3 +366,52 @@ def test_merge_upsert_duplicate_key_guard(spark):
         for r in merge_upsert(t, s2, ["k"], check_duplicate_keys=True).collect()
     }
     assert guarded == base
+
+
+def test_pagerank_dangling_redistribute(spark):
+    """dangling='redistribute' handles arbitrary edge lists: sinks (nodes
+    with no out-edges) appear in the output, their parked mass is spread
+    to every node each round, total mass is conserved up to the
+    documented floor-truncation bound, and on a sink-free graph the mode
+    is byte-identical to assume_none."""
+    from irio_mapreduce_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+    # chain with a sink: a -> b -> c, c emits nothing
+    g = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    ranks = {
+        r.node: r.pr_fp
+        for r in pagerank(g, "src", "dst", dangling="redistribute").collect()
+    }
+    assert set(ranks) == {"a", "b", "c"}  # the sink is in the universe
+    # downstream accumulates: c > b > a, and everyone holds rank mass
+    assert ranks["c"] > ranks["b"] > ranks["a"] > 0
+    # mass conservation: loss per round <= edges + 3*nodes units of floor
+    # truncation, never a gain
+    total = sum(ranks.values())
+    n_edges, n_nodes, rounds = 2, 3, 3
+    assert 0 <= PAGERANK_SCALE - total <= rounds * (n_edges + 3 * n_nodes)
+
+    # partitioning invariance (exact integer arithmetic)
+    again = {
+        r.node: r.pr_fp
+        for r in pagerank(
+            g.repartition(5), "src", "dst", dangling="redistribute"
+        ).collect()
+    }
+    assert again == ranks
+
+    # sink-free graph: redistribute degenerates to assume_none exactly
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    base = {r.node: r.pr_fp for r in pagerank(cycle, "src", "dst").collect()}
+    redis = {
+        r.node: r.pr_fp
+        for r in pagerank(cycle, "src", "dst", dangling="redistribute").collect()
+    }
+    assert redis == base
+
+    import pytest
+
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(g, "src", "dst", dangling="bogus")

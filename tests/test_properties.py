@@ -324,3 +324,33 @@ def test_merge_upsert_matches_python_reference(spark):
         s = spark.createDataFrame(list(src.items()), "k long, v string")
         got = {r.k: (r.v, r.action) for r in merge_upsert(t, s, ["k"]).collect()}
         assert got == expect, f"seed={seed}"
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_pagerank_redistribute_conserves_mass(spark, edges):
+    """On ANY digraph (sinks, zero-in-degree nodes, disconnected bits),
+    dangling='redistribute' keeps every node in the universe and the total
+    fixed-point mass within the documented floor-truncation bound of
+    PAGERANK_SCALE — mass leaks only to integer floors, never appears."""
+    from irio_mapreduce_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+    df = spark.createDataFrame(
+        [(f"n{s}", f"n{d}") for s, d in edges], "src string, dst string"
+    )
+    rows = pagerank(df, "src", "dst", dangling="redistribute").collect()
+    universe = {f"n{s}" for s, _ in edges} | {f"n{d}" for _, d in edges}
+    assert {r.node for r in rows} == universe
+    assert all(r.pr_fp > 0 for r in rows)
+    total = sum(r.pr_fp for r in rows)
+    rounds, bound = 3, 3 * (len(edges) + 3 * len(universe))
+    assert 0 <= PAGERANK_SCALE - total <= rounds * bound
