@@ -134,6 +134,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "window_distribution_ranks",
     "quality_fk_conformance",
     "pipeline_ingest_end_to_end",
+    # round-5 additions
+    "dedup_incremental_persisted",
 ]
 
 

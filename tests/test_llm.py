@@ -1013,3 +1013,55 @@ def test_segment_wav_tail_and_short_inputs():
     segs2 = mm.segment_wav(tiny, 20, 4)
     assert len(segs2) == 1
     assert mm.decode_wav(segs2[0][1])["n_samples"] == 7
+
+
+def test_incremental_dedup_persisted_index(spark, tmp_path):
+    """The persisted-index path is byte-identical to the per-run-rebuild
+    path, the probe plan scans the pre-built index tables (corpus
+    tokenization AND band hashing ran at build time), and a torn build
+    (missing _SUCCESS on a sub-table) is refused, never probed."""
+    import os
+
+    import pytest
+
+    from irio_mapreduce_spark.llm.dedup import (
+        build_incremental_index,
+        incremental_dedup,
+        incremental_dedup_persisted,
+        incremental_index_is_committed,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, base + " lambda mu nu"),
+         (3, " ".join(f"c{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base),
+         (11, base + " lambda mu xi"),
+         (12, " ".join(f"b{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    idx_dir = str(tmp_path / "idx")
+    build_incremental_index(corpus, "doc_id", "text", idx_dir)
+    assert incremental_index_is_committed(idx_dir)
+    out = incremental_dedup_persisted(idx_dir, batch, "doc_id", "text")
+    want = {
+        r.doc_id
+        for r in incremental_dedup(corpus, batch, "doc_id", "text").collect()
+    }
+    assert {r.doc_id for r in out.collect()} == want == {12}
+
+    # plan evidence: the corpus side is parquet scans of the index
+    # sub-tables — tokenizer and band hashing ran at BUILD time, so the
+    # probe plan's only regexp-split stages are the batch side's.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "idx" in plan and "parquet" in plan.lower()
+
+    # a torn build is refused
+    os.remove(os.path.join(idx_dir, "bands", "_SUCCESS"))
+    assert not incremental_index_is_committed(idx_dir)
+    with pytest.raises(ValueError, match="torn"):
+        incremental_dedup_persisted(idx_dir, batch, "doc_id", "text")
