@@ -136,6 +136,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "pipeline_ingest_end_to_end",
     # round-5 additions
     "dedup_incremental_persisted",
+    "stream_exactly_once_sink",
+    "stream_rocksdb_state_totals",
 ]
 
 

@@ -352,3 +352,132 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+@register(
+    "stream_exactly_once_sink",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` EXACTLY-ONCE parquet sink under the driver's
+    oracle gate: the replayed event stream drains through
+    ``streaming.ops.write_stream_parquet_exactly_once`` (each micro-batch
+    overwrites its own ``_batch_id=<n>`` partition), then the entry
+    REPLAYS the final batch's write — exactly what a retry after a crash
+    between write and checkpoint commit does. Because the writer replaces
+    rather than appends, the read-back daily rollup still equals the
+    batch truth; an append-mode sink would double that batch's counts and
+    hash-mismatch. This promotes the pytest-only retry evidence
+    (tests/test_streaming.py) into a driver-visible check."""
+    import os as _os
+    import tempfile as _tf
+
+    from irio_mapreduce_spark.streaming import (
+        read_events_stream,
+        write_stream_parquet_exactly_once,
+    )
+
+    d = _replay_dir(spark, sf_dir)
+    out = _tf.mkdtemp(prefix="eos_out_") + "/t"
+    ck = _tf.mkdtemp(prefix="eos_ck_") + "/cp"
+    with _stream_partitions(spark):
+        write_stream_parquet_exactly_once(
+            read_events_stream(spark, d, max_files_per_trigger=2), out, ck
+        )
+    # Simulate the retried batch: re-run the final batch's idempotent
+    # write (same rows, same partition, overwrite). localCheckpoint first
+    # — overwriting a path that is also the read source is illegal.
+    batches = sorted(
+        int(p.split("=")[1])
+        for p in _os.listdir(out)
+        if p.startswith("_batch_id=")
+    )
+    last_dir = _os.path.join(out, f"_batch_id={batches[-1]}")
+    replay_rows = spark.read.parquet(last_dir).localCheckpoint(eager=True)
+    replay_rows.write.mode("overwrite").parquet(last_dir)
+    return (
+        spark.read.parquet(out)
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "stream_rocksdb_state_totals",
+    oracle="""
+    SELECT user_id, round(sum(value), 2) AS total, count(*) AS n
+    FROM events WHERE user_id % 11 = 0
+    GROUP BY user_id
+    """,
+)
+def stream_rocksdb_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``stream_custom_stateful_totals`` topology executed on the
+    ROCKSDB state-store provider — the 100 TB state backend (bounded
+    executor heap, local-disk spill, incremental checkpoints) — instead
+    of the default in-heap HDFS-backed provider. The entry raises unless
+    RocksDB actually engaged (SST files present in the state checkpoint),
+    so a silently-ignored conf shows up as a driver red, and the drained
+    per-user totals must still equal the batch aggregate: state backend
+    changes storage, never semantics."""
+    import glob as _glob
+    import os as _os
+    import tempfile as _tf
+
+    from pyspark.sql.window import Window
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _replayed_stream(spark, sf_dir).filter(F.col("user_id") % 11 == 0)
+        name = f"t_sq_{uuid.uuid4().hex[:8]}"
+        ck = _tf.mkdtemp(prefix="rocks_ck_") + "/cp"
+        with _stream_partitions(spark):
+            q = (
+                stateful_user_totals(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        ssts = _glob.glob(
+            _os.path.join(ck, "state", "**", "*.sst"), recursive=True
+        )
+        if not ssts:
+            raise RuntimeError(
+                "RocksDB provider set but no SST files in state checkpoint"
+            )
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "total", "n")
+    )
