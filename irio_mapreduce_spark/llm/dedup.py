@@ -857,16 +857,27 @@ def build_incremental_index(
     only the batch side plus the probe joins
     (:func:`incremental_dedup_persisted` — no corpus re-tokenization, no
     shingle or band-key recompute; every corpus-side join input is a plain
-    scan of one of these tables). ``num_hashes``/``bands`` are baked into
-    ``bands/`` — probe with the same values. At 100 TB the writes are
-    partitioned by a hash of ``_cid`` and appended incrementally as the
-    corpus grows."""
+    scan of one of these tables). The LSH parameters ``n``/``num_hashes``/
+    ``bands`` are baked into the artifacts, so they are persisted alongside
+    them (``_PARAMS.json``) and the probe loads them back — a probe with
+    mismatched band hashing would silently generate zero candidates.
+    Commit protocol: the top-level ``_COMMITTED`` marker is deleted before
+    any write and created after ALL writes, so a crash mid-REBUILD of an
+    existing index (some sub-tables new, some stale, every per-table
+    ``_SUCCESS`` present) is still detected as torn. At 100 TB the writes
+    are partitioned by a hash of ``_cid`` and appended incrementally as
+    the corpus grows."""
+    import contextlib as _contextlib
+    import json as _json
     import os as _os
 
     fp = F.sha2(F.col(text_col), 256)
     sh = shingles(tokens(F.col(text_col)), n)
     rows_per_band = num_hashes // bands
     target = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    marker = _os.path.join(out_dir, "_COMMITTED")
+    with _contextlib.suppress(FileNotFoundError):
+        _os.remove(marker)
     # Build PRE-WIDENED and checkpoint once: the three writes all read this
     # (a 1-2-file layout made the probe's corpus scan single-threaded —
     # measured 16.8 s vs 6.1 s for the rebuild path at sf0.1).
@@ -893,17 +904,35 @@ def build_incremental_index(
         ).write.mode("overwrite").parquet(_os.path.join(out_dir, "bands"))
     finally:
         free_checkpoint(idx)
+    with open(marker, "w") as fh:
+        _json.dump({"n": n, "num_hashes": num_hashes, "bands": bands}, fh)
+
+
+def incremental_index_params(out_dir: str) -> dict | None:
+    """The build parameters of a COMMITTED index, or ``None`` when the
+    index is missing or torn: requires the top-level ``_COMMITTED``
+    marker (written last, deleted first on rebuild) AND every sub-table's
+    ``_SUCCESS`` — per-table markers alone would pass a crashed rebuild
+    whose sub-tables span two generations."""
+    import json as _json
+    import os as _os
+
+    marker = _os.path.join(out_dir, "_COMMITTED")
+    if not _os.path.exists(marker):
+        return None
+    if not all(
+        _os.path.exists(_os.path.join(out_dir, sub, "_SUCCESS"))
+        for sub in ("docs", "fps", "bands")
+    ):
+        return None
+    with open(marker) as fh:
+        return _json.load(fh)
 
 
 def incremental_index_is_committed(out_dir: str) -> bool:
-    """All three sub-tables carry Spark's ``_SUCCESS`` job-commit marker —
-    a torn build (crash between writes) must be rebuilt, never probed."""
-    import os as _os
-
-    return all(
-        _os.path.exists(_os.path.join(out_dir, sub, "_SUCCESS"))
-        for sub in ("docs", "fps", "bands")
-    )
+    """True when the index directory holds a complete, single-generation
+    build (see :func:`incremental_index_params`)."""
+    return incremental_index_params(out_dir) is not None
 
 
 def incremental_dedup_persisted(
@@ -911,20 +940,24 @@ def incremental_dedup_persisted(
     batch: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
     """Steady-state incremental dedup: probe a persisted
     :func:`build_incremental_index` directory. All corpus-side work
-    happened at build time; this plan tokenizes only the batch."""
+    happened at build time; this plan tokenizes only the batch. The LSH
+    parameters (shingle ``n``, ``num_hashes``, ``bands``) come from the
+    index's own ``_COMMITTED`` manifest — the batch MUST be shingled and
+    band-hashed identically to the corpus or the candidate join matches
+    nothing."""
     import os as _os
 
     spark = batch.sparkSession
-    if not incremental_index_is_committed(index_dir):
+    params = incremental_index_params(index_dir)
+    if params is None:
         raise ValueError(
             f"incremental index at {index_dir} is missing or torn "
-            "(no _SUCCESS on some sub-table) — rebuild it with "
-            "build_incremental_index"
+            "(no _COMMITTED manifest / sub-table _SUCCESS) — rebuild it "
+            "with build_incremental_index"
         )
     return _probe_corpus_index(
         c_fps=spark.read.parquet(_os.path.join(index_dir, "fps")),
@@ -933,8 +966,10 @@ def incremental_dedup_persisted(
         batch=batch,
         id_col=id_col,
         text_col=text_col,
-        n=n,
+        n=params["n"],
         threshold=threshold,
+        num_hashes=params["num_hashes"],
+        bands=params["bands"],
     )
 
 

@@ -61,6 +61,10 @@ def pagerank(
       exact integer arithmetic. Total mass stays ``PAGERANK_SCALE`` up
       to deterministic floor truncation (≤1 unit per integer division:
       bounded by ``edges + 3·nodes`` units per round — property-tested).
+      Because each round reads the previous ranks TWICE (contributions
+      and the dangling sum), this mode checkpoints the rank table per
+      round (freeing the superseded one) — without the barrier the plan
+      would double per iteration.
 
     ``iterations`` is a small fixed constant by contract — each
     round appends one join + one aggregation to the lineage (at this depth
@@ -113,7 +117,19 @@ def pagerank(
         "_node",
         F.expr(f"{PAGERANK_SCALE} div _n").alias("_ri"),
     )
+    from irio_mapreduce_spark.llm.dedup import free_checkpoint
+
+    prev_ckpt = None
     for _ in range(iterations):
+        if dangling == "redistribute":
+            # The round reads `ranks` twice (contrib AND the dangling
+            # aggregate); materialize it once per round so the lineage
+            # stays linear instead of doubling per iteration, and free
+            # the superseded round's blocks immediately.
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                free_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
         contrib = (
             e.join(ranks, e["_src"] == ranks["_node"])
             .join(deg, "_src")

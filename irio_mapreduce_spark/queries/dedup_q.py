@@ -349,9 +349,10 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_incremental_batch",
-    oracle="""
+# Shared brute-force oracle of the two incremental-dedup entries (identical
+# semantics: NOT EXISTS on sha256 + exact trigram Jaccard vs the corpus) —
+# one definition so a future edge-case fix cannot diverge between them.
+_INCR_DEDUP_ORACLE = """
     WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
     corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
                UNION ALL
@@ -374,7 +375,12 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                OR len(list_intersect(c.s, b.s)) * 1.0
                   / (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))) >= 0.8)
     SELECT doc_id FROM bt WHERE doc_id NOT IN (SELECT doc_id FROM dup)
-    """,
+"""
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=_INCR_DEDUP_ORACLE,
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL dedup — a new ingest batch (doc_id % 10 == 0) deduped
@@ -401,32 +407,30 @@ def _ingest_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return corpus, batch
 
 
+def _corpus_stamp(sf_dir: str) -> str:
+    """Cheap driver-side fingerprint of the ``documents`` input (path,
+    size, mtime of its parquet file(s)) — baked into the persisted-index
+    key so regenerated data at the same scale factor can never silently
+    reuse a stale index."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    files = [p]
+    if os.path.isdir(p):
+        files = sorted(
+            os.path.join(r, f) for r, _, fs in os.walk(p) for f in fs
+        )
+    h = hashlib.sha256()
+    for f in files:
+        st = os.stat(f)
+        h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
 @register(
     "dedup_incremental_persisted",
-    oracle="""
-    WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
-               UNION ALL
-               SELECT doc_id + 100000, text FROM documents WHERE doc_id % 20 = 0),
-    bt AS (SELECT doc_id,
-                  list_distinct(list_transform(
-                    generate_series(1, len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) - 2),
-                    i -> array_to_string(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')[i:i+2], ' '))) AS s,
-                  sha256(text) AS fp
-           FROM batch),
-    ct AS (SELECT doc_id,
-                  list_distinct(list_transform(
-                    generate_series(1, len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) - 2),
-                    i -> array_to_string(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')[i:i+2], ' '))) AS s,
-                  sha256(text) AS fp
-           FROM corpus),
-    dup AS (SELECT DISTINCT b.doc_id
-            FROM bt b, ct c
-            WHERE c.fp = b.fp
-               OR len(list_intersect(c.s, b.s)) * 1.0
-                  / (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))) >= 0.8)
-    SELECT doc_id FROM bt WHERE doc_id NOT IN (SELECT doc_id FROM dup)
-    """,
+    oracle=_INCR_DEDUP_ORACLE,
 )
 def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STEADY-STATE incremental dedup: identical semantics (and oracle) to
@@ -438,8 +442,10 @@ def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_llm.py asserts the plan reads the index files). This is
     the production path the per-run-rebuild entry's docstring promises;
     the index lands under the repo's gitignored ``spark-warehouse/``
-    keyed by format version and scale factor, with per-sub-table
-    ``_SUCCESS`` gating reuse (a torn build is rebuilt, never read)."""
+    keyed by format version, scale factor AND a stat-fingerprint of the
+    input data (regenerated data never reuses a stale index), with the
+    index's ``_COMMITTED`` manifest gating reuse (a torn build or torn
+    REBUILD is rebuilt, never read)."""
     import os
 
     docs = read_table(spark, sf_dir, "documents")
@@ -450,7 +456,8 @@ def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_dir = os.path.join(
         root,
         "spark-warehouse",
-        f"incr_dedup_idx_v2_{os.path.basename(os.path.normpath(sf_dir))}",
+        "incr_dedup_idx_v2_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{_corpus_stamp(sf_dir)}",
     )
     if not incremental_index_is_committed(idx_dir):
         build_incremental_index(corpus, "doc_id", "text", idx_dir)

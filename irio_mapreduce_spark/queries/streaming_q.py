@@ -169,12 +169,34 @@ def stream_custom_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     rank) must equal the batch aggregate over the whole replay. The
     emission order across batches is deterministic here (fixed chunk →
     batch assignment), so the rounded totals are stable run-to-run."""
+    return _drain_stateful_totals(spark, sf_dir)
+
+
+def _drain_stateful_totals(
+    spark: SparkSession, sf_dir: str, checkpoint: str | None = None
+) -> DataFrame:
+    """Shared body of the two stateful-totals entries (default vs RocksDB
+    state backend — same topology, same final-emission selection): drain
+    per-user running totals in update mode, keep each user's final
+    emission (highest monotonically-growing count)."""
     from pyspark.sql.window import Window
 
     stream = _replayed_stream(spark, sf_dir).filter(F.col("user_id") % 11 == 0)
     name = f"t_sq_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark):
-        run_to_completion(stateful_user_totals(stream), name, "update")
+        if checkpoint is None:
+            run_to_completion(stateful_user_totals(stream), name, "update")
+        else:
+            q = (
+                stateful_user_totals(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
     return (
         spark.table(name)
@@ -435,8 +457,6 @@ def stream_rocksdb_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile as _tf
 
-    from pyspark.sql.window import Window
-
     key = "spark.sql.streaming.stateStore.providerClass"
     try:
         saved = spark.conf.get(key)
@@ -448,20 +468,8 @@ def stream_rocksdb_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RocksDBStateStoreProvider",
     )
     try:
-        stream = _replayed_stream(spark, sf_dir).filter(F.col("user_id") % 11 == 0)
-        name = f"t_sq_{uuid.uuid4().hex[:8]}"
         ck = _tf.mkdtemp(prefix="rocks_ck_") + "/cp"
-        with _stream_partitions(spark):
-            q = (
-                stateful_user_totals(stream)
-                .writeStream.format("memory")
-                .queryName(name)
-                .outputMode("update")
-                .option("checkpointLocation", ck)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        out = _drain_stateful_totals(spark, sf_dir, checkpoint=ck)
         ssts = _glob.glob(
             _os.path.join(ck, "state", "**", "*.sst"), recursive=True
         )
@@ -474,10 +482,4 @@ def stream_rocksdb_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
-    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
-    return (
-        spark.table(name)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", "total", "n")
-    )
+    return out

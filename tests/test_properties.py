@@ -352,5 +352,6 @@ def test_pagerank_redistribute_conserves_mass(spark, edges):
     assert {r.node for r in rows} == universe
     assert all(r.pr_fp > 0 for r in rows)
     total = sum(r.pr_fp for r in rows)
-    rounds, bound = 3, 3 * (len(edges) + 3 * len(universe))
-    assert 0 <= PAGERANK_SCALE - total <= rounds * bound
+    rounds = 3
+    per_round = len(edges) + 3 * len(universe)  # the documented bound
+    assert 0 <= PAGERANK_SCALE - total <= rounds * per_round
