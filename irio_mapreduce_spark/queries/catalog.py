@@ -138,6 +138,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_incremental_persisted",
     "stream_exactly_once_sink",
     "stream_rocksdb_state_totals",
+    "stream_watermark_late_drop",
+    "source_dirtail_stream_wordcount",
 ]
 
 

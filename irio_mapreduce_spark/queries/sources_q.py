@@ -320,3 +320,53 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.count("n_regionkey").cast("long").alias("n_with_region"),
     )
+
+
+@register(
+    "source_dirtail_stream_wordcount",
+    oracle="""
+    SELECT w AS word, count(*) AS n FROM (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(regexp_replace(text, '[\\r\\n]+', ' ', 'g')),
+                                  '\\s+'),
+               t -> t <> '')) AS w
+      FROM documents)
+    GROUP BY w ORDER BY n DESC, w LIMIT 20
+    """,
+)
+def source_dirtail_stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the pure-Python dir-of-files source under the
+    driver's oracle gate: documents flow OUT through the custom ``dirtext``
+    batch writer, are TAILED back in through the custom ``dirtail``
+    streaming source (offsets = the consumed-file list, checkpointed),
+    drained through the idempotent ``foreachBatch`` parquet sink, then
+    word-counted — the same top-20 oracle as the batch ``dirtext`` entry,
+    proving the streaming source delivers every line exactly once. The
+    batch entry proves the storage model; this one proves its tail-replay
+    contract (``pysource.DirTailStreamReader.read``/``readBetweenOffsets``)
+    on the real engine."""
+    import tempfile
+
+    from irio_mapreduce_spark import pysource
+    from irio_mapreduce_spark.llm.dedup import tokens
+    from irio_mapreduce_spark.streaming import write_stream_parquet_exactly_once
+
+    pysource.register(spark)
+    base = tempfile.mkdtemp(prefix="dirtail_q_")
+    d, out, ck = f"{base}/docs", f"{base}/out", f"{base}/ck"
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.regexp_replace(F.col("text"), r"[\r\n]+", " ").alias("value")
+    )
+    docs.repartition(4).write.format("dirtext").option("path", d).mode(
+        "append"
+    ).save()
+    stream = spark.readStream.format("dirtail").option("path", d).load()
+    write_stream_parquet_exactly_once(stream.select("value"), out, ck)
+    lines = spark.read.parquet(out)
+    return (
+        lines.select(F.explode(tokens(F.col("value"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )

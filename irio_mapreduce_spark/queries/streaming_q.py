@@ -483,3 +483,88 @@ def stream_rocksdb_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(key, saved)
     return out
+
+
+@register(
+    "stream_watermark_late_drop",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA DROP under the driver's oracle gate. The replay
+    is three time-ordered chunks of ``events``, then a fourth micro-batch
+    of LATE STRAGGLERS — verbatim copies of every first-day event under
+    shifted ids, arriving when the applied watermark (max event time
+    through chunk 3, minus the 1 h delay) is weeks past their daily
+    window's end — then a far-future sentinel that flushes every real
+    window out of the append-mode aggregation. Because closed windows
+    drop late rows, the drained result must equal the plain daily rollup
+    over ``events`` (the oracle, which never sees the synthetic
+    stragglers); an engine that accepted them would double the first
+    day's counts and hash-mismatch. The sentinel's own window never
+    closes, so it never emits — no output filtering. Promotes the
+    pytest-only late-drop evidence (tests/test_streaming.py) into a
+    driver-visible check."""
+    import os as _os
+    import tempfile as _tf
+    import time as _time
+
+    from irio_mapreduce_spark.io import read_table
+    from irio_mapreduce_spark.streaming import replay_time_ordered
+
+    d = _tf.mkdtemp(prefix="late_replay_") + "/events"
+    replay_time_ordered(spark, sf_dir, d, n_chunks=3)
+    ev = read_table(spark, sf_dir, "events")
+    first_day = ev.select(F.min(F.to_date("ts")).alias("d0"))
+    stragglers = (
+        ev.join(F.broadcast(first_day))
+        .filter(F.to_date("ts") == F.col("d0"))
+        .select(
+            (F.col("event_id") + 10**7).alias("event_id"),
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    before = set(_os.listdir(d))
+    stragglers.coalesce(1).write.mode("append").parquet(d)
+    after_stragglers = set(_os.listdir(d))
+    sentinel = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")
+    ).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        "ts",
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(d)
+    # The replay order is file-mtime order (chunks are back-dated by the
+    # sequencer); pin stragglers after the chunks and the sentinel last —
+    # the two appends' natural mtimes can tie at filesystem resolution.
+    now = _time.time()
+    for f in after_stragglers - before:
+        _os.utime(_os.path.join(d, f), (now + 2.0, now + 2.0))
+    for f in set(_os.listdir(d)) - after_stragglers:
+        _os.utime(_os.path.join(d, f), (now + 4.0, now + 4.0))
+
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    rollup = tumbling_value_rollup(stream, watermark="1 hour")
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_to_completion(rollup, name, "append")
+    return spark.table(name).select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
