@@ -140,6 +140,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stream_rocksdb_state_totals",
     "stream_watermark_late_drop",
     "source_dirtail_stream_wordcount",
+    "stream_sliding_rollup",
 ]
 
 

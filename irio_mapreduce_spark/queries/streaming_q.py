@@ -25,6 +25,7 @@ from irio_mapreduce_spark.streaming import (
     replay_time_ordered,
     run_to_completion,
     session_rollup,
+    sliding_value_rollup,
     stateful_user_totals,
     stream_static_enrich,
     tumbling_value_rollup,
@@ -565,6 +566,39 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "stream_sliding_rollup",
+    oracle="""
+    WITH ex AS (
+      SELECT unnest([
+               to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)),
+               to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 - 86400 AS BIGINT))
+             ])::TIMESTAMP AS win_start,
+             value
+      FROM events)
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM ex GROUP BY 1
+    """,
+)
+def stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows (2-day width, 1-day slide — every event lands in
+    exactly two windows) executed by the streaming engine over the 4-chunk
+    out-of-order replay, complete mode. Same oracle as the batch twin
+    ``events_sliding_window``, the last built-in window shape that was
+    pytest-equivalence-only."""
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_to_completion(
+            sliding_value_rollup(_replayed_stream(spark, sf_dir)), name, "complete"
+        )
+    return spark.table(name).select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "n",
         "total_value",
     )
