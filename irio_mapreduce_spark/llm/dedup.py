@@ -867,17 +867,15 @@ def build_incremental_index(
     ``_SUCCESS`` present) is still detected as torn. At 100 TB the writes
     are partitioned by a hash of ``_cid`` and appended incrementally as
     the corpus grows."""
-    import contextlib as _contextlib
-    import json as _json
     import os as _os
+
+    from irio_mapreduce_spark.llm import artifacts
 
     fp = F.sha2(F.col(text_col), 256)
     sh = shingles(tokens(F.col(text_col)), n)
     rows_per_band = num_hashes // bands
     target = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    marker = _os.path.join(out_dir, "_COMMITTED")
-    with _contextlib.suppress(FileNotFoundError):
-        _os.remove(marker)
+    artifacts.begin_build(out_dir)
     # Build PRE-WIDENED and checkpoint once: the three writes all read this
     # (a 1-2-file layout made the probe's corpus scan single-threaded —
     # measured 16.8 s vs 6.1 s for the rebuild path at sf0.1).
@@ -904,29 +902,16 @@ def build_incremental_index(
         ).write.mode("overwrite").parquet(_os.path.join(out_dir, "bands"))
     finally:
         free_checkpoint(idx)
-    with open(marker, "w") as fh:
-        _json.dump({"n": n, "num_hashes": num_hashes, "bands": bands}, fh)
+    artifacts.commit(out_dir, {"n": n, "num_hashes": num_hashes, "bands": bands})
 
 
 def incremental_index_params(out_dir: str) -> dict | None:
     """The build parameters of a COMMITTED index, or ``None`` when the
-    index is missing or torn: requires the top-level ``_COMMITTED``
-    marker (written last, deleted first on rebuild) AND every sub-table's
-    ``_SUCCESS`` — per-table markers alone would pass a crashed rebuild
-    whose sub-tables span two generations."""
-    import json as _json
-    import os as _os
+    index is missing or torn (see ``llm.artifacts`` for the manifest
+    protocol and why per-table markers alone are insufficient)."""
+    from irio_mapreduce_spark.llm import artifacts
 
-    marker = _os.path.join(out_dir, "_COMMITTED")
-    if not _os.path.exists(marker):
-        return None
-    if not all(
-        _os.path.exists(_os.path.join(out_dir, sub, "_SUCCESS"))
-        for sub in ("docs", "fps", "bands")
-    ):
-        return None
-    with open(marker) as fh:
-        return _json.load(fh)
+    return artifacts.committed_params(out_dir, ("docs", "fps", "bands"))
 
 
 def incremental_index_is_committed(out_dir: str) -> bool:

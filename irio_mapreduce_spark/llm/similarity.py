@@ -250,34 +250,52 @@ def ivf_topk(
     # iteration, ~20 jobs of pure overhead for a 2k-row problem.
     x = np.array(feats.toPandas()["_tv"].tolist(), dtype=np.float64)
     c_mat = _lloyd_kmeans(x, n_cells, seed)  # (k, d)
-
-    def nearest_cells(vec: Column, n: int) -> Column:
-        # n nearest centroid ids per row, one Arrow-batched numpy pass
-        # (same rationale as _table_buckets: a dense distance map to k
-        # centroids as Catalyst literal expressions is an interpreted tree
-        # whose cost is all overhead). Ties break by cell id — stable
-        # argsort — matching the (dist, cell) struct-sort it replaces.
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("array<int>")
-        def cells(v: pd.Series) -> pd.Series:
-            xb = np.array(v.tolist(), dtype=np.float64)  # (b, d)
-            d2 = ((xb**2).sum(1)[:, None] - 2 * xb @ c_mat.T
-                  + (c_mat**2).sum(1)[None, :])
-            order = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
-            return pd.Series(list(order))
-
-        return cells(vec)
-
     corpus = widen(df).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_cv"),
-        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("_cell"),
+        F.element_at(_nearest_cells(c_mat, F.col(vec_col), 1), 1).alias("_cell"),
     )
+    return _ivf_search(corpus, queries, c_mat, vec_col, id_col, k, n_probe, digits)
+
+
+def _nearest_cells(c_mat, vec: Column, n: int) -> Column:
+    # n nearest centroid ids per row, one Arrow-batched numpy pass
+    # (same rationale as _table_buckets: a dense distance map to k
+    # centroids as Catalyst literal expressions is an interpreted tree
+    # whose cost is all overhead). Ties break by cell id — stable
+    # argsort — matching the (dist, cell) struct-sort it replaces.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        xb = np.array(v.tolist(), dtype=np.float64)  # (b, d)
+        d2 = ((xb**2).sum(1)[:, None] - 2 * xb @ c_mat.T
+              + (c_mat**2).sum(1)[None, :])
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
+        return pd.Series(list(order))
+
+    return cells(vec)
+
+
+def _ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    c_mat,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_probe: int,
+    digits: int,
+) -> DataFrame:
+    """The probe half of IVF: queries pick their ``n_probe`` nearest cells,
+    ONE equi-join on cell id collects candidates, exact cosine re-ranks.
+    ``corpus`` is the pre-assigned ``(vec_id, _cv, _cell)`` table — built
+    in-process by :func:`ivf_topk` or scanned from a persisted index by
+    :func:`ivf_topk_persisted`."""
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("_cell"),
+        F.explode(_nearest_cells(c_mat, F.col(vec_col), n_probe)).alias("_cell"),
     )
     from pyspark.sql import Window
 
@@ -291,6 +309,99 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", "cosine", "rn")
     )
+
+
+_IVF_SUBTABLES = ("centroids", "assign")
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dir: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    min_train_rows: int = 2000,
+) -> None:
+    """Materialize the IVF index as parquet — the offline half of the
+    FAISS topology made durable, so serving pays only the probe:
+
+    * ``centroids/`` — ``(_cell, _centroid array<double>)``: the trained
+      coarse quantizer (tiny; collected back at probe time);
+    * ``assign/``    — ``(vec_id, _cv, _cell)``: every corpus vector with
+      its nearest cell, PRE-ASSIGNED (the full-corpus Arrow pass over the
+      quantizer runs once at build time, never per query batch), written
+      pre-widened so the probe scan parallelizes.
+
+    Commit protocol and parameter round-trip via ``llm.artifacts`` (the
+    same manifest discipline as the dedup index: ``n_cells``/``seed``
+    bake into the artifacts; a torn build or rebuild is never probed).
+    At 100 TB ``assign/`` is additionally partitioned BY ``_cell`` so a
+    probe reads only its n_probe cells' files (partition pruning)."""
+    from irio_mapreduce_spark.llm import artifacts
+
+    import os as _os
+
+    feats = df.select(as_double(F.col(vec_col)).alias("_tv"))
+    if train_fraction is None:
+        feats = feats.limit(min_train_rows)
+    elif train_fraction < 1.0:
+        feats = feats.sample(fraction=train_fraction, seed=seed)
+    x = np.array(feats.toPandas()["_tv"].tolist(), dtype=np.float64)
+    c_mat = _lloyd_kmeans(x, n_cells, seed)
+    artifacts.begin_build(out_dir)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, [float(v) for v in c_mat[i]]) for i in range(len(c_mat))],
+        "_cell int, _centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(out_dir, "centroids"))
+    widen(df).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        F.element_at(_nearest_cells(c_mat, F.col(vec_col), 1), 1).alias("_cell"),
+    ).write.mode("overwrite").parquet(_os.path.join(out_dir, "assign"))
+    artifacts.commit(out_dir, {"n_cells": n_cells, "seed": seed})
+
+
+def ivf_topk_persisted(
+    index_dir: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_probe: int = 4,
+    digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k against a persisted :func:`build_ivf_index`
+    directory: the quantizer is collected back from ``centroids/`` (one
+    tiny scan), the corpus side is a plain scan of the pre-assigned
+    ``assign/`` table — no training, no corpus assignment pass. The
+    steady-state ANN serving shape."""
+    import os as _os
+
+    from irio_mapreduce_spark.llm import artifacts
+
+    spark = queries.sparkSession
+    params = artifacts.committed_params(index_dir, _IVF_SUBTABLES)
+    if params is None:
+        raise ValueError(
+            f"IVF index at {index_dir} is missing or torn (no _COMMITTED "
+            "manifest / sub-table _SUCCESS) — rebuild with build_ivf_index"
+        )
+    cent = (
+        spark.read.parquet(_os.path.join(index_dir, "centroids"))
+        .orderBy("_cell")
+        .collect()
+    )
+    if len(cent) != params["n_cells"]:
+        raise ValueError(
+            f"IVF index at {index_dir}: {len(cent)} centroids on disk but "
+            f"manifest says n_cells={params['n_cells']}"
+        )
+    c_mat = np.array([r._centroid for r in cent], dtype=np.float64)
+    corpus = spark.read.parquet(_os.path.join(index_dir, "assign"))
+    return _ivf_search(corpus, queries, c_mat, vec_col, id_col, k, n_probe, digits)
 
 
 def dedup_embedding_cosine(

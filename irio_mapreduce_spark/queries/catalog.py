@@ -141,6 +141,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stream_watermark_late_drop",
     "source_dirtail_stream_wordcount",
     "stream_sliding_rollup",
+    "sim_ann_ivf_persisted",
 ]
 
 

@@ -408,24 +408,14 @@ def _ingest_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def _corpus_stamp(sf_dir: str) -> str:
-    """Cheap driver-side fingerprint of the ``documents`` input (path,
-    size, mtime of its parquet file(s)) — baked into the persisted-index
-    key so regenerated data at the same scale factor can never silently
-    reuse a stale index."""
-    import hashlib
+    """Fingerprint of the ``documents`` input (``llm.artifacts.input_stamp``)
+    — baked into the persisted-index key so regenerated data at the same
+    scale factor can never silently reuse a stale index."""
     import os
 
-    p = os.path.join(sf_dir, "documents.parquet")
-    files = [p]
-    if os.path.isdir(p):
-        files = sorted(
-            os.path.join(r, f) for r, _, fs in os.walk(p) for f in fs
-        )
-    h = hashlib.sha256()
-    for f in files:
-        st = os.stat(f)
-        h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}".encode())
-    return h.hexdigest()[:12]
+    from irio_mapreduce_spark.llm.artifacts import input_stamp
+
+    return input_stamp(os.path.join(sf_dir, "documents.parquet"))
 
 
 @register(

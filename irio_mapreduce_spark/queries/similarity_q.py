@@ -180,6 +180,48 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_validation(emb, ann, k=5, bound=0.4)
 
 
+@register("sim_ann_ivf_persisted", oracle=_ANN_RECALL_ORACLE)
+def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``sim_ann_ivf_topk`` search against a PERSISTED IVF index
+    (``llm.similarity.build_ivf_index``): quantizer training and the
+    full-corpus cell-assignment pass ran at build time; this entry's plan
+    is one tiny centroid scan plus the cell-id probe join over the
+    pre-assigned corpus table — the steady-state ANN serving shape,
+    mirroring the persisted-dedup-index entry. Same parameters, same
+    deterministic quantizer, same recall validation; the index lands
+    under the gitignored ``spark-warehouse/`` keyed by format version,
+    scale factor and an input stat-fingerprint, with the ``_COMMITTED``
+    manifest gating torn builds."""
+    import os
+
+    from irio_mapreduce_spark.llm.artifacts import committed_params, input_stamp
+    from irio_mapreduce_spark.llm.similarity import (
+        _IVF_SUBTABLES,
+        build_ivf_index,
+        ivf_topk_persisted,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    stamp = input_stamp(os.path.join(sf_dir, "embeddings.parquet"))
+    idx_dir = os.path.join(
+        root,
+        "spark-warehouse",
+        f"ivf_idx_v1_{os.path.basename(os.path.normpath(sf_dir))}_{stamp}",
+    )
+    if committed_params(idx_dir, _IVF_SUBTABLES) is None:
+        build_ivf_index(
+            emb, "embedding", "vec_id", idx_dir, n_cells=16, seed=42
+        )
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann = ivf_topk_persisted(
+        idx_dir, queries, "embedding", "vec_id", k=5, n_probe=8
+    )
+    return _ann_recall_validation(emb, ann, k=5, bound=0.4)
+
+
 @register("sim_ann_lsh_topk", oracle=_ANN_RECALL_ORACLE)
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors for 5 query vectors via multi-table

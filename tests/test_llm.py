@@ -1097,3 +1097,58 @@ def test_incremental_dedup_persisted_index(spark, tmp_path):
     assert not incremental_index_is_committed(idx2)
     with pytest.raises(ValueError, match="torn"):
         incremental_dedup_persisted(idx2, batch, "doc_id", "text")
+
+
+def test_ivf_persisted_index_matches_in_process(spark, tmp_path):
+    """ivf_topk_persisted against a build_ivf_index directory returns
+    byte-identical results to the in-process ivf_topk (same quantizer
+    seed → same cells → same candidates → same exact re-rank); a torn
+    build is refused; a centroid/manifest mismatch is refused."""
+    import os
+
+    import pytest
+
+    from irio_mapreduce_spark.io import read_table
+    from irio_mapreduce_spark.llm.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_persisted,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    idx_dir = str(tmp_path / "ivf")
+    build_ivf_index(emb, "embedding", "vec_id", idx_dir, n_cells=8, seed=7)
+    got = {
+        (r.query_id, r.vec_id, r.cosine, r.rn)
+        for r in ivf_topk_persisted(
+            idx_dir, queries, "embedding", "vec_id", k=5, n_probe=4
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.cosine, r.rn)
+        for r in ivf_topk(
+            emb, "embedding", "vec_id", queries, k=5, n_cells=8, n_probe=4, seed=7
+        ).collect()
+    }
+    assert got == want and got
+
+    # torn build (manifest removed, e.g. crash mid-rebuild) is refused
+    os.rename(
+        os.path.join(idx_dir, "_COMMITTED"),
+        os.path.join(idx_dir, "_COMMITTED.bak"),
+    )
+    with pytest.raises(ValueError, match="torn"):
+        ivf_topk_persisted(idx_dir, queries, "embedding", "vec_id")
+    os.rename(
+        os.path.join(idx_dir, "_COMMITTED.bak"),
+        os.path.join(idx_dir, "_COMMITTED"),
+    )
+    # manifest/centroid-count mismatch is refused
+    import json
+
+    with open(os.path.join(idx_dir, "_COMMITTED"), "w") as fh:
+        json.dump({"n_cells": 99, "seed": 7}, fh)
+    with pytest.raises(ValueError, match="centroids on disk"):
+        ivf_topk_persisted(idx_dir, queries, "embedding", "vec_id")
