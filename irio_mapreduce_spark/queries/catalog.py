@@ -142,6 +142,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "source_dirtail_stream_wordcount",
     "stream_sliding_rollup",
     "sim_ann_ivf_persisted",
+    "stream_stream_left_outer",
 ]
 
 

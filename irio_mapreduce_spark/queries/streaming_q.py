@@ -602,3 +602,65 @@ def stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS buy_id, l.user_id AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join on the streaming engine —
+    the shape whose null-padded rows can only emit once the WATERMARK
+    proves no match can still arrive (outer joins REQUIRE watermarks).
+    Time-ordered 4-chunk replay with far-future sentinel events on BOTH
+    inputs (the join watermark is the min across inputs; a one-sided
+    sentinel would stall it) flushes all outer state, and the drained
+    result must equal the batch left-outer interval join — the oracle,
+    which never sees the sentinels. Promotes the last pytest-only
+    stream-stream shape (left-outer equivalence) to the driver gate."""
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="ss_outer_") + "/events"
+    replay_time_ordered(spark, sf_dir, d, n_chunks=4)
+    base = spark.read.parquet(d)
+    sentinel_user = 101 * 10**7 + 3
+    far = base.agg((F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
+    sentinels = far.selectExpr(
+        "stack(2, -1L, 'click', -2L, 'purchase') AS (event_id, event_type)",
+        "ts",
+    ).select(
+        "event_id",
+        "ts",
+        F.lit(sentinel_user).cast("long").alias("user_id"),
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    sentinels.coalesce(1).write.mode("append").parquet(d)
+
+    stream = read_events_stream(spark, d, max_files_per_trigger=2)
+    clicks = stream.filter(F.col("event_type") == "click")
+    buys = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join(
+        clicks,
+        buys,
+        "user_id",
+        "6 hours",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+        how="left_outer",
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("buy_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_to_completion(joined, name, "append")
+    return spark.table(name).filter(F.col("user_id") != sentinel_user)
