@@ -30,9 +30,13 @@ def begin_build(out_dir: str) -> None:
 
 
 def commit(out_dir: str, params: dict) -> None:
-    """Publish the build: write the manifest LAST."""
-    with open(os.path.join(out_dir, _MARKER), "w") as fh:
+    """Publish the build: write the manifest LAST — to a temp name, then
+    an atomic rename, so a crash mid-write can never leave a truncated
+    manifest that parses as committed (or crashes the probe)."""
+    tmp = os.path.join(out_dir, f".{_MARKER}.tmp")
+    with open(tmp, "w") as fh:
         json.dump(params, fh)
+    os.replace(tmp, os.path.join(out_dir, _MARKER))
 
 
 def committed_params(out_dir: str, subtables: tuple[str, ...]) -> dict | None:
@@ -46,8 +50,13 @@ def committed_params(out_dir: str, subtables: tuple[str, ...]) -> dict | None:
         for sub in subtables
     ):
         return None
-    with open(marker) as fh:
-        return json.load(fh)
+    try:
+        with open(marker) as fh:
+            return json.load(fh)
+    except (json.JSONDecodeError, OSError):
+        # A manifest that cannot be read IS torn state (belt to the
+        # atomic-rename suspenders in commit()) — report torn, rebuild.
+        return None
 
 
 def input_stamp(*paths: str) -> str:

@@ -141,9 +141,23 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "source_dirtext_wordcount",
-    oracle="""
+def _top20_wordcount(lines: DataFrame) -> DataFrame:
+    """Shared scoring pipeline of the two dir-of-files wordcount entries."""
+    from irio_mapreduce_spark.llm.dedup import tokens
+
+    return (
+        lines.select(F.explode(tokens(F.col("value"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+# Shared top-20 wordcount oracle of the two dir-of-files source entries
+# (batch dirtext round trip and streaming dirtail) - one definition so the
+# two entries provably check the same contract.
+_WORDCOUNT_ORACLE = """
     SELECT w AS word, count(*) AS n FROM (
       SELECT unnest(list_filter(
                string_split_regex(lower(regexp_replace(text, '[\\r\\n]+', ' ', 'g')),
@@ -151,7 +165,12 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                t -> t <> '')) AS w
       FROM documents)
     GROUP BY w ORDER BY n DESC, w LIMIT 20
-    """,
+"""
+
+
+@register(
+    "source_dirtext_wordcount",
+    oracle=_WORDCOUNT_ORACLE,
 )
 def source_dirtext_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip through the pure-Python ``dirtext`` data source
@@ -165,7 +184,6 @@ def source_dirtext_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from irio_mapreduce_spark import pysource
-    from irio_mapreduce_spark.llm.dedup import tokens
 
     pysource.register(spark)
     d = tempfile.mkdtemp(prefix="dirtext_q_") + "/docs"
@@ -176,13 +194,7 @@ def source_dirtext_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).save()
     lines = spark.read.format("dirtext").option("path", d).load()
-    return (
-        lines.select(F.explode(tokens(F.col("value"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), "word")
-        .limit(20)
-    )
+    return _top20_wordcount(lines)
 
 
 @register(
@@ -324,15 +336,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_dirtail_stream_wordcount",
-    oracle="""
-    SELECT w AS word, count(*) AS n FROM (
-      SELECT unnest(list_filter(
-               string_split_regex(lower(regexp_replace(text, '[\\r\\n]+', ' ', 'g')),
-                                  '\\s+'),
-               t -> t <> '')) AS w
-      FROM documents)
-    GROUP BY w ORDER BY n DESC, w LIMIT 20
-    """,
+    oracle=_WORDCOUNT_ORACLE,
 )
 def source_dirtail_stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING half of the pure-Python dir-of-files source under the
@@ -348,7 +352,6 @@ def source_dirtail_stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFra
     import tempfile
 
     from irio_mapreduce_spark import pysource
-    from irio_mapreduce_spark.llm.dedup import tokens
     from irio_mapreduce_spark.streaming import write_stream_parquet_exactly_once
 
     pysource.register(spark)
@@ -363,10 +366,4 @@ def source_dirtail_stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFra
     stream = spark.readStream.format("dirtail").option("path", d).load()
     write_stream_parquet_exactly_once(stream.select("value"), out, ck)
     lines = spark.read.parquet(out)
-    return (
-        lines.select(F.explode(tokens(F.col("value"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), "word")
-        .limit(20)
-    )
+    return _top20_wordcount(lines)

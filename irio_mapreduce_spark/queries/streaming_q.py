@@ -24,6 +24,7 @@ from irio_mapreduce_spark.streaming import (
     replay_chunks,
     replay_time_ordered,
     run_to_completion,
+    sentinel_events,
     session_rollup,
     sliding_value_rollup,
     stateful_user_totals,
@@ -517,7 +518,6 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     from irio_mapreduce_spark.io import read_table
-    from irio_mapreduce_spark.streaming import replay_time_ordered
 
     d = _tf.mkdtemp(prefix="late_replay_") + "/events"
     replay_time_ordered(spark, sf_dir, d, n_chunks=3)
@@ -538,17 +538,9 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = set(_os.listdir(d))
     stragglers.coalesce(1).write.mode("append").parquet(d)
     after_stragglers = set(_os.listdir(d))
-    sentinel = ev.agg(
-        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")
-    ).select(
-        F.lit(-1).cast("long").alias("event_id"),
-        "ts",
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("sentinel").alias("event_type"),
-        F.lit(0.0).alias("value"),
-        F.lit(None).cast("string").alias("props"),
-    )
-    sentinel.coalesce(1).write.mode("append").parquet(d)
+    sentinel_events(ev, sentinel_user=-1).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
     # The replay order is file-mtime order (chunks are back-dated by the
     # sequencer); pin stragglers after the chunks and the sentinel last —
     # the two appends' natural mtimes can tie at filesystem resolution.
@@ -630,19 +622,9 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_time_ordered(spark, sf_dir, d, n_chunks=4)
     base = spark.read.parquet(d)
     sentinel_user = 101 * 10**7 + 3
-    far = base.agg((F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
-    sentinels = far.selectExpr(
-        "stack(2, -1L, 'click', -2L, 'purchase') AS (event_id, event_type)",
-        "ts",
-    ).select(
-        "event_id",
-        "ts",
-        F.lit(sentinel_user).cast("long").alias("user_id"),
-        "event_type",
-        F.lit(0.0).alias("value"),
-        F.lit(None).cast("string").alias("props"),
-    )
-    sentinels.coalesce(1).write.mode("append").parquet(d)
+    sentinel_events(
+        base, sentinel_user, types=[(-1, "click"), (-2, "purchase")]
+    ).coalesce(1).write.mode("append").parquet(d)
 
     stream = read_events_stream(spark, d, max_files_per_trigger=2)
     clicks = stream.filter(F.col("event_type") == "click")

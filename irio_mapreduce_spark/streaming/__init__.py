@@ -22,6 +22,7 @@ from irio_mapreduce_spark.streaming.ops import (  # noqa: F401
     replay_chunks,
     replay_time_ordered,
     run_to_completion,
+    sentinel_events,
     session_rollup,
     sliding_value_rollup,
     stateful_change_intervals,

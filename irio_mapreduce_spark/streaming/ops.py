@@ -105,20 +105,41 @@ def replay_time_ordered(
     chunked = with_e.withColumn("_chunk", chunk.cast("int")).drop("_e")
     _write_replay_sequenced(chunked, "_chunk", n_chunks, out_dir)
     if sentinel_user is not None:
-        far = ev.agg(
-            (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")
-        ).select(
-            F.lit(-1).cast("long").alias("event_id"),
-            "ts",
-            F.lit(sentinel_user).cast("long").alias("user_id"),
-            F.lit("sentinel").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit(None).cast("string").alias("props"),
-        )
         # Single-row append; the fresh file's natural mtime lands after all
         # sequenced chunk mtimes (they are back-dated), keeping it last.
-        far.coalesce(1).write.mode("append").parquet(out_dir)
+        sentinel_events(ev, sentinel_user).coalesce(1).write.mode(
+            "append"
+        ).parquet(out_dir)
     return out_dir
+
+
+def sentinel_events(
+    base: DataFrame,
+    sentinel_user: int,
+    types: list[tuple[int, str]] | None = None,
+) -> DataFrame:
+    """Far-future sentinel rows in the events schema: 30 days past the
+    base frame's max ``ts``, negative event ids, zero value. One row per
+    ``(event_id, event_type)`` in ``types`` (default: a single
+    ``'sentinel'`` row). The watermark-flush trick every append-mode
+    streaming entry relies on — factored here so the events schema lives
+    in ONE place (four call sites had hand-rolled copies; a schema change
+    would have had to be mirrored in each)."""
+    if types is None:
+        types = [(-1, "sentinel")]
+    far = base.agg((F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
+    stack_args = ", ".join(f"{eid}L, '{etype}'" for eid, etype in types)
+    return far.selectExpr(
+        f"stack({len(types)}, {stack_args}) AS (event_id, event_type)",
+        "ts",
+    ).select(
+        "event_id",
+        "ts",
+        F.lit(sentinel_user).cast("long").alias("user_id"),
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
 
 
 def read_events_stream(
