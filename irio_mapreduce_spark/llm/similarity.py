@@ -451,6 +451,132 @@ def dedup_embedding_cosine(
     return df.join(losers, id_col, "left_anti")
 
 
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    anchors: DataFrame,
+    anchor_id_col: str = "cid",
+    anchor_vec_col: str = "av",
+    threshold: float = 0.99,
+    digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the corpus by nearest anchor, generate candidate pairs ONLY
+    within a cluster, and among each near-duplicate pair keep the member
+    with the LOWER similarity to its cluster centroid (the paper's
+    diversity-preserving retention rule — the "most typical" copy is the
+    redundant one).
+
+    ``anchors`` is the coarse clustering (anchor_id, anchor_vector); the
+    paper shows cluster *quality* barely matters, only that clusters bound
+    the candidate set, so any cheap deterministic quantizer works.
+
+    Deterministic end-to-end: assignment is argmax of the ``digits``-rounded
+    cosine with ties broken by smaller anchor id; the retention rule breaks
+    equal centroid-similarities by smaller ``id_col``.
+
+    Scale shape (100 TB): anchors are broadcast (one BroadcastNestedLoopJoin,
+    no corpus shuffle) and the argmax is a map-side-combining groupBy — k
+    candidate rows per doc collapse to one before the exchange. Pair
+    generation is ONE equi-join on the cluster id, so candidate pairs are
+    quadratic only in cluster size: with k ∝ n anchors the expected cluster
+    is O(1) rows and total work is linear in the corpus. A skewed/oversized
+    cluster is an AQE skew-join split, or re-split by sub-quantizing the
+    offending cluster's members; never all-pairs (tests/test_plans.py's
+    CartesianProduct sweep covers the entry). Per-row norms are computed
+    ONCE before either join and carried through (IEEE-identical to inline
+    ``cosine()`` — same sqrt-of-sum expression, same ``dot/(n1*n2)``
+    division shape), so each candidate pair costs one dot product, not
+    three array aggregates; the cheap keep-direction predicate runs before
+    the dot so only ordered pairs pay it.
+
+    Returns (id_col, cluster_id, cent_sim, dropped) — one row per input row.
+    """
+    a_small = F.broadcast(
+        anchors.select(
+            F.col(anchor_id_col).alias("_acid"),
+            as_double(F.col(anchor_vec_col)).alias("_av"),
+        ).withColumn("_an", norm(F.col("_av")))
+    )
+    scored = (
+        widen(df)
+        .select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_n", norm(F.col("_v")))
+        .crossJoin(a_small)
+        .select(
+            "_id",
+            "_v",
+            "_n",
+            "_acid",
+            F.round(
+                F.try_divide(
+                    dot(F.col("_v"), F.col("_av")), F.col("_n") * F.col("_an")
+                ),
+                digits,
+            ).alias("_cs"),
+        )
+    )
+    # argmax(cs) with min-cid tie-break as max(struct(cs, -cid)): one
+    # partial-aggregable reduction, no window shuffle of k rows per doc.
+    assign = (
+        scored.groupBy("_id")
+        .agg(
+            F.max(F.struct(F.col("_cs"), (-F.col("_acid")).alias("_nc"))).alias("_m"),
+            F.first("_v").alias("_v"),
+            F.first("_n").alias("_n"),
+        )
+        .select(
+            "_id",
+            "_v",
+            "_n",
+            (-F.col("_m._nc")).alias("_cid"),
+            F.col("_m._cs").alias("_cent"),
+        )
+    )
+    left = assign.select(
+        F.col("_id").alias("_id1"),
+        F.col("_v").alias("_v1"),
+        F.col("_n").alias("_n1"),
+        F.col("_cent").alias("_c1"),
+        "_cid",
+    )
+    right = assign.select(
+        F.col("_id").alias("_id2"),
+        F.col("_v").alias("_v2"),
+        F.col("_n").alias("_n2"),
+        F.col("_cent").alias("_c2"),
+        "_cid",
+    )
+    dropped = (
+        left.join(right, "_cid")
+        # ordered-direction predicate first (implies _id1 != _id2): the
+        # expensive dot below then runs on half the within-cluster pairs.
+        .filter(
+            (F.col("_c1") < F.col("_c2"))
+            | ((F.col("_c1") == F.col("_c2")) & (F.col("_id1") < F.col("_id2")))
+        )
+        .filter(
+            F.round(
+                F.try_divide(
+                    dot(F.col("_v1"), F.col("_v2")), F.col("_n1") * F.col("_n2")
+                ),
+                digits,
+            )
+            >= threshold
+        )
+        .select(F.col("_id2").alias("_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return assign.join(dropped, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("_cid").alias("cluster_id"),
+        F.col("_cent").alias("cent_sim"),
+        F.coalesce(F.col("_dropped"), F.lit(False)).alias("dropped"),
+    )
+
+
 def rp_lsh_topk(
     df: DataFrame,
     vec_col: str,

@@ -143,6 +143,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stream_sliding_rollup",
     "sim_ann_ivf_persisted",
     "stream_stream_left_outer",
+    "dedup_semdedup_clusters",
 ]
 
 

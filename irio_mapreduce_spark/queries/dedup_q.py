@@ -36,6 +36,7 @@ from irio_mapreduce_spark.llm.similarity import as_double
 from irio_mapreduce_spark.llm.similarity import (
     dedup_embedding_cosine as dedup_embedding_cosine_op,
 )
+from irio_mapreduce_spark.llm.similarity import semdedup as semdedup_op
 from irio_mapreduce_spark.queries.catalog import register
 
 # Shared DuckDB fragment: distinct word trigrams per document, matching
@@ -608,4 +609,89 @@ def dedup_cluster_pick_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("kept_doc_id"),
         F.col("n_tokens").cast("long").alias("kept_n_tokens"),
         F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+@register(
+    "dedup_semdedup_clusters",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 0.5)
+      FROM embeddings
+    ),
+    anchors AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS av
+      FROM embeddings WHERE vec_id < 64
+    ),
+    scored AS (
+      SELECT c.vec_id, c.v, a.cid,
+             round(list_cosine_similarity(c.v, a.av), 6) AS cs
+      FROM corpus c CROSS JOIN anchors a
+    ),
+    assign AS (
+      SELECT vec_id, v, cid, cs AS cent
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+        AND (a.cent < b.cent
+             OR (a.cent = b.cent AND a.vec_id < b.vec_id))
+    )
+    SELECT a.cid AS cluster_id,
+           count(*)::BIGINT AS n_members,
+           count(d.vec_id)::BIGINT AS n_dropped,
+           sum(CASE WHEN d.vec_id IS NULL THEN a.vec_id ELSE 0 END)::BIGINT
+             AS kept_id_sum
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    GROUP BY a.cid
+    """,
+)
+def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    assign every vector to its nearest of 64 deterministic anchors, find
+    near-duplicate pairs ONLY within a cluster, and keep the member of
+    each pair with the LOWER centroid similarity (the paper's
+    diversity-preserving rule). Per-cluster summary: member count, drop
+    count, and the kept-id checksum.
+
+    Same planted-duplicate construction as ``dedup_embedding_cosine``
+    (0.5·v scale copies under vec_id+10000) and the same exactness
+    argument: IEEE scaling by 0.5 is exact, so a copy's anchor cosines
+    are bit-identical to its original's — both land in the same cluster
+    with equal ``cent_sim`` and the id tie-break decides, while the
+    background corpus tops out near cosine 0.6, far from the 0.99
+    threshold. Assignment argmax compares 6-rounded cosines with an
+    anchor-id tie-break, so both engines agree on every cluster.
+
+    Scale: anchors broadcast; candidate pairs are bounded by cluster
+    size — 64 anchors keep the expected cluster ~60 rows even at sf0.1
+    (k ∝ n is the 100 TB rule) — see
+    :func:`irio_mapreduce_spark.llm.similarity.semdedup`."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    orig = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    copies = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(as_double(F.col("embedding")), lambda x: x * 0.5).alias("v"),
+    )
+    corpus = orig.unionByName(copies)
+    anchors = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("av")
+    )
+    flags = semdedup_op(
+        corpus, "v", "vec_id", anchors, threshold=0.99, digits=6
+    )
+    return flags.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum(F.col("dropped").cast("long")).cast("long").alias("n_dropped"),
+        F.sum(F.when(~F.col("dropped"), F.col("vec_id")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_id_sum"),
     )

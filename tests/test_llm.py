@@ -1152,3 +1152,46 @@ def test_ivf_persisted_index_matches_in_process(spark, tmp_path):
         json.dump({"n_cells": 99, "seed": 7}, fh)
     with pytest.raises(ValueError, match="centroids on disk"):
         ivf_topk_persisted(idx_dir, queries, "embedding", "vec_id")
+
+
+def test_semdedup_retention_rule(spark):
+    """SemDeDup keeps the LOWEST-centroid-similarity member of a
+    near-dup pair and never drops across cluster boundaries. Two anchors
+    on orthogonal axes; a near-dup pair straddling neither: b1 sits
+    closer to anchor 0's axis than b2, so b2 (more typical) drops. The
+    far-cluster vector c is untouched even though it is a scale copy of
+    a near-dup member (different cluster => never a candidate)."""
+    from irio_mapreduce_spark.llm.similarity import semdedup
+
+    rows = [
+        (10, [1.0, 0.05, 0.0]),   # b1: cos-to-anchor0 lower than b2's? see below
+        (11, [1.0, 0.049, 0.0]),  # b2: near-dup of b1 (cos ~ 1)
+        (20, [0.0, 0.0, 7.0]),    # c: anchor-1 cluster, no neighbor there
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
+    anchors = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])],
+        "cid: long, av: array<double>",
+    )
+    out = semdedup(corpus, "v", "vec_id", anchors, threshold=0.99).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert by_id[10].cluster_id == 0 and by_id[11].cluster_id == 0
+    assert by_id[20].cluster_id == 1 and not by_id[20].dropped
+    # b2 is MORE similar to the centroid (smaller off-axis component)
+    assert by_id[11].cent_sim > by_id[10].cent_sim
+    assert by_id[11].dropped and not by_id[10].dropped
+
+
+def test_semdedup_equal_cent_sim_ties_on_id(spark):
+    """Exact scale copies have bit-identical centroid cosines; the id
+    tie-break keeps the smaller id — deterministic, both engines agree."""
+    from irio_mapreduce_spark.llm.similarity import semdedup
+
+    corpus = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [1.5, 2.0])],  # 2 = 0.5 * 1
+        "vec_id: long, v: array<double>",
+    )
+    anchors = spark.createDataFrame([(0, [1.0, 0.0])], "cid: long, av: array<double>")
+    out = {r.vec_id: r for r in semdedup(corpus, "v", "vec_id", anchors).collect()}
+    assert out[1].cent_sim == out[2].cent_sim
+    assert not out[1].dropped and out[2].dropped
