@@ -171,3 +171,150 @@ def pagerank(
         F.col("_ri").cast("long").alias("pr_fp"),
         (F.col("_ri") / F.lit(PAGERANK_SCALE)).alias("pr"),
     )
+
+
+def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Exact triangle count of an undirected graph given as an edge list
+    (either orientation, self-loops and duplicates tolerated), returning a
+    single row ``(n_nodes, n_edges, n_triangles)``.
+
+    Algorithm: **degree orientation** (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW 2011 — the canonical
+    MapReduce formulation). Canonicalize each edge to ``a < b``, dedup,
+    compute degrees, then orient every edge from its lower-(degree, id)
+    endpoint to the higher one. Wedges are enumerated ONLY at each edge's
+    low-degree endpoint (self-join of the oriented list on the source),
+    and a wedge closes into a triangle iff its (v, w) leg exists in the
+    oriented list (one semi-ish inner join). Every triangle is produced
+    exactly once — at its minimum-(degree, id) vertex.
+
+    Why this survives 100 TB: the naive wedge join explodes as
+    ``sum(deg²)`` — one celebrity hub with degree 10⁷ alone yields 10¹⁴
+    wedges ("the curse of the last reducer"). Orientation caps every
+    out-degree at O(sqrt(edges)) (a node of degree d only keeps neighbors
+    of degree ≥ d, and there can be at most 2·|E|/d of those), so the
+    wedge stage is O(E^{3/2}) total work, evenly spreadable — the best
+    known bound for exact counting. Shuffle budget: 2 exchanges to build
+    the oriented list (dedup + degree join, both keyed on the edge), then
+    1 self-join exchange on the wedge pivot and 1 on the closing-edge
+    key; all rows are (long, long) pairs.
+
+    The closing join's equi-keys are the edge pair itself, so Catalyst
+    plans plain shuffled/broadcast hash joins — no theta join, no
+    CartesianProduct (the catalog plan sweep enforces this).
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(
+            F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("_a").alias("_n"))
+        .unionAll(und.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count("*").alias("_d"))
+    )
+    # Orient from lower (degree, id) to higher: ties broken by id, so the
+    # orientation is a strict total order and the oriented list is acyclic.
+    da = deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_db"))
+    oriented = (
+        und.join(da, "_a")
+        .join(db, "_b")
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))),
+                F.struct(F.col("_a").alias("u"), F.col("_b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("_b").alias("u"), F.col("_a").alias("v")))
+            .alias("_e")
+        )
+        .select(F.col("_e.u").alias("_u"), F.col("_e.v").alias("_v"))
+    )
+    e1 = oriented.select(F.col("_u").alias("_p"), F.col("_v").alias("_x"))
+    e2 = oriented.select(F.col("_u").alias("_p"), F.col("_v").alias("_y"))
+    wedges = e1.join(e2, "_p").filter(F.col("_x") < F.col("_y"))
+    # The closing leg between the two wedge tips can be oriented either way
+    # (orientation is by degree, not id), and an OR-of-two-equalities would
+    # plan as a nested-loop join — so both sides canonicalize to the
+    # (min, max) pair and the match is a plain hashable equi-key.
+    closing = oriented.select(
+        F.col("_u").alias("_cu"), F.col("_v").alias("_cv")
+    )
+    tri = wedges.select(
+        # _x < _y already (wedge filter), so the pair is canonical as-is.
+        F.col("_x").alias("_cu"), F.col("_y").alias("_cv")
+    ).join(
+        closing.select(
+            F.least("_cu", "_cv").alias("_cu"),
+            F.greatest("_cu", "_cv").alias("_cv"),
+        ),
+        ["_cu", "_cv"],
+    )
+    counts = tri.agg(F.count("*").alias("n_triangles"))
+    stats = und.agg(F.count("*").alias("n_edges")).join(
+        deg.agg(F.count("*").alias("n_nodes"))
+    )
+    return stats.join(counts).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str,
+    dst_col: str,
+    node_col: str,
+    max_hops: int,
+) -> DataFrame:
+    """Bounded-hop breadth-first search over a directed edge list: the
+    minimum hop distance (0..``max_hops``) from any node in ``sources`` to
+    every reachable node within ``max_hops`` hops. Returns
+    ``(node, hops)`` — integers, so cross-engine exact by construction.
+
+    Shape per round (identical to one PageRank round, minus the degree
+    join): frontier ⋈ edges on the source key (1 exchange), then
+    ``min(hops)`` against the accumulated distance map (1 exchange) to
+    keep only NEWLY reached nodes as the next frontier — the classic
+    frontier-based BFS that Pregel/GraphX run, expressed as DataFrame
+    joins. The frontier-only join (not visited ⋈ edges) is what keeps
+    round cost proportional to the expanding wave, not the whole graph.
+    ``max_hops`` is a small fixed constant by contract (the catalog entry
+    unrolls 3), so lineage stays shallow without checkpoint barriers; an
+    unbounded variant would reuse the ``llm.dedup.connected_components``
+    convergence-probe + checkpoint-free pattern.
+
+    At 100 TB: pre-partition ``edges`` by ``src`` once so every round's
+    frontier join reuses the layout; state is O(reached) rows of
+    (node, int).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).localCheckpoint(eager=True)
+    dist = sources.select(
+        F.col(node_col).alias("_node"), F.lit(0).alias("_hops")
+    ).distinct()
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["_node"] == e["_src"])
+            .select(F.col("_dst").alias("_node"), F.lit(h).alias("_hops"))
+            .distinct()
+        )
+        # New frontier = reached nodes not already at a smaller distance.
+        frontier = reached.join(dist, "_node", "left_anti")
+        dist = dist.unionByName(frontier)
+    # A node can enter `dist` at most once (anti-join guard), so the
+    # min-agg below is belt-and-braces for the unioned lineage.
+    return dist.groupBy("_node").agg(F.min("_hops").alias("hops")).select(
+        F.col("_node").alias("node"), F.col("hops").cast("int").alias("hops")
+    )

@@ -144,6 +144,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "sim_ann_ivf_persisted",
     "stream_stream_left_outer",
     "dedup_semdedup_clusters",
+    "graph_triangle_cosupply",
+    "graph_bfs_purchases",
 ]
 
 

@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.io import read_table
-from irio_mapreduce_spark.operators.graph import PAGERANK_SCALE, pagerank
+from irio_mapreduce_spark.operators.graph import (
+    PAGERANK_SCALE,
+    bfs_hops,
+    pagerank,
+    triangle_count,
+)
 from irio_mapreduce_spark.queries.catalog import register
 
 # One PageRank round in DuckDB, matching operators.graph.pagerank exactly:
@@ -89,3 +94,130 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return pagerank(edges, "src", "dst", iterations=3)
+
+
+@register(
+    "graph_triangle_cosupply",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        JOIN orders o ON o.o_orderkey = a.l_orderkey
+      WHERE o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31')
+    SELECT CAST((SELECT count(DISTINCT n) FROM (
+             SELECT s1 AS n FROM e UNION ALL SELECT s2 FROM e)) AS BIGINT)
+             AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*)
+                 FROM e e1
+                   JOIN e e2 ON e2.s1 = e1.s2
+                   JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2)
+                AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangle_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the supplier CO-SUPPLY graph (suppliers
+    joined when they ship lines of the same order) over one quarter of
+    orders — the clustering-structure signal of graph curation (dense
+    triangles = tightly coupled supplier cliques). The quarter filter is a
+    pushed-down predicate on ``orders`` (partition-prunable at scale); the
+    operator is the degree-orientation algorithm whose O(E^{3/2}) bound
+    and shuffle budget are documented in
+    ``operators.graph.triangle_count``. The oracle counts the same
+    triangles via the naive ordered-triple join (a < b < c), which must
+    agree exactly with the oriented enumeration."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-03-31")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .join(
+            orders.select("o_orderkey"),
+            F.col("a.l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+    )
+    return triangle_count(pairs, "s1", "s2")
+
+
+@register(
+    "graph_bfs_purchases",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT concat('C', CAST(o_custkey AS VARCHAR)) AS c,
+                      concat('S', CAST(l_suppkey AS VARCHAR)) AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    h0 AS (
+      SELECT DISTINCT concat('C', CAST(c_custkey AS VARCHAR)) AS node
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'),
+    h1 AS (SELECT DISTINCT e.dst AS node FROM h0 JOIN edges e ON e.src = h0.node
+           WHERE e.dst NOT IN (SELECT node FROM h0)),
+    h2 AS (SELECT DISTINCT e.dst AS node FROM h1 JOIN edges e ON e.src = h1.node
+           WHERE e.dst NOT IN (SELECT node FROM h0)
+             AND e.dst NOT IN (SELECT node FROM h1)),
+    h3 AS (SELECT DISTINCT e.dst AS node FROM h2 JOIN edges e ON e.src = h2.node
+           WHERE e.dst NOT IN (SELECT node FROM h0)
+             AND e.dst NOT IN (SELECT node FROM h1)
+             AND e.dst NOT IN (SELECT node FROM h2))
+    SELECT hops, CAST(count(*) AS BIGINT) AS n_nodes,
+           min(node) AS min_node, max(node) AS max_node
+    FROM (SELECT node, 0 AS hops FROM h0
+          UNION ALL SELECT node, 1 FROM h1
+          UNION ALL SELECT node, 2 FROM h2
+          UNION ALL SELECT node, 3 FROM h3)
+    GROUP BY hops
+    """,
+)
+def graph_bfs_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-hop BFS over the mirrored customer–supplier purchase
+    graph from one nation's customers (supply-chain blast radius: which
+    suppliers/customers are within 3 purchase hops of one nation's customer
+    base). Per-hop roll-up (count + min/max node) keeps the output
+    driver-comparable at any scale; the frontier-join round structure and
+    its shuffle budget are documented in ``operators.graph.bfs_hops``. The
+    oracle unrolls the same three frontier expansions as chained CTEs —
+    hop distances are integers, so the match is exact by construction."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    nation = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sources = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("node")
+        )
+    )
+    dist = bfs_hops(edges, sources, "src", "dst", "node", max_hops=3)
+    return dist.groupBy("hops").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

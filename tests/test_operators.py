@@ -415,3 +415,83 @@ def test_pagerank_dangling_redistribute(spark):
 
     with pytest.raises(ValueError, match="dangling"):
         pagerank(g, "src", "dst", dangling="bogus")
+
+
+def test_triangle_count_vs_bruteforce(spark):
+    """Degree-oriented triangle counting equals the brute-force ordered
+    triple enumeration on known graphs (K4=4, C5=0, two sharing a hub) and
+    on a seeded random graph; duplicate edges, reversed orientations, and
+    self-loops do not change the census."""
+    import itertools
+    import random
+
+    from irio_mapreduce_spark.operators.graph import triangle_count
+
+    def brute(edge_set):
+        und = {tuple(sorted(e)) for e in edge_set if e[0] != e[1]}
+        nodes = sorted({n for e in und for n in e})
+        tris = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if (a, b) in und and (b, c) in und and (a, c) in und
+        )
+        return len(nodes), len(und), tris
+
+    cases = [
+        [(i, j) for i, j in itertools.combinations(range(4), 2)],  # K4: 4
+        [(i, (i + 1) % 5) for i in range(5)],  # C5: 0
+        # bowtie: two triangles sharing node 0
+        [(0, 1), (1, 2), (0, 2), (0, 3), (3, 4), (0, 4)],
+    ]
+    rng = random.Random(7)
+    rand = list(
+        {
+            (rng.randrange(30), rng.randrange(30))
+            for _ in range(120)
+        }
+    )
+    # noise: duplicates, reversals, self-loops
+    cases.append(rand + [(b, a) for a, b in rand[:20]] + [(5, 5), (2, 2)])
+    for edges in cases:
+        df = spark.createDataFrame(edges, "s long, d long")
+        row = triangle_count(df, "s", "d").head()
+        assert (row.n_nodes, row.n_edges, row.n_triangles) == brute(edges)
+
+
+def test_bfs_hops_vs_bruteforce(spark):
+    """Frontier BFS equals a Python reference BFS (min hop distance,
+    bounded) on a seeded random digraph with multiple sources, and
+    max_hops truncates the wave exactly."""
+    import random
+    from collections import deque
+
+    from irio_mapreduce_spark.operators.graph import bfs_hops
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(90)})
+    srcs = [0, 1, 2]
+
+    def brute(max_hops):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        dist = {s: 0 for s in srcs}
+        q = deque(srcs)
+        while q:
+            u = q.popleft()
+            if dist[u] == max_hops:
+                continue
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    e_df = spark.createDataFrame(edges, "s long, d long")
+    s_df = spark.createDataFrame([(s,) for s in srcs], "n long")
+    for k in (0, 1, 3):
+        got = {
+            r.node: r.hops
+            for r in bfs_hops(e_df, s_df, "s", "d", "n", max_hops=k).collect()
+        }
+        assert got == brute(k)
