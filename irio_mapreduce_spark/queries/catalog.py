@@ -146,6 +146,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_semdedup_clusters",
     "graph_triangle_cosupply",
     "graph_bfs_purchases",
+    "ml_kmeans_embeddings",
+    "ml_knn_classify",
 ]
 
 

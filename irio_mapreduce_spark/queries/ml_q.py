@@ -1,0 +1,149 @@
+"""ML-analytics catalog queries over ``embeddings``: fixed-point k-means
+clustering and exact k-NN classification (``llm.clustering``). Both are
+all-integer pipelines, so the DuckDB oracles replay the identical
+arithmetic and the driver hash-compare is exact — see the module
+docstring of ``llm.clustering`` for why a float formulation cannot make
+that promise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.io import read_table
+from irio_mapreduce_spark.llm.clustering import (
+    KMEANS_SCALE,
+    kmeans_fixed_point,
+    knn_classify,
+)
+from irio_mapreduce_spark.queries.catalog import register
+
+_K = 8
+_DIMS = 64
+
+# Shared oracle fragments. All arithmetic is BIGINT: components fix-point
+# scaled by floor(x * 1e6) (exact in both engines), distances are integer
+# sums of squares, re-centering is integer sum // count (DuckDB's // and
+# Spark's div both truncate toward zero — probed on negatives).
+_SV = f"""
+    sv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * {KMEANS_SCALE}) AS BIGINT)) AS s
+      FROM embeddings)
+"""
+
+# One Lloyd's round: exact distances to the k current centroids, argmin
+# with lowest-cid tie-break, then per-(cluster, dim) integer re-centering;
+# clusters that captured no rows carry their previous centroid forward.
+_KM_ROUND = f"""
+    {{asg}} AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY sum((v.s[i] - c.c[i]) * (v.s[i] - c.c[i])), c.cid
+               ) AS rn
+        FROM sv v, {{cent}} c, range(1, {_DIMS + 1}) t(i)
+        GROUP BY v.vec_id, c.cid)
+      WHERE rn = 1),
+    {{out}} AS (
+      SELECT cid, list(m ORDER BY i) AS c FROM (
+        SELECT a.cid, t.i AS i,
+               CAST(sum(v.s[t.i]) // count(*) AS BIGINT) AS m
+        FROM {{asg}} a JOIN sv v USING (vec_id), range(1, {_DIMS + 1}) t(i)
+        GROUP BY a.cid, t.i)
+      GROUP BY cid
+      UNION ALL
+      SELECT cid, c FROM {{cent}}
+      WHERE cid NOT IN (SELECT DISTINCT cid FROM {{asg}}))
+"""
+
+
+@register(
+    "ml_kmeans_embeddings",
+    oracle=f"""
+    WITH {_SV},
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             s AS c
+      FROM (SELECT vec_id, s FROM sv ORDER BY vec_id LIMIT {_K})),
+    {_KM_ROUND.format(asg="a1", cent="c0", out="c1")},
+    {_KM_ROUND.format(asg="a2", cent="c1", out="c2")}
+    SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+    FROM a2 GROUP BY cid
+    """,
+)
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd's k-means rounds (k=8) over the embedding corpus in exact
+    fixed-point arithmetic, deterministically seeded from the 8 lowest
+    vec_ids, rolled up per cluster (size + id fingerprints so the driver
+    compares the full assignment without 2000 output rows). Clustering is
+    the backbone of mixture balancing and SemDeDup-style pruning at
+    corpus scale; per-round shuffle budget (map-only assignment with
+    plan-literal centroids; one k×dims-group re-centering exchange) and
+    the bounded-collect contract are documented in
+    ``llm.clustering.kmeans_fixed_point``. The oracle replays both rounds
+    as chained CTEs over the identical integer arithmetic."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fixed_point(
+        emb, "embedding", "vec_id", k=_K, iterations=2
+    )
+    return assigned.groupBy(F.col("cluster")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("id").cast("long").alias("min_vec_id"),
+        F.sum("id").cast("long").alias("sum_vec_id"),
+    )
+
+
+@register(
+    "ml_knn_classify",
+    oracle=f"""
+    WITH {_SV},
+    q AS (SELECT vec_id AS query_id, s AS qs FROM sv WHERE vec_id < 20),
+    c AS (SELECT v.vec_id AS cid, e.label AS lab, v.s AS cs
+          FROM sv v JOIN embeddings e USING (vec_id) WHERE v.vec_id >= 20),
+    scored AS (
+      SELECT q.query_id, c.cid, c.lab,
+             CAST(sum((c.cs[i] - q.qs[i]) * (c.cs[i] - q.qs[i])) AS BIGINT)
+               AS d
+      FROM q, c, range(1, {_DIMS + 1}) t(i)
+      GROUP BY q.query_id, c.cid, c.lab),
+    topk AS (
+      SELECT query_id, lab FROM (
+        SELECT query_id, lab,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn
+        FROM scored)
+      WHERE rn <= 5),
+    votes AS (
+      SELECT query_id, lab, count(*) AS votes
+      FROM topk GROUP BY query_id, lab)
+    SELECT query_id, lab AS predicted_label,
+           CAST(votes AS BIGINT) AS votes
+    FROM (SELECT query_id, lab, votes,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY votes DESC, lab) AS rv
+          FROM votes)
+    WHERE rv = 1
+    """,
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN majority-vote label prediction for a 20-query batch
+    against the rest of the embedding corpus — the label-propagation /
+    quality-transfer primitive of a curation pipeline (label a sample by
+    hand, k-NN the rest). Integer distances and integer vote ranks make
+    neighbor sets cross-engine exact; the broadcast-queries scale shape
+    (and the ANN-shortlist path when the batch outgrows a broadcast) is
+    documented in ``llm.clustering.knn_classify``."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return knn_classify(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        "embedding",
+        "vec_id",
+        "label",
+        k=5,
+    )

@@ -1195,3 +1195,130 @@ def test_semdedup_equal_cent_sim_ties_on_id(spark):
     out = {r.vec_id: r for r in semdedup(corpus, "v", "vec_id", anchors).collect()}
     assert out[1].cent_sim == out[2].cent_sim
     assert not out[1].dropped and out[2].dropped
+
+
+def test_kmeans_fixed_point_vs_python_reference(spark):
+    """Fixed-point Lloyd's equals a pure-Python replay of the identical
+    integer arithmetic (scale → assign-argmin → integer re-center, 2
+    rounds) on a seeded random corpus, and the assignment is invariant
+    under repartitioning. Also: an empty cluster carries its centroid
+    forward instead of crashing."""
+    import math
+    import random
+
+    from irio_mapreduce_spark.llm.clustering import (
+        KMEANS_SCALE,
+        kmeans_fixed_point,
+    )
+
+    rng = random.Random(3)
+    dims, n, k, iters = 6, 80, 4, 2
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dims)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vid long, v array<float>")
+
+    # Python replay of the exact contract. Match Spark float32 storage:
+    # the scaled value is floor(double(float32(x)) * SCALE).
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    sv = {i: [math.floor(f32(x) * KMEANS_SCALE) for x in v] for i, v in rows}
+    cents = [list(sv[i]) for i in range(k)]
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    assign = {}
+    for _ in range(iters):
+        assign = {}
+        for i, s in sv.items():
+            dists = [
+                sum((a - b) * (a - b) for a, b in zip(s, c)) for c in cents
+            ]
+            assign[i] = dists.index(min(dists))
+        for c in range(k):
+            members = [sv[i] for i in assign if assign[i] == c]
+            if members:
+                cents[c] = [
+                    trunc_div(sum(col), len(members)) for col in zip(*members)
+                ]
+
+    got = {
+        r.id: r.cluster
+        for r in kmeans_fixed_point(df, "v", "vid", k=k, iterations=iters).collect()
+    }
+    assert got == assign
+
+    again = {
+        r.id: r.cluster
+        for r in kmeans_fixed_point(
+            df.repartition(7), "v", "vid", k=k, iterations=iters
+        ).collect()
+    }
+    assert again == assign
+
+    # Empty-cluster carry-forward: two far groups, k=3 seeded from three
+    # near-identical points in group A — at least one seed captures nothing
+    # after round 1 once re-centering pulls a centroid into group B.
+    far = [(0, [0.0, 0.0]), (1, [0.01, 0.0]), (2, [0.02, 0.0])] + [
+        (10 + i, [100.0, 100.0 + i]) for i in range(5)
+    ]
+    fdf = spark.createDataFrame(far, "vid long, v array<float>")
+    out = kmeans_fixed_point(fdf, "v", "vid", k=3, iterations=3).collect()
+    assert len(out) == len(far)  # every row assigned, no crash
+
+
+def test_knn_classify_vs_python_reference(spark):
+    """Exact k-NN majority vote equals a Python replay (integer distances,
+    id tie-break on neighbors, (votes desc, label asc) tie-break on the
+    vote) on a seeded random corpus."""
+    import math
+    import random
+    import struct
+
+    from irio_mapreduce_spark.llm.clustering import KMEANS_SCALE, knn_classify
+
+    rng = random.Random(5)
+    dims, n_corpus, n_q, k = 4, 60, 8, 5
+    corpus = [
+        (i, [rng.uniform(-1, 1) for _ in range(dims)], rng.randrange(3))
+        for i in range(n_corpus)
+    ]
+    queries = [
+        (100 + i, [rng.uniform(-1, 1) for _ in range(dims)], 0)
+        for i in range(n_q)
+    ]
+    cdf = spark.createDataFrame(corpus, "vid long, v array<float>, lab int")
+    qdf = spark.createDataFrame(queries, "vid long, v array<float>, lab int")
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    def scale(v):
+        return [math.floor(f32(x) * KMEANS_SCALE) for x in v]
+
+    expect = {}
+    for qid, qv, _ in queries:
+        qs = scale(qv)
+        scored = sorted(
+            (
+                sum((a - b) * (a - b) for a, b in zip(scale(cv), qs)),
+                cid,
+                lab,
+            )
+            for cid, cv, lab in corpus
+        )
+        votes: dict[int, int] = {}
+        for _, _, lab in scored[:k]:
+            votes[lab] = votes.get(lab, 0) + 1
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect[qid] = best
+    got = {
+        r.query_id: (r.predicted_label, r.votes)
+        for r in knn_classify(cdf, qdf, "v", "vid", "lab", k=k).collect()
+    }
+    assert got == {q: (l, v) for q, (l, v) in expect.items()}
