@@ -148,6 +148,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "graph_bfs_purchases",
     "ml_kmeans_embeddings",
     "ml_knn_classify",
+    "text_heavy_hitters",
 ]
 
 

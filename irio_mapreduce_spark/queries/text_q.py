@@ -503,3 +503,38 @@ def text_normalize_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 5 == 0).alias("had_url"),
         (~F.col("ntext").contains("http")).alias("url_gone"),
     )
+
+
+@register(
+    "text_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> t <> '')) AS item
+      FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+    SELECT item, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks, n
+    GROUP BY item, n.n
+    HAVING count(*) * 200 > n.n
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters — every token above 1/200 of total token
+    mass — via the Misra–Gries sketch-then-verify two-pass
+    (``operators.aggregates.frequent_items``): per-partition MG summaries
+    whose union provably supersets the true heavy set, then exact counts
+    for candidates only. The shuffle carries candidate keys (≤ partitions
+    × 400) instead of one row per distinct token — the Zipf tail dies in
+    the map stage, which is the whole point at web-token scale. The
+    oracle is the naive full GROUP BY + HAVING over the same integer
+    threshold; the output is exact (partitioning-invariant), so it
+    hash-matches despite the sketch being partition-dependent."""
+    from irio_mapreduce_spark.llm.dedup import tokens as _tokens
+    from irio_mapreduce_spark.operators.aggregates import frequent_items
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    return frequent_items(toks, "tok", threshold_den=200).select(
+        F.col("item"), F.col("cnt")
+    )

@@ -495,3 +495,40 @@ def test_bfs_hops_vs_bruteforce(spark):
             for r in bfs_hops(e_df, s_df, "s", "d", "n", max_hops=k).collect()
         }
         assert got == brute(k)
+
+
+def test_frequent_items_exact_and_partitioning_invariant(spark):
+    """Misra-Gries sketch-then-verify returns EXACTLY the items above
+    N/threshold_den on a Zipf-ish stream, identically under 1, 3, and 11
+    input partitions (the sketch varies, the verified output cannot), and
+    the too-few-counters configuration is rejected."""
+    import pytest
+
+    from irio_mapreduce_spark.operators.aggregates import frequent_items
+
+    # 4 heavy items + a 400-item tail; N = 2000
+    data = (
+        [("hot%d" % i,) for i in range(4) for _ in range(250)]
+        + [("tail%d" % i,) for i in range(400) for _ in range(2)]
+        + [(None,)] * 200  # nulls are not items
+    )
+    df = spark.createDataFrame(data, "tok string")
+    n = 2000
+    expect = {("hot%d" % i): 250 for i in range(4)}
+    for parts in (1, 3, 11):
+        out = {
+            r.item: r.cnt
+            for r in frequent_items(
+                df.repartition(parts), "tok", threshold_den=10
+            ).collect()
+        }
+        assert out == expect, parts
+    # threshold 10 with only 4 counters cannot guarantee the superset
+    with pytest.raises(ValueError, match="mg_counters"):
+        frequent_items(df, "tok", threshold_den=10, mg_counters=4)
+    # boundary: cnt * den == N is NOT a heavy hitter (strict >)
+    edge = spark.createDataFrame(
+        [("a",)] * 10 + [("b%d" % i,) for i in range(90)], "tok string"
+    )
+    got = {r.item for r in frequent_items(edge, "tok", threshold_den=10).collect()}
+    assert got == set()  # 10 * 10 == 100, strict inequality excludes
