@@ -301,3 +301,74 @@ def normalize_text(text_col: str | Column) -> Column:
     no_url = F.regexp_replace(c, r"https?://[^ \t\n\r\f]+", "")
     no_cite = F.regexp_replace(no_url, r"\[\d+\]", "")
     return F.trim(F.regexp_replace(no_cite, r"[ \t\n\r\f]+", " "))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int,
+    top_n: int,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Top collocations (adjacent-token bigrams) ranked by an exact
+    fixed-point PMI lift score. Returns
+    ``(bigram, c_xy, c_x, c_y, lift_fp)`` — the ``top_n`` bigrams with
+    ``c_xy >= min_count`` by ``(lift_fp DESC, bigram)``.
+
+    PMI(x,y) = log( p(xy) / (p(x)p(y)) ) is monotone in
+    ``c_xy / (c_x · c_y)`` for a fixed corpus, and log is a
+    transcendental that is NOT correctly rounded identically across
+    engines (the catalog's no-transcendentals convention) — so the score
+    is the log's argument in fixed point, as a FIXED evaluation order:
+    ``t1 = (c_xy · scale) div c_x`` then ``lift_fp = (t1 · scale) div
+    c_y``. Overflow-safe by construction at ANY corpus size: every
+    bigram occurrence consumes one occurrence of x (and of y), so
+    ``c_xy <= c_x`` and ``t1 <= scale``, hence ``t1 · scale <= 10^12``
+    — no N multiply that would blow int64 at web scale. Readers wanting
+    true PMI apply ``log(lift_fp · N / scale²)`` presentation-side.
+
+    Scale shape: one shuffle for bigram counts, one for unigram counts
+    (both partial-aggregated map-side), two joins keyed by token to
+    attach ``c_x``/``c_y`` (standard shuffled hash joins; the unigram
+    side is the distinct vocabulary, orders of magnitude smaller than
+    the corpus), and a TakeOrdered top-n — no global sort. Bigrams are
+    built per-row with ``zip_with`` over two slices (array args
+    evaluated once — the ``max_bigram_share`` re-evaluation note).
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    m = F.greatest(n - 1, F.lit(0))
+    pairs = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, m),
+                F.slice(t, 2, m),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = df.select(F.explode(t).alias("w")).groupBy("w").agg(
+        F.count("*").alias("c_w")
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    scored = (
+        bi.filter(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y")), "w2")
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.col("c_x").cast("long").alias("c_x"),
+            F.col("c_y").cast("long").alias("c_y"),
+            F.expr(f"((c_xy * {scale}) div c_x * {scale}) div c_y").alias(
+                "lift_fp"
+            ),
+        )
+    )
+    from irio_mapreduce_spark.operators.topk import top_k
+
+    return top_k(
+        scored,
+        [F.col("lift_fp").desc(), F.col("bigram").asc()],
+        top_n,
+    )

@@ -149,6 +149,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "ml_kmeans_embeddings",
     "ml_knn_classify",
     "text_heavy_hitters",
+    "agg_equidepth_histogram",
+    "text_pmi_collocations",
 ]
 
 

@@ -1387,3 +1387,53 @@ def quality_fk_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM ranked GROUP BY bucket
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram of order totals (8 equal-population buckets,
+    unique (price, orderkey) tie-break) — the complement of the
+    equal-width profile in ``agg_histogram_totalprice`` and the shape
+    optimizers/profilers actually want (bucket boundaries track data
+    mass). A plain ``ntile() OVER (ORDER BY ...)`` plans an ``Exchange
+    SinglePartition`` — one reducer sorts everything, the exact
+    bottleneck a 100 TB engine cannot ship — so this entry computes the
+    identical buckets from the DISTRIBUTED ranking operator
+    (``operators.topk.global_rank``: range-partitioned sort +
+    per-partition offset numbering, the TeraSort pattern) and the integer
+    NTILE formula (``ntile_from_rank``); equivalence to the window ntile
+    is pinned by test_operators. Bucket bounds are raw column values (no
+    arithmetic), so the hash-compare is exact without rounding. The
+    documented approximate path at scale is ``agg_percentiles_approx``;
+    this is its exact counterpart."""
+    from irio_mapreduce_spark.operators.topk import global_rank, ntile_from_rank
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = global_rank(orders, ["o_totalprice", "o_orderkey"])
+    n_df = ranked.agg(F.count("*").alias("_n"))
+    return (
+        ranked.join(F.broadcast(n_df))
+        .select(
+            "o_totalprice",
+            ntile_from_rank(F.col("rank"), F.col("_n"), 8).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

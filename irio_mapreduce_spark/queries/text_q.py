@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.io import read_table
 from irio_mapreduce_spark.llm.text import (
+    pmi_collocations,
     bpe_ish_count,
     chunk_list,
     langid_predict,
@@ -538,3 +539,36 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_items(toks, "tok", threshold_den=200).select(
         F.col("item"), F.col("cnt")
     )
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+      FROM t),
+    bi AS (SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(count(*) AS BIGINT) AS c_xy
+           FROM pairs GROUP BY 1, 2),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM uni GROUP BY w)
+    SELECT w1 || ' ' || w2 AS bigram, c_xy,
+           ux.c_w AS c_x, uy.c_w AS c_y,
+           ((c_xy * 1000000) // ux.c_w * 1000000) // uy.c_w AS lift_fp
+    FROM bi JOIN uc ux ON ux.w = w1 JOIN uc uy ON uy.w = w2
+    WHERE c_xy >= 5
+    ORDER BY lift_fp DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations of the document corpus by exact fixed-point
+    PMI lift (min bigram count 5) — the phrase-mining / tokenizer-vocab
+    signal of a text pipeline. The score is the PMI log-argument in a
+    fixed integer evaluation order (log itself is a transcendental the
+    cross-engine convention bans; the ordering is identical), overflow-
+    safe at any corpus size because ``c_xy <= c_x`` caps each step —
+    see ``llm.text.pmi_collocations`` for the shuffle budget."""
+    docs = read_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=5, top_n=20)

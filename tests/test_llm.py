@@ -1322,3 +1322,43 @@ def test_knn_classify_vs_python_reference(spark):
         for r in knn_classify(cdf, qdf, "v", "vid", "lab", k=k).collect()
     }
     assert got == {q: (l, v) for q, (l, v) in expect.items()}
+
+
+def test_pmi_collocations_reference_and_degenerate(spark):
+    """Fixed-point PMI lift equals a Python replay of the identical
+    integer arithmetic on a tiny corpus with a planted collocation, and
+    empty/single-token docs contribute no bigrams without crashing
+    (ANSI slice guard)."""
+    from irio_mapreduce_spark.llm.text import pmi_collocations
+
+    docs = [
+        (0, "alpha beta alpha beta alpha beta"),
+        (1, "gamma alpha beta gamma gamma"),
+        (2, "delta delta delta delta"),
+        (3, ""),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.bigram: (r.c_xy, r.c_x, r.c_y, r.lift_fp)
+        for r in pmi_collocations(df, "text", min_count=2, top_n=10).collect()
+    }
+
+    toks = [d[1].lower().split() for d in docs]
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    for ts in toks:
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    expect = {}
+    for (a, b), cxy in bi.items():
+        if cxy < 2:
+            continue
+        t1 = (cxy * 10**6) // uni[a]
+        expect[f"{a} {b}"] = (cxy, uni[a], uni[b], (t1 * 10**6) // uni[b])
+    assert out == expect
+    # the planted repeated phrase ranks top
+    top = max(out.items(), key=lambda kv: kv[1][3])
+    assert top[0] in ("alpha beta", "delta delta")

@@ -532,3 +532,50 @@ def test_frequent_items_exact_and_partitioning_invariant(spark):
     )
     got = {r.item for r in frequent_items(edge, "tok", threshold_den=10).collect()}
     assert got == set()  # 10 * 10 == 100, strict inequality excludes
+
+
+def test_global_rank_matches_single_reducer_window(spark):
+    """Distributed global_rank (range partition + offset numbering) equals
+    row_number() over the single-partition window, and ntile_from_rank
+    equals SQL NTILE for awkward n/k combinations (n < k, n % k != 0),
+    across input partitionings."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from irio_mapreduce_spark.operators.topk import global_rank, ntile_from_rank
+
+    rng = random.Random(13)
+    rows = [(rng.randrange(100), i) for i in range(157)]  # dup keys, uniq id
+    for parts, n_range in ((1, 4), (5, 3), (13, 8)):
+        df = spark.createDataFrame(rows, "v long, id long").repartition(parts)
+        w = Window.orderBy("v", "id")
+        want = {
+            (r.v, r.id): r.rn
+            for r in df.withColumn("rn", F.row_number().over(w)).collect()
+        }
+        got = {
+            (r.v, r.id): r.rank
+            for r in global_rank(
+                df, ["v", "id"], num_partitions=n_range
+            ).collect()
+        }
+        assert got == want
+
+    for n, k in ((157, 8), (5, 8), (24, 6), (1, 3)):
+        df = spark.createDataFrame(
+            [(i,) for i in range(n)], "id long"
+        )
+        w = Window.orderBy("id")
+        want = {
+            r.id: r.b
+            for r in df.withColumn("b", F.ntile(k).over(w)).collect()
+        }
+        ranked = global_rank(df, ["id"], num_partitions=4)
+        got = {
+            r.id: r.b
+            for r in ranked.withColumn(
+                "b", ntile_from_rank(F.col("rank"), F.lit(n).cast("long"), k)
+            ).collect()
+        }
+        assert got == want, (n, k)
