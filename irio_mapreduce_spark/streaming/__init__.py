@@ -30,5 +30,6 @@ from irio_mapreduce_spark.streaming.ops import (  # noqa: F401
     stream_static_enrich,
     stream_stream_interval_join,
     tumbling_value_rollup,
+    tws_user_stats,
     write_stream_parquet_exactly_once,
 )

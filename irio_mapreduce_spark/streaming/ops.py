@@ -527,3 +527,92 @@ def read_cdc_target(spark, target_dir: str) -> DataFrame:
             "produced zero micro-batches (empty source?)"
         )
     return spark.read.parquet(_os.path.join(target_dir, f"v={versions[-1]}"))
+
+
+def tws_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the **transformWithStateInPandas** API
+    (Spark 4's successor to ``applyInPandasWithState``): per-user running
+    (count, exact cent-total, max value) kept in a named ``ValueState``,
+    emitted every micro-batch the user appears in (update mode).
+
+    ENVIRONMENT GATE: the transformWithState Python worker speaks a
+    protobuf-based state protocol — ``import google.protobuf`` must
+    succeed on workers or query start crashes with an opaque
+    ``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE``. This container
+    ships no protobuf (and installs are off-limits), so the operator
+    raises a clear error up front; the plan/state topology is covered by
+    ``tests/test_streaming.py`` (guarded), and the equivalent
+    driver-gated surface runs on the classic API
+    (``stateful_user_totals`` → ``stream_custom_stateful_totals``).
+
+    vs the classic API (``stateful_user_totals``): state is a set of
+    NAMED, individually-evolvable handles on a ``StatefulProcessorHandle``
+    (value/list/map state, TTL support, timers via ``handleExpiredTimer``,
+    and an ``initialState`` seed path) instead of one opaque tuple —
+    this is the API new stateful operators should target.
+
+    The running total accumulates as exact CENTS (the corpus ``value``
+    column is 2-decimal money): integer addition is associative, so the
+    final emission is independent of micro-batch replay slicing, and the
+    presentation divide-by-100 is one correctly-rounded IEEE op — the
+    same cross-engine-exact stance as the fixed-point catalog entries.
+    State volume: one (long, long, double) row per user, partitioned by
+    the grouping key across state stores; at scale the RocksDB provider
+    (``stream_rocksdb_state_totals`` entry) holds it off-heap.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its Python<->JVM state protocol); not available in this "
+            "environment. Use stateful_user_totals (applyInPandasWithState) "
+            "for the same topology."
+        ) from exc
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n long, cents long, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents, mx = (
+                self._state.get() if self._state.exists() else (0, 0, float("-inf"))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                # round-half-away per-row cents: value arrives as a 2dp
+                # double; +0.5-floor on the scaled magnitude is exact for
+                # money-range doubles and matches both engines' round()
+                cents += int(
+                    sum(
+                        int(abs(v) * 100 + 0.5) * (1 if v >= 0 else -1)
+                        for v in pdf["value"]
+                    )
+                )
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, cents, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n": [n],
+                    "total": [cents / 100.0],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType="user_id long, n long, total double, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

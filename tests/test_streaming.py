@@ -562,3 +562,58 @@ def test_cdc_read_skips_torn_uncommitted_version(spark, tmp_path):
     assert _committed_versions(tdir) == committed  # torn version invisible
     got = {(r.user_id, r.event_id) for r in read_cdc_target(spark, tdir).collect()}
     assert got == want
+
+
+def test_tws_user_stats_env_gate(spark):
+    """transformWithStateInPandas needs the protobuf package on workers;
+    without it the operator must fail FAST with a clear message (the raw
+    engine error is an opaque runner-init crash at query start). When the
+    environment does ship protobuf, the operator must drain to the same
+    totals as the classic applyInPandasWithState topology."""
+    import pytest
+
+    from irio_mapreduce_spark.streaming.ops import tws_user_stats
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    events = spark.createDataFrame(
+        [(1, 10.00), (1, 2.50), (2, 1.25)], "user_id long, value double"
+    )
+    if not have_protobuf:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            tws_user_stats(events)
+        return
+    # protobuf present: run the topology end-to-end on a file replay
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="tws_") + "/in"
+    events.write.json(d)
+    stream = spark.readStream.schema("user_id long, value double").json(d)
+    name = f"t_tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        tws_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    out = {
+        r.user_id: (r.n, r.total, r.max_value)
+        for r in spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .collect()
+    }
+    assert out == {1: (2, 12.50, 10.00), 2: (1, 1.25, 1.25)}
