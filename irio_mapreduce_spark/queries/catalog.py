@@ -151,6 +151,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_heavy_hitters",
     "agg_equidepth_histogram",
     "text_pmi_collocations",
+    "stats_corr_matrix",
+    "events_activity_streaks",
 ]
 
 

@@ -521,3 +521,57 @@ def events_type_change_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.row_number().over(w_ch).cast("long").alias("change_seq"),
     )
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    islands AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', d)
+               - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS island
+      FROM days),
+    streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      FROM islands GROUP BY user_id, island)
+    SELECT user_id,
+           max(len) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus streak count
+    and total active days) — the classic GAPS-AND-ISLANDS shape: distinct
+    active dates, then ``epoch_day - row_number`` is constant exactly
+    within a consecutive run, so one grouping on that key measures every
+    streak. Two shuffles total (distinct on (user, day), then the user
+    window + the integer-key groupings share the user partitioning).
+    All-integer output — exact at any scale. The engagement-continuity
+    signal of behavioral curation (bot runs show as implausibly long
+    streaks)."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        (F.datediff(F.col("d"), F.lit("1970-01-01")) - F.row_number().over(w)).alias(
+            "island"
+        ),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )

@@ -1437,3 +1437,87 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "stats_corr_matrix",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(round(l_tax * 100) AS BIGINT) AS t
+      FROM lineitem),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd,
+                 CAST(sum(t) AS BIGINT) AS st,
+                 CAST(sum(q * q) AS BIGINT) AS sqq,
+                 CAST(sum(d * d) AS BIGINT) AS sdd,
+                 CAST(sum(t * t) AS BIGINT) AS stt,
+                 CAST(sum(q * d) AS BIGINT) AS sqd,
+                 CAST(sum(q * t) AS BIGINT) AS sqt,
+                 CAST(sum(d * t) AS BIGINT) AS sdt
+          FROM pts)
+    SELECT pair, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+    FROM (
+      SELECT 'quantity~discount' AS pair, n, sqd AS sxy, sq AS sx, sd AS sy,
+             sqq AS sxx, sdd AS syy FROM m
+      UNION ALL
+      SELECT 'quantity~tax', n, sqt, sq, st, sqq, stt FROM m
+      UNION ALL
+      SELECT 'discount~tax', n, sdt, sd, st, sdd, stt FROM m)
+    """,
+)
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the bounded-magnitude
+    lineitem measures (quantity; discount and tax as exact integer
+    percents) — the numeric-profiling step feeding feature selection and
+    drift monitors. Same integer-moment technique as
+    ``stats_ols_price_vs_qty``: per-pair moments are exact BIGINT sums
+    (components <= 100, products <= 10^4 — no overflow below ~10^14
+    rows), each cast to double once (correctly rounded in both engines),
+    then corr is a FIXED sequence of scalar IEEE ops — `sqrt` is
+    IEEE-754 correctly rounded (unlike ln/pow, which the cross-engine
+    convention bans), so even the UNROUNDED doubles hash-match. One scan,
+    one 1-row aggregate, three output rows; built-in ``corr()`` is the
+    float-accumulating alternative that cannot give this guarantee."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("t"),
+    )
+    m = li.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum(F.col(a) * F.col(b)).cast("long").alias(name)
+            for name, a, b in [
+                ("sqq", "q", "q"), ("sdd", "d", "d"), ("stt", "t", "t"),
+                ("sqd", "q", "d"), ("sqt", "q", "t"), ("sdt", "d", "t"),
+            ]
+        ],
+        F.sum("q").cast("long").alias("sq"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("t").cast("long").alias("st"),
+    )
+
+    def one(pair: str, sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        n = F.col("n").cast("double")
+        xy, x, y = F.col(sxy).cast("double"), F.col(sx).cast("double"), F.col(sy).cast("double")
+        xx, yy = F.col(sxx).cast("double"), F.col(syy).cast("double")
+        corr = (n * xy - x * y) / (
+            F.sqrt(n * xx - x * x) * F.sqrt(n * yy - y * y)
+        )
+        return m.select(
+            F.lit(pair).alias("pair"), "n", corr.alias("corr")
+        )
+
+    return (
+        one("quantity~discount", "sqd", "sq", "sd", "sqq", "sdd")
+        .unionByName(one("quantity~tax", "sqt", "sq", "st", "sqq", "stt"))
+        .unionByName(one("discount~tax", "sdt", "sd", "st", "sdd", "stt"))
+    )
