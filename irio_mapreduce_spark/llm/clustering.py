@@ -100,9 +100,12 @@ def kmeans_fixed_point(
         raise ValueError(f"k must be >= 1, got {k}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    # Every round's assignment AND re-centering (plus the init take) read
+    # the scaled corpus; persist keeps it one scan instead of 2·iters+1
+    # (lineage stays planner-visible, same stance as triangle_count).
     sv = df.select(
         F.col(id_col).alias("_id"), scaled_vec(F.col(vec_col)).alias("_sv")
-    )
+    ).persist()
     init = (
         sv.orderBy("_id").limit(k).orderBy("_id").select("_sv").collect()
     )

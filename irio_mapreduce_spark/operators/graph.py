@@ -204,12 +204,20 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     CartesianProduct (the catalog plan sweep enforces this).
     """
     a, b = F.col(src_col), F.col(dst_col)
+    # Spark performs no common-subplan reuse across DataFrame references:
+    # without a persist, the canonical edge list (often itself a join, as
+    # in the co-supply entry) is REBUILT by every consumer below — deg,
+    # the orientation join, both wedge legs, the closing probe and the
+    # stats row, ~8 replays of the upstream lineage. persist() (not
+    # localCheckpoint) keeps the lineage visible to the planner, so scan
+    # pushdown assertions and recovery still see the true plan.
     und = (
         edges.select(
             F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
         )
         .filter(F.col("_a") != F.col("_b"))
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.col("_a").alias("_n"))
@@ -234,6 +242,7 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
             .alias("_e")
         )
         .select(F.col("_e.u").alias("_u"), F.col("_e.v").alias("_v"))
+        .persist()
     )
     e1 = oriented.select(F.col("_u").alias("_p"), F.col("_v").alias("_x"))
     e2 = oriented.select(F.col("_u").alias("_p"), F.col("_v").alias("_y"))

@@ -333,3 +333,60 @@ def test_hive_partitioned_entry_prunes_partitions(spark, qs):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert pf and "lang" in pf.group(1), p
+
+
+def test_triangle_census_all_hash_joins(spark, qs):
+    """The triangle pipeline must stay in hashable equi-joins end to end:
+    wedge self-join and closing-edge probe both on plain keys — a
+    nested-loop join here (e.g. from an OR-of-orientations match) would
+    be quadratic at the wedge stage. The date filter must reach the
+    orders scan."""
+    p = plan(spark, qs, "graph_triangle_cosupply", mode="simple")
+    assert "CartesianProduct" not in p
+    # the ONLY nested-loop joins are the two keyless combinations of the
+    # three single-row stat aggregates (nodes/edges/triangles counts) —
+    # broadcast of one row each; the wedge and closing joins must hash
+    assert p.count("BroadcastNestedLoopJoin") == 2, p
+    pf = plan(spark, qs, "graph_triangle_cosupply")
+    assert "PushedFilters" in pf and "o_orderdate" in pf, "date filter not pushed"
+
+
+def test_heavy_hitters_broadcasts_candidates(spark, qs):
+    """Pass-2 exact verify must BROADCAST the bounded candidate set into
+    the token stream (semi join), never shuffle the corpus against it;
+    the only hash exchange is the candidate-count aggregation."""
+    p = plan(spark, qs, "text_heavy_hitters", mode="simple")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+
+
+def test_kmeans_assignment_is_map_only(spark, qs):
+    """K-means assignment carries the centroids as a plan literal: no join
+    anywhere in the final-assignment plan (the exchanges are the
+    re-center aggregation and the output rollup)."""
+    p = plan(spark, qs, "ml_kmeans_embeddings", mode="simple")
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert j not in p, f"unexpected {j}:\n{p}"
+
+
+def test_global_rank_has_single_range_exchange(spark):
+    """The distributed ranking pays exactly one range exchange and NO
+    SinglePartition exchange — the whole point vs the window form."""
+    from pyspark.sql import functions as F
+
+    from irio_mapreduce_spark.operators.topk import global_rank
+
+    df = spark.range(1000).select(
+        (F.col("id") * 7919 % 997).alias("v"), F.col("id")
+    )
+    out = global_rank(df, ["v", "id"], num_partitions=8)
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    p = buf.getvalue()
+    assert "SinglePartition" not in p, p
+    # the range exchange happened before the checkpoint barrier; the
+    # post-barrier plan must not add ANY new exchange
+    assert "Exchange" not in p, p
