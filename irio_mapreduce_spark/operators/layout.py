@@ -1,0 +1,84 @@
+"""Multi-dimensional data-clustering layout: Z-order (Morton) keys.
+
+Single-column clustering (``repartitionByRange`` + ``sortWithinPartitions``
+— proven to narrow parquet row-group stats in
+``tests/test_io.py::test_range_partitioned_sorted_write_narrows_rowgroup_stats``)
+skips scans on ONE predicate column only; a second column's min/max stays
+full-domain in every row group. Sorting by an interleaved-bit Morton key
+instead gives every row group a small hyper-rectangle of the
+multi-dimensional domain, so bounded predicates on ANY of the interleaved
+columns skip most row groups on footer stats — the technique behind
+Delta/Iceberg ``OPTIMIZE ZORDER BY`` and time-series hypertable layouts,
+expressed here with nothing but built-in integer expressions (whole-stage
+codegen; no UDF, no shuffle beyond the one range exchange of the write).
+
+All arithmetic is integer (shift/mask/sum), so key values are
+cross-engine exact — the catalog entry replays them in DuckDB.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def quantize(col: Column, lo: int, hi: int, bits: int) -> Column:
+    """Map an integer-valued column from ``[lo, hi]`` onto the
+    ``[0, 2^bits)`` grid: ``floor(((col - lo) * (2^bits - 1)) / (hi -
+    lo))``. The division runs on doubles (Column has no integer-div
+    operator), exact while ``(hi - lo) * (2^bits - 1) < 2^53`` — the
+    same documented bound as ``topk.ntile_from_rank``, generous at
+    ``bits <= 20`` (domain up to ~8.6e9). ``lo``/``hi`` are plain ints
+    supplied by the caller (one bounded min/max aggregate, or known
+    domain bounds); values outside clamp to the grid edges so a stale
+    bound cannot produce a negative shift."""
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    if not 1 <= bits <= 20:
+        raise ValueError(f"bits must be in [1, 20], got {bits}")
+    m = (1 << bits) - 1
+    c = F.col(col) if isinstance(col, str) else col
+    scaled = ((c.cast("long") - F.lit(lo)) * m) / F.lit(hi - lo)
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(m).cast("long"), F.floor(scaled).cast("long")),
+    )
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton key of ``len(cols)`` pre-quantized grid coordinates (each in
+    ``[0, 2^bits)``, e.g. from :func:`quantize`): bit ``j`` of column
+    ``c`` lands at interleaved position ``j * n + c``. Unrolled to
+    ``n * bits`` shift-mask-or terms — a single codegen'd integer
+    expression per row, no join, no shuffle, no Python.
+
+    ``n * bits`` must stay ≤ 63 (the key is a positive BIGINT).
+
+    Usage for a clustered write (the Z-order analogue of the
+    single-column recipe)::
+
+        key = zorder_key([quantize(c1, ...), quantize(c2, ...)], bits)
+        df.withColumn("_z", key).repartitionByRange(N, "_z")
+          .sortWithinPartitions("_z").drop("_z").write.parquet(...)
+
+    Row groups then hold contiguous Z-ranges = small hyper-rectangles of
+    the (c1, c2) domain; `tests/test_io.py` proves BOTH columns'
+    row-group spans narrow, where a plain c1 sort narrows only c1.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns (use a plain sort for 1)")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits = {n * bits} > 63 key bits")
+    parts = []
+    for ci, col in enumerate(cols):
+        for j in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftrightunsigned(col.cast("long"), j).bitwiseAND(F.lit(1)),
+                    j * n + ci,
+                )
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), parts).alias("zkey")

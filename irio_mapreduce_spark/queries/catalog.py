@@ -153,6 +153,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_pmi_collocations",
     "stats_corr_matrix",
     "events_activity_streaks",
+    "layout_zorder_tiles",
 ]
 
 

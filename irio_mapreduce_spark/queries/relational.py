@@ -1521,3 +1521,82 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("quantity~tax", "sqt", "sq", "st", "sqq", "stt"))
         .unionByName(one("discount~tax", "sdt", "sd", "st", "sdd", "stt"))
     )
+
+
+@register(
+    "layout_zorder_tiles",
+    oracle="""
+    WITH b AS (SELECT CAST(min(o_custkey) AS BIGINT) AS clo,
+                      CAST(max(o_custkey) AS BIGINT) AS chi,
+                      CAST(min(epoch_days) AS BIGINT) AS dlo,
+                      CAST(max(epoch_days) AS BIGINT) AS dhi
+               FROM (SELECT o_custkey,
+                            datediff('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE)) AS epoch_days
+                     FROM orders)),
+    g AS (SELECT o_custkey,
+                 datediff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS od,
+                 greatest(0, least(255,
+                   ((o_custkey - clo) * 255) // (chi - clo))) AS cq,
+                 greatest(0, least(255,
+                   ((datediff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) - dlo) * 255)
+                     // (dhi - dlo))) AS dq
+          FROM orders, b),
+    z AS (SELECT o_custkey, od,
+                 CAST(list_sum(list_transform(range(0, 8),
+                        j -> (((cq >> j) & 1) << (2 * j))
+                           + (((dq >> j) & 1) << (2 * j + 1)))) AS BIGINT)
+                   AS zkey
+          FROM g)
+    SELECT zkey >> 8 AS tile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_custkey) AS BIGINT) AS min_cust,
+           CAST(max(o_custkey) AS BIGINT) AS max_cust,
+           CAST(min(od) AS BIGINT) AS min_day,
+           CAST(max(od) AS BIGINT) AS max_day
+    FROM z GROUP BY 1
+    """,
+)
+def layout_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) keys over (custkey, orderdate) rolled up per
+    256-key tile, with each tile's bounding box — making the layout
+    property the oracle checks: a Z-tile IS a small hyper-rectangle of
+    the two-dimensional domain, which is why sorting by the key narrows
+    parquet row-group stats on BOTH columns
+    (`tests/test_io.py::test_zorder_write_narrows_rowgroup_stats_on_both_dims`
+    proves the physical effect on real footers; Delta/Iceberg OPTIMIZE
+    ZORDER is this exact move). The key is one codegen'd shift-mask-or
+    integer expression (``operators.layout.zorder_key``) — exact in any
+    engine; the quantizer's double-division bound is documented in
+    ``operators.layout.quantize``."""
+    from irio_mapreduce_spark.operators.layout import quantize, zorder_key
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast(
+            "long"
+        ).alias("od"),
+    )
+    clo, chi, dlo, dhi = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("od"), F.max("od")
+    ).head()
+    key = zorder_key(
+        [
+            quantize(F.col("o_custkey"), int(clo), int(chi), 8),
+            quantize(F.col("od"), int(dlo), int(dhi), 8),
+        ],
+        bits=8,
+    )
+    return (
+        orders.withColumn("zkey", key)
+        .groupBy(F.shiftrightunsigned("zkey", 8).alias("tile"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("o_custkey").cast("long").alias("min_cust"),
+            F.max("o_custkey").cast("long").alias("max_cust"),
+            F.min("od").cast("long").alias("min_day"),
+            F.max("od").cast("long").alias("max_day"),
+        )
+    )

@@ -579,3 +579,46 @@ def test_global_rank_matches_single_reducer_window(spark):
             ).collect()
         }
         assert got == want, (n, k)
+
+
+def test_zorder_key_reference_and_guards(spark):
+    """Morton interleave equals a Python bit-interleave reference on the
+    full 16x16 grid; quantize clamps out-of-domain values; guards reject
+    one column, key overflow, and inverted domains."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from irio_mapreduce_spark.operators.layout import quantize, zorder_key
+
+    grid = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(grid, "x long, y long")
+    got = {
+        (r.x, r.y): r.zkey
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], bits=4)
+        ).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for j in range(4):
+            z |= ((x >> j) & 1) << (2 * j)
+            z |= ((y >> j) & 1) << (2 * j + 1)
+        return z
+
+    assert got == {(x, y): ref(x, y) for x, y in grid}
+    # z-curve locality sanity: consecutive keys differ in one quadrant walk
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
+    assert got[(15, 15)] == 255
+
+    q = spark.createDataFrame([(-(10),), (5,), (500,)], "v long").select(
+        quantize(F.col("v"), 0, 100, 4).alias("g")
+    )
+    assert [r.g for r in q.collect()] == [0, 0, 15]  # clamped; 5*15//100=0
+
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        zorder_key([F.col("x")], bits=4)
+    with pytest.raises(ValueError, match="> 63 key bits"):
+        zorder_key([F.col("x")] * 4, bits=16)
+    with pytest.raises(ValueError, match="hi > lo"):
+        quantize(F.col("x"), 5, 5, 4)
