@@ -154,6 +154,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stats_corr_matrix",
     "events_activity_streaks",
     "layout_zorder_tiles",
+    "stats_ols_multi",
 ]
 
 

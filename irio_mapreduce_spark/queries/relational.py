@@ -1600,3 +1600,87 @@ def layout_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("od").cast("long").alias("max_day"),
         )
     )
+
+
+# Cramer-rule determinant fragments for the 2-feature OLS normal equations,
+# written ONCE as format templates so the Spark expression tree and the
+# DuckDB SQL are structurally identical term-for-term (every moment is cast
+# to double exactly once; + - * / on identically-ordered operands are
+# IEEE-identical across engines, so the unrounded coefficients hash-match).
+_DET = "({n} * ({s11} * {s22} - {s12} * {s12}) - {sx1} * ({sx1} * {s22} - {s12} * {sx2}) + {sx2} * ({sx1} * {s12} - {s11} * {sx2}))"
+_DET0 = "({sy} * ({s11} * {s22} - {s12} * {s12}) - {sx1} * ({s1y} * {s22} - {s12} * {s2y}) + {sx2} * ({s1y} * {s12} - {s11} * {s2y}))"
+_DET1 = "({n} * ({s1y} * {s22} - {s12} * {s2y}) - {sy} * ({sx1} * {s22} - {s12} * {sx2}) + {sx2} * ({sx1} * {s2y} - {s1y} * {sx2}))"
+_DET2 = "({n} * ({s11} * {s2y} - {s1y} * {s12}) - {sx1} * ({sx1} * {s2y} - {s1y} * {sx2}) + {sy} * ({sx1} * {s12} - {s11} * {sx2}))"
+
+_OLS2_VARS = {
+    k: f"CAST({k} AS DOUBLE)"
+    for k in ["n", "sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y"]
+}
+
+
+@register(
+    "stats_ols_multi",
+    oracle=f"""
+    WITH pts AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+                        CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+                 FROM lineitem),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x1) AS BIGINT) AS sx1,
+                 CAST(sum(x2) AS BIGINT) AS sx2,
+                 CAST(sum(yc) AS BIGINT) AS sy,
+                 CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                 CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                 CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                 CAST(sum(x1 * yc) AS BIGINT) AS s1y,
+                 CAST(sum(x2 * yc) AS BIGINT) AS s2y
+          FROM pts)
+    SELECT n,
+           ({_DET0.format(**_OLS2_VARS)} / {_DET.format(**_OLS2_VARS)}) / 100
+             AS intercept,
+           ({_DET1.format(**_OLS2_VARS)} / {_DET.format(**_OLS2_VARS)}) / 100
+             AS beta_qty,
+           ({_DET2.format(**_OLS2_VARS)} / {_DET.format(**_OLS2_VARS)}) / 100
+             AS beta_disc
+    FROM m
+    """,
+)
+def stats_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIVARIATE OLS (extendedprice ~ quantity + discount) solved in
+    closed form: exact BIGINT moments (integer quantity, percent-scaled
+    discount, cent-scaled price — the ``stats_ols_price_vs_qty``
+    technique extended to the 3×3 normal equations), one double cast per
+    moment, then Cramer's rule as a FIXED term-for-term-shared IEEE
+    expression (the determinant templates above format BOTH the Spark
+    expression and the oracle SQL), so the unrounded coefficients
+    hash-match bit-for-bit. One scan, one 1-row aggregate. Moment-sum
+    overflow bound: |x·y| ≤ 50·1.05e7 ⇒ exact below ~1.7e10 rows per
+    aggregate — document partitioned fits beyond that."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("yc"),
+    )
+    m = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("yc")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("yc")).cast("long").alias("s2y"),
+    )
+    return m.select(
+        "n",
+        F.expr(
+            f"({_DET0.format(**_OLS2_VARS)} / {_DET.format(**_OLS2_VARS)}) / 100"
+        ).alias("intercept"),
+        F.expr(
+            f"({_DET1.format(**_OLS2_VARS)} / {_DET.format(**_OLS2_VARS)}) / 100"
+        ).alias("beta_qty"),
+        F.expr(
+            f"({_DET2.format(**_OLS2_VARS)} / {_DET.format(**_OLS2_VARS)}) / 100"
+        ).alias("beta_disc"),
+    )

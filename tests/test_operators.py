@@ -622,3 +622,30 @@ def test_zorder_key_reference_and_guards(spark):
         zorder_key([F.col("x")] * 4, bits=16)
     with pytest.raises(ValueError, match="hi > lo"):
         quantize(F.col("x"), 5, 5, 4)
+
+
+def test_ols_multi_matches_numpy_lstsq(spark):
+    """The Cramer-rule closed form agrees with numpy's least-squares
+    solution (within float tolerance — numpy is the semantic reference,
+    not the bitwise one) on the sf0.001 corpus."""
+    import numpy as np
+
+    from irio_mapreduce_spark import queries as catalog
+
+    row = catalog.all_queries()["stats_ols_multi"](
+        spark, "/root/testdata/sf0.001"
+    ).head()
+    import duckdb
+
+    pts = duckdb.sql(
+        "SELECT l_quantity q, l_discount d, l_extendedprice p "
+        "FROM '/root/testdata/sf0.001/lineitem.parquet'"
+    ).df()
+    X = np.column_stack(
+        [np.ones(len(pts)), pts.q.values, np.round(pts.d.values * 100)]
+    )
+    y = np.round(pts.p.values * 100)
+    beta = np.linalg.lstsq(X, y, rcond=None)[0] / 100
+    assert abs(row.intercept - beta[0]) < 1e-6 * max(1, abs(beta[0]))
+    assert abs(row.beta_qty - beta[1]) < 1e-6 * max(1, abs(beta[1]))
+    assert abs(row.beta_disc - beta[2]) < 1e-6 * max(1, abs(beta[2]))
