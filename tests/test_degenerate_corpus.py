@@ -92,3 +92,41 @@ def test_weighted_priority_sample_all_degenerate_weights(spark):
         [(1, 0.0), (2, None), (3, -1.0)], "id long, w double"
     )
     assert weighted_priority_sample(df, ["id"], "w", k=5, id_col="id").count() == 0
+
+
+def test_second_session_entries_on_empty_corpus(spark):
+    """Second-session round-5 entries: empty documents must give empty
+    heavy-hitter / collocation sets (no /0 on the N=0 threshold, no
+    negative slice on empty token arrays), and empty events must give
+    zero streaks — not crashes."""
+    d = _corpus(spark, [], [])
+    assert _QS["text_heavy_hitters"](spark, d).count() == 0
+    assert _QS["text_pmi_collocations"](spark, d).count() == 0
+    assert _QS["events_activity_streaks"](spark, d).count() == 0
+
+    # single empty-text doc and a single-token doc: no bigrams, no crash
+    d1 = _corpus(
+        spark,
+        [],
+        [(1, "", "en", "web"), (2, "solo", "en", "web")],
+    )
+    assert _QS["text_pmi_collocations"](spark, d1).count() == 0
+    # one token total: 1 * 200 > 1 -> "solo" IS above the 1/200 mass bar
+    hh = _QS["text_heavy_hitters"](spark, d1).collect()
+    assert [(r.item, r.cnt) for r in hh] == [("solo", 1)]
+
+
+def test_graph_operators_on_empty_and_trivial_graphs(spark):
+    """Empty edge lists: the triangle census returns one (0, 0, 0) row
+    (aggregate semantics), BFS returns just the sources at hop 0."""
+    from irio_mapreduce_spark.operators.graph import bfs_hops, triangle_count
+
+    empty = spark.createDataFrame([], "s long, d long")
+    row = triangle_count(empty, "s", "d").head()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (0, 0, 0)
+
+    srcs = spark.createDataFrame([(7,)], "n long")
+    out = {
+        r.node: r.hops for r in bfs_hops(empty, srcs, "s", "d", "n", 3).collect()
+    }
+    assert out == {7: 0}
