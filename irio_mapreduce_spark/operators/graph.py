@@ -327,3 +327,81 @@ def bfs_hops(
     return dist.groupBy("_node").agg(F.min("_hops").alias("hops")).select(
         F.col("_node").alias("node"), F.col("hops").cast("int").alias("hops")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int,
+) -> DataFrame:
+    """SYNCHRONOUS label propagation (community detection): every node
+    starts labeled with itself; each round, every node adopts the most
+    frequent label among its in-neighbors, ties broken by the SMALLEST
+    label (then keeps its old label only if it has no neighbors).
+    Returns ``(node, label)`` after ``iterations`` rounds.
+
+    The deterministic tie-break is what makes this oracle-replayable:
+    textbook LPA breaks ties randomly and is therefore unverifiable
+    across engines; (count DESC, label ASC) is a total order, so two
+    engines agree bit-for-bit on every round. Synchronous (Jacobi-style)
+    update for the same reason — asynchronous LPA depends on visit
+    order, which no distributed engine should promise.
+
+    Round shape = the Pregel pair: one join keyed on the edge source
+    (neighbor labels), one aggregation on (node, label) for the votes,
+    one per-node window for the argmax, then a left join back onto the
+    node universe so isolated nodes keep their labels. Per-round
+    ``localCheckpoint`` keeps the lineage linear (each round reads the
+    previous labels twice: votes + carry-forward), mirroring
+    ``pagerank``'s redistribute mode. ``iterations`` is a small fixed
+    constant by contract; communities typically stabilize in a handful
+    of rounds on short-diameter graphs.
+    """
+    from pyspark.sql.window import Window
+
+    from irio_mapreduce_spark.llm.dedup import free_checkpoint
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_src").alias("_node"))
+        .union(e.select(F.col("_dst").alias("_node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("_node", F.col("_node").alias("_lab"))
+    prev_ckpt = None
+    w = Window.partitionBy("_vnode").orderBy(
+        F.col("_c").desc(), F.col("_vlab").asc()
+    )
+    for _ in range(iterations):
+        labels = labels.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            free_checkpoint(prev_ckpt)
+        prev_ckpt = labels
+        votes = (
+            e.join(labels, e["_dst"] == labels["_node"])
+            .groupBy(
+                F.col("_src").alias("_vnode"), F.col("_lab").alias("_vlab")
+            )
+            .agg(F.count("*").alias("_c"))
+        )
+        pick = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("_vnode").alias("_pnode"), F.col("_vlab").alias("_plab")
+            )
+        )
+        labels = labels.join(
+            pick, labels["_node"] == F.col("_pnode"), "left"
+        ).select(
+            "_node", F.coalesce(F.col("_plab"), F.col("_lab")).alias("_lab")
+        )
+    return labels.select(
+        F.col("_node").alias("node"), F.col("_lab").alias("label")
+    )

@@ -155,6 +155,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_activity_streaks",
     "layout_zorder_tiles",
     "stats_ols_multi",
+    "graph_label_propagation",
 ]
 
 

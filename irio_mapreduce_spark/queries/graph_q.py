@@ -18,6 +18,7 @@ from irio_mapreduce_spark.io import read_table
 from irio_mapreduce_spark.operators.graph import (
     PAGERANK_SCALE,
     bfs_hops,
+    label_propagation,
     pagerank,
     triangle_count,
 )
@@ -218,6 +219,73 @@ def graph_bfs_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = bfs_hops(edges, sources, "src", "dst", "node", max_hops=3)
     return dist.groupBy("hops").agg(
         F.count("*").cast("long").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+_LPA_ROUND = """
+    v{r} AS (
+      SELECT e.src AS vnode, r.lab AS vlab, count(*) AS c
+      FROM edges e JOIN lp{p} r ON r.node = e.dst
+      GROUP BY 1, 2),
+    p{r} AS (
+      SELECT vnode, vlab FROM (
+        SELECT vnode, vlab,
+               row_number() OVER (
+                 PARTITION BY vnode ORDER BY c DESC, vlab) AS rn
+        FROM v{r})
+      WHERE rn = 1),
+    lp{r} AS (
+      SELECT l.node, coalesce(p.vlab, l.lab) AS lab
+      FROM lp{p} l LEFT JOIN p{r} p ON p.vnode = l.node)
+"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT concat('C', CAST(o_custkey AS VARCHAR)) AS c,
+                      concat('S', CAST(l_suppkey AS VARCHAR)) AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    lp0 AS (SELECT node, node AS lab FROM nodes),
+    {_LPA_ROUND.format(r=1, p=0)},
+    {_LPA_ROUND.format(r=2, p=1)}
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS n,
+           min(node) AS min_node, max(node) AS max_node
+    FROM lp2 GROUP BY lab
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous label-propagation rounds over the mirrored
+    purchase graph, rolled up per community — behavioral community
+    discovery (customer/supplier cliques) as the fourth iterative-graph
+    shape beside PageRank, connected components, and BFS. The
+    deterministic (count DESC, label ASC) tie-break replaces textbook
+    LPA's random tie coin — the property that makes a cross-engine
+    oracle possible at all; shuffle budget and the per-round checkpoint
+    discipline are documented in ``operators.graph.label_propagation``.
+    The oracle replays both rounds as chained CTEs."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    labels = label_propagation(edges, "src", "dst", iterations=2)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("long").alias("n"),
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )

@@ -649,3 +649,63 @@ def test_ols_multi_matches_numpy_lstsq(spark):
     assert abs(row.intercept - beta[0]) < 1e-6 * max(1, abs(beta[0]))
     assert abs(row.beta_qty - beta[1]) < 1e-6 * max(1, abs(beta[1]))
     assert abs(row.beta_disc - beta[2]) < 1e-6 * max(1, abs(beta[2]))
+
+
+def test_label_propagation_vs_python_reference(spark):
+    """Synchronous LPA with the (count desc, label asc) tie-break equals a
+    Python replay on known shapes: two cliques joined by one
+    bridge edge, a seeded random mirrored graph, and a directed chain
+    whose head has no in-neighbors (label carry-forward). Also invariant
+    under repartitioning."""
+    import random
+
+    from irio_mapreduce_spark.operators.graph import label_propagation
+
+    def ref(edge_list, iters):
+        nodes = sorted({n for e in edge_list for n in e})
+        inn = {}
+        for a, b in edge_list:
+            inn.setdefault(a, []).append(b)  # label flows dst -> src voter
+        lab = {n: n for n in nodes}
+        for _ in range(iters):
+            nxt = {}
+            for n in nodes:
+                votes = {}
+                for m in inn.get(n, []):
+                    votes[lab[m]] = votes.get(lab[m], 0) + 1
+                if votes:
+                    nxt[n] = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                else:
+                    nxt[n] = lab[n]
+            lab = nxt
+        return lab
+
+    rng = random.Random(23)
+
+    def mirrored(pairs):
+        return pairs + [(b, a) for a, b in pairs]
+
+    cliques = mirrored(
+        [(a, b) for a in "abcd" for b in "abcd" if a < b]
+        + [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+        + [("d", "w")]
+    )
+    rand = mirrored(
+        list({(f"n{rng.randrange(20)}", f"n{rng.randrange(20)}") for _ in range(40)})
+    )
+    directed = [("a", "b"), ("b", "c")]  # 'c' has no in-neighbors: carries
+    for edge_list, iters in ((cliques, 2), (rand, 3), (directed, 2)):
+        edge_list = [e for e in edge_list if e[0] != e[1]]
+        df = spark.createDataFrame(edge_list, "s string, d string")
+        got = {
+            r.node: r.label
+            for r in label_propagation(df, "s", "d", iterations=iters).collect()
+        }
+        assert got == ref(edge_list, iters), (edge_list[:4], iters)
+        again = {
+            r.node: r.label
+            for r in label_propagation(
+                df.repartition(7), "s", "d", iterations=iters
+            ).collect()
+        }
+        assert again == got
