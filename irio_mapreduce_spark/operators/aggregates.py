@@ -74,6 +74,8 @@ def frequent_items(
     (broadcast semi-join, one aggregation keyed by the candidate set) and
     applies the integer threshold — so the OUTPUT is exact and
     partitioning-invariant even though the sketch contents are not.
+    ``item_col`` must be a string column (the sketch schema is pinned to
+    ``item string``); cast injectively first for other types.
 
     Why this beats one global groupBy at 100 TB: a full word count
     shuffles one row per DISTINCT item (billions of keys for web-scale

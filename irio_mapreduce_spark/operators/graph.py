@@ -210,7 +210,11 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     # the orientation join, both wedge legs, the closing probe and the
     # stats row, ~8 replays of the upstream lineage. persist() (not
     # localCheckpoint) keeps the lineage visible to the planner, so scan
-    # pushdown assertions and recovery still see the true plan.
+    # pushdown assertions and recovery still see the true plan. The
+    # blocks stay cached past the returned DataFrame's lifetime (the
+    # lazy result still reads them); Spark's LRU eviction reclaims them
+    # — callers running many censuses per session can unpersist after
+    # materializing.
     und = (
         edges.select(
             F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
@@ -337,9 +341,11 @@ def label_propagation(
 ) -> DataFrame:
     """SYNCHRONOUS label propagation (community detection): every node
     starts labeled with itself; each round, every node adopts the most
-    frequent label among its in-neighbors, ties broken by the SMALLEST
-    label (then keeps its old label only if it has no neighbors).
-    Returns ``(node, label)`` after ``iterations`` rounds.
+    frequent label among its OUT-neighbors (the nodes it points to —
+    mirror the edge list for undirected semantics, as the catalog entry
+    does), ties broken by the SMALLEST label; a node with no out-edges
+    keeps its label. Returns ``(node, label)`` after ``iterations``
+    rounds.
 
     The deterministic tie-break is what makes this oracle-replayable:
     textbook LPA breaks ties randomly and is therefore unverifiable
