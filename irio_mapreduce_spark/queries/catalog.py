@@ -156,6 +156,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "layout_zorder_tiles",
     "stats_ols_multi",
     "graph_label_propagation",
+    "events_time_weighted_avg",
 ]
 
 

@@ -575,3 +575,55 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_streaks"),
         F.sum("len").cast("long").alias("active_days"),
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             epoch_us(ts) AS t,
+             epoch_us(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS t_next
+      FROM events WHERE user_id % 7 = 0),
+    iv AS (SELECT user_id, vc, t_next - t AS dt
+           FROM seq WHERE t_next IS NOT NULL AND t_next > t)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(vc * dt) AS BIGINT) // CAST(sum(dt) AS BIGINT)
+             AS twap_cents
+    FROM iv GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average value per user (each reading weighted by how
+    long it was current — the telemetry/financial TWAP shape that a
+    plain avg() silently gets wrong under irregular sampling). One user
+    window for the lead(ts), then exact integer arithmetic end to end:
+    cent-scaled values × MICROSECOND durations (``unix_micros`` /
+    ``epoch_us`` — whole seconds diverge because DuckDB's ``epoch()``
+    keeps the fractional part and the BIGINT cast rounds it while
+    Spark's ``unix_timestamp`` truncates, found as a 1-cent mismatch),
+    integer-division final ratio (both engines truncate toward zero).
+    Zero-length intervals (duplicate timestamps) are excluded on BOTH
+    sides, which also removes the only /0 risk. Overflow: |vc·dt_us| ≤
+    4.9e4 · dt_us — exact below ~60 user-years per single gap and ~10^4
+    user-years summed; switch the weight unit to ms/s for longer spans."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        F.unix_micros("ts").alias("t"),
+        F.unix_micros(F.lead("ts").over(w)).alias("t_next"),
+    )
+    iv = seq.filter(
+        F.col("t_next").isNotNull() & (F.col("t_next") > F.col("t"))
+    ).select("user_id", "vc", (F.col("t_next") - F.col("t")).alias("dt"))
+    return iv.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.expr("sum(vc * dt) div sum(dt)").alias("twap_cents"),
+    )
