@@ -157,6 +157,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stats_ols_multi",
     "graph_label_propagation",
     "events_time_weighted_avg",
+    "dedup_fuzzy_levenshtein",
 ]
 
 

@@ -695,3 +695,83 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_id_sum"),
     )
+
+
+_FUZZY_PLANT_OFFSET = 40_000_000
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE len(text) >= 40),
+    variants AS (
+      SELECT doc_id + {_FUZZY_PLANT_OFFSET} AS doc_id,
+             'X' || substring(text, 2, 19)
+               || 'ZZ' || substring(text, 21) AS text
+      FROM base),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM variants),
+    keyed AS (
+      SELECT doc_id, right(text, 12) AS blk,
+             substring(text, 1, 100) AS probe
+      FROM u),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(levenshtein(a.probe, b.probe) AS BIGINT) AS dist
+      FROM keyed a JOIN keyed b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id)
+    SELECT id1, id2, dist FROM pairs WHERE dist <= 5
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked FUZZY-MATCH dedup by edit distance: candidate pairs come
+    from an equality join on a SUFFIX blocking signature (``right(text,
+    12)`` — a mid-string key does NOT survive an insertion, which
+    shifts every later position; caught when planted recall silently
+    dropped to zero), then ``levenshtein`` on 100-char prefix probes
+    keeps pairs within distance 5. The planted-recall harness (the
+    ``dedup_simhash`` shape): every ≥40-char document gets a
+    typo-variant copy — first char overwritten + 'ZZ' inserted at
+    position 21: distance 3 when the doc fits the probe window, up to 5
+    when the insertion shifts the window tail (the second subtle bug
+    the first cut hit) — and every planted pair must appear
+    (pytest-asserted recall); Spark and
+    DuckDB levenshtein agree exactly (classic DP, probed). At 100 TB:
+    blocking bounds candidates to same-key groups (never all-pairs —
+    the plan sweep applies), probes are fixed-length prefixes so the
+    O(len²) DP is constant-cost, and the production recipe composes
+    this as the VERIFY stage behind MinHash/SimHash candidate
+    generation (``dedup_minhash_lsh``)."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 40
+    ).select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + _FUZZY_PLANT_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("X"),
+            F.substring("text", 2, 19),
+            F.lit("ZZ"),
+            F.expr("substring(text, 21)"),
+        ).alias("text"),
+    )
+    keyed = docs.unionByName(variants).select(
+        "doc_id",
+        F.expr("right(text, 12)").alias("blk"),
+        F.substring("text", 1, 100).alias("probe"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.levenshtein(F.col("a.probe"), F.col("b.probe"))
+            .cast("long")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= 5)
+    )

@@ -1362,3 +1362,28 @@ def test_pmi_collocations_reference_and_degenerate(spark):
     # the planted repeated phrase ranks top
     top = max(out.items(), key=lambda kv: kv[1][3])
     assert top[0] in ("alpha beta", "delta delta")
+
+
+def test_fuzzy_levenshtein_planted_recall(spark):
+    """Every qualifying document's planted typo variant must be found as
+    a pair — recall 1 through the suffix-block + edit-distance pipeline
+    (a mid-string blocking key silently drops recall to zero after the
+    insertion shift, the bug the entry's first cut had). Natural-corpus
+    extra pairs are permitted; missing planted pairs are not."""
+    from irio_mapreduce_spark import queries as catalog
+    from irio_mapreduce_spark.queries.dedup_q import _FUZZY_PLANT_OFFSET
+
+    sf = "/root/testdata/sf0.01"
+    out = catalog.all_queries()["dedup_fuzzy_levenshtein"](spark, sf)
+    found = {
+        (r.id1, r.id2): r.dist
+        for r in out.collect()
+        if r.id2 - r.id1 == _FUZZY_PLANT_OFFSET
+    }
+    import duckdb
+
+    n_expected = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/documents.parquet' WHERE len(text) >= 40"
+    ).fetchone()[0]
+    assert len(found) == n_expected
+    assert all(1 <= d <= 5 for d in found.values())
