@@ -158,6 +158,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "graph_label_propagation",
     "events_time_weighted_avg",
     "dedup_fuzzy_levenshtein",
+    "text_url_canonicalize",
 ]
 
 

@@ -572,3 +572,91 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     see ``llm.text.pmi_collocations`` for the shuffle budget."""
     docs = read_table(spark, sf_dir, "documents")
     return pmi_collocations(docs, "text", min_count=5, top_n=20)
+
+
+@register(
+    "text_url_canonicalize",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             'HTTPS://Sub.Example.COM:443/Path/Item'
+               || CAST(doc_id % 7 AS VARCHAR)
+               || '/?utm_source=x&id=' || CAST(doc_id % 13 AS VARCHAR)
+               || '&utm_campaign=y#frag' AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+               AS authority,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+               AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM planted),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(authority, ':443$|:80$', '') AS host,
+             CASE WHEN path = '' THEN '/'
+                  ELSE regexp_replace(path, '/$', '') END AS cpath,
+             list_sort(list_filter(string_split(query, '&'),
+                       p -> p <> '' AND NOT p LIKE 'utm_%')) AS kept
+      FROM parts)
+    SELECT doc_id,
+           host || CASE WHEN cpath = '' THEN '/' ELSE cpath END
+                || CASE WHEN len(kept) > 0
+                        THEN '?' || array_to_string(kept, '&') ELSE '' END
+             AS canon_url
+    FROM canon
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the web-curation key for host-level
+    grouping and URL-based dedup: lowercase the authority, strip default
+    ports and the fragment, collapse the trailing slash, drop tracking
+    (``utm_*``) params and SORT the survivors so param order cannot
+    split identical resources. Planted deterministic messy URLs (mixed
+    case, :443, utm noise, fragment) exercise every rule on known
+    residues. Pure regexp/array expressions in the Java∩RE2 subset both
+    engines parse identically — no ``parse_url`` (DuckDB has none), no
+    UDF; one narrow projection, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://Sub.Example.COM:443/Path/Item"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("/?utm_source=x&id="),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit("&utm_campaign=y#frag"),
+    )
+    parts = docs.select(
+        "doc_id",
+        F.lower(
+            F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+        ).alias("authority"),
+        F.regexp_extract(
+            url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+        ).alias("path"),
+        F.regexp_extract(url, r"\?([^#]*)", 1).alias("query"),
+    )
+    canon = parts.select(
+        "doc_id",
+        F.regexp_replace("authority", r":443$|:80$", "").alias("host"),
+        F.when(F.col("path") == "", F.lit("/"))
+        .otherwise(F.regexp_replace("path", r"/$", ""))
+        .alias("cpath"),
+        F.array_sort(
+            F.filter(
+                F.split(F.col("query"), "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ).alias("kept"),
+    )
+    return canon.select(
+        "doc_id",
+        F.concat(
+            F.col("host"),
+            F.when(F.col("cpath") == "", F.lit("/")).otherwise(F.col("cpath")),
+            F.when(
+                F.size("kept") > 0,
+                F.concat(F.lit("?"), F.array_join("kept", "&")),
+            ).otherwise(F.lit("")),
+        ).alias("canon_url"),
+    )
