@@ -758,7 +758,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("right(text, 12)").alias("blk"),
         F.substring("text", 1, 100).alias("probe"),
-    )
+    ).persist()  # both self-join sides read it; one scan, not two
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
