@@ -411,3 +411,70 @@ def label_propagation(
     return labels.select(
         F.col("_node").alias("node"), F.col("_lab").alias("label")
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    rounds: int,
+) -> DataFrame:
+    """Bounded k-core PEELING: ``rounds`` synchronous rounds of "drop
+    every node with degree < k (and its edges)" over an undirected edge
+    list (canonicalized + deduped like ``triangle_count``). Returns the
+    surviving ``(node, degree)`` after the last round — the dense-core
+    extraction used for graph-quality curation (spam farms and
+    boilerplate rings peel away; genuine dense communities survive).
+
+    A FIXED round count keeps the operator oracle-replayable (chained
+    CTEs) and the lineage shallow; it is an upper bound on the true
+    k-core (peeling is monotone — nodes only ever leave), converging to
+    it once a round removes nothing. An exact variant runs the same
+    round under the ``llm.dedup.connected_components`` driver-loop
+    convergence probe; the per-round dataflow — one degree aggregation
+    + one semi-join per endpoint to drop dead edges — is identical, so
+    the bounded form is the honest benchmarkable unit.
+
+    Scale shape per round: degree aggregation (1 exchange of (node,
+    count)), then two semi-joins keyed on the endpoints (broadcastable
+    while the survivor set is small; AQE picks). Edges are persisted
+    per round and unpersisted after the next round materializes.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError(f"need k >= 1 and rounds >= 1, got k={k}, rounds={rounds}")
+    a, b = F.col(src_col), F.col(dst_col)
+    cur = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from irio_mapreduce_spark.llm.dedup import free_checkpoint
+
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("_a").alias("_n"))
+            .unionAll(cur.select(F.col("_b").alias("_n")))
+            .groupBy("_n")
+            .agg(F.count("*").alias("_d"))
+        )
+        keep = deg.filter(F.col("_d") >= k).select("_n")
+        nxt = (
+            cur.join(keep, cur["_a"] == keep["_n"], "left_semi")
+            .join(keep, F.col("_b") == keep["_n"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        free_checkpoint(cur)
+        cur = nxt
+    final_deg = (
+        cur.select(F.col("_a").alias("_n"))
+        .unionAll(cur.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count("*").alias("_d"))
+        .filter(F.col("_d") >= k)
+    )
+    return final_deg.select(
+        F.col("_n").alias("node"), F.col("_d").cast("long").alias("degree")
+    )

@@ -159,6 +159,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_time_weighted_avg",
     "dedup_fuzzy_levenshtein",
     "text_url_canonicalize",
+    "mine_association_pairs",
+    "graph_kcore_cosupply",
 ]
 
 

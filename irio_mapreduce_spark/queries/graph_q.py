@@ -18,6 +18,7 @@ from irio_mapreduce_spark.io import read_table
 from irio_mapreduce_spark.operators.graph import (
     PAGERANK_SCALE,
     bfs_hops,
+    kcore_peel,
     label_propagation,
     pagerank,
     triangle_count,
@@ -289,3 +290,67 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+_KCORE_ROUND = """
+    deg{r} AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT s1 AS n FROM e{p} UNION ALL SELECT s2 FROM e{p})
+      GROUP BY n),
+    e{r} AS (
+      SELECT s1, s2 FROM e{p}
+      WHERE s1 IN (SELECT n FROM deg{r} WHERE d >= {k})
+        AND s2 IN (SELECT n FROM deg{r} WHERE d >= {k}))
+"""
+
+
+@register(
+    "graph_kcore_cosupply",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        JOIN orders o ON o.o_orderkey = a.l_orderkey
+      WHERE o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'),
+    {_KCORE_ROUND.format(r=1, p=0, k=8)},
+    {_KCORE_ROUND.format(r=2, p=1, k=8)},
+    {_KCORE_ROUND.format(r=3, p=2, k=8)}
+    SELECT n AS node, d AS degree
+    FROM (SELECT n, CAST(count(*) AS BIGINT) AS d
+          FROM (SELECT s1 AS n FROM e3 UNION ALL SELECT s2 FROM e3)
+          GROUP BY n)
+    WHERE d >= 8
+    """,
+)
+def graph_kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three k-core peeling rounds (k=8) of the quarterly supplier
+    co-supply graph — dense-core extraction for graph-quality curation
+    (the fifth iterative-graph shape: PageRank, connected components,
+    BFS, LPA, and now peeling). Round dataflow and the
+    bounded-vs-converged contract are documented in
+    ``operators.graph.kcore_peel``; the oracle replays the identical
+    three rounds as chained CTEs (peeling is monotone, so integers
+    match exactly round for round)."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-03-31")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .join(
+            orders.select("o_orderkey"),
+            F.col("a.l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+    )
+    return kcore_peel(pairs, "s1", "s2", k=8, rounds=3)

@@ -1684,3 +1684,81 @@ def stats_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({_DET2.format(**_OLS2_VARS)} / {_DET.format(**_OLS2_VARS)}) / 100"
         ).alias("beta_disc"),
     )
+
+
+@register(
+    "mine_association_pairs",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 100 AS item FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+          FROM b),
+    supp AS (SELECT item, CAST(count(*) AS BIGINT) AS c_i FROM b GROUP BY item),
+    pairs AS (
+      SELECT a.item AS i1, b2.item AS i2, CAST(count(*) AS BIGINT) AS c_xy
+      FROM b a JOIN b b2
+        ON a.l_orderkey = b2.l_orderkey AND a.item < b2.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 20)
+    SELECT i1, i2, c_xy,
+           (c_xy * 1000000) // n.n_baskets AS support_ppm,
+           (c_xy * 1000000) // s1.c_i AS confidence_ppm,
+           ((c_xy * 1000000) // s1.c_i * 1000000) // s2.c_i AS lift_fp
+    FROM pairs
+      JOIN supp s1 ON s1.item = i1
+      JOIN supp s2 ON s2.item = i2
+      CROSS JOIN n
+    ORDER BY lift_fp DESC, i1, i2
+    LIMIT 20
+    """,
+)
+def mine_association_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (Apriori's 2-itemset stage):
+    frequent co-purchased part-category pairs per order with exact
+    fixed-point support / confidence / lift-argument metrics — the
+    recommendation/affinity primitive. The per-basket self-join is
+    bounded by basket size (≈7 lines/order, never all-pairs across
+    baskets); supports attach via two joins keyed on the item
+    (vocabulary-sized); top-20 by TakeOrdered. Same transcendental-free
+    fixed evaluation order as ``text_pmi_collocations`` (``c_xy <= c_i``
+    caps each step below int64 at any corpus size); true lift =
+    ``lift_fp · n_baskets / 10^12`` presentation-side."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("item")
+    )
+    b = li.distinct()
+    n_df = b.agg(F.count_distinct("l_orderkey").cast("long").alias("n_baskets"))
+    supp = b.groupBy("item").agg(F.count("*").cast("long").alias("c_i"))
+    a, b2 = b.alias("a"), b.alias("b2")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.l_orderkey") == F.col("b2.l_orderkey"))
+            & (F.col("a.item") < F.col("b2.item")),
+        )
+        .groupBy(F.col("a.item").alias("i1"), F.col("b2.item").alias("i2"))
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= 20)
+    )
+    scored = (
+        pairs.join(supp.select(F.col("item").alias("i1"), F.col("c_i").alias("_c1")), "i1")
+        .join(supp.select(F.col("item").alias("i2"), F.col("c_i").alias("_c2")), "i2")
+        .join(F.broadcast(n_df))
+        .select(
+            "i1",
+            "i2",
+            "c_xy",
+            F.expr("(c_xy * 1000000) div n_baskets").alias("support_ppm"),
+            F.expr("(c_xy * 1000000) div _c1").alias("confidence_ppm"),
+            F.expr("((c_xy * 1000000) div _c1 * 1000000) div _c2").alias(
+                "lift_fp"
+            ),
+        )
+    )
+    from irio_mapreduce_spark.operators.topk import top_k
+
+    return top_k(
+        scored,
+        [F.col("lift_fp").desc(), F.col("i1").asc(), F.col("i2").asc()],
+        20,
+    )

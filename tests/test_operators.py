@@ -709,3 +709,42 @@ def test_label_propagation_vs_python_reference(spark):
             ).collect()
         }
         assert again == got
+
+
+def test_kcore_peel_vs_python_reference(spark):
+    """Bounded peeling equals a Python replay round-for-round on a graph
+    built as [clique K6] + [path of 5] + [bridge]: the path peels away in
+    rounds, the 5-core clique survives any number of rounds; a
+    sufficiently-large round count equals the true k-core."""
+    import itertools
+
+    from irio_mapreduce_spark.operators.graph import kcore_peel
+
+    clique = list(itertools.combinations(range(6), 2))
+    path = [(10 + i, 11 + i) for i in range(4)]
+    edges = clique + path + [(0, 10)]
+
+    def ref(k, rounds):
+        cur = {tuple(sorted(e)) for e in edges}
+        for _ in range(rounds):
+            deg: dict[int, int] = {}
+            for x, y in cur:
+                deg[x] = deg.get(x, 0) + 1
+                deg[y] = deg.get(y, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            cur = {e for e in cur if e[0] in keep and e[1] in keep}
+        deg = {}
+        for x, y in cur:
+            deg[x] = deg.get(x, 0) + 1
+            deg[y] = deg.get(y, 0) + 1
+        return {n: d for n, d in deg.items() if d >= k}
+
+    df = spark.createDataFrame(edges, "s long, d long")
+    for k, rounds in ((2, 1), (2, 3), (5, 2), (3, 4)):
+        got = {
+            r.node: r.degree
+            for r in kcore_peel(df, "s", "d", k=k, rounds=rounds).collect()
+        }
+        assert got == ref(k, rounds), (k, rounds)
+    # the 5-core is exactly the K6 clique
+    assert set(ref(5, 4)) == set(range(6))
