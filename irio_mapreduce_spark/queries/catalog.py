@@ -161,6 +161,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_url_canonicalize",
     "mine_association_pairs",
     "graph_kcore_cosupply",
+    "stats_mad_outliers",
 ]
 
 

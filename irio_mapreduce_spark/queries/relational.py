@@ -1762,3 +1762,106 @@ def mine_association_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("lift_fp").desc(), F.col("i1").asc(), F.col("i2").asc()],
         20,
     )
+
+
+@register(
+    "stats_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (
+      SELECT event_type, any_value(n) AS n,
+             CAST(sum(CASE WHEN n % 2 = 1 AND rn = (n + 1) // 2 THEN 2 * vc
+                           WHEN n % 2 = 0 AND rn IN (n // 2, n // 2 + 1)
+                             THEN vc ELSE 0 END) AS BIGINT) AS med_x2
+      FROM v GROUP BY event_type),
+    dev AS (
+      SELECT v.event_type, v.n, med.med_x2,
+             abs(2 * v.vc - med.med_x2) AS dev_x2,
+             row_number() OVER (
+               PARTITION BY v.event_type
+               ORDER BY abs(2 * v.vc - med.med_x2), v.rn) AS drn
+      FROM v JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, any_value(n) AS n, any_value(med_x2) AS med_x2,
+             CAST(sum(CASE WHEN n % 2 = 1 AND drn = (n + 1) // 2
+                             THEN 2 * dev_x2
+                           WHEN n % 2 = 0 AND drn IN (n // 2, n // 2 + 1)
+                             THEN dev_x2 ELSE 0 END) AS BIGINT) AS mad_x4
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(any_value(m.n) AS BIGINT) AS n,
+           any_value(m.med_x2) AS med_x2,
+           any_value(m.mad_x4) AS mad_x4,
+           CAST(count(*) FILTER (2 * d.dev_x2 > 3 * m.mad_x4) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection per event type: exact median and median
+    absolute deviation in scaled integers (median×2 so the even-count
+    midpoint average stays integral; MAD×4 likewise), then the classic
+    ``|v − med| > 3·MAD`` rule as the integer comparison
+    ``2·dev_x2 > 3·mad_x4`` — no float quantile interpolation anywhere
+    (both engines' ``percentile_cont`` interpolate in floating point
+    with no cross-engine contract, and robust stats are exactly where a
+    last-ulp flip changes the verdict). Shape: two ranking windows and
+    two aggregates, all keyed on event_type — the per-group exchanges
+    share one partitioning. The group-wise complement of the
+    ``agg_equidepth_histogram`` global ranking; at web scale, per-key
+    medians with million-row groups would switch to the
+    ``approx_percentile`` path (``agg_percentiles_approx``)."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        F.row_number().over(wv).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mid = F.expr(
+        "CASE WHEN n % 2 = 1 AND rn = (n + 1) div 2 THEN 2 * vc "
+        "WHEN n % 2 = 0 AND rn IN (n div 2, n div 2 + 1) THEN vc "
+        "ELSE 0 END"
+    )
+    med = v.groupBy("event_type").agg(
+        F.first("n").alias("n"), F.sum(mid).cast("long").alias("med_x2")
+    )
+    dev = v.join(med.select("event_type", "med_x2"), "event_type").select(
+        "event_type",
+        "n",
+        "med_x2",
+        F.abs(2 * F.col("vc") - F.col("med_x2")).alias("dev_x2"),
+        "rn",
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev_x2", "rn")
+    dev = dev.withColumn("drn", F.row_number().over(wd))
+    midd = F.expr(
+        "CASE WHEN n % 2 = 1 AND drn = (n + 1) div 2 THEN 2 * dev_x2 "
+        "WHEN n % 2 = 0 AND drn IN (n div 2, n div 2 + 1) THEN dev_x2 "
+        "ELSE 0 END"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.sum(midd).cast("long").alias("mad_x4")
+    )
+    joined = dev.join(mad, "event_type")
+    return joined.groupBy("event_type").agg(
+        F.first("n").cast("long").alias("n"),
+        F.first("med_x2").alias("med_x2"),
+        F.first("mad_x4").alias("mad_x4"),
+        F.sum(
+            F.when(2 * F.col("dev_x2") > 3 * F.col("mad_x4"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )

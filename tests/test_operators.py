@@ -748,3 +748,53 @@ def test_kcore_peel_vs_python_reference(spark):
         assert got == ref(k, rounds), (k, rounds)
     # the 5-core is exactly the K6 clique
     assert set(ref(5, 4)) == set(range(6))
+
+
+def test_mad_outliers_python_reference(spark):
+    """The scaled-integer median/MAD pipeline equals a Python replay on a
+    hand-built corpus with known outliers, covering both parities of
+    group size."""
+    import datetime
+    import statistics
+    import tempfile
+
+    from irio_mapreduce_spark import queries as catalog
+
+    rows = []
+    eid = 0
+    ts = datetime.datetime(2024, 1, 1)
+    # 'a': 7 values (odd) with one wild outlier; 'b': 6 values (even)
+    for t, vals in (
+        ("a", [1.00, 1.10, 1.20, 1.30, 1.40, 1.50, 99.99]),
+        ("b", [2.00, 2.10, 2.20, 2.30, 2.40, 50.00]),
+    ):
+        for v in vals:
+            eid += 1
+            rows.append((eid, ts, eid, t, v, "{}"))
+    d = tempfile.mkdtemp(prefix="mad_")
+    saved = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", saved)
+    out = {
+        r.event_type: r
+        for r in catalog.all_queries()["stats_mad_outliers"](spark, d).collect()
+    }
+    for t, vals in (("a", [1.0, 1.1, 1.2, 1.3, 1.4, 1.5, 99.99]),
+                    ("b", [2.0, 2.1, 2.2, 2.3, 2.4, 50.0])):
+        cents = sorted(round(v * 100) for v in vals)
+        med = statistics.median(cents)
+        devs = sorted(abs(c - med) for c in cents)
+        mad = statistics.median(devs)
+        n_out = sum(1 for c in cents if abs(c - med) > 3 * mad)
+        r = out[t]
+        assert r.n == len(vals)
+        assert r.med_x2 == int(2 * med)
+        assert r.mad_x4 == int(4 * mad)
+        assert r.n_outliers == n_out, t
