@@ -162,6 +162,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "mine_association_pairs",
     "graph_kcore_cosupply",
     "stats_mad_outliers",
+    "events_last_touch_attribution",
+    "stream_stream_full_outer",
 ]
 
 

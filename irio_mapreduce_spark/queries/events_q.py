@@ -627,3 +627,78 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_intervals"),
         F.expr("sum(vc * dt) div sum(dt)").alias("twap_cents"),
     )
+
+
+@register(
+    "events_last_touch_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             max(CASE WHEN event_type = 'click'
+                      THEN epoch_us(ts) ELSE NULL END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_us
+      FROM events),
+    conv AS (
+      SELECT user_id, event_id, vc, last_click_us,
+             epoch_us(ts) AS t_us
+      FROM seq WHERE event_type = 'purchase')
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(*) FILTER (
+             last_click_us IS NOT NULL
+             AND t_us - last_click_us <= CAST(604800000000 AS BIGINT))
+             AS BIGINT) AS n_attributed,
+           CAST(sum(CASE WHEN last_click_us IS NOT NULL
+                          AND t_us - last_click_us <= CAST(604800000000 AS BIGINT)
+                         THEN vc ELSE 0 END) AS BIGINT) AS attributed_cents
+    FROM conv GROUP BY user_id
+    """,
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH conversion attribution with a 7-day window: each
+    purchase credits the user's most recent STRICTLY-PRECEDING click
+    (a running conditional max over the per-user sequence — the as-of
+    lookup expressed as one window, no join), summed per user in exact
+    cents. The ROWS ... 1 PRECEDING frame keeps a same-timestamp click
+    from attributing its own purchase; microsecond epoch arithmetic for
+    the cutoff (the ``events_time_weighted_avg`` exactness note). One
+    user_id exchange shared by the window and the final rollup. The
+    marketing/causal twin of the purchase-funnel entry, and the window
+    formulation beats the naive purchases⋈clicks range join (which
+    fans out per (purchase, click) pair before re-aggregating)."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        F.unix_micros("ts").alias("t_us"),
+        F.max(
+            F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+        )
+        .over(w)
+        .alias("last_click_us"),
+    )
+    attributed = F.col("last_click_us").isNotNull() & (
+        F.col("t_us") - F.col("last_click_us") <= 7 * 86400 * 1000000
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(attributed.cast("long")).cast("long").alias("n_attributed"),
+            F.sum(F.when(attributed, F.col("vc")).otherwise(0))
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+    )

@@ -646,3 +646,60 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_partitions(spark):
         run_to_completion(joined, name, "append")
     return spark.table(name).filter(F.col("user_id") != sentinel_user)
+
+
+@register(
+    "stream_stream_full_outer",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS buy_id,
+           coalesce(l.user_id, r.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click'
+            AND user_id % 3 = 0) l
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase'
+                 AND user_id % 3 = 0) r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+    """,
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the outer-join
+    family on the real engine (inner: `stream_stream_join_attrib`;
+    left: `stream_stream_left_outer`): null-padding happens on BOTH
+    sides, each gated by the same min-across-inputs watermark, so both
+    inputs carry far-future sentinels and unmatched purchases emit a
+    null click exactly as unmatched clicks emit a null purchase. The
+    user filter keeps the state bounded per trigger; the batch
+    full-outer interval join (never seeing the sentinels) is the
+    oracle."""
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="ss_fouter_") + "/events"
+    replay_time_ordered(spark, sf_dir, d, n_chunks=4)
+    base = spark.read.parquet(d)
+    sentinel_user = 3 * 10**9
+    sentinel_events(
+        base, sentinel_user, types=[(-1, "click"), (-2, "purchase")]
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = read_events_stream(spark, d, max_files_per_trigger=2).filter(
+        F.col("user_id") % 3 == 0
+    )
+    clicks = stream.filter(F.col("event_type") == "click")
+    buys = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join(
+        clicks,
+        buys,
+        "user_id",
+        "6 hours",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+        how="full_outer",
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("buy_id"),
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+    )
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_to_completion(joined, name, "append")
+    return spark.table(name).filter(F.col("user_id") != sentinel_user)
