@@ -355,3 +355,31 @@ def test_pagerank_redistribute_conserves_mass(spark, edges):
     rounds = 3
     per_round = len(edges) + 3 * len(universe)  # the documented bound
     assert 0 <= PAGERANK_SCALE - total <= rounds * per_round
+
+
+def test_ntile_from_rank_property(spark):
+    """The integer NTILE formula equals SQL NTILE semantics (first n%k
+    buckets one row larger) across a grid covering n < k, n = k,
+    ragged remainders, and k = 1."""
+    from pyspark.sql import functions as F
+
+    from irio_mapreduce_spark.operators.topk import ntile_from_rank
+
+    def sql_ntile(n, k):
+        q, r = divmod(n, k)
+        out = {}
+        rank = 1
+        for b in range(1, k + 1):
+            for _ in range(q + (1 if b <= r else 0)):
+                out[rank] = b
+                rank += 1
+        return out
+
+    for n, k in [(1, 3), (5, 8), (24, 6), (157, 8), (40, 40), (41, 40),
+                 (100, 1), (7, 7), (8, 7), (6, 7)]:
+        df = spark.range(1, n + 1).select(
+            F.col("id").alias("rank"),
+            ntile_from_rank(F.col("id"), F.lit(n).cast("long"), k).alias("b"),
+        )
+        got = {r.rank: r.b for r in df.collect()}
+        assert got == sql_ntile(n, k), (n, k)
