@@ -164,6 +164,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stats_mad_outliers",
     "events_last_touch_attribution",
     "stream_stream_full_outer",
+    "agg_bitmap_distinct",
+    "agg_rfm_segments",
+    "text_inverted_index",
 ]
 
 

@@ -816,6 +816,46 @@ def agg_salted_skew_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT o_custkey // 64) AS BIGINT) AS n_words
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via fixed-width bitmap words — the
+    roaring-bitmap pattern for dense surrogate-key domains, expressed with
+    built-ins only: bucket ``custkey div 64``, set bit ``custkey mod 64``
+    via ``shiftleft``, ``bit_or`` the words per (group, bucket), then
+    ``sum(bit_count(word))``.
+
+    Scale rationale: the partial state is ONE 8-byte long per 64-key range
+    per group — partial-aggregable map-side and mergeable across executors
+    exactly like a sketch, but with a zero-error answer. For a dense ID
+    domain that is 1 bit/key, vs the 8+ bytes/key a count-distinct
+    partial-dedup shuffle carries; the two aggregation levels here
+    (words, then counts) are both standard hash aggregates with map-side
+    combine. ``n_words`` exposes the bucket layer itself to the oracle
+    (DuckDB ``//`` and Spark ``div`` both truncate — probed).
+
+    Reference parity: distinct-per-group is the map-emit-(key,1) /
+    reduce-dedup encoding (SURVEY.md §2.2); this entry is the
+    communication-optimal variant of the same contract."""
+    o = read_table(spark, sf_dir, "orders")
+    words = o.groupBy(
+        "o_orderpriority", F.expr("o_custkey div 64").alias("bucket")
+    ).agg(
+        F.bit_or(F.expr("shiftleft(1L, cast(o_custkey % 64 as int))")).alias("w")
+    )
+    return words.groupBy("o_orderpriority").agg(
+        F.sum(F.bit_count("w")).cast("long").alias("n_distinct"),
+        F.count("*").cast("long").alias("n_words"),
+    )
+
+
+@register(
     "subq_above_average_spenders",
     oracle="""
     WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS total
@@ -1435,6 +1475,93 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
             F.min("o_totalprice").alias("lo"),
             F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_rfm_segments",
+    oracle="""
+    WITH cut AS (SELECT max(epoch_us(o_orderdate)) AS mx FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             (SELECT mx FROM cut) - max(epoch_us(o_orderdate)) AS r_us,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS mon
+      FROM orders GROUP BY o_custkey),
+    sc AS (
+      SELECT ntile(5) OVER (ORDER BY r_us, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY mon DESC, o_custkey) AS m_score,
+             mon
+      FROM rfm)
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(mon) AS BIGINT) AS mon_cents
+    FROM sc GROUP BY r_score, f_score, m_score
+    """,
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency/frequency/monetary quintiles) —
+    the classic marketing-analytics rollup, built WITHOUT the
+    single-reducer ``ntile() OVER (ORDER BY ...)``: each score comes from
+    the distributed ``global_rank`` (TeraSort offsets) + the integer
+    NTILE formula, whose equivalence to the window ntile is grid-pinned
+    in test_operators/test_properties. Quintile 1 = best (most recent /
+    most frequent / highest spend); descending metrics rank on the
+    negated column, which equals SQL's ``DESC`` order exactly.
+
+    Cross-engine exactness: recency is exact integer MICROSECONDS
+    (``unix_micros`` / ``epoch_us`` — Spark's ``unix_timestamp``
+    truncates where DuckDB's ``epoch()`` rounds, the TWAP trap), money
+    is exact cents via ``floor(x*100 + 0.5)`` (identical IEEE double ops
+    both engines), and every tie-break is the unique custkey. Cost: one
+    shuffle for the per-customer rollup, then three range-partition sorts
+    of the CUSTOMER DIMENSION (not the fact table) — each the budget of a
+    sorted write of the dimension; the 125-cell segment grid is the final
+    tiny aggregate."""
+    from irio_mapreduce_spark.operators.topk import global_rank, ntile_from_rank
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate")).alias("ts_us"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    cut = o.agg(F.max("ts_us").alias("_mx"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("ts_us").alias("last_us"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum("cents").cast("long").alias("mon"),
+        )
+        .join(F.broadcast(cut))
+        .select(
+            "o_custkey",
+            (F.col("_mx") - F.col("last_us")).alias("r_us"),
+            "freq",
+            "mon",
+            (-F.col("freq")).alias("_negf"),
+            (-F.col("mon")).alias("_negm"),
+        )
+    )
+    n_df = rfm.agg(F.count("*").alias("_n"))
+    ranked = global_rank(rfm, ["r_us", "o_custkey"], rank_col="_r")
+    ranked = global_rank(ranked, ["_negf", "o_custkey"], rank_col="_f")
+    ranked = global_rank(ranked, ["_negm", "o_custkey"], rank_col="_m")
+    return (
+        ranked.join(F.broadcast(n_df))
+        .select(
+            ntile_from_rank(F.col("_r"), F.col("_n"), 5).alias("r_score"),
+            ntile_from_rank(F.col("_f"), F.col("_n"), 5).alias("f_score"),
+            ntile_from_rank(F.col("_m"), F.col("_n"), 5).alias("m_score"),
+            "mon",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("mon").cast("long").alias("mon_cents"),
         )
     )
 

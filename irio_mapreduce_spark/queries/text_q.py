@@ -660,3 +660,84 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("canon_url"),
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+    post AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY term, doc_id),
+    sel AS (
+      SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id)
+               AS rn
+      FROM post),
+    agg AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS tf_total,
+             array_to_string(list_sort(list(doc_id))[1:5], ',')
+               AS postings_head
+      FROM post GROUP BY term)
+    SELECT a.term, a.df, a.tf_total,
+           CAST(s.doc_id AS BIGINT) AS top_doc_id,
+           s.tf AS top_tf,
+           a.postings_head
+    FROM agg a JOIN sel s ON s.term = a.term AND s.rn = 1
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed INVERTED-INDEX build + lookup — the retrieval /
+    decontamination-search building block: explode tokens, aggregate the
+    postings relation (term, doc_id, tf) with ONE hash shuffle keyed on
+    (term, doc_id) — term frequency is combined map-side, so a hot term
+    costs its distinct-doc count, never its raw occurrence count — then a
+    per-term rollup (df, total tf) plus an index LOOKUP demo: the top
+    document per term by (tf DESC, doc_id) rank.
+
+    At 100 TB the ``post`` relation IS the index (kept as rows,
+    bucket-writable by term for point lookups); the ``postings_head``
+    column (5 smallest doc ids, comma-joined) exists to make a slice of
+    the posting lists themselves oracle-visible, and the per-term window
+    runs on the PRE-AGGREGATED relation (rows bounded by df, vocabulary
+    partitions) — never on raw token occurrences. A positional index is
+    the same plan with ``posexplode`` carrying token offsets."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    post = toks.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id"))
+    top = (
+        post.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "term",
+            F.col("doc_id").cast("long").alias("top_doc_id"),
+            F.col("tf").alias("top_tf"),
+        )
+    )
+    agg = post.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+    return agg.join(top, "term").select(
+        "term", "df", "tf_total", "top_doc_id", "top_tf", "postings_head"
+    )
