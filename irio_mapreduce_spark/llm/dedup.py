@@ -1259,3 +1259,82 @@ def duplicate_substring_spans(
             "dup_tokens",
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """CCNet-style SUB-DOCUMENT dedup (Wenzek et al. 2020): hash each
+    paragraph, drop every paragraph already seen elsewhere in the corpus
+    (keep-first by the deterministic ``(doc_id, position)`` order), and
+    reassemble each document from its surviving paragraphs. This is the
+    Common-Crawl curation step that removes boilerplate (headers, cookie
+    banners, license blurbs) that exact whole-doc dedup cannot touch.
+
+    The test corpus is single-line text, so "paragraph" here is the
+    deterministic analog: non-overlapping ``chunk_tokens``-token windows
+    (real corpora split on blank lines — same plan with
+    ``split(text, '\\n\\n')``).
+
+    Scale design: paragraphs dedup on a 32-byte ``sha2`` key — the
+    keep-first winner is one ``row_number`` per hash partition (balanced:
+    hash keys, not doc keys), and reassembly is one groupBy(doc) over the
+    SURVIVING paragraphs only. Two shuffles total, both of the paragraph
+    relation; nothing is ever quadratic and no full-document payload
+    repeats per paragraph. Reference parity: the keep-first contract is
+    the reduce-first-per-key encoding (SURVEY.md §2.2 dedup family).
+
+    Output: (doc_id, n_chunks, n_kept, rebuilt_text) — ``rebuilt_text``
+    joins surviving chunks in position order with single spaces, so a
+    document with no duplicated chunks rebuilds to exactly its normalized
+    token stream; a fully-duplicated document rebuilds to ``''``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        ).alias("toks"),
+    )
+    # Materialize the token array in its own stage, then chunk over it —
+    # chunking inside the same projection would re-run the split per
+    # chunk (the nested-HOF re-evaluation trap, measured at sf0.1).
+    n_chunks = ((F.size("toks") + chunk_tokens - 1) / chunk_tokens).cast("int")
+    chunked = toks.select(
+        "doc_id",
+        F.when(F.size("toks") == 0, F.array().cast("array<string>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        )
+        .alias("chunks"),
+    )
+    ch = chunked.select("doc_id", F.posexplode("chunks").alias("cpos", "chunk"))
+    w = Window.partitionBy(F.sha2(F.col("chunk"), 256)).orderBy("doc_id", "cpos")
+    kept = ch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cpos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("rebuilt_text"),
+    )
+    totals = chunked.select(
+        "doc_id", F.size("chunks").cast("long").alias("n_chunks")
+    )
+    return totals.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("rebuilt_text", F.lit("")).alias("rebuilt_text"),
+    )

@@ -167,6 +167,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "agg_bitmap_distinct",
     "agg_rfm_segments",
     "text_inverted_index",
+    "dedup_paragraph_ccnet",
+    "ml_linear_score_classify",
 ]
 
 

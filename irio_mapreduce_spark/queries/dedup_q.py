@@ -775,3 +775,80 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 5)
     )
+
+
+@register(
+    "dedup_paragraph_ccnet",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 5 = 0),
+    tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM corpus),
+    chs AS (
+      SELECT doc_id,
+             list_transform(range(0, (len(toks) + 9) // 10),
+               i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS chunks
+      FROM tk),
+    ch AS (
+      SELECT doc_id, i - 1 AS cpos, chunks[CAST(i AS INTEGER)] AS chunk
+      FROM chs, unnest(generate_series(1, len(chunks))) AS u(i)),
+    kept AS (
+      SELECT doc_id, cpos, chunk FROM (
+        SELECT doc_id, cpos, chunk,
+               row_number() OVER (
+                 PARTITION BY sha256(chunk) ORDER BY doc_id, cpos) AS rn
+        FROM ch)
+      WHERE rn = 1),
+    ka AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(chunk, ' ' ORDER BY cpos)) AS rebuilt_md5
+      FROM kept GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(len(c.chunks) AS BIGINT) AS n_chunks,
+           coalesce(ka.n_kept, 0) AS n_kept,
+           coalesce(ka.rebuilt_md5, md5('')) AS rebuilt_md5
+    FROM chs c LEFT JOIN ka USING (doc_id)
+    """,
+)
+def dedup_paragraph_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level dedup (``llm.dedup.paragraph_dedup``)
+    over a planted-boilerplate harness: every fifth document gets a copy
+    (under ``doc_id + 1000000``) whose text differs only by a unique
+    trailing token — so every chunk of the copy except its modified FINAL
+    chunk is cross-document boilerplate and must be dropped by keep-first,
+    while originals (lower doc_id) survive untouched. Output is the per-doc
+    reassembly audit: chunk counts before/after and the md5 of the rebuilt
+    text (md5 on both engines; the full string stays out of the hash
+    compare's payload).
+
+    The invariant pinned by the oracle: every copy keeps EXACTLY its final
+    chunk (verified: 100/100 at sf0.01), while originals keep everything
+    except naturally-duplicated 10-grams (the small-vocabulary synthetic
+    corpus genuinely repeats some chunks across docs — ~11% of originals
+    lose a median ~2 chunks; the entry deliberately keeps that real signal
+    in the hash compare rather than masking it). See the operator
+    docstring for the 100 TB shuffle budget (two paragraph-relation
+    shuffles on 32-byte keys)."""
+    from irio_mapreduce_spark.llm.dedup import paragraph_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" zz"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(copies)
+    out = paragraph_dedup(corpus, chunk_tokens=10)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.md5(F.encode(F.col("rebuilt_text"), "UTF-8")).alias("rebuilt_md5"),
+    )

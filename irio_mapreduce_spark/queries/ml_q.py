@@ -16,6 +16,7 @@ from irio_mapreduce_spark.llm.clustering import (
     KMEANS_SCALE,
     kmeans_fixed_point,
     knn_classify,
+    scaled_vec,
 )
 from irio_mapreduce_spark.queries.catalog import register
 
@@ -146,4 +147,103 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         k=5,
+    )
+
+
+@register(
+    "ml_linear_score_classify",
+    oracle=f"""
+    WITH {_SV},
+    lb AS (SELECT v.vec_id, v.s, (e.label >= 5) AS pos
+           FROM sv v JOIN embeddings e USING (vec_id)),
+    m AS (SELECT pos, t.i AS i,
+                 CAST(sum(s[t.i]) AS BIGINT) // CAST(count(*) AS BIGINT)
+                   AS mu
+          FROM lb, range(1, {_DIMS + 1}) t(i)
+          GROUP BY pos, t.i),
+    w AS (SELECT m1.i AS i, m1.mu - m0.mu AS wi, m1.mu AS mu1, m0.mu AS mu0
+          FROM m m1 JOIN m m0 ON m1.i = m0.i AND m1.pos AND NOT m0.pos),
+    thr AS (SELECT CAST(sum(wi * mu1) AS BIGINT)
+                   + CAST(sum(wi * mu0) AS BIGINT) AS t2 FROM w),
+    sc AS (SELECT l.vec_id, l.pos,
+                  CAST(sum(w.wi * l.s[w.i]) AS BIGINT) AS score
+           FROM lb l, w GROUP BY l.vec_id, l.pos),
+    pr AS (SELECT vec_id, pos,
+                  (2 * score >= (SELECT t2 FROM thr)) AS pred
+           FROM sc)
+    SELECT CAST(pos AS INTEGER) AS true_side,
+           CAST(pred AS INTEGER) AS pred_side,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+    FROM pr GROUP BY pos, pred
+    """,
+)
+def ml_linear_score_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MODEL INFERENCE as a map-only scan — the shape every scored
+    curation pipeline needs (quality classifiers, fastText-style filters):
+    fit a linear decision rule on the driver from BOUNDED statistics, then
+    score 100% of the data with plan-literal weights and zero shuffle
+    until the final 4-cell confusion rollup.
+
+    The model is the two-class nearest-centroid rule (Fisher direction
+    w = mu_pos - mu_neg, threshold at the midpoint projection): classes
+    are label >= 5 vs < 5, trained on exact fixed-point BIGINT moments
+    (``scaled_vec`` components; sums then truncating integer division —
+    Spark ``div`` / DuckDB ``//`` / the driver-side replication all
+    truncate toward zero). Because training statistics, weights, and
+    scores are ALL integers, the oracle replays the identical model and
+    the confusion matrix hash-matches exactly.
+
+    Scale rationale: the "training" aggregate collects exactly 2 x dims
+    longs to the driver (the IVF-fit contract); inference is
+    ``aggregate(zip_with(s, W, *), +)`` — one whole-stage-codegen'd pass,
+    weights live in the plan, nothing is ever joined per-row. Magnitudes:
+    |score| <= dims * 2 * SCALE^2 * |x|^2 — far inside BIGINT for any
+    unit-normalized embedding."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sv = emb.select(
+        "vec_id",
+        (F.col("label") >= 5).alias("pos"),
+        scaled_vec(F.col("embedding")).alias("s"),
+    )
+    sums = sv.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.element_at("s", i + 1)).alias(f"c{i}")
+            for i in range(_DIMS)
+        ],
+    )
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    stats = {bool(r["pos"]): r for r in sums.collect()}
+    mu = {
+        side: [trunc_div(stats[side][f"c{i}"], stats[side]["n"]) for i in range(_DIMS)]
+        for side in (False, True)
+    }
+    w = [mu[True][i] - mu[False][i] for i in range(_DIMS)]
+    t2 = sum(wi * m1 for wi, m1 in zip(w, mu[True])) + sum(
+        wi * m0 for wi, m0 in zip(w, mu[False])
+    )
+    w_lit = F.array(*[F.lit(v).cast("long") for v in w])
+    score = F.aggregate(
+        F.zip_with(F.col("s"), w_lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        sv.select(
+            "vec_id",
+            F.col("pos").cast("int").alias("true_side"),
+            ((2 * score) >= F.lit(t2)).cast("int").alias("pred_side"),
+        )
+        .groupBy("true_side", "pred_side")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+            F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        )
     )

@@ -1387,3 +1387,90 @@ def test_fuzzy_levenshtein_planted_recall(spark):
     ).fetchone()[0]
     assert len(found) == n_expected
     assert all(1 <= d <= 5 for d in found.values())
+
+
+def test_paragraph_dedup_keep_first_and_rebuild(spark):
+    from irio_mapreduce_spark.llm.dedup import paragraph_dedup
+
+    # doc 1: chunks A B; doc 2 repeats chunk A (dropped) plus its own C;
+    # doc 3 is chunk B verbatim only (fully duplicated -> rebuilds empty).
+    a = "a b c d e f g h i j"
+    b = "k l m n o p q r s t"
+    c = "u v w x y z aa bb cc dd"
+    df = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{a} {c}"), (3, b)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["rebuilt_text"] == f"{a} {b}"
+    # doc 2 loses the repeated chunk A but keeps C, preserving order
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["rebuilt_text"] == c
+    # doc 3's only chunk already belongs to doc 1 (lower doc_id wins)
+    assert (out[3]["n_chunks"], out[3]["n_kept"]) == (1, 0)
+    assert out[3]["rebuilt_text"] == ""
+
+
+def test_paragraph_dedup_degenerate_docs(spark):
+    from irio_mapreduce_spark.llm.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "solo"), (4, "a b c")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert (out[1]["n_chunks"], out[1]["n_kept"], out[1]["rebuilt_text"]) == (0, 0, "")
+    assert (out[2]["n_chunks"], out[2]["n_kept"], out[2]["rebuilt_text"]) == (0, 0, "")
+    # short docs form one partial chunk each, both unique -> kept whole
+    assert out[3]["rebuilt_text"] == "solo"
+    assert out[4]["rebuilt_text"] == "a b c"
+
+
+def test_paragraph_dedup_partitioning_invariant(spark):
+    from irio_mapreduce_spark.llm.dedup import paragraph_dedup
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(60)
+    base = sorted(
+        paragraph_dedup(docs).collect(), key=lambda r: r["doc_id"]
+    )
+    shuffled = sorted(
+        paragraph_dedup(docs.repartition(7)).collect(), key=lambda r: r["doc_id"]
+    )
+    assert [tuple(r) for r in base] == [tuple(r) for r in shuffled]
+
+
+def test_linear_score_classify_matches_numpy(spark):
+    """The catalog entry's fixed-point centroid rule must agree with a
+    plain numpy replication of the same integer arithmetic."""
+    import numpy as np
+
+    from irio_mapreduce_spark.queries.ml_q import ml_linear_score_classify
+
+    out = {
+        (r["true_side"], r["pred_side"]): r["n"]
+        for r in ml_linear_score_classify(spark, SF_DIR).collect()
+    }
+
+    emb = read_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    s = np.array(
+        [[int(np.floor(float(x) * 10**6)) for x in r["embedding"]] for r in emb],
+        dtype=object,
+    )
+    pos = np.array([r["label"] >= 5 for r in emb])
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    mu1 = [trunc_div(int(c), int(pos.sum())) for c in s[pos].sum(axis=0)]
+    mu0 = [trunc_div(int(c), int((~pos).sum())) for c in s[~pos].sum(axis=0)]
+    w = [a - b for a, b in zip(mu1, mu0)]
+    t2 = sum(wi * m for wi, m in zip(w, mu1)) + sum(wi * m for wi, m in zip(w, mu0))
+    scores = [sum(wi * int(si) for wi, si in zip(w, row)) for row in s]
+    expect = {}
+    for p, sc in zip(pos, scores):
+        key = (int(p), int(2 * sc >= t2))
+        expect[key] = expect.get(key, 0) + 1
+    assert out == expect
