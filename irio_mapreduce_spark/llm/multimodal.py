@@ -451,6 +451,8 @@ def decode_real_media_features(media: DataFrame) -> DataFrame:
                 }
                 if payload[:2] == b"BM":
                     base.update(kind="image", **mm.decode_bmp(payload))
+                elif payload[: len(mm._PNG_MAGIC)] == mm._PNG_MAGIC:
+                    base.update(kind="image", **mm.decode_png(payload))
                 elif payload[:4] == b"RIFF":
                     base.update(kind="audio", **mm.decode_wav(payload))
                 else:
@@ -613,3 +615,231 @@ def decode_wav_segments(segs: DataFrame) -> DataFrame:
         run,
         schema="media_id long, seg_idx int, n_samples long, sum_abs long, n_nonneg long",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG: full encoder/decoder from first principles over stdlib zlib.
+# PNG (ISO/IEC 15948) is DEFLATE + per-row prediction filters + CRC-guarded
+# chunks — all stdlib-expressible, so unlike JPEG/MP4 (which stay honestly
+# stubbed: no codec library in this environment) the PNG path is a genuine
+# byte-level codec: the encoder emits every filter type (cycling None/Sub/
+# Up/Average/Paeth per row) and the decoder verifies chunk CRCs, inflates,
+# and unfilters — so a roundtrip exercises the whole spec surface.
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties resolved left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixel) -> bytes:
+    """Encode a to-spec 8-bit RGB (color type 2) PNG from a
+    ``pixel(x, y, c)`` accessor (c: 0=R, 1=G, 2=B). Row ``y`` uses filter
+    type ``y % 5``, so every decoder filter path is exercised by any image
+    at least 5 rows tall."""
+    import zlib
+
+    bpp = 3
+    stride = width * bpp
+    prev = bytes(stride)
+    raw = bytearray()
+    for y in range(height):
+        recon = bytes(pixel(x, y, c) for x in range(width) for c in range(bpp))
+        ftype = y % 5
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = recon[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                pred = _paeth(a, b, c)
+            filt[i] = (recon[i] - pred) & 0xFF
+        raw.append(ftype)
+        raw += filt
+        prev = recon
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL PNG decode: signature check, CRC-verified chunk walk, IHDR
+    profile validation (8-bit RGB, non-interlaced — anything else raises
+    ValueError rather than fabricating pixels), multi-IDAT inflate, and
+    per-row UNFILTERING of all five filter types. Returns
+    (width, height, reconstructed rows as list[bytes])."""
+    import zlib
+
+    if payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, saw_iend = len(_PNG_MAGIC), None, bytearray(), False
+    while pos + 12 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + clen > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + clen
+    if not saw_iend:
+        raise ValueError("truncated PNG stream (missing IEND)")
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, ctype_i, comp, filt, interlace = ihdr
+    if (depth, ctype_i, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color={ctype_i} "
+            f"interlace={interlace}"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"unsupported PNG dims: {width}x{height}")
+    bpp = 3
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG pixel data does not match declared dims")
+    rows: list[bytes] = []
+    prev = bytes(stride)
+    for y in range(height):
+        base = y * (1 + stride)
+        ftype = raw[base]
+        if ftype > 4:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        line = raw[base + 1 : base + 1 + stride]
+        recon = bytearray(stride)
+        for i in range(stride):
+            a = recon[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                pred = _paeth(a, b, c)
+            recon[i] = (line[i] + pred) & 0xFF
+        prev = bytes(recon)
+        rows.append(prev)
+    return width, height, rows
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse an 8-bit RGB PNG from its actual bytes; exact per-channel
+    integer sums in the BGR-named feature slots shared with the BMP path
+    (``sum_b``/``sum_g``/``sum_r`` are CHANNEL sums regardless of the
+    container's storage order)."""
+    width, height, rows = decode_png_pixels(payload)
+    sums = [0, 0, 0]  # R, G, B in storage order
+    for row in rows:
+        for i in range(0, len(row), 3):
+            sums[0] += row[i]
+            sums[1] += row[i + 1]
+            sums[2] += row[i + 2]
+    return {
+        "width": width,
+        "height": height,
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
+    }
+
+
+def _png_pixel(seed: int, x: int, y: int, c: int) -> int:
+    """Deterministic pixel byte for channel c (0=R, 1=G, 2=B) — a distinct
+    formula from the BMP generator so a cross-format mixup cannot cancel
+    out in the oracle sums."""
+    return (seed * 37 + y * 19 + x * 11 + c * 23) % 256
+
+
+def synth_png(seed: int, width: int, height: int) -> bytes:
+    """A real, to-spec 8-bit RGB PNG (all five row filters exercised)."""
+    return encode_png(width, height, lambda x, y, c: _png_pixel(seed, x, y, c))
+
+
+def synthesize_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Materialize a media table of REAL PNG payloads (dims a function of
+    the id; ≥5 rows tall so every filter type appears). Distributed via
+    ``mapInPandas``; payload bytes never visit the driver."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 5 + mid % 8, 5 + mid % 6
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": mm.synth_png(mid, w, h),
+                        "meta": {
+                            "kind": "image", "mime": "image/png",
+                            "width": w, "height": h,
+                            "sample_rate": None, "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def resize_png(payload: bytes, new_width: int, new_height: int) -> bytes:
+    """REAL nearest-neighbor resize of an 8-bit RGB PNG: genuine decode
+    (CRC walk + inflate + unfilter), integer source mapping
+    ``src = (dst * old) // new`` (exact, engine-reproducible), genuine
+    re-encode through all five row filters."""
+    w, h, rows = decode_png_pixels(payload)
+
+    def resampled(x: int, y: int, c: int) -> int:
+        return rows[(y * h) // new_height][3 * ((x * w) // new_width) + c]
+
+    return encode_png(new_width, new_height, resampled)

@@ -169,6 +169,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_inverted_index",
     "dedup_paragraph_ccnet",
     "ml_linear_score_classify",
+    "multimodal_real_png",
 ]
 
 

@@ -1,8 +1,13 @@
 """Multimodal-column catalog queries: opaque binary payloads with typed
-metadata (SURVEY.md §2.2 LLM table; llm/multimodal.py). The payload here is
-the UTF-8 encoding of ``documents.text`` — real binary bytes through the
-real plumbing; the image/audio decode stage itself is stubbed (libraries
-absent) and exercised in tests/test_llm.py.
+metadata (SURVEY.md §2.2 LLM table; llm/multimodal.py). Two tiers:
+
+* REAL codecs for every format the stdlib can express to spec — BMP and
+  WAV (struct-level parse) and PNG (full DEFLATE + filter + CRC codec,
+  ``multimodal_real_*``) — decode ACTUAL bytes and hash-match closed-form
+  oracles;
+* the JPEG/MP4-class stub path (`multimodal_decode_features`), where the
+  byte->pixels step needs codec libraries absent from this container and
+  the Arrow plumbing is what the entry proves.
 """
 
 from __future__ import annotations
@@ -244,3 +249,52 @@ def multimodal_real_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_real_media(docs).filter(F.col("meta.kind") == "audio")
     segs = segment_real_audio(media, segment_ms=20, max_segments=4)
     return decode_wav_segments(segs)
+
+
+@register(
+    "multimodal_real_png",
+    oracle="""
+    WITH img AS (SELECT doc_id AS media_id,
+                        5 + doc_id % 8 AS w, 5 + doc_id % 6 AS h
+                 FROM documents),
+    ix AS (SELECT media_id, w, h,
+                  unnest(generate_series(0, w * h - 1)) AS p
+           FROM img),
+    ipx AS (SELECT media_id, w, h, p % w AS x, p // w AS y FROM ix)
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum((media_id*37 + y*19 + x*11) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((media_id*37 + y*19 + x*11 + 23) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((media_id*37 + y*19 + x*11 + 46) % 256) AS BIGINT) AS sum_b
+    FROM ipx GROUP BY media_id
+    """,
+)
+def multimodal_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode from actual bytes — PNG is DEFLATE (stdlib zlib) +
+    per-row prediction filters + CRC-guarded chunks, so unlike the
+    JPEG/MP4-class codecs (which remain honestly stubbed: no codec library
+    here) this is a genuine full-spec software codec path: the synthesized
+    payloads cycle ALL FIVE filter types (None/Sub/Up/Average/Paeth, one
+    per row), and the decode stage walks CRC-verified chunks, inflates,
+    and unfilters before summing channels. The closed-form oracle computes
+    the same per-channel sums from the pixel generator directly, so a
+    single mis-predicted byte anywhere in filter arithmetic breaks the
+    per-row hash match.
+
+    Scale shape: identical to the BMP/WAV path — synthesize and decode are
+    both ``mapInPandas`` stages over Arrow batches; payload bytes never
+    visit the driver and never shuffle (the decode output is the narrow
+    feature row). See ``llm.multimodal.encode_png``/``decode_png``."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        synthesize_png_media,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = decode_real_media_features(synthesize_png_media(ids))
+    return feats.select(
+        "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
+    )

@@ -1474,3 +1474,115 @@ def test_linear_score_classify_matches_numpy(spark):
         key = (int(p), int(2 * sc >= t2))
         expect[key] = expect.get(key, 0) + 1
     assert out == expect
+
+
+def test_png_codec_roundtrip_pixel_exact():
+    """decode(encode(img)) reproduces every pixel byte, across images tall
+    enough to exercise all five row filters and narrow enough (width 1) to
+    hit the bpp boundary of Sub/Average/Paeth."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    for w, h in [(1, 6), (2, 5), (7, 9), (16, 5)]:
+        def px(x, y, c):
+            return (x * 89 + y * 57 + c * 199 + w + h) % 256
+
+        width, height, rows = decode_png_pixels(encode_png(w, h, px))
+        assert (width, height) == (w, h)
+        for y, row in enumerate(rows):
+            for x in range(w):
+                for c in range(3):
+                    assert row[3 * x + c] == px(x, y, c)
+
+
+def test_png_decoder_rejects_corruption():
+    import pytest as _pytest
+
+    from irio_mapreduce_spark.llm.multimodal import decode_png, synth_png
+
+    good = synth_png(11, 6, 7)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM" + good[2:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-6])
+    # flip one IDAT byte -> the chunk CRC must catch it
+    bad = bytearray(good)
+    bad[len(bad) // 2] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # unsupported variant: rewrite IHDR color type to grayscale (and its CRC)
+    import struct
+    import zlib
+
+    ihdr_data = bytearray(good[16:29])
+    ihdr_data[9] = 0  # color type
+    patched = (
+        good[:16]
+        + bytes(ihdr_data)
+        + struct.pack(">I", zlib.crc32(b"IHDR" + bytes(ihdr_data)) & 0xFFFFFFFF)
+        + good[33:]
+    )
+    with _pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(patched)
+
+
+def test_png_paeth_predictor_spec():
+    """Paeth = the neighbor nearest to a+b-c, ties broken left, up,
+    up-left (PNG spec §9.4) — compared against a direct restatement."""
+    from irio_mapreduce_spark.llm.multimodal import _paeth
+
+    for a in range(0, 256, 17):
+        for b in range(0, 256, 23):
+            for c in range(0, 256, 29):
+                p = a + b - c
+                best = min(
+                    (abs(p - a), 0, a), (abs(p - b), 1, b), (abs(p - c), 2, c)
+                )
+                assert _paeth(a, b, c) == best[2]
+
+
+def test_png_real_media_dispatch(spark):
+    """A mixed media table (PNG rows alongside BMP/WAV) decodes each
+    payload off its own magic bytes."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        synthesize_png_media,
+        synthesize_real_media,
+    )
+
+    ids = spark.range(0, 6).select(F.col("id").alias("media_id"))
+    mixed = synthesize_real_media(ids).unionByName(
+        synthesize_png_media(
+            spark.range(100, 103).select(F.col("id").alias("media_id"))
+        )
+    )
+    out = decode_real_media_features(mixed).collect()
+    kinds = {r["media_id"]: r["kind"] for r in out}
+    assert all(kinds[i] == "image" for i in (0, 2, 4, 100, 101, 102))
+    assert all(kinds[i] == "audio" for i in (1, 3, 5))
+    png_rows = [r for r in out if r["media_id"] >= 100]
+    assert all(
+        r["width"] == 5 + r["media_id"] % 8 and r["height"] == 5 + r["media_id"] % 6
+        for r in png_rows
+    )
+
+
+def test_png_resize_matches_source_mapping():
+    from irio_mapreduce_spark.llm.multimodal import (
+        _png_pixel,
+        decode_png_pixels,
+        resize_png,
+        synth_png,
+    )
+
+    w0, h0, w1, h1 = 9, 7, 5, 11
+    width, height, rows = decode_png_pixels(resize_png(synth_png(21, w0, h0), w1, h1))
+    assert (width, height) == (w1, h1)
+    for y in range(h1):
+        for x in range(w1):
+            for c in range(3):
+                assert rows[y][3 * x + c] == _png_pixel(
+                    21, (x * w0) // w1, (y * h0) // h1, c
+                )
