@@ -1546,10 +1546,12 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("mon")).alias("_negm"),
         )
     )
-    n_df = rfm.agg(F.count("*").alias("_n"))
     ranked = global_rank(rfm, ["r_us", "o_custkey"], rank_col="_r")
     ranked = global_rank(ranked, ["_negf", "o_custkey"], rank_col="_f")
     ranked = global_rank(ranked, ["_negm", "o_custkey"], rank_col="_m")
+    # row count taken AFTER the checkpointed ranking so the scalar agg
+    # reads the tiny checkpointed dimension, not a second orders scan
+    n_df = ranked.agg(F.count("*").alias("_n"))
     return (
         ranked.join(F.broadcast(n_df))
         .select(

@@ -390,3 +390,50 @@ def test_global_rank_has_single_range_exchange(spark):
     # the range exchange happened before the checkpoint barrier; the
     # post-barrier plan must not add ANY new exchange
     assert "Exchange" not in p, p
+
+
+def test_bitmap_distinct_two_hash_aggregates_no_expand(spark, qs):
+    """The bitmap distinct is two partial-aggregable hash aggregates
+    (words, then counts) — no Expand node (Spark's count-distinct
+    rewrite) and no join anywhere."""
+    p = plan(spark, qs, "agg_bitmap_distinct", mode="simple")
+    assert "Expand" not in p, p
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert j not in p, f"unexpected {j}:\n{p}"
+    assert p.count("HashAggregate") >= 4, p  # 2 levels x partial/final
+
+
+def test_rfm_ranks_without_global_window(spark, qs):
+    """Every quintile comes from the distributed global_rank — the plan
+    contains NO window operator, and the only SinglePartition exchange is
+    the scalar row-count aggregate (one partial row per partition), which
+    reads the checkpointed dimension, not a second fact scan."""
+    p = plan(spark, qs, "agg_rfm_segments", mode="simple")
+    assert "Window" not in p, p
+    assert p.count("Exchange SinglePartition") <= 1, p
+    assert p.count("FileScan parquet") == 0, p  # all inputs checkpointed
+
+
+def test_inverted_index_scan_prunes_to_two_columns(spark, qs):
+    p = plan(spark, qs, "text_inverted_index")
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_schema, p
+    assert "doc_id" in read_schema[0] and "text" in read_schema[0]
+    assert "lang" not in read_schema[0] and "source" not in read_schema[0]
+
+
+def test_linear_classifier_scoring_is_map_only(spark, qs):
+    """Model weights are plan literals: the scoring plan has no join; the
+    only exchange is the final 4-cell confusion rollup."""
+    p = plan(spark, qs, "ml_linear_score_classify", mode="simple")
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert j not in p, f"unexpected {j}:\n{p}"
+    assert p.count("Exchange") == 1, p
+
+
+def test_paragraph_dedup_two_paragraph_shuffles(spark, qs):
+    """Keep-first (hash partition) + reassembly (doc partition) are the
+    only wide stages over the paragraph relation; the doc-total side joins
+    back without a third paragraph-wide exchange class."""
+    p = plan(spark, qs, "dedup_paragraph_ccnet", mode="simple")
+    assert "CartesianProduct" not in p, p
