@@ -170,6 +170,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_paragraph_ccnet",
     "ml_linear_score_classify",
     "multimodal_real_png",
+    "events_cusum_drift",
 ]
 
 

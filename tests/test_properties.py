@@ -383,3 +383,36 @@ def test_ntile_from_rank_property(spark):
         )
         got = {r.rank: r.b for r in df.collect()}
         assert got == sql_ntile(n, k), (n, k)
+
+
+def test_cusum_prefix_min_identity_matches_recursion():
+    """events_cusum_drift relies on S_t = P_t - min_{j<=t} P_j being the
+    closed form of the CUSUM recursion S_t = max(0, S_{t-1} + d_t) with
+    P the prefix sum of d. Grid-checked over sign patterns including long
+    negative runs (where the min clamps repeatedly) and all-positive
+    drifts (where it never clamps)."""
+    series = [
+        [0, 0, 0],
+        [5, -3, -3, -3, 10, -1],
+        [-4, -4, -4, 2],
+        [1, 2, 3, 4],
+        [-1, 1, -1, 1, -1, 1],
+        [7, -20, 5, 5, 5, -2, -2, 30, -40, 8],
+        [(i * 37 % 11) - 5 for i in range(50)],
+    ]
+    for d in series:
+        s_rec, s_closed = [], []
+        s, p, mn = 0, 0, 0  # mn starts at the EMPTY prefix sum (0)
+        for dt in d:
+            s = max(0, s + dt)
+            s_rec.append(s)
+            p += dt
+            mn = min(mn, p)
+            s_closed.append(p - mn)
+        assert s_rec == s_closed, (d, s_rec, s_closed)
+        # and the 0-less variant (window min over P alone, without the
+        # empty prefix — the bug the entry avoids) must DIFFER whenever
+        # the series starts above the reference level: its first drift
+        # is always 0 while the true CUSUM starts at d[0]
+        if d and d[0] > 0:
+            assert s_rec[0] == d[0] != 0
