@@ -82,3 +82,57 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
                 )
             )
     return reduce(lambda a, b: a.bitwiseOR(b), parts).alias("zkey")
+
+
+def ensure_bucketed_table(
+    spark,
+    name: str,
+    path: str,
+    ddl_columns: str,
+    bucket_col: str,
+    n_buckets: int,
+    build_df=None,
+) -> None:
+    """Idempotent, session-independent bucketed-table provisioning — the
+    production pattern behind shuffle-free co-located joins:
+
+    1. table already in this session's catalog → done;
+    2. a COMMITTED bucketed write exists on disk (Spark's ``_SUCCESS``)
+       → re-register it with external-table DDL (``CLUSTERED BY ... INTO
+       n BUCKETS LOCATION ...``) — what a Hive metastore does durably,
+       replayed here because the plain in-memory catalog forgets tables
+       across sessions. Spark trusts the declared spec because bucket ids
+       are baked into the written FILE NAMES (``*_0000N.c000``), so the
+       DDL must repeat the exact (column, count) used at write time —
+       both are baked into the caller's directory key;
+    3. otherwise build: one ``bucketBy(...).sortBy(...)`` write (the only
+       shuffle this data ever pays for this key; every later join or
+       aggregation on ``bucket_col`` reads it back pre-partitioned AND
+       pre-sorted).
+    """
+    import os
+
+    if spark.catalog.tableExists(name):
+        return
+    if build_df is not None and not os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    ):
+        # repartition onto the bucket hash first: one FILE per bucket.
+        # Spark only trusts a bucket's SORTED flag when the bucket is a
+        # single file (multi-file buckets are merely hash-placed), and
+        # repartition() uses the same Murmur3 hash as bucketBy, so
+        # partition i holds exactly bucket i's rows.
+        (
+            build_df.repartition(n_buckets, F.col(bucket_col))
+            .write.bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        return
+    spark.sql(
+        f"CREATE TABLE {name} ({ddl_columns}) USING PARQUET "
+        f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )

@@ -171,6 +171,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "ml_linear_score_classify",
     "multimodal_real_png",
     "events_cusum_drift",
+    "layout_bucketed_join",
 ]
 
 

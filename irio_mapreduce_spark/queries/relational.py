@@ -1994,3 +1994,92 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+@register(
+    "layout_bucketed_join",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-FREE co-located fact-to-dimension join off PERSISTED
+    bucketed tables — THE join layout move at 100 TB: both sides are
+    written once with ``bucketBy(16, custkey).sortBy(custkey)`` (bucket
+    ids baked into file names, one file per bucket via a pre-write
+    repartition on the bucket hash), so every subsequent join or
+    aggregation on the key reads them back already partitioned — the
+    sort-merge join here plans with ZERO exchanges upstream
+    (plan-asserted); the only shuffle in the whole query is the final
+    25-group rollup. (Spark 3+ re-sorts each bucket locally by default —
+    partition-local, no exchange; trusting the written sort order back
+    needs the legacy ``bucketedTableScan.outputOrdering`` flag, which a
+    plain session won't have, so the claim here is the EXCHANGE
+    elimination, the part that matters at 100 TB.)
+
+    The tables live under the gitignored ``spark-warehouse/`` keyed by
+    scale factor + an input stat-stamp (stale artifacts never reused),
+    committed via Spark's ``_SUCCESS``; because the plain in-memory
+    catalog forgets tables between sessions, the entry re-registers the
+    on-disk layout with external-table DDL — exactly what a Hive
+    metastore persists in production
+    (``operators.layout.ensure_bucketed_table``). The ``merge`` hint pins
+    the SMJ strategy so the demonstrated plan is broadcast-threshold-
+    independent."""
+    import os
+
+    from irio_mapreduce_spark.llm.artifacts import input_stamp
+    from irio_mapreduce_spark.operators.layout import ensure_bucketed_table
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    sf_key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    stamp = input_stamp(
+        os.path.join(sf_dir, "orders.parquet"),
+        os.path.join(sf_dir, "customer.parquet"),
+    )
+    wh = os.path.join(root, "spark-warehouse")
+    t_orders = f"bkt_orders_{sf_key}_{stamp}"
+    t_cust = f"bkt_customer_{sf_key}_{stamp}"
+    ensure_bucketed_table(
+        spark,
+        t_orders,
+        os.path.join(wh, t_orders),
+        "o_custkey BIGINT, cents BIGINT",
+        "o_custkey",
+        16,
+        build_df=read_table(spark, sf_dir, "orders").select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        ),
+    )
+    ensure_bucketed_table(
+        spark,
+        t_cust,
+        os.path.join(wh, t_cust),
+        "c_custkey BIGINT, c_nationkey BIGINT",
+        "c_custkey",
+        16,
+        build_df=read_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_nationkey").cast("long").alias("c_nationkey")
+        ),
+    )
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
+    return (
+        o.hint("merge")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

@@ -437,3 +437,18 @@ def test_paragraph_dedup_two_paragraph_shuffles(spark, qs):
     back without a third paragraph-wide exchange class."""
     p = plan(spark, qs, "dedup_paragraph_ccnet", mode="simple")
     assert "CartesianProduct" not in p, p
+
+
+def test_bucketed_join_no_exchange_before_join(spark, qs):
+    """Both sides of layout_bucketed_join read PERSISTED bucketed tables:
+    the sort-merge join plans with ZERO exchanges upstream — the only
+    exchange in the whole query is the final nationkey rollup, and both
+    scans report the bucketed layout. (Residual per-partition Sort nodes
+    are expected: Spark 3+ ignores written bucket sort order without the
+    legacy outputOrdering flag; they shuffle nothing.)"""
+    p = plan(spark, qs, "layout_bucketed_join", mode="simple")
+    assert "SortMergeJoin" in p, p
+    assert p.count("Exchange") == 1, p  # the rollup only
+    assert "SortMergeJoin" in p.split("Exchange")[1], p  # join BELOW it
+    assert p.count("Bucketed: true") == 2, p
+    assert p.count("SelectedBucketsCount: 16 out of 16") == 2, p
