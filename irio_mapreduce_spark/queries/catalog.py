@@ -172,6 +172,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "multimodal_real_png",
     "events_cusum_drift",
     "layout_bucketed_join",
+    "stats_welch_ttest",
 ]
 
 

@@ -2083,3 +2083,97 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+def _welch_templates() -> tuple[str, str, str]:
+    """Shared Welch-test expression strings (valid in BOTH Spark SQL and
+    DuckDB): built once, formatted into both engines so they evaluate a
+    STRUCTURALLY IDENTICAL IEEE op tree over the same double-cast integer
+    moments — the stats_ols_multi technique. sqrt is correctly rounded
+    (allowed); every other op is +-*/ on doubles."""
+
+    def cd(x: str) -> str:
+        return f"cast({x} as double)"
+
+    def var(n: str, s: str, ss: str) -> str:
+        return (
+            f"((({cd(n)} * {cd(ss)}) - ({cd(s)} * {cd(s)}))"
+            f" / ({cd(n)} * ({cd(n)} - 1.0)))"
+        )
+
+    vn1 = f"({var('n1', 's1', 'ss1')} / {cd('n1')})"
+    vn2 = f"({var('n2', 's2', 'ss2')} / {cd('n2')})"
+    mean_diff = f"(({cd('s1')} / {cd('n1')}) - ({cd('s2')} / {cd('n2')}))"
+    t_stat = f"({mean_diff} / sqrt({vn1} + {vn2}))"
+    df = (
+        f"((({vn1} + {vn2}) * ({vn1} + {vn2}))"
+        f" / ((({vn1} * {vn1}) / ({cd('n1')} - 1.0))"
+        f" + (({vn2} * {vn2}) / ({cd('n2')} - 1.0))))"
+    )
+    return mean_diff, t_stat, df
+
+
+_WELCH_MD, _WELCH_T, _WELCH_DF = _welch_templates()
+
+
+@register(
+    "stats_welch_ttest",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+        CAST(count(*) FILTER (l_returnflag = 'A') AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN l_returnflag = 'A'
+                 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+        CAST(sum(CASE WHEN l_returnflag = 'A'
+                 THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS ss1,
+        CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS s2,
+        CAST(sum(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS ss2
+      FROM lineitem)
+    SELECT n1, n2,
+           {_WELCH_MD} AS mean_diff,
+           {_WELCH_T} AS t_stat,
+           {_WELCH_DF} AS dof
+    FROM m
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) — THE A/B-testing /
+    cohort-comparison primitive: returned ('R') vs accepted ('A')
+    lineitem quantities. One conditional-aggregate pass computes both
+    groups' exact BIGINT moments (quantity <= 50, so sums of squares stay
+    within int64 below ~10^15 rows); the t statistic and the
+    Welch–Satterthwaite degrees of freedom are then a FIXED scalar IEEE
+    sequence over the double-cast moments, formatted from ONE template
+    into both engines (``_welch_templates``) — sqrt is correctly rounded,
+    so the UNROUNDED doubles hash-match (the stats_corr_matrix /
+    stats_ols_multi exactness technique). The inferential cutoff (e.g.
+    |t| > 1.96) stays with the caller: it is a constant comparison, not
+    an engine concern."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    m = li.agg(
+        *[
+            expr.alias(name)
+            for name, expr in [
+                ("n1", F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))),
+                ("s1", F.sum(F.when(F.col("l_returnflag") == "A", F.col("q")).otherwise(0))),
+                ("ss1", F.sum(F.when(F.col("l_returnflag") == "A", F.col("q") * F.col("q")).otherwise(0))),
+                ("n2", F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))),
+                ("s2", F.sum(F.when(F.col("l_returnflag") == "R", F.col("q")).otherwise(0))),
+                ("ss2", F.sum(F.when(F.col("l_returnflag") == "R", F.col("q") * F.col("q")).otherwise(0))),
+            ]
+        ]
+    ).select(*[F.col(c).cast("long").alias(c) for c in ["n1", "s1", "ss1", "n2", "s2", "ss2"]])
+    return m.select(
+        "n1",
+        "n2",
+        F.expr(_WELCH_MD).alias("mean_diff"),
+        F.expr(_WELCH_T).alias("t_stat"),
+        F.expr(_WELCH_DF).alias("dof"),
+    )

@@ -416,3 +416,40 @@ def test_cusum_prefix_min_identity_matches_recursion():
         # is always 0 while the true CUSUM starts at d[0]
         if d and d[0] > 0:
             assert s_rec[0] == d[0] != 0
+
+
+def test_welch_template_matches_statistics_module():
+    """The shared Welch expression template (stats_welch_ttest) must agree
+    with an independent implementation (stdlib ``statistics``) to float
+    tolerance on a hand corpus — mathematical correctness; bitwise
+    cross-engine equality is the driver's job."""
+    import math
+    import statistics
+
+    import duckdb
+
+    from irio_mapreduce_spark.queries.relational import (
+        _WELCH_DF,
+        _WELCH_MD,
+        _WELCH_T,
+    )
+
+    g1 = [12, 15, 11, 19, 14, 13, 22, 9]
+    g2 = [18, 21, 25, 17, 30, 26]
+    n1, n2 = len(g1), len(g2)
+    m = duckdb.connect().execute(
+        f"""
+        WITH m AS (SELECT {n1} AS n1, {sum(g1)} AS s1,
+                          {sum(v * v for v in g1)} AS ss1,
+                          {n2} AS n2, {sum(g2)} AS s2,
+                          {sum(v * v for v in g2)} AS ss2)
+        SELECT {_WELCH_MD} AS md, {_WELCH_T} AS t, {_WELCH_DF} AS dof FROM m
+        """
+    ).fetchone()
+    v1, v2 = statistics.variance(g1), statistics.variance(g2)
+    md = statistics.mean(g1) - statistics.mean(g2)
+    se2 = v1 / n1 + v2 / n2
+    t = md / math.sqrt(se2)
+    dof = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    assert abs(m[0] - md) < 1e-12 and abs(m[1] - t) < 1e-12
+    assert abs(m[2] - dof) < 1e-9
