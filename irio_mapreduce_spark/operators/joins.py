@@ -246,3 +246,62 @@ def range_join(
         .filter(lo_op & hi_op)
         .drop("_bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """Interval-interval OVERLAP join (closed bounds): every (left, right)
+    pair whose ``[lo, hi]`` ranges intersect — the concurrency primitive
+    (simultaneous sessions, colliding maintenance windows, overlapping
+    validity ranges).
+
+    Naive Spark plans the theta condition as a nested-loop join —
+    O(|L|·|R|). Here BOTH sides explode to the ``bucket_width`` buckets
+    they cover and the join becomes a bucket equi-join (+ ``extra_on``
+    keys), re-filtered by the exact predicate. Two intervals that overlap
+    share every bucket of their intersection, so the pair is kept ONLY in
+    the first bucket both cover — ``max`` of the two start buckets — an
+    ALGEBRAIC dedup that avoids a DISTINCT shuffle over the pair set.
+    Cost: one hash shuffle of interval-times-covered-buckets rows;
+    blow-up = avg interval width / bucket_width, tunable per workload.
+
+    Column names must be distinct across the two inputs (the usual
+    aliased-rename discipline)."""
+    lw = F.lit(bucket_width)
+    l_b = left.withColumn(
+        "_lb0", F.floor(F.col(left_lo) / lw).cast("long")
+    ).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.col("_lb0"), F.floor(F.col(left_hi) / lw).cast("long")
+            )
+        ),
+    )
+    r_b = right.withColumn(
+        "_rb0", F.floor(F.col(right_lo) / lw).cast("long")
+    ).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.col("_rb0"), F.floor(F.col(right_hi) / lw).cast("long")
+            )
+        ),
+    )
+    return (
+        l_b.join(r_b, on=["_bucket", *(extra_on or [])])
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+        )
+        .filter(F.col("_bucket") == F.greatest("_lb0", "_rb0"))
+        .drop("_bucket", "_lb0", "_rb0")
+    )

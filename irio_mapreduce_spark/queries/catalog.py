@@ -173,6 +173,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_cusum_drift",
     "layout_bucketed_join",
     "stats_welch_ttest",
+    "events_path_triples",
+    "join_interval_overlap",
 ]
 
 

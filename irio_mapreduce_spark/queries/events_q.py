@@ -805,3 +805,58 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         drift.alias("drift"),
         (drift > 2 * F.col("t")).cast("int").alias("alarm"),
     )
+
+
+@register(
+    "events_path_triples",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT user_id, e1 || '>' || e2 || '>' || e3 AS path
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL),
+    counted AS (
+      SELECT path,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM paths GROUP BY path)
+    SELECT path, n, n_users FROM counted
+    ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def events_path_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user JOURNEY triples (sequential path mining, the product-
+    analytics 'what do users do next' query): each user's event stream in
+    (ts, event_id) order — event_id is the unique tie-break, so
+    same-timestamp events sequence deterministically — sliding a window of
+    3 via two ``lead`` calls, then counting occurrences and distinct users
+    per path. One window shuffle on user_id (sequences never leave their
+    partition), one path aggregate, and a TakeOrdered top-k — no
+    self-joins, no explosion beyond one row per event. The (n DESC, path)
+    tie-break makes the LIMIT deterministic."""
+    from irio_mapreduce_spark.operators.topk import top_k
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    counted = (
+        seq.select(
+            "user_id",
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"),
+        )
+        .groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    return top_k(counted, [F.col("n").desc(), F.col("path")], 20)

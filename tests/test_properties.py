@@ -453,3 +453,47 @@ def test_welch_template_matches_statistics_module():
     dof = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
     assert abs(m[0] - md) < 1e-12 and abs(m[1] - t) < 1e-12
     assert abs(m[2] - dof) < 1e-9
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 60)),
+        min_size=0,
+        max_size=10,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 60)),
+        min_size=0,
+        max_size=10,
+    ),
+    width=st.sampled_from([1, 13, 100]),
+)
+@SETTINGS
+def test_interval_overlap_join_matches_python(spark, lefts, rights, width):
+    """Bucketized interval-overlap join == the O(n*m) Python reference for
+    arbitrary closed intervals and bucket widths: no misses, and the
+    max-start-bucket rule yields exactly ONE row per overlapping pair
+    (no DISTINCT needed)."""
+    from irio_mapreduce_spark.operators.joins import interval_overlap_join
+
+    a = [(i, lo, lo + w) for i, (lo, w) in enumerate(lefts)]
+    b = [(i, lo, lo + w) for i, (lo, w) in enumerate(rights)]
+    adf = spark.createDataFrame(
+        a or [(0, -10, -9)], "aid long, a_lo long, a_hi long"
+    )
+    bdf = spark.createDataFrame(
+        b or [(0, -10, -9)], "bid long, b_lo long, b_hi long"
+    )
+    got = sorted(
+        (r.aid, r.bid)
+        for r in interval_overlap_join(
+            adf, bdf, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=width
+        ).collect()
+    )
+    want = sorted(
+        (ai, bi)
+        for ai, alo, ahi in (a or [(0, -10, -9)])
+        for bi, blo, bhi in (b or [(0, -10, -9)])
+        if alo <= bhi and blo <= ahi
+    )
+    assert got == want
