@@ -175,7 +175,13 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stats_welch_ttest",
     "events_path_triples",
     "join_interval_overlap",
+    "stats_ks_test",
+    "stats_gini_impurity",
 ]
+# DEFERRED_TO_NEXT_WINDOW now holds exactly 50 names — one full round-6
+# driver window. Round-5 additions stop here by design: any further new
+# entry would push the driver-green union past round 6; additions beyond
+# this point must queue for the round-7 window instead (start a new list).
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

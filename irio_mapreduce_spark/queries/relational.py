@@ -2258,3 +2258,122 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_us"),
     )
+
+
+@register(
+    "stats_ks_test",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g2
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+    per_v AS (
+      SELECT q, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+      FROM pts GROUP BY q),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM per_v),
+    cum AS (
+      SELECT q,
+             CAST(sum(c1) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS f1,
+             CAST(sum(c2) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS f2
+      FROM per_v)
+    SELECT n1, n2,
+           CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num,
+           CAST(n1 * n2 AS BIGINT) AS d_den
+    FROM cum, tot GROUP BY n1, n2
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic — the DISTRIBUTION-drift
+    monitor (pairs with the mean-level CUSUM entry): D = max over values
+    of |F1(v) - F2(v)| between accepted and returned lineitem quantities,
+    emitted as the EXACT integer fraction ``d_num / d_den`` with
+    ``d_num = max|c1(v)·n2 - c2(v)·n1|`` and ``d_den = n1·n2`` — no
+    float division anywhere, so the hash compare is exact and the
+    decision rule (compare D against c(α)·sqrt((n1+n2)/(n1·n2))) stays a
+    caller-side constant comparison.
+
+    Scale shape: the raw scan aggregates to ONE row per distinct value
+    FIRST (map-combined; quantity has 50), so the ordered cumulative
+    window runs over the compacted value domain — its SinglePartition
+    exchange moves |distinct values| rows, not data rows. For continuous
+    domains, quantile-bucket the value first (agg_equidepth_histogram's
+    operator) and run the same plan over bucket ids."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    per_v = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    run = Window.orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        F.sum("c1").over(run).cast("long").alias("f1"),
+        F.sum("c2").over(run).cast("long").alias("f2"),
+    )
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+        .select(
+            "n1", "n2", "d_num", (F.col("n1") * F.col("n2")).cast("long").alias("d_den")
+        )
+    )
+
+
+@register(
+    "stats_gini_impurity",
+    oracle="""
+    WITH cnt AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS c
+      FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT c_nationkey,
+           CAST(sum(c) AS BIGINT) AS n_customers,
+           CAST(sum(c) * sum(c) - sum(c * c) AS BIGINT) AS gini_num,
+           CAST(sum(c) * sum(c) AS BIGINT) AS gini_den
+    FROM cnt GROUP BY c_nationkey
+    """,
+)
+def stats_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity (1 - sum p_i^2) of the market-segment mix per nation
+    — the DIVERSITY metric of mixture balancing and split-quality scoring,
+    in EXACT RATIONAL form: ``(T^2 - sum c_i^2) / T^2`` over integer
+    category counts, emitted as (num, den) with no float division — the
+    transcendental-free stand-in for entropy (ln is banned from
+    hash-compared outputs; Gini ranks mixtures the same way for
+    thresholding). Two map-combined hash aggregates (category counts,
+    then per-group moment rollup); nothing wider than the category
+    cardinality ever shuffles."""
+    c = read_table(spark, sf_dir, "customer")
+    cnt = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return cnt.groupBy("c_nationkey").agg(
+        F.sum("c").cast("long").alias("n_customers"),
+        (F.sum("c") * F.sum("c") - F.sum(F.col("c") * F.col("c")))
+        .cast("long")
+        .alias("gini_num"),
+        (F.sum("c") * F.sum("c")).cast("long").alias("gini_den"),
+    )
