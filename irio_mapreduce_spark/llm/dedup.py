@@ -1295,7 +1295,9 @@ def paragraph_dedup(
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            # NULL text behaves like empty text (split(NULL) would
+            # otherwise NULL-poison n_chunks past the size==0 guard)
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
             lambda t: t != "",
         ).alias("toks"),
     )
@@ -1315,7 +1317,7 @@ def paragraph_dedup(
             )
         )
         .alias("chunks"),
-    )
+    ).persist()  # both the explode path and `totals` read it; one chunking pass, not two
     ch = chunked.select("doc_id", F.posexplode("chunks").alias("cpos", "chunk"))
     w = Window.partitionBy(F.sha2(F.col("chunk"), 256)).orderBy("doc_id", "cpos")
     kept = ch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)

@@ -155,7 +155,8 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SV},
     lb AS (SELECT v.vec_id, v.s, (e.label >= 5) AS pos
-           FROM sv v JOIN embeddings e USING (vec_id)),
+           FROM sv v JOIN embeddings e USING (vec_id)
+           WHERE e.label IS NOT NULL),
     m AS (SELECT pos, t.i AS i,
                  CAST(sum(s[t.i]) AS BIGINT) // CAST(count(*) AS BIGINT)
                    AS mu
@@ -202,7 +203,9 @@ def ml_linear_score_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     |score| <= dims * 2 * SCALE^2 * |x|^2 — far inside BIGINT for any
     unit-normalized embedding."""
     emb = read_table(spark, sf_dir, "embeddings")
-    sv = emb.select(
+    # NULL labels are excluded on BOTH sides (a NULL would otherwise
+    # coerce into the negative class via bool(None) and corrupt the fit)
+    sv = emb.filter(F.col("label").isNotNull()).select(
         "vec_id",
         (F.col("label") >= 5).alias("pos"),
         scaled_vec(F.col("embedding")).alias("s"),
@@ -220,6 +223,11 @@ def ml_linear_score_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         return -q if (a < 0) != (b < 0) else q
 
     stats = {bool(r["pos"]): r for r in sums.collect()}
+    if set(stats) != {False, True}:
+        raise ValueError(
+            "ml_linear_score_classify needs BOTH classes present to fit "
+            f"the centroid rule; found sides: {sorted(stats)}"
+        )
     mu = {
         side: [trunc_div(stats[side][f"c{i}"], stats[side]["n"]) for i in range(_DIMS)]
         for side in (False, True)

@@ -1528,15 +1528,16 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("o_orderdate")).alias("ts_us"),
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
     )
-    cut = o.agg(F.max("ts_us").alias("_mx"))
+    rfm0 = o.groupBy("o_custkey").agg(
+        F.max("ts_us").alias("last_us"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum("cents").cast("long").alias("mon"),
+    ).persist()  # the cutoff scalar AND the ranking both read it
+    # global max(ts) == max of the per-customer maxes — derived from the
+    # rollup, never a second orders scan
+    cut = rfm0.agg(F.max("last_us").alias("_mx"))
     rfm = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.max("ts_us").alias("last_us"),
-            F.count("*").cast("long").alias("freq"),
-            F.sum("cents").cast("long").alias("mon"),
-        )
-        .join(F.broadcast(cut))
+        rfm0.join(F.broadcast(cut))
         .select(
             "o_custkey",
             (F.col("_mx") - F.col("last_us")).alias("r_us"),
@@ -2236,6 +2237,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max(F.unix_micros("ts")) + pad).cast("long").alias("hi"),
         )
         .select("user_id", "lo", "hi")
+        .persist()  # both join sides filter it; one sessionization pass, not two
     )
     a = spans.filter(F.col("user_id") % 2 == 0).select(
         F.col("user_id").alias("user_a"),
@@ -2315,7 +2317,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
         .cast("long")
         .alias("c2"),
-    )
+    ).persist()  # |distinct values| rows; cum and tot both read it — one fact scan
     run = Window.orderBy("q").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -716,7 +716,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     post = toks.groupBy("term", "doc_id").agg(
         F.count("*").cast("long").alias("tf")
-    )
+    ).persist()  # the top-doc window AND the df/tf rollup both read it; the tokenize+shuffle runs once
     w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id"))
     top = (
         post.withColumn("rn", F.row_number().over(w))

@@ -1415,12 +1415,14 @@ def test_paragraph_dedup_degenerate_docs(spark):
     from irio_mapreduce_spark.llm.dedup import paragraph_dedup
 
     df = spark.createDataFrame(
-        [(1, ""), (2, "   "), (3, "solo"), (4, "a b c")],
+        [(1, ""), (2, "   "), (3, "solo"), (4, "a b c"), (5, None)],
         ["doc_id", "text"],
     )
     out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
     assert (out[1]["n_chunks"], out[1]["n_kept"], out[1]["rebuilt_text"]) == (0, 0, "")
     assert (out[2]["n_chunks"], out[2]["n_kept"], out[2]["rebuilt_text"]) == (0, 0, "")
+    # NULL text behaves exactly like empty text — n_chunks 0, never NULL
+    assert (out[5]["n_chunks"], out[5]["n_kept"], out[5]["rebuilt_text"]) == (0, 0, "")
     # short docs form one partial chunk each, both unique -> kept whole
     assert out[3]["rebuilt_text"] == "solo"
     assert out[4]["rebuilt_text"] == "a b c"
