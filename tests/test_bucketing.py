@@ -49,3 +49,37 @@ def test_bucketed_join_has_no_exchange(spark, no_broadcast):
     assert joined.count() == expected
     for t in ("b_orders", "b_lineitem"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ensure_bucketed_table_rebuilds_torn_write(spark, tmp_path):
+    """A directory without Spark's _SUCCESS marker is a TORN write: the
+    helper must rebuild it (never DDL-register partial files), and a
+    committed directory must re-register via DDL in a catalog that has
+    forgotten the table — both paths returning identical rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from irio_mapreduce_spark.operators.layout import ensure_bucketed_table
+
+    path = str(tmp_path / "bkt_torn")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    name = "bkt_torn_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    # plant a torn write: files present, no _SUCCESS
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-00000-dead.c000.snappy.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    ensure_bucketed_table(spark, name, path, "k BIGINT, v BIGINT", "k", 4, build_df=df)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert spark.table(name).count() == 100
+
+    # forgetful catalog: drop the table, keep the committed files
+    spark.sql(f"DROP TABLE {name}")
+    ensure_bucketed_table(spark, name, path, "k BIGINT, v BIGINT", "k", 4, build_df=df)
+    got = sorted((r.k, r.v) for r in spark.table(name).collect())
+    assert got == [(i, 3 * i) for i in range(100)]
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
