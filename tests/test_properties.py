@@ -15,6 +15,7 @@ import datetime
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.llm.dedup import jaccard, shingles, tokens
@@ -495,5 +496,119 @@ def test_interval_overlap_join_matches_python(spark, lefts, rights, width):
         for ai, alo, ahi in (a or [(0, -10, -9)])
         for bi, blo, bhi in (b or [(0, -10, -9)])
         if alo <= bhi and blo <= ahi
+    )
+    assert got == want
+
+
+@given(
+    keys=st.lists(st.integers(0, 5000), min_size=0, max_size=60),
+    groups=st.integers(1, 3),
+)
+@SETTINGS
+def test_bitmap_distinct_matches_count_distinct(spark, keys, groups):
+    """The bitmap-word exact-distinct pattern (agg_bitmap_distinct) equals
+    countDistinct for arbitrary non-negative key sets and group counts —
+    including sparse, duplicate-heavy, and word-boundary (multiples of
+    64) keys."""
+    rows = [(k % groups, k) for k in keys] or [(0, 0)]
+    df = spark.createDataFrame(rows, "g int, k long")
+    words = df.groupBy("g", F.expr("k div 64").alias("b")).agg(
+        F.bit_or(F.expr("shiftleft(1L, cast(k % 64 as int))")).alias("w")
+    )
+    got = {
+        r.g: r.n
+        for r in words.groupBy("g")
+        .agg(F.sum(F.bit_count("w")).alias("n"))
+        .collect()
+    }
+    want = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    assert got == want
+
+
+@given(
+    xs=st.lists(st.integers(0, 30), min_size=1, max_size=40),
+    ys=st.lists(st.integers(0, 30), min_size=1, max_size=40),
+)
+@SETTINGS
+def test_ks_fraction_matches_python_reference(spark, xs, ys):
+    """The integer-fraction KS statistic (stats_ks_test's algebra) equals
+    the direct two-ECDF max computed in Python: D = max over all observed
+    values of |c1(v)*n2 - c2(v)*n1| / (n1*n2)."""
+    df = spark.createDataFrame(
+        [(x, 1, 0) for x in xs] + [(y, 0, 1) for y in ys], "q long, g1 int, g2 int"
+    )
+    per_v = df.groupBy("q").agg(
+        F.sum("g1").cast("long").alias("c1"), F.sum("g2").cast("long").alias("c2")
+    ).persist()
+    from pyspark.sql import Window as W
+
+    run = W.orderBy("q").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_v.select(
+        F.sum("c1").over(run).alias("f1"), F.sum("c2").over(run).alias("f2")
+    )
+    n1, n2 = len(xs), len(ys)
+    got = cum.agg(
+        F.max(F.abs(F.col("f1") * n2 - F.col("f2") * n1)).alias("d")
+    ).collect()[0].d
+    values = sorted(set(xs) | set(ys))
+    want = max(
+        abs(sum(1 for x in xs if x <= v) * n2 - sum(1 for y in ys if y <= v) * n1)
+        for v in values
+    )
+    assert got == want
+
+
+def test_gini_fraction_properties():
+    """(T² − Σc²)/T² is 0 for a pure group, (k−1)/k for k equal classes,
+    and matches 1 − Σp² on arbitrary count vectors."""
+    from fractions import Fraction
+
+    def gini(counts):
+        t = sum(counts)
+        return Fraction(t * t - sum(c * c for c in counts), t * t)
+
+    assert gini([7]) == 0
+    assert gini([3, 3, 3]) == Fraction(2, 3)
+    for counts in ([1, 2, 3], [10, 1], [4, 4, 4, 4, 4], [9, 9, 1, 100]):
+        t = sum(counts)
+        expect = 1 - sum(Fraction(c, t) ** 2 for c in counts)
+        assert gini(counts) == expect
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from("abc")),
+        min_size=0,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_path_triples_match_python(spark, events):
+    """Per-user lead-window path triples equal a direct Python sliding
+    window over each user's sequence (event_id order makes sequences
+    deterministic even with equal timestamps)."""
+    rows = [(i, u, t) for i, (u, t) in enumerate(events)]
+    df = spark.createDataFrame(rows or [(0, 0, "a")], "eid long, u long, t string")
+    w = Window.partitionBy("u").orderBy("eid")
+    seq = df.select(
+        "u",
+        F.col("t").alias("e1"),
+        F.lead("t", 1).over(w).alias("e2"),
+        F.lead("t", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    got = collections.Counter(
+        r.path
+        for r in seq.select(F.concat_ws(">", "e1", "e2", "e3").alias("path")).collect()
+    )
+    per_user = collections.defaultdict(list)
+    for i, (u, t) in enumerate(events or [(0, "a")]):
+        per_user[u].append(t)
+    want = collections.Counter(
+        ">".join(s[i : i + 3])
+        for s in per_user.values()
+        for i in range(len(s) - 2)
     )
     assert got == want
