@@ -179,9 +179,15 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stats_gini_impurity",
 ]
 # DEFERRED_TO_NEXT_WINDOW now holds exactly 50 names — one full round-6
-# driver window. Round-5 additions stop here by design: any further new
-# entry would push the driver-green union past round 6; additions beyond
-# this point must queue for the round-7 window instead (start a new list).
+# driver window. Round-5 additions past that point queue here for the
+# ROUND-7 window instead (they stay fully oracle-tested per-entry in
+# tests/test_oracle.py and the verifier sweeps meanwhile); pushing them
+# into DEFERRED would overflow round 6's 50 slots and delay full driver
+# coverage of the older tail.
+QUEUED_FOR_R7: list[str] = [
+    "quality_cascade_delete_audit",
+    "ml_calibration_bins",
+]
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -150,10 +150,65 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_linear_score_classify",
-    oracle=f"""
-    WITH {_SV},
+def _labeled_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings as (vec_id, pos, fixed-point components). NULL labels
+    are excluded on BOTH engines (a NULL would otherwise coerce into the
+    negative class via ``bool(None)`` and corrupt the fit)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("label").isNotNull()).select(
+        "vec_id",
+        (F.col("label") >= 5).alias("pos"),
+        scaled_vec(F.col("embedding")).alias("s"),
+    )
+
+
+def _fit_centroid_rule(sv: DataFrame) -> tuple[list[int], int]:
+    """Driver-side fit of the two-class fixed-point centroid rule from
+    2 x dims collected BIGINT moments (the IVF-fit contract): returns the
+    Fisher direction w = mu_pos - mu_neg and the doubled midpoint
+    threshold t2 = w·mu_pos + w·mu_neg (compare ``2*score >= t2``).
+    Integer division truncates toward zero to match Spark ``div`` /
+    DuckDB ``//`` exactly."""
+    sums = sv.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at("s", i + 1)).alias(f"c{i}") for i in range(_DIMS)],
+    )
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    stats = {bool(r["pos"]): r for r in sums.collect()}
+    if set(stats) != {False, True}:
+        raise ValueError(
+            "centroid-rule fit needs BOTH classes present; "
+            f"found sides: {sorted(stats)}"
+        )
+    mu = {
+        side: [trunc_div(stats[side][f"c{i}"], stats[side]["n"]) for i in range(_DIMS)]
+        for side in (False, True)
+    }
+    w = [mu[True][i] - mu[False][i] for i in range(_DIMS)]
+    t2 = sum(wi * m1 for wi, m1 in zip(w, mu[True])) + sum(
+        wi * m0 for wi, m0 in zip(w, mu[False])
+    )
+    return w, t2
+
+
+def _score_expr(w: list[int]):
+    """Map-only integer dot product against the plan-literal weights."""
+    w_lit = F.array(*[F.lit(v).cast("long") for v in w])
+    return F.aggregate(
+        F.zip_with(F.col("s"), w_lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+# Shared oracle fragment: fixed-point centroid-rule fit + per-row integer
+# scores (used by the classifier AND the calibration entry — one model,
+# two evaluations).
+_FIT_SQL = f"""{_SV},
     lb AS (SELECT v.vec_id, v.s, (e.label >= 5) AS pos
            FROM sv v JOIN embeddings e USING (vec_id)
            WHERE e.label IS NOT NULL),
@@ -164,11 +219,17 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY pos, t.i),
     w AS (SELECT m1.i AS i, m1.mu - m0.mu AS wi, m1.mu AS mu1, m0.mu AS mu0
           FROM m m1 JOIN m m0 ON m1.i = m0.i AND m1.pos AND NOT m0.pos),
-    thr AS (SELECT CAST(sum(wi * mu1) AS BIGINT)
-                   + CAST(sum(wi * mu0) AS BIGINT) AS t2 FROM w),
     sc AS (SELECT l.vec_id, l.pos,
                   CAST(sum(w.wi * l.s[w.i]) AS BIGINT) AS score
-           FROM lb l, w GROUP BY l.vec_id, l.pos),
+           FROM lb l, w GROUP BY l.vec_id, l.pos)"""
+
+
+@register(
+    "ml_linear_score_classify",
+    oracle=f"""
+    WITH {_FIT_SQL},
+    thr AS (SELECT CAST(sum(wi * mu1) AS BIGINT)
+                   + CAST(sum(wi * mu0) AS BIGINT) AS t2 FROM w),
     pr AS (SELECT vec_id, pos,
                   (2 * score >= (SELECT t2 FROM thr)) AS pred
            FROM sc)
@@ -202,46 +263,9 @@ def ml_linear_score_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights live in the plan, nothing is ever joined per-row. Magnitudes:
     |score| <= dims * 2 * SCALE^2 * |x|^2 — far inside BIGINT for any
     unit-normalized embedding."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    # NULL labels are excluded on BOTH sides (a NULL would otherwise
-    # coerce into the negative class via bool(None) and corrupt the fit)
-    sv = emb.filter(F.col("label").isNotNull()).select(
-        "vec_id",
-        (F.col("label") >= 5).alias("pos"),
-        scaled_vec(F.col("embedding")).alias("s"),
-    )
-    sums = sv.groupBy("pos").agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(F.element_at("s", i + 1)).alias(f"c{i}")
-            for i in range(_DIMS)
-        ],
-    )
-
-    def trunc_div(a: int, b: int) -> int:
-        q = abs(a) // abs(b)
-        return -q if (a < 0) != (b < 0) else q
-
-    stats = {bool(r["pos"]): r for r in sums.collect()}
-    if set(stats) != {False, True}:
-        raise ValueError(
-            "ml_linear_score_classify needs BOTH classes present to fit "
-            f"the centroid rule; found sides: {sorted(stats)}"
-        )
-    mu = {
-        side: [trunc_div(stats[side][f"c{i}"], stats[side]["n"]) for i in range(_DIMS)]
-        for side in (False, True)
-    }
-    w = [mu[True][i] - mu[False][i] for i in range(_DIMS)]
-    t2 = sum(wi * m1 for wi, m1 in zip(w, mu[True])) + sum(
-        wi * m0 for wi, m0 in zip(w, mu[False])
-    )
-    w_lit = F.array(*[F.lit(v).cast("long") for v in w])
-    score = F.aggregate(
-        F.zip_with(F.col("s"), w_lit, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    sv = _labeled_scaled(spark, sf_dir)
+    w, t2 = _fit_centroid_rule(sv)
+    score = _score_expr(w)
     return (
         sv.select(
             "vec_id",
@@ -253,5 +277,59 @@ def ml_linear_score_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
             F.min("vec_id").cast("long").alias("min_vec_id"),
             F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        )
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH {_FIT_SQL},
+    ranked AS (
+      SELECT pos, score,
+             ntile(10) OVER (ORDER BY score, vec_id) AS bin
+      FROM sc)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(min(score) AS BIGINT) AS min_score,
+           CAST(max(score) AS BIGINT) AS max_score
+    FROM ranked GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL CALIBRATION table (reliability-diagram data) for the linear
+    scorer: decile bins of the integer score with the positive count per
+    bin — a well-calibrated monotone scorer shows n_pos rising with the
+    bin; the MLOps evaluation every scored-curation pipeline runs next to
+    the confusion matrix. Same driver-fit model and map-only scoring as
+    ``ml_linear_score_classify`` (one fit, two evaluations — shared
+    ``_fit_centroid_rule`` / ``_FIT_SQL``), binned by the distributed
+    ``global_rank`` + integer NTILE (never the single-reducer window;
+    grid-pinned equivalence), so every output cell is an exact integer."""
+    from irio_mapreduce_spark.operators.topk import global_rank, ntile_from_rank
+
+    sv = _labeled_scaled(spark, sf_dir)
+    w, _ = _fit_centroid_rule(sv)
+    scored = sv.select(
+        "vec_id",
+        F.col("pos").cast("int").alias("posi"),
+        _score_expr(w).alias("score"),
+    )
+    ranked = global_rank(scored, ["score", "vec_id"], rank_col="_r")
+    n_df = ranked.agg(F.count("*").alias("_n"))
+    return (
+        ranked.join(F.broadcast(n_df))
+        .select(
+            "posi",
+            "score",
+            ntile_from_rank(F.col("_r"), F.col("_n"), 10).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("posi").cast("long").alias("n_pos"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
         )
     )

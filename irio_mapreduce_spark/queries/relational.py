@@ -2379,3 +2379,94 @@ def stats_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gini_num"),
         (F.sum("c") * F.sum("c")).cast("long").alias("gini_den"),
     )
+
+
+@register(
+    "quality_cascade_delete_audit",
+    oracle="""
+    WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    del_o AS (SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+    del_l AS (SELECT l_orderkey FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)),
+    del_e AS (SELECT event_id FROM events
+              WHERE user_id IN (SELECT c_custkey FROM tomb))
+    SELECT 'customer' AS tbl,
+           CAST((SELECT count(*) FROM tomb) AS BIGINT) AS n_deleted,
+           CAST((SELECT count(*) FROM customer) -
+                (SELECT count(*) FROM tomb) AS BIGINT) AS n_kept,
+           CAST((SELECT coalesce(sum(c_custkey), 0) FROM tomb) AS BIGINT)
+             AS deleted_key_sum
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM del_o) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) -
+                (SELECT count(*) FROM del_o) AS BIGINT),
+           CAST((SELECT coalesce(sum(o_orderkey), 0) FROM del_o) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM del_l) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) -
+                (SELECT count(*) FROM del_l) AS BIGINT),
+           CAST((SELECT coalesce(sum(l_orderkey), 0) FROM del_l) AS BIGINT)
+    UNION ALL
+    SELECT 'events',
+           CAST((SELECT count(*) FROM del_e) AS BIGINT),
+           CAST((SELECT count(*) FROM events) -
+                (SELECT count(*) FROM del_e) AS BIGINT),
+           CAST((SELECT coalesce(sum(event_id), 0) FROM del_e) AS BIGINT)
+    """,
+)
+def quality_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten CASCADE-DELETE audit — the data-governance
+    primitive: a tombstone set of subjects (customers, here the
+    deterministic c_custkey % 97 cohort) propagates down the FK graph
+    (customer → orders → lineitem; customer → events) and the audit
+    reports per table how many rows the erasure touches, how many remain,
+    and an integer checksum of the deleted keys (a dropped or duplicated
+    cascade row breaks the hash).
+
+    Scale shape: the tombstone set broadcasts (it is the erasure batch,
+    small by nature) so customer/orders/events prune with broadcast
+    semi-joins; the lineitem cascade keys on the DELETED ORDER set — at
+    100 TB that is a shuffle semi-join on orderkey, never a second pass
+    over customers. The actual deletion is the same joins with
+    ``anti`` semantics feeding a rewrite (the MERGE entry's shape); this
+    entry is the dry-run report every compliance pipeline runs first."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    ev = read_table(spark, sf_dir, "events")
+    tomb = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey").persist()
+    del_o = orders.join(
+        F.broadcast(tomb), orders["o_custkey"] == tomb["c_custkey"], "semi"
+    ).select("o_orderkey").persist()
+    del_l = li.join(
+        F.broadcast(del_o), li["l_orderkey"] == del_o["o_orderkey"], "semi"
+    ).select("l_orderkey")
+    del_e = ev.join(
+        F.broadcast(tomb), ev["user_id"] == tomb["c_custkey"], "semi"
+    ).select("event_id")
+
+    def audit(tbl: str, full: DataFrame, deleted: DataFrame, key: str) -> DataFrame:
+        d = deleted.agg(
+            F.count("*").cast("long").alias("n_deleted"),
+            F.coalesce(F.sum(key), F.lit(0)).cast("long").alias("deleted_key_sum"),
+        )
+        t = full.agg(F.count("*").cast("long").alias("_total"))
+        return (
+            d.crossJoin(F.broadcast(t))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "n_deleted",
+                (F.col("_total") - F.col("n_deleted")).cast("long").alias("n_kept"),
+                "deleted_key_sum",
+            )
+        )
+
+    return (
+        audit("customer", cust, tomb.select(F.col("c_custkey").alias("k")), "k")
+        .unionByName(audit("orders", orders, del_o.select(F.col("o_orderkey").alias("k")), "k"))
+        .unionByName(audit("lineitem", li, del_l.select(F.col("l_orderkey").alias("k")), "k"))
+        .unionByName(audit("events", ev, del_e.select(F.col("event_id").alias("k")), "k"))
+    )

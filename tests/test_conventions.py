@@ -86,6 +86,7 @@ def test_front_window_covers_all_unverified_entries():
     from irio_mapreduce_spark.queries.catalog import (
         DEFERRED_TO_NEXT_WINDOW,
         FRONT_WINDOW,
+        QUEUED_FOR_R7,
     )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -100,8 +101,16 @@ def test_front_window_covers_all_unverified_entries():
     needs_row = [n for n in _QUERIES if n not in green]
     window = set(list(_QUERIES)[:50])
     missing = [
-        n for n in needs_row if n not in window and n not in DEFERRED_TO_NEXT_WINDOW
+        n
+        for n in needs_row
+        if n not in window
+        and n not in DEFERRED_TO_NEXT_WINDOW
+        and n not in QUEUED_FOR_R7
     ]
+    # the round-6 head must stay exactly one full window; overflow queues
+    # for round 7 instead of displacing the older unverified tail
+    assert len(DEFERRED_TO_NEXT_WINDOW) == 50
+    assert not set(QUEUED_FOR_R7) & set(DEFERRED_TO_NEXT_WINDOW)
     assert not missing, (
         f"entries still lacking a driver-green row are outside the "
         f"50-entry window and not declared deferred: {missing}"
