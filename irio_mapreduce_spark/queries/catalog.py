@@ -187,6 +187,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
 QUEUED_FOR_R7: list[str] = [
     "quality_cascade_delete_audit",
     "ml_calibration_bins",
+    "ml_auc_exact",
 ]
 
 

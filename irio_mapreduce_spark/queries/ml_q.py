@@ -333,3 +333,85 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score").cast("long").alias("max_score"),
         )
     )
+
+
+@register(
+    "ml_auc_exact",
+    oracle=f"""
+    WITH {_FIT_SQL},
+    per_s AS (
+      SELECT score,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS npos
+      FROM sc GROUP BY score),
+    cum AS (
+      SELECT score, cnt, npos,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before
+      FROM per_s),
+    tot AS (
+      SELECT CAST(sum(npos) AS BIGINT) AS n1,
+             CAST(sum(cnt) - sum(npos) AS BIGINT) AS n0
+      FROM per_s)
+    SELECT n1, n0,
+           CAST(sum(npos * (2 * before + cnt + 1)) - n1 * (n1 + 1)
+                AS BIGINT) AS auc_num,
+           CAST(2 * n1 * n0 AS BIGINT) AS auc_den
+    FROM cum, tot GROUP BY n1, n0
+    """,
+)
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC for the linear scorer — the third leg of the model-
+    evaluation trio (confusion matrix, calibration bins, AUC), via the
+    Mann–Whitney identity ``AUC = (R1 - n1(n1+1)/2) / (n1·n0)`` with
+    tie-AVERAGED ranks, emitted as the exact integer fraction
+    ``auc_num / auc_den`` (denominator doubled so tie-averages stay
+    integral): for each distinct score, the doubled average rank of its
+    block is ``2·(rows before) + cnt + 1``, so
+    ``auc_num = Σ_blocks npos·(2·before + cnt + 1) − n1(n1+1)`` — no
+    float division anywhere, ties handled exactly (a half-credit pair
+    contributes 1 to the doubled numerator).
+
+    Scale shape (the KS pattern): scores aggregate to ONE row per
+    distinct value first, so the ordered cumulative window runs over the
+    compacted score domain, not data rows; the model is the shared
+    driver-fit rule (one fit, three evaluations)."""
+    sv = _labeled_scaled(spark, sf_dir)
+    w, _ = _fit_centroid_rule(sv)
+    scored = sv.select(
+        F.col("pos").cast("int").alias("posi"), _score_expr(w).alias("score")
+    )
+    per_s = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("posi").cast("long").alias("npos"),
+    ).persist()  # the cumulative window and the totals both read it
+    from pyspark.sql import Window as W
+
+    run_before = W.orderBy("score").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    cum = per_s.withColumn(
+        "before",
+        F.coalesce(F.sum("cnt").over(run_before), F.lit(0)).cast("long"),
+    )
+    tot = per_s.agg(
+        F.sum("npos").cast("long").alias("n1"),
+        (F.sum("cnt") - F.sum("npos")).cast("long").alias("n0"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n0")
+        .agg(
+            (
+                F.sum(
+                    F.col("npos") * (2 * F.col("before") + F.col("cnt") + 1)
+                )
+                - F.col("n1") * (F.col("n1") + 1)
+            )
+            .cast("long")
+            .alias("auc_num"),
+            (2 * F.col("n1") * F.col("n0")).cast("long").alias("auc_den"),
+        )
+        .select("n1", "n0", "auc_num", "auc_den")
+    )

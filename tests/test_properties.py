@@ -612,3 +612,47 @@ def test_path_triples_match_python(spark, events):
         for i in range(len(s) - 2)
     )
     assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.booleans(), st.integers(-5, 5)),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda d: any(p for p, _ in d) and any(not p for p, _ in d))
+)
+@SETTINGS
+def test_auc_block_identity_matches_pair_counting(data):
+    """ml_auc_exact's block algebra — auc_num = Σ npos·(2·before+cnt+1)
+    − n1(n1+1) over the doubled denominator 2·n1·n0 — equals brute-force
+    pair counting (1 per win, 1/2 per tie) on arbitrary tied data."""
+    from fractions import Fraction
+
+    import collections as C
+
+    n1 = sum(1 for p, _ in data if p)
+    n0 = len(data) - n1
+    # brute force over all (pos, neg) pairs
+    wins = ties = 0
+    for p, sp in data:
+        if not p:
+            continue
+        for q, sq in data:
+            if q:
+                continue
+            wins += sp > sq
+            ties += sp == sq
+    want = Fraction(2 * wins + ties, 2 * n1 * n0)
+    # block algebra over the compacted score domain
+    blocks = C.OrderedDict()
+    for s in sorted(x for _, x in data):
+        blocks[s] = [0, 0]
+    for p, s in data:
+        blocks[s][0] += 1
+        blocks[s][1] += int(p)
+    before, num = 0, 0
+    for cnt, npos in blocks.values():
+        num += npos * (2 * before + cnt + 1)
+        before += cnt
+    num -= n1 * (n1 + 1)
+    assert Fraction(num, 2 * n1 * n0) == want
