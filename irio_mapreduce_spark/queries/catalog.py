@@ -188,6 +188,7 @@ QUEUED_FOR_R7: list[str] = [
     "quality_cascade_delete_audit",
     "ml_calibration_bins",
     "ml_auc_exact",
+    "multimodal_real_gif",
 ]
 
 

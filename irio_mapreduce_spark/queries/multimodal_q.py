@@ -2,9 +2,9 @@
 metadata (SURVEY.md §2.2 LLM table; llm/multimodal.py). Two tiers:
 
 * REAL codecs for every format the stdlib can express to spec — BMP and
-  WAV (struct-level parse) and PNG (full DEFLATE + filter + CRC codec,
-  ``multimodal_real_*``) — decode ACTUAL bytes and hash-match closed-form
-  oracles;
+  WAV (struct-level parse), PNG (full DEFLATE + filter + CRC codec) and
+  GIF (genuine LZW both directions, ``multimodal_real_*``) — decode
+  ACTUAL bytes and hash-match closed-form oracles;
 * the JPEG/MP4-class stub path (`multimodal_decode_features`), where the
   byte->pixels step needs codec libraries absent from this container and
   the Arrow plumbing is what the entry proves.
@@ -295,6 +295,52 @@ def multimodal_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id")
     )
     feats = decode_real_media_features(synthesize_png_media(ids))
+    return feats.select(
+        "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
+    )
+
+
+@register(
+    "multimodal_real_gif",
+    oracle="""
+    WITH img AS (SELECT doc_id AS media_id,
+                        6 + doc_id % 7 AS w, 4 + doc_id % 5 AS h
+                 FROM documents),
+    ix AS (SELECT media_id, w, h,
+                  unnest(generate_series(0, w * h - 1)) AS p
+           FROM img),
+    ipx AS (SELECT media_id, w, h,
+                   (media_id*41 + (p // w)*29 + (p % w)*13) % 256 AS idx
+            FROM ix)
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum((idx * 53) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((idx * 97 + 31) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((idx * 193 + 7) % 256) AS BIGINT) AS sum_b
+    FROM ipx GROUP BY media_id
+    """,
+)
+def multimodal_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode from actual bytes — the second full from-first-
+    principles codec after PNG: GIF's compression is LZW, implemented here
+    genuinely in BOTH directions (variable-width codes with CLEAR/EOI,
+    width growth at powers of two, the 12-bit table cap with mid-stream
+    CLEAR, LSB-first bit packing, sub-block framing) plus the palette
+    indirection of an indexed-color format. The closed-form oracle
+    recomputes the per-channel sums from the pixel/palette generators, so
+    one wrong LZW code or palette lookup anywhere breaks the per-row hash
+    match. Same mapInPandas scale shape as the BMP/WAV/PNG paths; only
+    JPEG/MP4-class codecs remain honestly stubbed."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        synthesize_gif_media,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = decode_real_media_features(synthesize_gif_media(ids))
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
     )

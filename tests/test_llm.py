@@ -1588,3 +1588,61 @@ def test_png_resize_matches_source_mapping():
                 assert rows[y][3 * x + c] == _png_pixel(
                     21, (x * w0) // w1, (y * h0) // h1, c
                 )
+
+
+def test_gif_lzw_roundtrip_and_kwkwk():
+    """LZW encode->decode is the identity on arbitrary index streams,
+    including the KwKwK pattern (a code referencing the entry being
+    defined) and streams long enough to force code-width growth and a
+    mid-stream CLEAR at the 12-bit cap."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    cases = [
+        [0],
+        [0, 0, 0, 0],  # classic KwKwK trigger on tiny alphabets
+        [1, 1, 1, 2, 2, 2, 1, 1, 1],
+        [(i * 7) % 256 for i in range(5000)],  # width growth
+        [i % 2 for i in range(9000)],  # repetitive -> deep table, CLEAR
+    ]
+    for idx in cases:
+        enc = _gif_lzw_encode(idx, 8)
+        assert _gif_lzw_decode(enc, 8, len(idx)) == bytes(idx)
+
+
+def test_gif_decoder_rejects_corruption():
+    import pytest as _pytest
+
+    from irio_mapreduce_spark.llm.multimodal import decode_gif, synth_gif
+
+    good = synth_gif(5, 8, 6)
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"BM" + good[2:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_gif(good[:30])
+    # declared dims inconsistent with the pixel stream must be rejected
+    bad = bytearray(good)
+    import struct
+
+    struct.pack_into("<H", bad, 6 + 13 + 768 - 768 + 0, 9)  # screen w (harmless)
+    # patch IMAGE descriptor width (offset: 6+7 header+lsd, 768 GCT, 1+8 desc)
+    struct.pack_into("<H", bad, 13 + 768 + 5, 9)
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(bad))
+
+
+def test_gif_real_media_dispatch(spark):
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        synthesize_gif_media,
+    )
+
+    ids = spark.range(200, 204).select(F.col("id").alias("media_id"))
+    out = {r["media_id"]: r for r in decode_real_media_features(
+        synthesize_gif_media(ids)
+    ).collect()}
+    for mid, r in out.items():
+        assert r["kind"] == "image"
+        assert r["width"] == 6 + mid % 7 and r["height"] == 4 + mid % 5
