@@ -3,12 +3,20 @@
 Stance (per the build brief): image/audio/video payloads are opaque
 ``binary`` columns with a typed metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched pandas stages over
-``mapInPandas``. The decode libraries (PIL/librosa/av) are NOT in this
-container, so the actual byte->pixels step is stubbed: a clearly-marked
-deterministic fake keyed on the payload hash (default), or
-``NotImplementedError`` when ``strict=True``. Everything Spark-side —
-schema, partition sizing, UDF signature, Arrow batch shape — is real and
-tested (tests/test_llm.py).
+``mapInPandas``. Two tiers of decode:
+
+* REAL codecs, written to spec from first principles, for every format
+  expressible without a codec library: BMP and WAV (struct-level header /
+  chunk parsing), PNG (full DEFLATE-via-zlib + prediction-filter + CRC
+  codec) and GIF (genuine variable-width LZW, both directions). These
+  decode ACTUAL bytes and back the ``multimodal_real_*`` exact-oracle
+  entries.
+* the JPEG/MP4-class path, where decode genuinely requires PIL/av (absent
+  from this container): a clearly-marked deterministic fake keyed on the
+  payload hash (default), or ``NotImplementedError`` when ``strict=True``.
+
+Everything Spark-side — schema, partition sizing, UDF signature, Arrow
+batch shape — is real and tested (tests/test_llm.py) on both tiers.
 
 At 100 TB: payloads dominate bytes, so the media table should be written
 with a small ``spark.sql.files.maxPartitionBytes`` relative to row size,

@@ -189,6 +189,7 @@ QUEUED_FOR_R7: list[str] = [
     "ml_calibration_bins",
     "ml_auc_exact",
     "multimodal_real_gif",
+    "fn_binary_family",
 ]
 
 

@@ -414,3 +414,46 @@ def fn_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.shiftright("q", 2)).cast("long").alias("hi_sum"),
         F.sum(F.col("q").bitwiseXOR(F.lit(21))).cast("long").alias("xor21_sum"),
     )
+
+
+@register(
+    "fn_binary_family",
+    oracle="""
+    SELECT p_partkey,
+           to_base64(encode(p_name)) AS name_b64,
+           hex(encode(p_brand)) AS brand_hex,
+           CAST(octet_length(encode(p_name)) AS BIGINT) AS name_bytes,
+           CAST(decode(from_base64(to_base64(encode(p_name)))) = p_name
+                AS INTEGER) AS b64_roundtrip,
+           CAST(decode(unhex(hex(encode(p_brand)))) = p_brand
+                AS INTEGER) AS hex_roundtrip
+    FROM part WHERE p_partkey % 89 = 0
+    """,
+)
+def fn_binary_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding scalar family — the byte-level plumbing functions a
+    multimodal pipeline leans on around its payload columns: base64 and
+    hex transcodes (oracle-checked byte-for-byte against DuckDB's
+    ``to_base64``/``hex``), UTF-8 ``encode`` octet lengths, and both
+    decode roundtrips as hash-checked booleans. All JVM built-ins, no
+    shuffle — a pure scan-side projection."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 89 == 0)
+    name_bin = F.encode(F.col("p_name"), "UTF-8")
+    brand_bin = F.encode(F.col("p_brand"), "UTF-8")
+    return p.select(
+        "p_partkey",
+        F.base64(name_bin).alias("name_b64"),
+        F.hex(brand_bin).alias("brand_hex"),
+        F.octet_length(F.col("p_name")).cast("long").alias("name_bytes"),
+        (
+            F.decode(F.unbase64(F.base64(name_bin)), "UTF-8")
+            == F.col("p_name")
+        )
+        .cast("int")
+        .alias("b64_roundtrip"),
+        (
+            F.decode(F.unhex(F.hex(brand_bin)), "UTF-8") == F.col("p_brand")
+        )
+        .cast("int")
+        .alias("hex_roundtrip"),
+    )
