@@ -867,34 +867,54 @@ def resize_png(payload: bytes, new_width: int, new_height: int) -> bytes:
 
 def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
     """Real GIF LZW: dictionary-building compression with CLEAR emitted
-    when the table fills (spec max code width 12)."""
+    when the table fills (spec max code width 12).
+
+    Code width is tracked by SIMULATING THE DECODER'S table exactly —
+    the decoder appends an entry for every data code AFTER the first
+    since CLEAR (one code later than the encoder's own assignments, the
+    lag that creates the KwKwK case) and widens when its table size hits
+    2^width; width decisions keyed off the encoder's table instead
+    desynchronize precisely at the final flush+EOI when the boundary
+    lands byte-aligned (found by review at min code sizes 2-4)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out_bits: list[tuple[int, int]] = []  # (code, width)
 
     def fresh():
-        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+        # encoder dict; decoder-sim (table size, width, any-code-seen)
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            [eoi + 1, min_code_size + 1, False],
+        )
 
-    table, next_code, width = fresh()
-    out_bits.append((clear, width))
+    def emit_data(code: int, sim: list) -> None:
+        out_bits.append((code, sim[1]))
+        if sim[2]:  # decoder appends an entry for every code after the first
+            sim[0] += 1
+        else:
+            sim[2] = True
+        if sim[0] == (1 << sim[1]) and sim[1] < 12:
+            sim[1] += 1
+
+    table, next_code, sim = fresh()
+    out_bits.append((clear, sim[1]))
     prefix = b""
     for idx in indices:
         probe = prefix + bytes([idx])
         if probe in table:
             prefix = probe
             continue
-        out_bits.append((table[prefix], width))
+        emit_data(table[prefix], sim)
         table[probe] = next_code
         next_code += 1
-        if next_code > (1 << width) and width < 12:
-            width += 1
         if next_code == (1 << 12):
-            out_bits.append((clear, width))
-            table, next_code, width = fresh()
+            out_bits.append((clear, sim[1]))
+            table, next_code, sim = fresh()
         prefix = bytes([idx])
     if prefix:
-        out_bits.append((table[prefix], width))
-    out_bits.append((eoi, width))
+        emit_data(table[prefix], sim)
+    out_bits.append((eoi, sim[1]))
     # LSB-first bit packing
     acc = nbits = 0
     data = bytearray()
@@ -945,7 +965,11 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
             continue
         if code == eoi:
             break
+        if not table or code > len(table):
+            raise ValueError("corrupt GIF LZW code")
         if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt GIF LZW code")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -1039,6 +1063,8 @@ def decode_gif(payload: bytes) -> dict:
     idx = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
     sums = [0, 0, 0]
     for i in idx:
+        if i >= len(pal):
+            raise ValueError("GIF pixel index outside the color table")
         r, g, b = pal[i]
         sums[0] += r
         sums[1] += g

@@ -2441,8 +2441,12 @@ def quality_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     del_o = orders.join(
         F.broadcast(tomb), orders["o_custkey"] == tomb["c_custkey"], "semi"
     ).select("o_orderkey").persist()
+    # no broadcast hint here: del_o scales with the fact data (1/97 of
+    # orders), so the lineitem cascade must stay a shuffle-able semi-join
+    # — exactly the shape the docstring promises at 100 TB (Catalyst may
+    # still choose broadcast at bench scale on its own cost model)
     del_l = li.join(
-        F.broadcast(del_o), li["l_orderkey"] == del_o["o_orderkey"], "semi"
+        del_o, li["l_orderkey"] == del_o["o_orderkey"], "semi"
     ).select("l_orderkey")
     del_e = ev.join(
         F.broadcast(tomb), ev["user_id"] == tomb["c_custkey"], "semi"

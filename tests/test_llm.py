@@ -1612,6 +1612,33 @@ def test_gif_lzw_roundtrip_and_kwkwk():
         assert _gif_lzw_decode(enc, 8, len(idx)) == bytes(idx)
 
 
+def test_gif_lzw_roundtrip_all_min_code_sizes():
+    """Width growth must track the DECODER's table, not the encoder's —
+    the off-by-one desynchronizes exactly when the final flush lands on a
+    byte-aligned 2^width boundary (review-found: 9 hard failures at min
+    code sizes 2-4, including the pinned case below). Grid: every min
+    code size 2..8 against deterministic pseudo-random streams."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    # the exact review repro
+    idx = [3, 0, 1, 3, 2, 2, 1, 1, 0, 3, 3]
+    assert _gif_lzw_decode(_gif_lzw_encode(idx, 2), 2, len(idx)) == bytes(idx)
+
+    for mcs in range(2, 9):
+        alpha = 1 << mcs
+        for seed in range(6):
+            n = 37 + seed * 211
+            stream = [((seed + 1) * 2654435761 * (i + 3) >> 7) % alpha for i in range(n)]
+            enc = _gif_lzw_encode(stream, mcs)
+            assert _gif_lzw_decode(enc, mcs, n) == bytes(stream), (mcs, seed)
+        # adversarial repetitive stream (deep table, many boundary hits)
+        rep = [i % min(3, alpha) for i in range(4000)]
+        assert _gif_lzw_decode(_gif_lzw_encode(rep, mcs), mcs, len(rep)) == bytes(rep)
+
+
 def test_gif_decoder_rejects_corruption():
     import pytest as _pytest
 
@@ -1622,15 +1649,21 @@ def test_gif_decoder_rejects_corruption():
         decode_gif(b"BM" + good[2:])
     with _pytest.raises(ValueError, match="truncated"):
         decode_gif(good[:30])
-    # declared dims inconsistent with the pixel stream must be rejected
+    # declared dims inconsistent with the pixel stream must be rejected:
+    # patch the IMAGE DESCRIPTOR width (13-byte header+LSD, 768-byte GCT,
+    # 0x2C separator + 2x2 position, then the 2-byte width)
     bad = bytearray(good)
     import struct
 
-    struct.pack_into("<H", bad, 6 + 13 + 768 - 768 + 0, 9)  # screen w (harmless)
-    # patch IMAGE descriptor width (offset: 6+7 header+lsd, 768 GCT, 1+8 desc)
     struct.pack_into("<H", bad, 13 + 768 + 5, 9)
     with _pytest.raises(ValueError):
         decode_gif(bytes(bad))
+    # a data code arriving before any CLEAR initializes the table is
+    # corrupt, and must reject with ValueError (not IndexError)
+    from irio_mapreduce_spark.llm.multimodal import _gif_lzw_decode
+
+    with _pytest.raises(ValueError, match="corrupt GIF LZW code"):
+        _gif_lzw_decode(bytes([0x00, 0x00]), 8, 4)
 
 
 def test_gif_real_media_dispatch(spark):
