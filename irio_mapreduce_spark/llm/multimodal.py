@@ -518,25 +518,31 @@ def resize_bmp(payload: bytes, new_width: int, new_height: int) -> bytes:
 
 
 def resize_real_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL resize stage over ``mapInPandas``: BMP payloads are decoded,
-    nearest-neighbor resampled and re-encoded byte-for-byte; non-BMP rows
-    pass through untouched (the stubbed path covers codec-library
-    formats). Meta dims are rewritten to match the new payload."""
+    """REAL resize stage over ``mapInPandas``: BMP and PNG payloads are
+    decoded off their own magic bytes, nearest-neighbor resampled and
+    re-encoded byte-for-byte; other rows pass through untouched (the
+    stubbed path covers codec-library formats). Meta dims are rewritten
+    to match the new payload."""
     ensure_package_shipped(media.sparkSession)
 
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         from irio_mapreduce_spark.llm import multimodal as mm
+
+        def resizable(p: bytes) -> bool:
+            return p[:2] == b"BM" or p[: len(mm._PNG_MAGIC)] == mm._PNG_MAGIC
 
         for pdf in batches:
             def do(row):
                 p = bytes(row["payload"] or b"")
                 if p[:2] == b"BM":
                     return mm.resize_bmp(p, width, height)
+                if p[: len(mm._PNG_MAGIC)] == mm._PNG_MAGIC:
+                    return mm.resize_png(p, width, height)
                 return p
 
             def meta(row):
                 m = dict(row["meta"] or {})
-                if bytes(row["payload"] or b"")[:2] == b"BM":
+                if resizable(bytes(row["payload"] or b"")):
                     m["width"], m["height"] = width, height
                 return m
 

@@ -1679,3 +1679,28 @@ def test_gif_real_media_dispatch(spark):
     for mid, r in out.items():
         assert r["kind"] == "image"
         assert r["width"] == 6 + mid % 7 and r["height"] == 4 + mid % 5
+
+
+def test_resize_real_images_handles_png(spark):
+    """The real-resize stage dispatches PNG payloads off their magic bytes
+    alongside BMP; decode of the resized PNG proves the full
+    decode->resample->re-encode path ran."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        _png_pixel,
+        decode_real_media_features,
+        resize_real_images,
+        synthesize_png_media,
+    )
+
+    ids = spark.range(300, 303).select(F.col("id").alias("media_id"))
+    resized = resize_real_images(synthesize_png_media(ids), 4, 3)
+    out = {r["media_id"]: r for r in decode_real_media_features(resized).collect()}
+    for mid, r in out.items():
+        assert (r["width"], r["height"]) == (4, 3)
+        w0, h0 = 5 + mid % 8, 5 + mid % 6
+        exp_r = sum(
+            _png_pixel(mid, (x * w0) // 4, (y * h0) // 3, 0)
+            for x in range(4)
+            for y in range(3)
+        )
+        assert r["sum_r"] == exp_r
