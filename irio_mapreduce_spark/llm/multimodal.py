@@ -8,7 +8,8 @@ resize / frame-sample run as Arrow-batched pandas stages over
 * REAL codecs, written to spec from first principles, for every format
   expressible without a codec library: BMP and WAV (struct-level header /
   chunk parsing), PNG (full DEFLATE-via-zlib + prediction-filter + CRC
-  codec) and GIF (genuine variable-width LZW, both directions). These
+  codec), GIF (genuine variable-width LZW, both directions) and baseline
+  TIFF (IFD tag-directory walking, both byte orders, multi-strip). These
   decode ACTUAL bytes and back the ``multimodal_real_*`` exact-oracle
   entries.
 * the JPEG/MP4-class path, where decode genuinely requires PIL/av (absent
@@ -463,6 +464,8 @@ def decode_real_media_features(media: DataFrame) -> DataFrame:
                     base.update(kind="image", **mm.decode_png(payload))
                 elif payload[:6] in (b"GIF87a", b"GIF89a"):
                     base.update(kind="image", **mm.decode_gif(payload))
+                elif payload[:2] in (b"II", b"MM") and len(payload) >= 4 and payload[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+                    base.update(kind="image", **mm.decode_tiff(payload))
                 elif payload[:4] == b"RIFF":
                     base.update(kind="audio", **mm.decode_wav(payload))
                 else:
@@ -1117,6 +1120,212 @@ def synthesize_gif_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                         "payload": mm.synth_gif(mid, w, h),
                         "meta": {
                             "kind": "image", "mime": "image/gif",
+                            "width": w, "height": h,
+                            "sample_rate": None, "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline TIFF: full encoder/decoder from first principles — the
+# TAG-DIRECTORY container class (IFD walking, SHORT/LONG field types,
+# inline-vs-offset values, multi-strip pixel data, BOTH byte orders),
+# complementing BMP (raw array), PNG (DEFLATE+filters) and GIF (LZW).
+# Baseline profile: uncompressed 8-bit RGB, chunky, one IFD.
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZES = {3: 2, 4: 4}  # SHORT, LONG
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    pixel,
+    byte_order: str = "<",
+    rows_per_strip: int = 2,
+) -> bytes:
+    """Encode a to-spec baseline TIFF from a ``pixel(x, y, c)`` accessor
+    (c: 0=R, 1=G, 2=B): header, MULTI-STRIP uncompressed RGB data, then
+    one IFD whose entries are tag-sorted per spec; BitsPerSample and the
+    strip arrays live at offsets (exercising the decoder's
+    inline-vs-offset logic), small scalars inline. ``byte_order`` is
+    ``'<'`` (II, little-endian) or ``'>'`` (MM, big-endian)."""
+    bo = byte_order
+    magic = b"II" if bo == "<" else b"MM"
+    n_strips = (height + rows_per_strip - 1) // rows_per_strip
+    strips = []
+    for s in range(n_strips):
+        rows = range(
+            s * rows_per_strip, min((s + 1) * rows_per_strip, height)
+        )
+        strips.append(
+            bytes(pixel(x, y, c) for y in rows for x in range(width) for c in range(3))
+        )
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    bps_off = pos
+    pos += 6  # 3 x SHORT BitsPerSample
+    so_off, sc_off = pos, pos + 4 * n_strips
+    pos += 8 * n_strips
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # inline values pack into the low bytes of the 4-byte field
+        if typ == 3 and count == 1:
+            val = struct.pack(f"{bo}HH", value, 0)
+        else:
+            val = struct.pack(f"{bo}I", value)
+        return struct.pack(f"{bo}HHI", tag, typ, count) + val
+
+    entries = [
+        entry(256, 4, 1, width),              # ImageWidth
+        entry(257, 4, 1, height),             # ImageLength
+        entry(258, 3, 3, bps_off),            # BitsPerSample -> offset
+        entry(259, 3, 1, 1),                  # Compression: none
+        entry(262, 3, 1, 2),                  # Photometric: RGB
+        entry(273, 4, n_strips, so_off if n_strips > 1 else strip_offsets[0]),
+        entry(277, 3, 1, 3),                  # SamplesPerPixel
+        entry(278, 4, 1, rows_per_strip),     # RowsPerStrip
+        entry(279, 4, n_strips, sc_off if n_strips > 1 else len(strips[0])),
+    ]
+    out = bytearray()
+    out += magic + struct.pack(f"{bo}HI", 42, ifd_off)
+    for s in strips:
+        out += s
+    out += struct.pack(f"{bo}3H", 8, 8, 8)
+    out += struct.pack(f"{bo}{n_strips}I", *strip_offsets)
+    out += struct.pack(f"{bo}{n_strips}I", *(len(s) for s in strips))
+    out += struct.pack(f"{bo}H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack(f"{bo}I", 0)  # no next IFD
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Parse a baseline TIFF from its actual bytes: byte-order dispatch
+    (II/MM), IFD walk with SHORT/LONG types and inline-vs-offset values,
+    multi-strip reassembly, exact per-channel sums. Anything outside the
+    baseline RGB profile (compression, planar, palette, bit depths other
+    than 8) rejects with ValueError rather than fabricating pixels."""
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    magic, ifd_off = struct.unpack_from(f"{bo}HI", payload, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF payload")
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack_from(f"{bo}H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries + 4 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+
+    def values(typ: int, count: int, raw: bytes) -> list[int]:
+        size = _TIFF_TYPE_SIZES.get(typ)
+        if size is None:
+            raise ValueError(f"unsupported TIFF field type {typ}")
+        fmt = "H" if typ == 3 else "I"
+        if size * count <= 4:
+            return list(struct.unpack_from(f"{bo}{count}{fmt}", raw, 0))
+        (off,) = struct.unpack_from(f"{bo}I", raw, 0)
+        if off + size * count > len(payload):
+            raise ValueError("truncated TIFF value array")
+        return list(struct.unpack_from(f"{bo}{count}{fmt}", payload, off))
+
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(f"{bo}HHI", payload, base)
+        tags[tag] = values(typ, count, payload[base + 8 : base + 12])
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"missing required TIFF tag {tag}")
+            return default
+        return tags[tag][0]
+
+    width, height = one(256), one(257)
+    if one(259, 1) != 1:
+        raise ValueError("unsupported TIFF compression")
+    if one(262) != 2 or one(277, 1) != 3 or tags.get(258, [8, 8, 8]) != [8, 8, 8]:
+        raise ValueError("unsupported TIFF profile (need 8-bit chunky RGB)")
+    offsets, counts = tags.get(273), tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("missing/mismatched TIFF strip tags")
+    data = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise ValueError("truncated TIFF strip")
+        data += payload[off : off + cnt]
+    if len(data) != width * height * 3:
+        raise ValueError("TIFF strip data does not match declared dims")
+    sums = [0, 0, 0]
+    for i in range(0, len(data), 3):
+        sums[0] += data[i]
+        sums[1] += data[i + 1]
+        sums[2] += data[i + 2]
+    return {
+        "width": width,
+        "height": height,
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
+    }
+
+
+def _tiff_pixel(seed: int, x: int, y: int, c: int) -> int:
+    """Deterministic pixel byte (distinct formula from the BMP/PNG/GIF
+    generators so container mixups cannot cancel in oracle sums)."""
+    return (seed * 59 + y * 23 + x * 17 + c * 37) % 256
+
+
+def synth_tiff(seed: int, width: int, height: int) -> bytes:
+    """A real, to-spec baseline TIFF; odd seeds use big-endian (MM) byte
+    order so the decoder's endianness dispatch is exercised by the
+    corpus itself."""
+    return encode_tiff(
+        width,
+        height,
+        lambda x, y, c: _tiff_pixel(seed, x, y, c),
+        byte_order="<" if seed % 2 == 0 else ">",
+    )
+
+
+def synthesize_tiff_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Materialize a media table of REAL baseline TIFFs (dims a function
+    of the id; odd ids big-endian, even ids little-endian; multi-strip).
+    Distributed via ``mapInPandas``."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 6, 3 + mid % 7
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": mm.synth_tiff(mid, w, h),
+                        "meta": {
+                            "kind": "image", "mime": "image/tiff",
                             "width": w, "height": h,
                             "sample_rate": None, "duration_ms": None,
                         },

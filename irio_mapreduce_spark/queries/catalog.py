@@ -190,6 +190,7 @@ QUEUED_FOR_R7: list[str] = [
     "ml_auc_exact",
     "multimodal_real_gif",
     "fn_binary_family",
+    "multimodal_real_tiff",
 ]
 
 

@@ -2,9 +2,10 @@
 metadata (SURVEY.md §2.2 LLM table; llm/multimodal.py). Two tiers:
 
 * REAL codecs for every format the stdlib can express to spec — BMP and
-  WAV (struct-level parse), PNG (full DEFLATE + filter + CRC codec) and
-  GIF (genuine LZW both directions, ``multimodal_real_*``) — decode
-  ACTUAL bytes and hash-match closed-form oracles;
+  WAV (struct-level parse), PNG (full DEFLATE + filter + CRC codec), GIF
+  (genuine LZW both directions) and baseline TIFF (IFD tag directory,
+  both byte orders, ``multimodal_real_*``) — decode ACTUAL bytes and
+  hash-match closed-form oracles;
 * the JPEG/MP4-class stub path (`multimodal_decode_features`), where the
   byte->pixels step needs codec libraries absent from this container and
   the Arrow plumbing is what the entry proves.
@@ -341,6 +342,51 @@ def multimodal_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id")
     )
     feats = decode_real_media_features(synthesize_gif_media(ids))
+    return feats.select(
+        "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
+    )
+
+
+@register(
+    "multimodal_real_tiff",
+    oracle="""
+    WITH img AS (SELECT doc_id AS media_id,
+                        4 + doc_id % 6 AS w, 3 + doc_id % 7 AS h
+                 FROM documents),
+    ix AS (SELECT media_id, w, h,
+                  unnest(generate_series(0, w * h - 1)) AS p
+           FROM img),
+    ipx AS (SELECT media_id, w, h, p % w AS x, p // w AS y FROM ix)
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum((media_id*59 + y*23 + x*17) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((media_id*59 + y*23 + x*17 + 37) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((media_id*59 + y*23 + x*17 + 74) % 256) AS BIGINT) AS sum_b
+    FROM ipx GROUP BY media_id
+    """,
+)
+def multimodal_real_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode from actual bytes — the fourth
+    from-first-principles codec, covering the TAG-DIRECTORY container
+    class the other three lack: IFD walking with SHORT/LONG field types,
+    inline-vs-offset value resolution, MULTI-STRIP pixel reassembly, and
+    BOTH byte orders (odd ids encode big-endian MM, even ids
+    little-endian II — the corpus itself exercises the endianness
+    dispatch). The closed-form oracle recomputes per-channel sums from
+    the pixel generator, so one wrong tag read, strip offset, or
+    endianness swap breaks the per-row hash match. Same mapInPandas scale
+    shape as BMP/WAV/PNG/GIF; only JPEG/MP4-class codecs remain honestly
+    stubbed."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        synthesize_tiff_media,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = decode_real_media_features(synthesize_tiff_media(ids))
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
     )

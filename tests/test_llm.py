@@ -1704,3 +1704,63 @@ def test_resize_real_images_handles_png(spark):
             for y in range(3)
         )
         assert r["sum_r"] == exp_r
+
+
+def test_tiff_codec_roundtrip_and_endianness():
+    """encode->decode is exact for both byte orders, single- and
+    multi-strip layouts, and widths/heights of 1 (strip-boundary edges)."""
+    from irio_mapreduce_spark.llm.multimodal import decode_tiff, encode_tiff
+
+    for bo in ("<", ">"):
+        for w, h, rps in [(1, 7, 2), (9, 1, 2), (6, 6, 6), (5, 9, 1)]:
+            def px(x, y, c):
+                return (x * 31 + y * 7 + c * 111 + w) % 256
+
+            d = decode_tiff(encode_tiff(w, h, px, byte_order=bo, rows_per_strip=rps))
+            exp = [
+                sum(px(x, y, c) for x in range(w) for y in range(h))
+                for c in range(3)
+            ]
+            assert (d["width"], d["height"]) == (w, h), (bo, w, h, rps)
+            assert (d["sum_r"], d["sum_g"], d["sum_b"]) == tuple(exp)
+
+
+def test_tiff_decoder_rejects_corruption():
+    import struct
+
+    import pytest as _pytest
+
+    from irio_mapreduce_spark.llm.multimodal import decode_tiff, synth_tiff
+
+    good = synth_tiff(4, 6, 5)  # even seed -> little-endian
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"XX" + good[2:])
+    with _pytest.raises(ValueError, match="truncated TIFF"):
+        decode_tiff(good[:40])
+    # unsupported compression must reject, not decode garbage
+    bad = bytearray(good)
+    # find the Compression entry (tag 259) in the IFD and set value to 5
+    (ifd_off,) = struct.unpack_from("<I", bad, 4)
+    (n,) = struct.unpack_from("<H", bad, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", bad, base)
+        if tag == 259:
+            struct.pack_into("<H", bad, base + 8, 5)
+    with _pytest.raises(ValueError, match="unsupported TIFF compression"):
+        decode_tiff(bytes(bad))
+
+
+def test_tiff_real_media_dispatch(spark):
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        synthesize_tiff_media,
+    )
+
+    ids = spark.range(400, 404).select(F.col("id").alias("media_id"))
+    out = {r["media_id"]: r for r in decode_real_media_features(
+        synthesize_tiff_media(ids)
+    ).collect()}
+    for mid, r in out.items():  # mix of II (even) and MM (odd) payloads
+        assert r["kind"] == "image"
+        assert r["width"] == 4 + mid % 6 and r["height"] == 3 + mid % 7
