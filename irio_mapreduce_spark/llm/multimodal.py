@@ -464,7 +464,10 @@ def decode_real_media_features(media: DataFrame) -> DataFrame:
                     base.update(kind="image", **mm.decode_png(payload))
                 elif payload[:6] in (b"GIF87a", b"GIF89a"):
                     base.update(kind="image", **mm.decode_gif(payload))
-                elif payload[:2] in (b"II", b"MM") and len(payload) >= 4 and payload[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+                elif payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+                    # marker paired with ITS OWN byte order — II with
+                    # big-endian 42 (or vice versa) is not a TIFF and
+                    # falls through to kind='unknown' instead of a raise
                     base.update(kind="image", **mm.decode_tiff(payload))
                 elif payload[:4] == b"RIFF":
                     base.update(kind="audio", **mm.decode_wav(payload))
@@ -529,28 +532,33 @@ def resize_real_images(media: DataFrame, width: int, height: int) -> DataFrame:
     ensure_package_shipped(media.sparkSession)
 
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
         from irio_mapreduce_spark.llm import multimodal as mm
 
-        def resizable(p: bytes) -> bool:
-            return p[:2] == b"BM" or p[: len(mm._PNG_MAGIC)] == mm._PNG_MAGIC
+        # ONE magic -> resizer table drives both the payload rewrite and
+        # the meta-dims rewrite, so adding a format cannot desynchronize
+        # the two (the mismatch class the exact-oracle gate exists for)
+        resizers = {
+            b"BM": mm.resize_bmp,
+            mm._PNG_MAGIC: mm.resize_png,
+        }
 
         for pdf in batches:
-            def do(row):
+            payloads, metas = [], []
+            for _, row in pdf.iterrows():
                 p = bytes(row["payload"] or b"")
-                if p[:2] == b"BM":
-                    return mm.resize_bmp(p, width, height)
-                if p[: len(mm._PNG_MAGIC)] == mm._PNG_MAGIC:
-                    return mm.resize_png(p, width, height)
-                return p
-
-            def meta(row):
                 m = dict(row["meta"] or {})
-                if resizable(bytes(row["payload"] or b"")):
-                    m["width"], m["height"] = width, height
-                return m
-
+                for magic, fn in resizers.items():
+                    if p[: len(magic)] == magic:
+                        p = fn(p, width, height)
+                        m["width"], m["height"] = width, height
+                        break
+                payloads.append(p)
+                metas.append(m)
             yield pdf.assign(
-                payload=pdf.apply(do, axis=1), meta=pdf.apply(meta, axis=1)
+                payload=pd.Series(payloads, index=pdf.index),
+                meta=pd.Series(metas, index=pdf.index),
             )
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
@@ -1165,11 +1173,17 @@ def encode_tiff(
         strips.append(
             bytes(pixel(x, y, c) for y in rows for x in range(width) for c in range(3))
         )
+    # the spec requires value offsets and the IFD to be WORD-ALIGNED
+    # ("the Value Offset must be an even number"; IFDs "must begin on a
+    # word boundary") — pad after any odd-length strip
     pos = 8
     strip_offsets = []
+    pads = []
     for s in strips:
         strip_offsets.append(pos)
         pos += len(s)
+        pads.append(pos % 2)
+        pos += pos % 2
     bps_off = pos
     pos += 6  # 3 x SHORT BitsPerSample
     so_off, sc_off = pos, pos + 4 * n_strips
@@ -1197,8 +1211,9 @@ def encode_tiff(
     ]
     out = bytearray()
     out += magic + struct.pack(f"{bo}HI", 42, ifd_off)
-    for s in strips:
+    for s, pad in zip(strips, pads):
         out += s
+        out += b"\x00" * pad
     out += struct.pack(f"{bo}3H", 8, 8, 8)
     out += struct.pack(f"{bo}{n_strips}I", *strip_offsets)
     out += struct.pack(f"{bo}{n_strips}I", *(len(s) for s in strips))
@@ -1244,11 +1259,17 @@ def decode_tiff(payload: bytes) -> dict:
             raise ValueError("truncated TIFF value array")
         return list(struct.unpack_from(f"{bo}{count}{fmt}", payload, off))
 
+    # only the tags this profile consumes are parsed; everything else
+    # (RATIONAL resolutions, ASCII Software, ...) is legitimately present
+    # in real baseline files and skipped — rejecting on an unconsumed
+    # tag's field type would refuse valid libtiff/PIL output
+    _CONSUMED = {256, 257, 258, 259, 262, 273, 277, 278, 279}
     tags: dict[int, list[int]] = {}
     for i in range(n_entries):
         base = ifd_off + 2 + 12 * i
         tag, typ, count = struct.unpack_from(f"{bo}HHI", payload, base)
-        tags[tag] = values(typ, count, payload[base + 8 : base + 12])
+        if tag in _CONSUMED:
+            tags[tag] = values(typ, count, payload[base + 8 : base + 12])
 
     def one(tag: int, default: int | None = None) -> int:
         if tag not in tags:

@@ -1698,12 +1698,13 @@ def test_resize_real_images_handles_png(spark):
     for mid, r in out.items():
         assert (r["width"], r["height"]) == (4, 3)
         w0, h0 = 5 + mid % 8, 5 + mid % 6
-        exp_r = sum(
-            _png_pixel(mid, (x * w0) // 4, (y * h0) // 3, 0)
-            for x in range(4)
-            for y in range(3)
-        )
-        assert r["sum_r"] == exp_r
+        for c, col in enumerate(("sum_r", "sum_g", "sum_b")):
+            exp = sum(
+                _png_pixel(mid, (x * w0) // 4, (y * h0) // 3, c)
+                for x in range(4)
+                for y in range(3)
+            )
+            assert r[col] == exp, (mid, col)
 
 
 def test_tiff_codec_roundtrip_and_endianness():
@@ -1764,3 +1765,41 @@ def test_tiff_real_media_dispatch(spark):
     for mid, r in out.items():  # mix of II (even) and MM (odd) payloads
         assert r["kind"] == "image"
         assert r["width"] == 4 + mid % 6 and r["height"] == 3 + mid % 7
+
+
+def test_tiff_decoder_skips_unconsumed_tags():
+    """Real baseline TIFFs carry RATIONAL/ASCII tags (XResolution,
+    Software) the profile doesn't consume; the decoder must skip them
+    rather than reject their field types (review finding)."""
+    import struct
+
+    from irio_mapreduce_spark.llm.multimodal import decode_tiff, synth_tiff
+
+    good = synth_tiff(4, 6, 5)
+    (ifd,) = struct.unpack_from("<I", good, 4)
+    (n,) = struct.unpack_from("<H", good, ifd)
+    # splice in a Software (tag 305, ASCII type 2) entry, inline value
+    extra = struct.pack("<HHI", 305, 2, 4) + b"abc\x00"
+    entries_end = ifd + 2 + 12 * n
+    patched = (
+        good[:ifd]
+        + struct.pack("<H", n + 1)
+        + good[ifd + 2 : entries_end]
+        + extra
+        + good[entries_end:]
+    )
+    assert decode_tiff(patched) == decode_tiff(good)
+
+
+def test_tiff_dispatch_rejects_mismatched_magic(spark):
+    """II paired with big-endian 42 is NOT a TIFF: the decode stage must
+    classify it kind='unknown', never raise out of the worker."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        decode_real_media_features,
+    )
+
+    rows = [(1, b"II\x00\x2athis-is-not-a-tiff", None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = decode_real_media_features(df).collect()
+    assert out[0]["kind"] == "unknown"
