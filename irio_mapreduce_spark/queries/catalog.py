@@ -191,6 +191,8 @@ QUEUED_FOR_R7: list[str] = [
     "multimodal_real_gif",
     "fn_binary_family",
     "multimodal_real_tiff",
+    "source_xml_roundtrip",
+    "fn_xml_family",
 ]
 
 

@@ -367,3 +367,95 @@ def source_dirtail_stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFra
     write_stream_parquet_exactly_once(stream.select("value"), out, ck)
     lines = spark.read.parquet(out)
     return _top20_wordcount(lines)
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer WHERE c_custkey % 7 = 0
+    GROUP BY c_mktsegment
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source (Spark 4's NATIVE xml data source — no external
+    package): a customer slice -> row-tagged XML files -> explicit-schema
+    read -> aggregate. The oracle aggregates the original parquet, so a
+    hash match proves the XML writer/reader pair is lossless for
+    int/string/double columns including XML-escaping of attribute-unsafe
+    characters (customer names carry '#'). Money compares in exact cents
+    (double -> text -> double is value-preserving but the convention
+    avoids float sums). At 100 TB XML is an INGEST format, never a
+    processing format — the entry's write exists to prove the reader
+    against a known corpus; one partition-parallel scan either way."""
+    path = _scratch(sf_dir, "customer_xml")
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 == 0
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    (
+        c.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "customers")
+        .option("rowTag", "customer")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema(
+            "c_custkey BIGINT, c_name STRING, c_mktsegment STRING, "
+            "c_acctbal DOUBLE"
+        )
+        .load(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("acctbal_cents"),
+    )
+
+
+@register(
+    "fn_xml_family",
+    oracle="""
+    SELECT p_partkey,
+           p_type AS x_type,
+           CAST(p_size AS BIGINT) AS x_size,
+           CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_words
+    FROM part WHERE p_partkey % 83 = 0
+    """,
+)
+def fn_xml_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scalar-function family (xpath_string / xpath_int / xpath over
+    node lists): each row is serialized to an XML fragment IN-QUERY and
+    the fields extracted back with XPath — the oracle states the expected
+    values directly from the raw columns, so the hash match proves the
+    construct->parse round trip (including '&'/'<' escaping in p_type
+    via the escape done at build time). The node-list xpath() counts
+    per-word <w> elements. DuckDB has no XPath; identity-style oracles
+    are exactly how non-SQL scalar families stay hash-checkable."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 83 == 0)
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col("p_type"), "&", "&amp;"), "<", "&lt;"
+    )
+    words_xml = F.concat(
+        F.lit("<ws><w>"),
+        F.regexp_replace(esc, " ", "</w><w>"),
+        F.lit("</w></ws>"),
+    )
+    xml = F.concat(
+        F.lit("<part><type>"),
+        esc,
+        F.lit("</type><size>"),
+        F.col("p_size").cast("string"),
+        F.lit("</size></part>"),
+    )
+    return p.select(
+        "p_partkey",
+        F.xpath_string(xml, F.lit("/part/type")).alias("x_type"),
+        F.xpath_int(xml, F.lit("/part/size")).cast("long").alias("x_size"),
+        F.size(F.xpath(words_xml, F.lit("/ws/w/text()"))).cast("long").alias("n_words"),
+    )
