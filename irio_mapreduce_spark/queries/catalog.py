@@ -193,6 +193,9 @@ QUEUED_FOR_R7: list[str] = [
     "multimodal_real_tiff",
     "source_xml_roundtrip",
     "fn_xml_family",
+    "fn_crypto_family",
+    "fn_url_family",
+    "fn_csv_scalar_family",
 ]
 
 

@@ -457,3 +457,118 @@ def fn_binary_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("hex_roundtrip"),
     )
+
+
+@register(
+    "fn_crypto_family",
+    oracle="""
+    SELECT p_partkey,
+           1 AS aes_roundtrip,
+           CAST(16 * (length(p_name) // 16 + 1) AS BIGINT) AS ct_bytes,
+           1 AS tamper_nulls
+    FROM part WHERE p_partkey % 101 = 0
+    """,
+)
+def fn_crypto_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption family (``aes_encrypt``/``aes_decrypt`` —
+    the at-rest PII-protection primitive): deterministic AES-128-ECB per
+    row, hash-checked through an identity-style oracle (DuckDB has no
+    AES): the decrypt(encrypt(x)) == x roundtrip as a flag, the exact
+    PKCS#7 ciphertext length (16·(⌊len/16⌋+1) — a wrong padding mode or
+    key size breaks it), and ``try_aes_decrypt`` returning NULL (flag 1)
+    on a tampered ciphertext instead of a mid-job crash. ECB is used
+    PRECISELY because it is deterministic (hash-comparable); the
+    production mode for real data is GCM, whose random IV is the point —
+    documented, not hash-checkable."""
+    key = "0123456789abcdef"
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 101 == 0)
+    ct = F.expr(f"aes_encrypt(p_name, '{key}', 'ECB')")
+    rt = F.expr(
+        f"cast(aes_decrypt(aes_encrypt(p_name, '{key}', 'ECB'), '{key}', 'ECB') as string)"
+    )
+    tampered = F.expr(
+        f"try_aes_decrypt(concat(aes_encrypt(p_name, '{key}', 'ECB'), X'00'), '{key}', 'ECB')"
+    )
+    return p.select(
+        "p_partkey",
+        (rt == F.col("p_name")).cast("int").alias("aes_roundtrip"),
+        F.length(ct).cast("long").alias("ct_bytes"),
+        tampered.isNull().cast("int").alias("tamper_nulls"),
+    )
+
+
+@register(
+    "fn_url_family",
+    oracle="""
+    SELECT p_partkey,
+           'parts.example.com' AS u_host,
+           '/catalog/' || CAST(p_size AS VARCHAR) AS u_path,
+           p_type AS u_type_decoded,
+           CAST(p_size AS BIGINT) AS u_size
+    FROM part WHERE p_partkey % 79 = 0
+    """,
+)
+def fn_url_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar family (``parse_url`` HOST/PATH/QUERY-param forms +
+    ``url_encode``/``url_decode``): each row builds a URL in-query with
+    its type percent-encoded into a query parameter, then parses every
+    component back — the oracle states the expected components directly
+    from the raw columns, so the hash match proves build → encode →
+    parse → decode is the identity (spaces round-tripping through '+' is
+    the classic breakage). Complements ``text_url_canonicalize``, which
+    deliberately avoids parse_url to stay shuffle-free on the Java∩RE2
+    regex subset."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 79 == 0)
+    url = F.concat(
+        F.lit("https://parts.example.com/catalog/"),
+        F.col("p_size").cast("string"),
+        F.lit("?type="),
+        F.expr("url_encode(p_type)"),
+        F.lit("&size="),
+        F.col("p_size").cast("string"),
+    )
+    return p.select(
+        "p_partkey",
+        F.parse_url(url, F.lit("HOST")).alias("u_host"),
+        F.parse_url(url, F.lit("PATH")).alias("u_path"),
+        F.expr(
+            "url_decode(parse_url(concat('https://parts.example.com/catalog/', "
+            "cast(p_size as string), '?type=', url_encode(p_type), '&size=', "
+            "cast(p_size as string)), 'QUERY', 'type'))"
+        ).alias("u_type_decoded"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("size")).cast("long").alias("u_size"),
+    )
+
+
+@register(
+    "fn_csv_scalar_family",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) || ',' || o_orderpriority AS csv_line,
+           o_orderpriority AS rt_priority,
+           CAST(o_orderkey AS BIGINT) AS rt_key,
+           1 AS price_roundtrip
+    FROM orders WHERE o_orderkey % 997 = 0
+    """,
+)
+def fn_csv_scalar_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV SCALAR family (``to_csv`` / ``from_csv`` / ``schema_of_csv``'s
+    runtime kin): rows serialize to CSV strings in-query and parse back to
+    typed structs — the per-row form of the file-level roundtrip entry
+    (embedded CSV in message payloads). Integer/string fields compare
+    directly against the oracle's string concatenation; the double field
+    round-trips through text as an equality FLAG (Java's shortest-repr
+    double formatting is engine-specific text, but parse(format(x)) == x
+    is exact)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 997 == 0)
+    line = F.to_csv(F.struct(F.col("o_orderkey"), F.col("o_orderpriority")))
+    back = F.from_csv(line, F.lit("k BIGINT, pri STRING"))
+    price_line = F.to_csv(F.struct(F.col("o_totalprice")))
+    price_back = F.from_csv(price_line, F.lit("v DOUBLE"))
+    return o.select(
+        "o_orderkey",
+        line.alias("csv_line"),
+        back["pri"].alias("rt_priority"),
+        back["k"].cast("long").alias("rt_key"),
+        (price_back["v"] == F.col("o_totalprice")).cast("int").alias("price_roundtrip"),
+    )
