@@ -196,6 +196,10 @@ QUEUED_FOR_R7: list[str] = [
     "fn_crypto_family",
     "fn_url_family",
     "fn_csv_scalar_family",
+    "join_lateral_topk",
+    "agg_percentile_disc",
+    "fn_collation_family",
+    "fn_try_family",
 ]
 
 

@@ -572,3 +572,89 @@ def fn_csv_scalar_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         back["k"].cast("long").alias("rt_key"),
         (price_back["v"] == F.col("o_totalprice")).cast("int").alias("price_roundtrip"),
     )
+
+
+@register(
+    "fn_collation_family",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                  ELSE lower(p_type) END AS t
+      FROM part)
+    SELECT lower(t) AS type_lc,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT t) AS BIGINT) AS n_case_variants
+    FROM mixed GROUP BY lower(t)
+    """,
+)
+def fn_collation_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-aware grouping (Spark 4's collation support, headline
+    SQL-surface feature): part types are case-mangled in-query, then
+    grouped under ``COLLATE UTF8_LCASE`` — the collation makes 'STANDARD
+    X' and 'standard x' ONE group without rewriting the data through
+    lower(). The oracle states the equivalent lower()-keyed grouping, so
+    the hash match proves the collated GROUP BY produces exactly the
+    case-insensitive partition (group keys are emitted lower-cased:
+    which case variant a collated group displays is engine-internal,
+    the partition itself is the semantics). ``n_case_variants`` counts
+    the binary-distinct spellings each collated group absorbed (2 for
+    every type present under both parities)."""
+    p = read_table(spark, sf_dir, "part")
+    mixed = p.select(
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper(F.col("p_type"))
+        )
+        .otherwise(F.lower(F.col("p_type")))
+        .alias("t")
+    )
+    mixed.createOrReplaceTempView("mixed_types_v")
+    return spark.sql(
+        """
+        SELECT lower(t) AS type_lc,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT t COLLATE UTF8_BINARY) AS BIGINT)
+                 AS n_case_variants
+        FROM mixed_types_v
+        GROUP BY t COLLATE UTF8_LCASE, lower(t)
+        """
+    )
+
+
+@register(
+    "fn_try_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE round(l_extendedprice / l_discount, 2) END AS safe_div,
+           CAST(NULL AS BIGINT) AS overflow_add,
+           CAST(NULL AS INTEGER) AS bad_cast,
+           CAST(l_quantity AS BIGINT) AS parsed_qty,
+           CAST(NULL AS BIGINT) AS oob_element
+    FROM lineitem WHERE l_orderkey % 499 = 0 AND l_linenumber = 1
+    """,
+)
+def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``try_*`` error-safe family — load-bearing under Spark 4's
+    ANSI-on default, where a single bad row otherwise kills a 100 TB job
+    mid-stage: ``try_divide`` (NULL on zero — exactly DuckDB's ``/``
+    via the CASE in the oracle), ``try_add`` at BIGINT max (overflow →
+    NULL, never a wrapped value), ``try_cast`` on unparseable text,
+    ``try_to_number`` with a format, and ``try_element_at`` out of
+    bounds. Each column's expected value is stated directly by the
+    oracle, so this family is hash-checked rather than merely
+    crash-free. l_discount is 0 for some rows — the divide column
+    exercises BOTH branches on real data."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 499 == 0) & (F.col("l_linenumber") == 1)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 2).alias("safe_div"),
+        F.try_add(
+            F.lit(9223372036854775807), F.col("l_orderkey") + 1
+        ).alias("overflow_add"),  # key+1 >= 1, so the add ALWAYS overflows
+        F.expr("try_cast(concat('x', l_returnflag) AS INT)").alias("bad_cast"),
+        F.expr("CAST(try_to_number(cast(cast(l_quantity as bigint) as string), '999999') AS BIGINT)").alias("parsed_qty"),
+        F.try_element_at(F.array(F.col("l_orderkey")), F.lit(5)).alias("oob_element"),
+    )

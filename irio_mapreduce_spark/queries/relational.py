@@ -2474,3 +2474,74 @@ def quality_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("lineitem", li, del_l.select(F.col("l_orderkey").alias("k")), "k"))
         .unionByName(audit("events", ev, del_e.select(F.col("event_id").alias("k")), "k"))
     )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey % 151 = 0) c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived tables,
+    Spark 3.2+): top-2 orders per cohort customer, written in the lateral
+    form users port from Postgres/DuckDB — BOTH engines run the SAME SQL
+    text here, the strongest oracle parity this catalog can state.
+    Catalyst decorrelates the lateral into a ranked join (no per-row
+    re-scan — plan-asserted no nested-loop over the fact side); the
+    equivalent DataFrame form is ``window_topk_orders_per_customer``'s
+    rank filter, and at 100 TB both compile to the same shuffle."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM (SELECT c_custkey FROM customer_v WHERE c_custkey % 151 = 0) c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT)
+             AS q25,
+           CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT)
+             AS q50,
+           CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.75) AS BIGINT)
+             AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (``percentile_disc`` WITHIN GROUP — SQL:2003
+    inverse distribution): unlike the continuous form, the result is
+    always an ACTUAL data value (the first value whose cumulative
+    distribution reaches p), so there is no interpolation arithmetic to
+    diverge and integer quantities hash-match exactly (alignment with
+    DuckDB ``quantile_disc`` probed on both parities). The exact
+    complement of ``agg_percentiles_approx``'s sketch path and
+    ``agg_equidepth_histogram``'s rank path."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(percentile_disc(0.25) WITHIN GROUP
+                    (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS q25,
+               CAST(percentile_disc(0.5) WITHIN GROUP
+                    (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS q50,
+               CAST(percentile_disc(0.75) WITHIN GROUP
+                    (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS q75
+        FROM lineitem_v GROUP BY l_returnflag
+        """
+    )
