@@ -200,6 +200,8 @@ QUEUED_FOR_R7: list[str] = [
     "agg_percentile_disc",
     "fn_collation_family",
     "fn_try_family",
+    "agg_bitmap_native",
+    "agg_hll_sketch_union",
 ]
 
 

@@ -2545,3 +2545,96 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_v GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "agg_bitmap_native",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL',
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE bitmap aggregate family
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``) —
+    the built-in form of ``agg_bitmap_distinct``'s hand-rolled
+    shiftleft/bit_or words: exact distinct counts whose partial state is
+    a fixed-width bitmap per 32768-key bucket, mergeable like a sketch.
+    The entry proves BOTH levels of mergeability: per-priority counts,
+    and the per-(priority, bucket) bitmaps OR-merged ACROSS priorities
+    into the global distinct — the oracle checks each against plain
+    count(DISTINCT)."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_bm_v")
+    return spark.sql(
+        """
+        WITH words AS (
+          SELECT o_orderpriority,
+                 bitmap_bucket_number(o_custkey) AS b,
+                 bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS w
+          FROM orders_bm_v
+          GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey))
+        SELECT o_orderpriority,
+               CAST(sum(bitmap_count(w)) AS BIGINT) AS n_distinct
+        FROM (SELECT o_orderpriority, b, bitmap_or_agg(w) AS w
+              FROM words GROUP BY o_orderpriority, b)
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'ALL', CAST(sum(bitmap_count(w)) AS BIGINT)
+        FROM (SELECT b, bitmap_or_agg(w) AS w FROM words GROUP BY b)
+        """
+    )
+
+
+@register(
+    "agg_hll_sketch_union",
+    oracle="""
+    WITH per_g AS (
+      SELECT o_orderpriority,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, exact_distinct, TRUE AS approx_within_5pct
+    FROM per_g
+    UNION ALL
+    SELECT 'ALL',
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           TRUE
+    FROM orders
+    """,
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE HLL sketch aggregates (``hll_sketch_agg`` /
+    ``hll_union_agg`` / ``hll_sketch_estimate``) — unlike
+    ``approx_count_distinct``, the SKETCH ITSELF is a first-class value:
+    built per priority, then UNIONED across groups for the global
+    estimate without touching raw data again (the re-aggregation
+    property sketch warehouses rely on). Emitted in the deterministic
+    bounded-error shape (exact counts as hash-checked values, estimates
+    as within-5% booleans computed in the same job) so the entry stays
+    exact-oracle despite approximate internals."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_hll_v")
+    return spark.sql(
+        """
+        WITH sk AS (
+          SELECT o_orderpriority,
+                 hll_sketch_agg(o_custkey, 14) AS s,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+          FROM orders_hll_v GROUP BY o_orderpriority),
+        tot AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_all
+                FROM orders_hll_v)
+        SELECT o_orderpriority, exact_distinct,
+               abs(hll_sketch_estimate(s) - exact_distinct)
+                 <= 0.05 * exact_distinct AS approx_within_5pct
+        FROM sk
+        UNION ALL
+        SELECT 'ALL', exact_all,
+               abs((SELECT hll_sketch_estimate(hll_union_agg(s)) FROM sk)
+                   - exact_all) <= 0.05 * exact_all
+        FROM tot
+        """
+    )
