@@ -625,7 +625,11 @@ def fn_collation_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CASE WHEN l_discount = 0 THEN NULL
-                ELSE round(l_extendedprice / l_discount, 2) END AS safe_div,
+                ELSE CAST(floor(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+                                          AS BIGINT) AS DOUBLE)
+                                / CAST(CAST(round(l_discount * 100)
+                                            AS BIGINT) AS DOUBLE))
+                          AS BIGINT) END AS safe_div_fp,
            CAST(NULL AS BIGINT) AS overflow_add,
            CAST(NULL AS INTEGER) AS bad_cast,
            CAST(l_quantity AS BIGINT) AS parsed_qty,
@@ -650,7 +654,17 @@ def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.try_divide("l_extendedprice", "l_discount"), 2).alias("safe_div"),
+        # floor of ONE correctly-rounded double division over exact
+        # integer operands — cross-engine exact; round(double-quotient, 2)
+        # is the banned q11 half-boundary pattern
+        F.floor(
+            F.try_divide(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"),
+                F.round(F.col("l_discount") * 100, 0).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("safe_div_fp"),
         F.try_add(
             F.lit(9223372036854775807), F.col("l_orderkey") + 1
         ).alias("overflow_add"),  # key+1 >= 1, so the add ALWAYS overflows

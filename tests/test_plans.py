@@ -457,26 +457,30 @@ def test_bucketed_join_no_exchange_before_join(spark, qs):
 def test_every_catalog_plan_is_cartesian_free(spark, qs):
     """FULL-CATALOG plan sweep: no entry may degrade to an unbounded
     CartesianProduct — the judge-grade scale property asserted for every
-    registered query, not a hand-picked list. The single exception is
-    ``sim_pairs_bruteforce``, the intentionally-quadratic recall oracle
-    (excluded from the bench for the same reason). Plans build at
-    sf0.001 so entries with call-time side jobs (streaming drains,
-    driver-side fits, artifact builds) stay cheap."""
-    import contextlib
-    import io as _io
-
-    sf = "/root/testdata/sf0.001"
+    registered query (even the declared-quadratic recall oracle
+    ``sim_pairs_bruteforce`` bounds its pair generation to broadcast
+    nested loops, never a cartesian). Plans build at SF_DIR (sf0.01, the
+    driver-protocol scale) — a smaller SF would let broadcast thresholds
+    hide exactly the degradation this asserts."""
     failures = []
     for name, fn in qs.items():
-        if name == "sim_pairs_bruteforce":
-            continue
-        buf = _io.StringIO()
+        buf = io.StringIO()
         try:
             with contextlib.redirect_stdout(buf):
-                fn(spark, sf).explain("simple")
+                fn(spark, SF_DIR).explain("simple")
         except Exception as e:  # noqa: BLE001 — collect, report all at once
             failures.append(f"{name}: explain failed: {type(e).__name__}: {e}")
             continue
         if "CartesianProduct" in buf.getvalue():
             failures.append(f"{name}: plan contains CartesianProduct")
     assert not failures, "\n".join(failures)
+
+
+def test_lateral_topk_decorrelates_to_ranked_join(spark, qs):
+    """The LATERAL entry's docstring claim, asserted: Catalyst
+    decorrelates the correlated LIMIT subquery into a ranked window +
+    join — no nested-loop re-scan of the fact side per customer."""
+    p = plan(spark, qs, "join_lateral_topk", mode="simple")
+    assert "Window" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
