@@ -58,74 +58,15 @@ _ORACLES: dict[str, str] = {}
 # The external correctness driver checks the FIRST 50 entries of
 # ``all_queries()`` per round, so listing order is the scoreboard rotation
 # dial. This list pins the front of the window explicitly; everything else
-# follows in module-registration order. Round-5 rotation (r4 VERDICT.md
-# item 1): the 58 entries that had never received a driver CORRECTNESS row
-# through round 4 (the round-4 DEFERRED_TO_NEXT_WINDOW queue, all
-# judge-verified exact in r4) fill the window in their queued order; the 8
-# that do not fit the 50-slot budget are pinned at the head of the round-6
-# window below so the driver-green union reaches 153/153 mechanically.
-# r1-r4-green entries rotate out on their standing rows, staying fully
-# oracle-tested in tests/test_oracle.py. tests/test_conventions.py asserts
-# this list stays consistent with the registry.
+# follows in module-registration order. Round-6 rotation (r5 VERDICT.md
+# item 1): the 50 entries that had never received a driver CORRECTNESS row
+# through round 5 (the round-5 DEFERRED_TO_NEXT_WINDOW queue, 49 of which
+# the r5 judge independently verified exact) fill the window in their
+# queued order. r1-r5-green entries rotate out on their standing rows,
+# staying fully oracle-tested in tests/test_oracle.py.
+# tests/test_conventions.py asserts this list stays consistent with the
+# registry.
 FRONT_WINDOW: list[str] = [
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_bracketed_or_revenue",
-    "q22_idle_customers",
-    "source_orc_roundtrip",
-    "text_chunk_windows",
-    "text_repetition_metrics",
-    "text_pii_redaction",
-    "stream_session_rollup",
-    "sample_mixture_weights",
-    "join_null_safe_eq",
-    "q11_important_part_value",
-    "agg_histogram_totalprice",
-    "stream_custom_stateful_totals",
-    "q2_min_cost_supplier",
-    "q12_shipmode_priority",
-    "q16_supplier_part_counts",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_daily_gap_fill",
-    "udf_grouped_map_arrow",
-    "events_variant_props",
-    "recursive_cte_hierarchy",
-    "text_tfidf_top_terms",
-    "sample_weighted_priority",
-    "events_type_change_intervals",
-    "sim_int8_quantization",
-    "sim_ann_pq_topk",
-    "stats_chisq_contingency",
-    "dedup_bloom_prefilter",
-    "dedup_substring_spans",
-    "text_unigram_surprisal",
-    "graph_pagerank_purchases",
-    "merge_scd1_upsert",
-    "text_normalize_c4",
-    "source_hive_partitioned_pruned",
-    "window_time_range_revenue",
-    "sim_matryoshka_recall",
-    "profile_documents_columns",
-    "stats_ols_price_vs_qty",
-    "events_markov_transitions",
-    "stream_cdc_upsert",
-    "multimodal_real_roundtrip",
-    "multimodal_real_resize",
-]
-
-# The 8 entries left over from the round-5 rotation (58 deferred, 50
-# slots), followed by any round-5 additions. These are fully oracle-tested
-# per-entry in tests/test_oracle.py and form the MANDATORY head of the
-# round-6 window (tests/test_conventions.py asserts the plan): with them
-# driver-green union reaches 153/153 of the round-4 catalog.
-DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "dedup_cluster_pick_best",
     "multimodal_real_segments",
     "source_malformed_csv",
@@ -134,7 +75,6 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "window_distribution_ranks",
     "quality_fk_conformance",
     "pipeline_ingest_end_to_end",
-    # round-5 additions
     "dedup_incremental_persisted",
     "stream_exactly_once_sink",
     "stream_rocksdb_state_totals",
@@ -178,13 +118,13 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stats_ks_test",
     "stats_gini_impurity",
 ]
-# DEFERRED_TO_NEXT_WINDOW now holds exactly 50 names — one full round-6
-# driver window. Round-5 additions past that point queue here for the
-# ROUND-7 window instead (they stay fully oracle-tested per-entry in
-# tests/test_oracle.py and the verifier sweeps meanwhile); pushing them
-# into DEFERRED would overflow round 6's 50 slots and delay full driver
-# coverage of the older tail.
-QUEUED_FOR_R7: list[str] = [
+
+# The 17 entries that did not fit round 6's 50-slot window (round 5's
+# QUEUED_FOR_R7 overflow queue), followed by any round-6 additions. These
+# are fully oracle-tested per-entry in tests/test_oracle.py and form the
+# MANDATORY head of the round-7 window (tests/test_conventions.py asserts
+# the plan): with them the driver-green union reaches the full catalog.
+DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "quality_cascade_delete_audit",
     "ml_calibration_bins",
     "ml_auc_exact",
@@ -203,6 +143,10 @@ QUEUED_FOR_R7: list[str] = [
     "agg_bitmap_native",
     "agg_hll_sketch_union",
 ]
+# Round-6 additions append to DEFERRED_TO_NEXT_WINDOW (17 carried + new
+# entries must stay within the 50-slot round-7 window; the conventions
+# test enforces the budget). They stay fully oracle-tested per-entry in
+# tests/test_oracle.py and the verifier sweeps meanwhile.
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

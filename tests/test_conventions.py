@@ -74,11 +74,12 @@ def test_front_window_consistent_with_registry():
 
 
 def test_front_window_covers_all_unverified_entries():
-    """Round-5 rotation contract: every entry without a driver-green
-    CORRECTNESS row in the union of rounds 1-4 sits inside the driver's
+    """Round-6 rotation contract: every entry without a driver-green
+    CORRECTNESS row in the union of rounds 1-5 sits inside the driver's
     50-entry window this round, or is pinned in DEFERRED_TO_NEXT_WINDOW
-    as the mandatory head of the round-6 window (58 unverified entries,
-    50 slots — the 8-entry tail plus round-5 additions carry over)."""
+    as the mandatory head of the round-7 window (the 17-entry round-5
+    overflow queue plus any round-6 additions, within the 50-slot
+    round-7 budget)."""
     import glob
     import json
     import os
@@ -86,11 +87,10 @@ def test_front_window_covers_all_unverified_entries():
     from irio_mapreduce_spark.queries.catalog import (
         DEFERRED_TO_NEXT_WINDOW,
         FRONT_WINDOW,
-        QUEUED_FOR_R7,
     )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    prior = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-4].json")))
+    prior = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-5].json")))
     assert prior, "no prior-round driver files in this checkout"
     green: set[str] = set()
     seen: set[str] = set()
@@ -103,14 +103,32 @@ def test_front_window_covers_all_unverified_entries():
     missing = [
         n
         for n in needs_row
-        if n not in window
-        and n not in DEFERRED_TO_NEXT_WINDOW
-        and n not in QUEUED_FOR_R7
+        if n not in window and n not in DEFERRED_TO_NEXT_WINDOW
     ]
-    # the round-6 head must stay exactly one full window; overflow queues
-    # for round 7 instead of displacing the older unverified tail
-    assert len(DEFERRED_TO_NEXT_WINDOW) == 50
-    assert not set(QUEUED_FOR_R7) & set(DEFERRED_TO_NEXT_WINDOW)
+    # the round-7 head must fit one window; round-6 additions append to
+    # DEFERRED instead of displacing the 17 carried entries
+    assert len(DEFERRED_TO_NEXT_WINDOW) <= 50
+    # the 17 round-5 overflow entries stay pinned as the r7 head, in order
+    r7_head = [
+        "quality_cascade_delete_audit",
+        "ml_calibration_bins",
+        "ml_auc_exact",
+        "multimodal_real_gif",
+        "fn_binary_family",
+        "multimodal_real_tiff",
+        "source_xml_roundtrip",
+        "fn_xml_family",
+        "fn_crypto_family",
+        "fn_url_family",
+        "fn_csv_scalar_family",
+        "join_lateral_topk",
+        "agg_percentile_disc",
+        "fn_collation_family",
+        "fn_try_family",
+        "agg_bitmap_native",
+        "agg_hll_sketch_union",
+    ]
+    assert DEFERRED_TO_NEXT_WINDOW[: len(r7_head)] == r7_head
     assert not missing, (
         f"entries still lacking a driver-green row are outside the "
         f"50-entry window and not declared deferred: {missing}"
