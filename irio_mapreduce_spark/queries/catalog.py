@@ -142,6 +142,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "fn_try_family",
     "agg_bitmap_native",
     "agg_hll_sketch_union",
+    # round-6 additions
+    "join_skew_aqe_rollup",
 ]
 # Round-6 additions append to DEFERRED_TO_NEXT_WINDOW (17 carried + new
 # entries must stay within the 50-slot round-7 window; the conventions

@@ -2638,3 +2638,112 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tot
         """
     )
+
+
+# The executed adaptive plan of the most recent join_skew_aqe_rollup run,
+# recorded so tests/test_plans.py can assert AQE actually engaged its
+# skew-join handling (``skew=true``) for a CATALOG entry, not just a
+# synthetic fixture — the driver-visible half is the exact oracle below.
+SKEW_JOIN_EXECUTED_PLAN: str | None = None
+
+
+@register(
+    "join_skew_aqe_rollup",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+                  ELSE 1 + (l_orderkey % 97) END AS k,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem),
+    dim AS (
+      SELECT range AS k, 'b' || CAST(range % 7 AS VARCHAR) AS bucket_name
+      FROM range(0, 98))
+    SELECT bucket_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(qty) AS BIGINT) AS qty_sum
+    FROM fact JOIN dim USING (k)
+    GROUP BY bucket_name
+    """,
+)
+def join_skew_aqe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEWED fact-dim join handled by AQE's runtime skew split — the
+    100 TB answer to "one hot key turns a shuffle join into a straggler".
+    ~75% of lineitem rows are funneled onto join key 0 (the manufactured
+    hot tenant); the dim side is a 98-row mapping that a merge hint keeps
+    on the sort-merge path (a broadcast would dodge the skew instead of
+    demonstrating its handling). Under skew thresholds scaled to test
+    data volume (64 KB where a production cluster uses the 256 MB
+    default), AQE splits the hot partition into advisory-sized chunks at
+    runtime — SortMergeJoin(skew=true) — so the join's wall-clock is
+    bounded by the chunk size, not the hot key's total volume; the
+    post-join rollup groups by a DIM attribute, so the extra shuffle the
+    split introduces was already required and costs nothing extra.
+
+    The skew confs are session-scoped, so the entry executes the join
+    eagerly inside a set/restore window (the result is 7 rows — the
+    collect is bounded by the bucket alphabet, not the data) and returns
+    the materialized rows; the executed adaptive plan is recorded in
+    ``SKEW_JOIN_EXECUTED_PLAN`` for the plan test. Correctness never
+    depends on whether the split engaged (sf0.001 stays under the
+    threshold; the oracle is plain SQL either way)."""
+    global SKEW_JOIN_EXECUTED_PLAN
+    # AQE can only split a skewed partition at MAP-TASK boundaries: the
+    # skewed reduce partition is reassembled from per-mapper output
+    # chunks, so a fact scanned as ONE task (sf0.01 lineitem is a single
+    # parquet row group) makes the hot partition atomic no matter how
+    # skewed. A 100 TB scan is thousands of map tasks; the round-robin
+    # repartition below emulates that shape locally so the demo exercises
+    # the same split the cluster would take.
+    fact = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            F.when(F.col("l_orderkey") % 4 != 0, F.lit(0))
+            .otherwise((F.col("l_orderkey") % 97) + 1)
+            .cast("long")
+            .alias("k"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .repartition(16)
+    )
+    dim = spark.range(98).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("b"), (F.col("id") % 7).cast("string")).alias(
+            "bucket_name"
+        ),
+    )
+    out = (
+        fact.hint("merge")
+        .join(dim, "k")
+        .groupBy("bucket_name")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("qty").cast("long").alias("qty_sum"),
+        )
+    )
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved: dict[str, str | None] = {}
+    for key, val in confs.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, val)
+    try:
+        rows = out.collect()
+        SKEW_JOIN_EXECUTED_PLAN = (
+            out._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    return spark.createDataFrame(rows, out.schema)

@@ -484,3 +484,22 @@ def test_lateral_topk_decorrelates_to_ranked_join(spark, qs):
     assert "Window" in p, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_skew_join_catalog_entry_engages_aqe_split(spark):
+    """The CATALOG skew entry (join_skew_aqe_rollup) — not just the
+    synthetic fixture above — must execute its hot-key sort-merge join
+    with AQE's runtime skew handling engaged at sf0.01: the entry records
+    the executed adaptive plan, which must show SortMergeJoin(skew=true)
+    over a skewed AQEShuffleRead. The entry's correctness (exact DuckDB
+    oracle) never depends on the split; this test pins the 100 TB
+    mechanism itself."""
+    import irio_mapreduce_spark.queries.relational as rel
+
+    rel.SKEW_JOIN_EXECUTED_PLAN = None
+    out = rel.join_skew_aqe_rollup(spark, SF_DIR)
+    assert out.count() == 7  # bucket alphabet b0..b6
+    p = rel.SKEW_JOIN_EXECUTED_PLAN
+    assert p is not None
+    assert "skew=true" in p, p
+    assert "skewed" in p, p
