@@ -8,11 +8,14 @@ resize / frame-sample run as Arrow-batched pandas stages over
 * REAL codecs, written to spec from first principles, for every format
   expressible without a codec library: BMP and WAV (struct-level header /
   chunk parsing), PNG (full DEFLATE-via-zlib + prediction-filter + CRC
-  codec), GIF (genuine variable-width LZW, both directions) and baseline
-  TIFF (IFD tag-directory walking, both byte orders, multi-strip). These
-  decode ACTUAL bytes and back the ``multimodal_real_*`` exact-oracle
-  entries.
-* the JPEG/MP4-class path, where decode genuinely requires PIL/av (absent
+  codec), GIF (genuine variable-width LZW, both directions), baseline
+  TIFF (IFD tag-directory walking, both byte orders, multi-strip), and
+  baseline sequential JPEG (8x8 DCT + quantization + canonical Huffman
+  entropy coding, both directions — see the JPEG section for how a lossy
+  codec still gets an exact oracle). These decode ACTUAL bytes and back
+  the ``multimodal_real_*`` exact-oracle entries.
+* the MP4/video-class path (and non-baseline JPEG: progressive scans,
+  subsampled chroma), where decode genuinely requires PIL/av (absent
   from this container): a clearly-marked deterministic fake keyed on the
   payload hash (default), or ``NotImplementedError`` when ``strict=True``.
 
@@ -129,8 +132,10 @@ def decode_image_features(
         for pdf in batches:
             if strict:
                 raise NotImplementedError(
-                    "real image decode requires PIL/libvips — not available; "
-                    "use strict=False for the deterministic fake"
+                    "generic real image decode requires PIL/libvips — not "
+                    "available; use strict=False for the deterministic fake, "
+                    "or decode_real_media_features for the from-first-"
+                    "principles BMP/PNG/GIF/TIFF/baseline-JPEG codecs"
                 )
             out = pd.DataFrame(
                 {
@@ -469,6 +474,8 @@ def decode_real_media_features(media: DataFrame) -> DataFrame:
                     # big-endian 42 (or vice versa) is not a TIFF and
                     # falls through to kind='unknown' instead of a raise
                     base.update(kind="image", **mm.decode_tiff(payload))
+                elif payload[:2] == b"\xff\xd8":
+                    base.update(kind="image", **mm.decode_jpeg(payload))
                 elif payload[:4] == b"RIFF":
                     base.update(kind="audio", **mm.decode_wav(payload))
                 else:
@@ -1347,6 +1354,624 @@ def synthesize_tiff_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame
                         "payload": mm.synth_tiff(mid, w, h),
                         "meta": {
                             "kind": "image", "mime": "image/tiff",
+                            "width": w, "height": h,
+                            "sample_rate": None, "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG (ITU-T T.81): the full lossy-codec path from first
+# principles — 8x8 DCT, quantization, zigzag, DC prediction, canonical
+# Huffman entropy coding with byte stuffing, JFIF/SOF0 framing — in pure
+# Python float64/integer arithmetic (deterministic IEEE, no codec library).
+#
+# What makes a LOSSY codec exact-oracle-checkable: a block that is CONSTANT
+# has a DC-only DCT (all AC are mathematically zero; float64 residue is
+# ~1e-13, far below the round-to-int threshold), and with a DC quantizer of
+# 1 the DC coefficient 8*(v-128) is integer-exact both directions — so
+# block-constant images roundtrip BIT-EXACTLY through the full entropy-coded
+# pipeline while the codec itself stays fully general. The catalog entry
+# synthesizes block-constant grayscale images and the SQL oracle recomputes
+# the per-image pixel sums from the generator formula; general images are
+# covered by bounded-error roundtrip pytest (AC quantizer 2 keeps every AC
+# magnitude within baseline's category-10 limit of +-1023 even for
+# adversarial checkerboards, at the cost of +-1 per-coefficient error).
+#
+# Honesty boundary: this implements baseline SEQUENTIAL JPEG with 4:4:4 (or
+# single-component) sampling — progressive scans, subsampled chroma, and
+# arithmetic coding raise NotImplementedError with a named reason; MP4-class
+# video decode remains the stubbed tier above.
+# ---------------------------------------------------------------------------
+
+import math
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Canonical Huffman tables from T.81 Annex K.3 (the spec's published
+# example tables, used by virtually every baseline encoder): (BITS, VALS).
+_JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# Quantization: DC divisor 1 (exact integer DC both directions — the
+# block-constant exactness hinges on this), AC divisor 2 (halves the AC
+# range so even a worst-case +-128 checkerboard's coefficients stay within
+# the baseline AC size-category limit of +-1023).
+_JPEG_QTABLE = [1] + [2] * 63
+
+
+def _jpeg_dct_basis() -> list[list[float]]:
+    c = []
+    for u in range(8):
+        s = math.sqrt(1.0 / 8.0) if u == 0 else math.sqrt(2.0 / 8.0)
+        c.append(
+            [s * math.cos((2 * x + 1) * u * math.pi / 16.0) for x in range(8)]
+        )
+    return c
+
+
+_JPEG_DCT_C = _jpeg_dct_basis()
+
+
+def _jpeg_dct2(block: list[list[float]]) -> list[list[float]]:
+    """Forward 2-D DCT-II (orthonormal): C @ B @ C^T, fixed loop order."""
+    c = _JPEG_DCT_C
+    tmp = [
+        [sum(c[u][x] * block[x][y] for x in range(8)) for y in range(8)]
+        for u in range(8)
+    ]
+    return [
+        [sum(tmp[u][y] * c[v][y] for y in range(8)) for v in range(8)]
+        for u in range(8)
+    ]
+
+
+def _jpeg_idct2(coef: list[list[float]]) -> list[list[float]]:
+    """Inverse 2-D DCT (C^T @ F @ C)."""
+    c = _JPEG_DCT_C
+    tmp = [
+        [sum(c[u][x] * coef[u][v] for u in range(8)) for v in range(8)]
+        for x in range(8)
+    ]
+    return [
+        [sum(tmp[x][v] * c[v][y] for v in range(8)) for y in range(8)]
+        for x in range(8)
+    ]
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): codes in value order, by
+    increasing length."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing: 0xFF in entropy data -> 0xFF00
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-pad per spec
+        return bytes(self.buf)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("jpeg: entropy stream truncated")
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(d):
+                raise ValueError("jpeg: dangling 0xFF at end of stream")
+            nxt = d[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                # a real marker inside the scan (EOI reached early, or an
+                # unsupported RSTn) — treated as truncation
+                raise ValueError(f"jpeg: unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_category(v: int) -> tuple[int, int]:
+    """(size, raw bits) for a DC diff / AC value per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    return (size, v if v > 0 else v + (1 << size) - 1)
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    y = round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    r = round(y + 1.402 * (cr - 128))
+    g = round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    b = round(y + 1.772 * (cb - 128))
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
+
+
+def encode_jpeg(width: int, height: int, pixel, gray: bool = True) -> bytes:
+    """Encode a baseline sequential JFIF image. ``pixel(x, y)`` returns a
+    0-255 luma value when ``gray`` else an (r, g, b) tuple; color encodes
+    as 4:4:4 YCbCr (one block per component per MCU). Partial edge blocks
+    pad by edge replication (the decoder crops them away)."""
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+
+    # component planes, level-shifted lazily per block
+    if gray:
+        planes = [lambda x, y: pixel(x, y)]
+    else:
+        def chan(i):
+            return lambda x, y: _rgb_to_ycbcr(*pixel(x, y))[i]
+
+        planes = [chan(0), chan(1), chan(2)]
+
+    ncomp = len(planes)
+    dc_tabs = [_jpeg_huff_codes(*_JPEG_DC_LUMA)] + [
+        _jpeg_huff_codes(*_JPEG_DC_CHROMA)
+    ] * (ncomp - 1)
+    ac_tabs = [_jpeg_huff_codes(*_JPEG_AC_LUMA)] + [
+        _jpeg_huff_codes(*_JPEG_AC_CHROMA)
+    ] * (ncomp - 1)
+
+    out = _JpegBitWriter()
+    prev_dc = [0] * ncomp
+    q = _JPEG_QTABLE
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(planes):
+                block = [
+                    [
+                        float(
+                            plane(
+                                min(bx * 8 + xx, width - 1),
+                                min(by * 8 + yy, height - 1),
+                            )
+                            - 128
+                        )
+                        for yy in range(8)
+                    ]
+                    for xx in range(8)
+                ]
+                coef = _jpeg_dct2(block)
+                # spec zigzag indexes v*8+u (v = vertical frequency); coef
+                # is [horizontal u][vertical v], so flatten v-major
+                flat = [coef[u][v] for v in range(8) for u in range(8)]
+                zz = [
+                    int(round(flat[_JPEG_ZIGZAG[i]] / q[i])) for i in range(64)
+                ]
+                diff = zz[0] - prev_dc[ci]
+                prev_dc[ci] = zz[0]
+                size, raw = _jpeg_category(diff)
+                code, length = dc_tabs[ci][size]
+                out.write(code, length)
+                if size:
+                    out.write(raw, size)
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if zz[i] != 0), default=0
+                )
+                for i in range(1, last_nz + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        zcode, zlen = ac_tabs[ci][0xF0]  # ZRL
+                        out.write(zcode, zlen)
+                        run -= 16
+                    size, raw = _jpeg_category(zz[i])
+                    code, length = ac_tabs[ci][(run << 4) | size]
+                    out.write(code, length)
+                    out.write(raw, size)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_tabs[ci][0x00]  # EOB
+                    out.write(code, length)
+    scan = out.flush()
+
+    def dht(cls: int, tid: int, table: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = table
+        return _jpeg_seg(
+            0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    payload = bytearray()
+    payload += b"\xff\xd8"  # SOI
+    payload += _jpeg_seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00"
+    )
+    payload += _jpeg_seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE))
+    if ncomp > 1:
+        payload += _jpeg_seg(0xDB, bytes([0x01]) + bytes(_JPEG_QTABLE))
+    sof = bytearray([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof.append(ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+    payload += _jpeg_seg(0xC0, bytes(sof))
+    payload += dht(0, 0, _JPEG_DC_LUMA) + dht(1, 0, _JPEG_AC_LUMA)
+    if ncomp > 1:
+        payload += dht(0, 1, _JPEG_DC_CHROMA) + dht(1, 1, _JPEG_AC_CHROMA)
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])  # full spectral selection, no approximation
+    payload += _jpeg_seg(0xDA, bytes(sos))
+    payload += scan
+    payload += b"\xff\xd9"  # EOI
+    return bytes(payload)
+
+
+def _decode_jpeg_core(payload: bytes):
+    """Shared baseline-JPEG decode core: parse the marker stream
+    (DQT/SOF0/DHT/SOS), entropy-decode with the tables the FILE carries
+    (not the encoder's constants), dequantize, inverse-zigzag, IDCT, and
+    clamp. Returns (width, height, ncomp, planes) with planes in component
+    space (Y or Y/Cb/Cr). Progressive (SOF2), subsampled chroma, restart
+    intervals, and non-baseline SOFs raise NotImplementedError by name —
+    the honesty boundary of a from-first-principles baseline codec."""
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[tuple[int, int, int]] = []  # (comp_id, sampling, qtab_id)
+    width = height = 0
+    scan_comps: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
+    while True:
+        if pos + 2 > len(d):
+            raise ValueError("jpeg: truncated before SOS")
+        if d[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before scan
+            raise ValueError("jpeg: EOI before SOS")
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("jpeg: progressive scans not supported")
+        if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
+            raise NotImplementedError("jpeg: non-baseline SOF not supported")
+        seglen = int.from_bytes(d[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > len(d):
+            raise ValueError("jpeg: truncated or corrupt segment")
+        seg = d[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if i + (128 if prec else 64) > len(seg):
+                    raise ValueError("jpeg: truncated DQT")
+                if prec:
+                    vals = [
+                        int.from_bytes(seg[i + 2 * k : i + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                    i += 128
+                else:
+                    vals = list(seg[i : i + 64])
+                    i += 64
+                qtables[tid] = vals
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                if len(bits) < 16 or i + 17 + n > len(seg):
+                    raise ValueError("jpeg: truncated DHT")
+                vals = list(seg[i + 17 : i + 17 + n])
+                table = _jpeg_huff_codes(bits, vals)
+                # decoder wants (length, code) -> symbol
+                rev = {(ln, code): sym for sym, (code, ln) in table.items()}
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = rev
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("jpeg: truncated SOF")
+            for k in range(ncomp):
+                cid, samp, qid = seg[6 + 3 * k : 9 + 3 * k]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "jpeg: subsampled chroma not supported (4:4:4 only)"
+                    )
+                comps.append((cid, samp, qid))
+        elif marker == 0xDD:  # DRI
+            if int.from_bytes(seg[:2], "big") != 0:
+                raise NotImplementedError("jpeg: restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for k in range(ns):
+                cid, tabs = seg[1 + 2 * k], seg[2 + 2 * k]
+                idx = next(
+                    i for i, (c, _, _) in enumerate(comps) if c == cid
+                )
+                scan_comps.append((idx, tabs >> 4, tabs & 0x0F))
+            pos += seglen
+            break
+        pos += seglen
+    if not comps or width == 0:
+        raise ValueError("jpeg: no SOF before SOS")
+
+    reader = _JpegBitReader(d, pos)
+
+    def huff_decode(rev: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.bit()
+            sym = rev.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    ncomp = len(comps)
+    planes = [
+        [[0] * (bh * 8) for _ in range(bw * 8)] for _ in range(ncomp)
+    ]
+    prev_dc = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, dc_id, ac_id in scan_comps:
+                try:
+                    qt = qtables[comps[ci][2]]
+                    dc_rev = dc_tabs[dc_id]
+                    ac_rev = ac_tabs[ac_id]
+                except KeyError as e:
+                    raise ValueError(f"jpeg: undefined table id {e}") from None
+                zz = [0] * 64
+                size = huff_decode(dc_rev)
+                diff = _jpeg_extend(reader.bits(size), size)
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                i = 1
+                while i < 64:
+                    sym = huff_decode(ac_rev)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    i += run
+                    if i > 63:
+                        raise ValueError("jpeg: AC run overflows block")
+                    zz[i] = _jpeg_extend(reader.bits(size), size)
+                    i += 1
+                coef = [[0.0] * 8 for _ in range(8)]
+                for i in range(64):
+                    # inverse zigzag: natural index v*8+u
+                    nat = _JPEG_ZIGZAG[i]
+                    v, u = nat >> 3, nat & 7
+                    coef[u][v] = float(zz[i] * qt[i])
+                spatial = _jpeg_idct2(coef)
+                plane = planes[ci]
+                for xx in range(8):
+                    col = plane[bx * 8 + xx]
+                    row = spatial[xx]
+                    for yy in range(8):
+                        val = int(round(row[yy])) + 128
+                        col[by * 8 + yy] = (
+                            0 if val < 0 else (255 if val > 255 else val)
+                        )
+
+    return width, height, ncomp, planes
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Exact-feature dict (width/height + per-channel pixel sums) for a
+    baseline JPEG; grayscale reports the luma sum on all three channels,
+    color converts YCbCr -> RGB per JFIF before summing."""
+    width, height, ncomp, planes = _decode_jpeg_core(payload)
+    sum_r = sum_g = sum_b = 0
+    if ncomp == 1:
+        for x in range(width):
+            col = planes[0][x]
+            for y in range(height):
+                sum_r += col[y]
+        sum_g = sum_b = sum_r
+    else:
+        for x in range(width):
+            cy, ccb, ccr = planes[0][x], planes[1][x], planes[2][x]
+            for y in range(height):
+                r, g, b = _ycbcr_to_rgb(cy[y], ccb[y], ccr[y])
+                sum_r += r
+                sum_g += g
+                sum_b += b
+    return {
+        "width": width,
+        "height": height,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """(width, height, pixel) for a decoded baseline JPEG — pixel(x, y)
+    returns luma for grayscale, (r, g, b) for color. Test-side helper for
+    bounded-error roundtrip checks; shares the full decode core."""
+    width, height, ncomp, planes = _decode_jpeg_core(payload)
+    if ncomp == 1:
+        return width, height, lambda x, y: planes[0][x][y]
+    return (
+        width,
+        height,
+        lambda x, y: _ycbcr_to_rgb(
+            planes[0][x][y], planes[1][x][y], planes[2][x][y]
+        ),
+    )
+
+
+def _jpeg_block_value(seed: int, bx: int, by: int) -> int:
+    """Generator for the block-constant exact-oracle images."""
+    return (seed * 31 + by * 17 + bx * 7) % 256
+
+
+def synth_jpeg(seed: int, width: int, height: int) -> bytes:
+    """Block-constant grayscale image (dims multiples of 8): the exactly-
+    representable class for a lossy DCT codec — see section comment."""
+    return encode_jpeg(
+        width, height, lambda x, y: _jpeg_block_value(seed, x // 8, y // 8)
+    )
+
+
+def synthesize_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """media_id -> real baseline-JPEG payload bytes (block-constant
+    grayscale, dims a deterministic function of the id), via mapInPandas —
+    payloads never visit the driver."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": mm.synth_jpeg(mid, w, h),
+                        "meta": {
+                            "kind": "image", "mime": "image/jpeg",
                             "width": w, "height": h,
                             "sample_rate": None, "duration_ms": None,
                         },

@@ -144,6 +144,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "agg_hll_sketch_union",
     # round-6 additions
     "join_skew_aqe_rollup",
+    "multimodal_real_jpeg",
 ]
 # Round-6 additions append to DEFERRED_TO_NEXT_WINDOW (17 carried + new
 # entries must stay within the 50-slot round-7 window; the conventions

@@ -1803,3 +1803,131 @@ def test_tiff_dispatch_rejects_mismatched_magic(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = decode_real_media_features(df).collect()
     assert out[0]["kind"] == "unknown"
+
+
+def test_jpeg_block_constant_roundtrip_bit_exact():
+    """The exactly-representable class of the lossy codec: block-constant
+    grayscale images (DC-only blocks, DC quantizer 1) must roundtrip the
+    FULL entropy-coded pipeline to the exact generator values — this is
+    what backs the multimodal_real_jpeg oracle."""
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    for seed in (0, 1, 5, 42, 255, 1000):
+        w, h = 8 * (1 + seed % 3), 8 * (1 + seed % 2)
+        payload = mm.synth_jpeg(seed, w, h)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        W, H, pix = mm.decode_jpeg_pixels(payload)
+        assert (W, H) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                assert pix(x, y) == mm._jpeg_block_value(seed, x // 8, y // 8)
+
+
+def test_jpeg_general_roundtrip_bounded_error():
+    """General images genuinely lose data to the AC quantizer (divisor 2);
+    the roundtrip error must stay within the per-coefficient bound.
+    Covers non-multiple-of-8 dims (edge-replication padding + crop),
+    adversarial max-AC-energy checkerboards (the category-overflow trap a
+    quant-1 AC table would hit), and 4:4:4 color."""
+    import random
+
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    rng = random.Random(7)
+    w, h = 19, 11
+    px = {(x, y): rng.randrange(256) for x in range(w) for y in range(h)}
+    W, H, pix = mm.decode_jpeg_pixels(
+        mm.encode_jpeg(w, h, lambda x, y: px[(x, y)])
+    )
+    assert (W, H) == (w, h)
+    assert max(abs(pix(x, y) - px[(x, y)]) for x in range(w) for y in range(h)) <= 16
+
+    # checkerboard: max AC energy, must encode without category overflow
+    W, H, pix = mm.decode_jpeg_pixels(
+        mm.encode_jpeg(16, 16, lambda x, y: 255 if (x + y) % 2 else 0)
+    )
+    assert all(
+        pix(x, y) == (255 if (x + y) % 2 else 0)
+        for x in range(16)
+        for y in range(16)
+    )
+
+    # color (RGB -> YCbCr -> RGB adds conversion rounding)
+    pxc = {
+        (x, y): (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for x in range(w)
+        for y in range(h)
+    }
+    W, H, pix = mm.decode_jpeg_pixels(
+        mm.encode_jpeg(w, h, lambda x, y: pxc[(x, y)], gray=False)
+    )
+    assert (W, H) == (w, h)
+    assert (
+        max(
+            max(abs(a - b) for a, b in zip(pix(x, y), pxc[(x, y)]))
+            for x in range(w)
+            for y in range(h)
+        )
+        <= 16
+    )
+
+
+def test_jpeg_decoder_rejects_corruption_and_names_unsupported():
+    """Structural garbage raises ValueError; genuinely-unsupported JPEG
+    variants (progressive, subsampled chroma, restart intervals) raise
+    NotImplementedError BY NAME — the honesty boundary, not a silent
+    wrong answer."""
+    import pytest
+
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    good = mm.synth_jpeg(3, 16, 8)
+
+    with pytest.raises(ValueError, match="SOI"):
+        mm.decode_jpeg(b"\x00\x01" + good[2:])
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(good[:40])  # truncated before SOS
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(good[:-20])  # truncated entropy stream
+
+    # flip SOF0 -> SOF2 (progressive): must raise by name
+    sof_at = good.find(b"\xff\xc0")
+    prog = good[:sof_at] + b"\xff\xc2" + good[sof_at + 2 :]
+    with pytest.raises(NotImplementedError, match="progressive"):
+        mm.decode_jpeg(prog)
+
+    # claim 2x2 subsampling in SOF: must raise by name
+    sub = bytearray(good)
+    sub[sof_at + 11] = 0x22  # component 1 sampling factors
+    with pytest.raises(NotImplementedError, match="subsampl"):
+        mm.decode_jpeg(bytes(sub))
+
+
+def test_jpeg_real_media_dispatch(spark):
+    """JPEG payloads decode off their own magic bytes alongside the other
+    real codecs, and the decoded sums equal the closed-form block sums."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        _jpeg_block_value,
+        decode_real_media_features,
+        synthesize_jpeg_media,
+        synthesize_real_media,
+    )
+
+    ids = spark.range(0, 4).select(F.col("id").alias("media_id"))
+    mixed = synthesize_real_media(ids).unionByName(
+        synthesize_jpeg_media(
+            spark.range(200, 204).select(F.col("id").alias("media_id"))
+        )
+    )
+    rows = {r["media_id"]: r for r in decode_real_media_features(mixed).collect()}
+    for mid in (200, 201, 202, 203):
+        w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+        exp = sum(
+            64 * _jpeg_block_value(mid, bx, by)
+            for by in range(h // 8)
+            for bx in range(w // 8)
+        )
+        r = rows[mid]
+        assert r["kind"] == "image"
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["sum_r"] == r["sum_g"] == r["sum_b"] == exp
