@@ -145,6 +145,10 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     # round-6 additions
     "join_skew_aqe_rollup",
     "multimodal_real_jpeg",
+    "fn_listagg_family",
+    "fn_sql_scripting",
+    "stream_state_store_read",
+    "ml_naive_bayes",
 ]
 # Round-6 additions append to DEFERRED_TO_NEXT_WINDOW (17 carried + new
 # entries must stay within the 50-slot round-7 window; the conventions

@@ -672,3 +672,87 @@ def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(try_to_number(cast(cast(l_quantity as bigint) as string), '999999') AS BIGINT)").alias("parsed_qty"),
         F.try_element_at(F.array(F.col("l_orderkey")), F.lit(5)).alias("oob_element"),
     )
+
+
+@register(
+    "fn_listagg_family",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           string_agg(CAST(n_nationkey AS VARCHAR), '|' ORDER BY n_nationkey)
+             AS keys_piped,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def fn_listagg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 ``listagg ... WITHIN GROUP (ORDER BY ...)`` (new in Spark
+    4): ordered string aggregation — the ONLY deterministic form (an
+    unordered listagg is partition-merge-order-dependent and could never
+    hash-match across engines; the within-group sort with a unique key is
+    what makes the output exact). DuckDB spells it ``string_agg(expr,
+    sep ORDER BY ...)``; both sides produce identical CSV/piped strings.
+    At scale listagg is a single grouped aggregate — the per-group sort
+    happens inside the aggregate buffer, no global sort."""
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_la_v")
+    read_table(spark, sf_dir, "region").createOrReplaceTempView("region_la_v")
+    return spark.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                 AS nations_csv,
+               listagg(CAST(n_nationkey AS STRING), '|')
+                 WITHIN GROUP (ORDER BY n_nationkey) AS keys_piped,
+               CAST(count(*) AS BIGINT) AS n_nations
+        FROM nation_la_v JOIN region_la_v ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+@register(
+    "fn_sql_scripting",
+    oracle="""
+    WITH pc AS (
+      SELECT o_orderpriority AS p, count(*) AS c
+      FROM orders GROUP BY o_orderpriority),
+    r AS (SELECT c, row_number() OVER (ORDER BY p) AS rn FROM pc)
+    SELECT CAST(count(*) AS BIGINT) AS n_priorities,
+           CAST(sum(c * rn) AS BIGINT) AS rank_weighted_total
+    FROM r
+    """,
+)
+def fn_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (SQL/PSM compound statements, new in Spark 4.1):
+    DECLARE'd session variables, a FOR cursor loop over a query result,
+    and SET accumulation — the procedural surface a migrating stored-
+    procedure user needs. The block walks the order-priority counts in
+    ORDER BY order accumulating a rank-weighted total; the oracle states
+    the same computation declaratively (row_number + sum), proving the
+    imperative loop and the declarative form agree exactly.
+
+    Scale note: scripting is DRIVER-side control flow — each statement
+    inside the block is still a full distributed query; the loop here
+    iterates over a 5-row AGGREGATE, never raw data. Anything per-row
+    imperative at 100 TB belongs in an expression, not a cursor."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_script_v"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE n INT DEFAULT 0;
+          FOR rec AS SELECT o_orderpriority AS p,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM orders_script_v
+                     GROUP BY o_orderpriority ORDER BY o_orderpriority DO
+            SET n = n + 1;
+            SET total = total + rec.c * n;
+          END FOR;
+          SELECT CAST(n AS BIGINT) AS n_priorities,
+                 CAST(total AS BIGINT) AS rank_weighted_total;
+        END
+        """
+    )

@@ -415,3 +415,125 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n1", "n0", "auc_num", "auc_den")
     )
+
+
+@register(
+    "ml_naive_bayes",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS cls, l_linestatus AS f_status,
+             CASE WHEN l_quantity <= 25 THEN 'lo' ELSE 'hi' END AS f_qty
+      FROM lineitem),
+    prior AS (SELECT cls, count(*) AS n_c FROM pts GROUP BY cls),
+    fs AS (SELECT cls, f_status, count(*) AS n_sc FROM pts GROUP BY cls, f_status),
+    fq AS (SELECT cls, f_qty, count(*) AS n_qc FROM pts GROUP BY cls, f_qty),
+    cells AS (SELECT DISTINCT f_status, f_qty FROM pts),
+    scored AS (
+      SELECT c.f_status, c.f_qty, p.cls,
+             CAST(p.n_c AS HUGEINT)
+               * (COALESCE(s.n_sc, 0) + 1) * (COALESCE(q.n_qc, 0) + 1)
+               AS num,
+             CAST(p.n_c + 2 AS HUGEINT) * (p.n_c + 2) AS den
+      FROM cells c
+      CROSS JOIN prior p
+      LEFT JOIN fs s ON s.cls = p.cls AND s.f_status = c.f_status
+      LEFT JOIN fq q ON q.cls = p.cls AND q.f_qty = c.f_qty),
+    ranked AS (
+      SELECT a.f_status, a.f_qty, a.cls,
+             row_number() OVER (
+               PARTITION BY a.f_status, a.f_qty
+               ORDER BY (SELECT count(*) FROM scored b
+                         WHERE b.f_status = a.f_status AND b.f_qty = a.f_qty
+                           AND (b.num * a.den > a.num * b.den
+                                OR (b.num * a.den = a.num * b.den
+                                    AND b.cls < a.cls))) ASC, a.cls
+             ) AS rk
+      FROM scored a),
+    counts AS (
+      SELECT f_status, f_qty, CAST(count(*) AS BIGINT) AS n_rows
+      FROM pts GROUP BY f_status, f_qty)
+    SELECT r.f_status, r.f_qty, r.cls AS predicted_flag, c.n_rows
+    FROM ranked r JOIN counts c
+      ON c.f_status = r.f_status AND c.f_qty = r.f_qty
+    WHERE r.rk = 1
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-rational Naive Bayes: categorical features (linestatus,
+    quantity band) predict the return flag with Laplace-smoothed
+    likelihoods — and the whole argmax is INTEGER arithmetic, so the
+    driver hash-compare is exact where a log-space formulation (the
+    textbook float path) could never be (ln is banned from hashed
+    outputs; cross-engine float argmax flips ranks on ties).
+
+    score(c | s, q) ∝ n_c · (n_sc+1)/(n_c+2) · (n_qc+1)/(n_c+2); the
+    denominator (n_c+2)² makes score comparison a CROSS-MULTIPLICATION
+    of integers up to ~n⁵ — beyond BIGINT at sf0.1, so both sides carry
+    the products in 128-bit-capable types (Spark DECIMAL(38,0), DuckDB
+    HUGEINT). Ties break lexicographically by class. Train and predict
+    are the same two grouped aggregates + a broadcast of the 3x2x2 model
+    — at 100 TB the model table is still 12 rows; scoring any table is a
+    map-only broadcast join, the same shape as ml_linear_score_classify.
+
+    The oracle restates the argmax as an explicit dominance count (class
+    beaten by none) — a deliberately different formulation of the same
+    exact comparison."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("cls"),
+        F.col("l_linestatus").alias("f_status"),
+        F.when(F.col("l_quantity") <= 25, F.lit("lo"))
+        .otherwise(F.lit("hi"))
+        .alias("f_qty"),
+    )
+    li = li.persist()  # three grouped passes over the labeled points
+    prior = li.groupBy("cls").agg(F.count("*").alias("n_c"))
+    fs = li.groupBy("cls", "f_status").agg(F.count("*").alias("n_sc"))
+    fq = li.groupBy("cls", "f_qty").agg(F.count("*").alias("n_qc"))
+    cells = li.select("f_status", "f_qty").distinct()
+    dec = "decimal(38,0)"
+    scored = (
+        cells.crossJoin(F.broadcast(prior))
+        .join(F.broadcast(fs), ["cls", "f_status"], "left")
+        .join(F.broadcast(fq), ["cls", "f_qty"], "left")
+        .select(
+            "f_status",
+            "f_qty",
+            "cls",
+            (
+                F.col("n_c").cast(dec)
+                * (F.coalesce(F.col("n_sc"), F.lit(0)) + 1)
+                * (F.coalesce(F.col("n_qc"), F.lit(0)) + 1)
+            ).alias("num"),
+            ((F.col("n_c") + 2).cast(dec) * (F.col("n_c") + 2)).alias("den"),
+        )
+    )
+    s2 = scored.select(
+        F.col("f_status").alias("b_status"),
+        F.col("f_qty").alias("b_qty"),
+        F.col("cls").alias("b_cls"),
+        F.col("num").alias("b_num"),
+        F.col("den").alias("b_den"),
+    )
+    # argmax as a dominance count over the tiny scored model (12 rows):
+    # class kept iff NO other class strictly beats it (cross-multiplied
+    # exact comparison), ties broken lexicographically.
+    beaten = (
+        scored.join(
+            F.broadcast(s2),
+            (F.col("f_status") == F.col("b_status"))
+            & (F.col("f_qty") == F.col("b_qty"))
+            & (
+                (F.col("b_num") * F.col("den") > F.col("num") * F.col("b_den"))
+                | (
+                    (F.col("b_num") * F.col("den") == F.col("num") * F.col("b_den"))
+                    & (F.col("b_cls") < F.col("cls"))
+                )
+            ),
+            "left_anti",
+        )
+        .select("f_status", "f_qty", F.col("cls").alias("predicted_flag"))
+    )
+    counts = li.groupBy("f_status", "f_qty").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    return beaten.join(counts, ["f_status", "f_qty"])

@@ -703,3 +703,48 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_partitions(spark):
         run_to_completion(joined, name, "append")
     return spark.table(name).filter(F.col("user_id") != sentinel_user)
+
+
+@register(
+    "stream_state_store_read",
+    oracle="""
+    SELECT event_type, CAST(sum(user_id) AS BIGINT) AS user_id_sum
+    FROM events WHERE user_id % 13 = 0 GROUP BY event_type
+    """,
+)
+def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE STORE READER (Spark 4 ``statestore`` batch source): after a
+    stateful streaming aggregation drains, its checkpoint is itself a
+    queryable TABLE — the ops/debugging surface for inspecting live
+    streaming state without stopping the query (state-for-key forensics,
+    state-size audits, seeding migrations). The entry drains a grouped
+    sum over the event replay into a fresh checkpoint (noop sink: state
+    is the product, not the emissions), then reads the state back via
+    ``spark.read.format("statestore")`` and flattens key/value structs to
+    plain columns. The oracle is the same aggregate stated in batch SQL —
+    an exact hash match proves checkpointed state IS the aggregate, i.e.
+    recovery replays nothing.
+
+    Scale: the reader exposes one row per state entry with
+    partition-parallel scans of the HDFS/RocksDB store files; state
+    partition count is sized by ``_stream_partitions`` (state volume, not
+    CPU count) exactly as the other stateful entries."""
+    import tempfile as _tf
+
+    stream = _replayed_stream(spark, sf_dir).filter(F.col("user_id") % 13 == 0)
+    agg = stream.groupBy("event_type").agg(F.sum("user_id").alias("s"))
+    ck = _tf.mkdtemp(prefix="ssread_q_") + "/ck"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    st = spark.read.format("statestore").load(ck)
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.sum").cast("long").alias("user_id_sum"),
+    )
