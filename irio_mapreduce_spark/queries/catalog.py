@@ -149,6 +149,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "fn_sql_scripting",
     "stream_state_store_read",
     "ml_naive_bayes",
+    "events_ewma_fixed_point",
+    "merge_scd2_history",
+    "ml_decision_stump",
 ]
 # Round-6 additions append to DEFERRED_TO_NEXT_WINDOW (17 carried + new
 # entries must stay within the 50-slot round-7 window; the conventions

@@ -860,3 +860,67 @@ def events_path_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top_k(counted, [F.col("n").desc(), F.col("path")], 20)
+
+
+@register(
+    "events_ewma_fixed_point",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS t_us, event_id
+      FROM events WHERE user_id % 17 = 0),
+    lst AS (
+      SELECT user_id, list(cents ORDER BY t_us, event_id) AS xs,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM pts GROUP BY user_id)
+    SELECT user_id, n_events,
+           CAST(list_reduce(xs, (acc, x) -> acc + (x - acc) // 4) AS BIGINT)
+             AS ewma_cents
+    FROM lst
+    """,
+)
+def events_ewma_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIAL moving average as a FIXED-POINT integer fold: the
+    recursive filter E_t = E_{t-1} + (x_t − E_{t-1}) div 4 (dyadic
+    α = 1/4, E_0 = x_0) over each user's time-ordered cent-scaled values.
+    Floats cannot cross the driver's exact-hash gate for a RECURSIVE
+    statistic (error compounds per step and the engines' rounding paths
+    differ); integer truncating division is bit-identical in both
+    engines (Spark ``DIV`` and DuckDB ``//`` both truncate toward zero —
+    probed on negatives, which (x − acc) regularly is).
+
+    Shape: one grouped collect into a per-user ordered array, then a JVM
+    higher-order ``aggregate`` fold — sequential per KEY (a recursive
+    filter is inherently so) but embarrassingly parallel across users.
+    Arrays are bounded by per-user event counts; for unbounded streams
+    the same recurrence runs incrementally in the stateful streaming
+    operator (the fold IS its state transition). DuckDB states the
+    identical fold via ``list_reduce``, whose implicit init is the first
+    element — the Spark side slices past element 1 to match."""
+    pts = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 17 == 0
+    ).select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+    )
+    lst = pts.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("t_us", "event_id", "cents"))
+        ).alias("seq"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return lst.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            """
+            aggregate(
+              slice(transform(seq, s -> s.cents), 2, size(seq) - 1),
+              element_at(transform(seq, s -> s.cents), 1),
+              (acc, x) -> acc + (x - acc) DIV 4
+            )
+            """
+        ).cast("long").alias("ewma_cents"),
+    )

@@ -8,7 +8,7 @@ that promise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.io import read_table
@@ -537,3 +537,122 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows")
     )
     return beaten.join(counts, ["f_status", "f_qty"])
+
+
+@register(
+    "ml_decision_stump",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem),
+    per_q AS (
+      SELECT q, count(*) AS n_q, sum(pos) AS pos_q FROM pts GROUP BY q),
+    cum AS (
+      SELECT q,
+             sum(n_q) OVER w AS n_l, sum(pos_q) OVER w AS pos_l,
+             (SELECT count(*) FROM pts) AS n,
+             (SELECT sum(pos) FROM pts) AS pos_tot
+      FROM per_q WINDOW w AS (ORDER BY q)),
+    cand AS (
+      SELECT q AS t, n_l, pos_l, n - n_l AS n_r, pos_tot - pos_l AS pos_r
+      FROM cum WHERE n_l > 0 AND n - n_l > 0),
+    scored AS (
+      SELECT t, n_l, n_r, pos_l, pos_r,
+             2 * (CAST(pos_l AS HUGEINT) * (n_l - pos_l) * n_r
+                  + CAST(pos_r AS HUGEINT) * (n_r - pos_r) * n_l) AS num,
+             CAST(n_l AS HUGEINT) * n_r AS den
+      FROM cand)
+    SELECT CAST(a.t AS BIGINT) AS best_threshold,
+           CAST(a.n_l AS BIGINT) AS n_left,
+           CAST(a.n_r AS BIGINT) AS n_right,
+           CAST(a.pos_l AS BIGINT) AS pos_left,
+           CAST(a.pos_r AS BIGINT) AS pos_right
+    FROM scored a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM scored b
+      WHERE b.num * a.den < a.num * b.den
+         OR (b.num * a.den = a.num * b.den AND b.t < a.t))
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-LEVEL decision tree (CART stump): the best single quantity
+    threshold separating returned from kept lineitems, chosen by MINIMUM
+    Gini-weighted impurity — and the whole argmin is EXACT integer
+    arithmetic. Per-leaf Gini numerator collapses to 2·pos·neg (binary
+    target), so score(t) = 2·(posL·negL·nR + posR·negR·nL) / (nL·nR);
+    thresholds compare by cross-multiplication (products reach ~n^5 —
+    DECIMAL(38) on the Spark side, HUGEINT in DuckDB), ties break at the
+    smallest threshold. No float impurity anywhere: a float argmin flips
+    winners across engines when two splits are near-equal.
+
+    Shape: one grouped aggregate compacts 100 TB of rows to |distinct
+    quantity| = 50 rows; the cumulative window, candidate scoring, and
+    the dominance anti-join all run on that 50-row frame (broadcast,
+    sub-millisecond) — the same compact-the-domain-first pattern as the
+    KS test and exact AUC. Greedy deeper trees = recurse per leaf, one
+    grouped pass per level."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    per_q = li.groupBy("q").agg(
+        F.count("*").alias("n_q"), F.sum("pos").alias("pos_q")
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    tot = li.agg(
+        F.count("*").alias("n"), F.sum("pos").alias("pos_tot")
+    )
+    cum = (
+        per_q.withColumn("n_l", F.sum("n_q").over(w))
+        .withColumn("pos_l", F.sum("pos_q").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = "decimal(38,0)"
+    cand = cum.filter(
+        (F.col("n_l") > 0) & (F.col("n") - F.col("n_l") > 0)
+    ).select(
+        F.col("q").alias("t"),
+        "n_l",
+        "pos_l",
+        (F.col("n") - F.col("n_l")).alias("n_r"),
+        (F.col("pos_tot") - F.col("pos_l")).alias("pos_r"),
+    )
+    scored = cand.select(
+        "t",
+        "n_l",
+        "n_r",
+        "pos_l",
+        "pos_r",
+        (
+            F.lit(2).cast(dec)
+            * (
+                F.col("pos_l").cast(dec) * (F.col("n_l") - F.col("pos_l")) * F.col("n_r")
+                + F.col("pos_r").cast(dec) * (F.col("n_r") - F.col("pos_r")) * F.col("n_l")
+            )
+        ).alias("num"),
+        (F.col("n_l").cast(dec) * F.col("n_r")).alias("den"),
+    )
+    other = scored.select(
+        F.col("t").alias("b_t"),
+        F.col("num").alias("b_num"),
+        F.col("den").alias("b_den"),
+    )
+    best = scored.join(
+        F.broadcast(other),
+        (F.col("b_num") * F.col("den") < F.col("num") * F.col("b_den"))
+        | (
+            (F.col("b_num") * F.col("den") == F.col("num") * F.col("b_den"))
+            & (F.col("b_t") < F.col("t"))
+        ),
+        "left_anti",
+    )
+    return best.select(
+        F.col("t").cast("long").alias("best_threshold"),
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("n_r").cast("long").alias("n_right"),
+        F.col("pos_l").cast("long").alias("pos_left"),
+        F.col("pos_r").cast("long").alias("pos_right"),
+    )

@@ -2747,3 +2747,77 @@ def join_skew_aqe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(key, val)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "merge_scd2_history",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey, o_orderpriority,
+             epoch_us(o_orderdate) AS t_us, o_orderkey
+      FROM orders WHERE o_custkey % 151 = 0),
+    seq AS (
+      SELECT o_custkey, o_orderpriority, t_us, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev_p
+      FROM src
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY t_us, o_orderkey)),
+    ch AS (
+      SELECT o_custkey, o_orderpriority, t_us, o_orderkey
+      FROM seq WHERE prev_p IS NULL OR prev_p <> o_orderpriority),
+    hist AS (
+      SELECT o_custkey, o_orderpriority, t_us,
+             lead(t_us) OVER (
+               PARTITION BY o_custkey ORDER BY t_us, o_orderkey
+             ) AS t_next
+      FROM ch)
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           t_us AS valid_from_us,
+           COALESCE(t_next, 253402300800000000) AS valid_to_us,
+           CAST(t_next IS NULL AS BOOLEAN) AS is_current
+    FROM hist
+    """,
+)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOWLY-CHANGING-DIMENSION TYPE 2: rebuild the full change HISTORY
+    of a per-customer attribute (order priority as the tracked value)
+    from an ordered change stream — each run of equal consecutive values
+    collapses to ONE versioned row with [valid_from, valid_to) bounds and
+    an is_current flag (open rows close at the 9999-12-31 sentinel,
+    exact integer microseconds). The companion merge_scd1_upsert keeps
+    only latest-state; SCD2 is the warehouse pattern when point-in-time
+    ("what was this customer's priority when the order shipped?") joins
+    must stay answerable — the as-of join entries consume exactly this
+    shape.
+
+    Shape: two window passes over the same (key, time) partitioning —
+    change detection via lag, interval closing via lead — ONE shuffle
+    (the second window reuses the first's partitioning/order; AQE plans
+    a single exchange). Deterministic tie-break: orderkey within equal
+    timestamps."""
+    src = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 151 == 0
+    ).select(
+        "o_custkey",
+        "o_orderpriority",
+        F.unix_micros("o_orderdate").alias("t_us"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("t_us", "o_orderkey")
+    ch = (
+        src.withColumn("prev_p", F.lag("o_orderpriority").over(w))
+        .filter(
+            F.col("prev_p").isNull()
+            | (F.col("prev_p") != F.col("o_orderpriority"))
+        )
+        .drop("prev_p")
+    )
+    hist = ch.withColumn("t_next", F.lead("t_us").over(w))
+    return hist.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("t_us").alias("valid_from_us"),
+        F.coalesce(F.col("t_next"), F.lit(253402300800000000)).alias(
+            "valid_to_us"
+        ),
+        F.col("t_next").isNull().alias("is_current"),
+    )
