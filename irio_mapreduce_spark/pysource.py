@@ -35,6 +35,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -63,6 +64,9 @@ class DirTextDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return DirTextWriter(self.options, overwrite, schema)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return DirTextStreamWriter(self.options, schema)
 
 
 class DirTextReader(DataSourceReader):
@@ -136,6 +140,53 @@ class DirTextWriter(DataSourceWriter):
             os.rename(m, os.path.join(self.dir, f"part-{next_i + i:05d}.txt"))
 
     def abort(self, messages):
+        for m in messages:
+            if m.tmp_path and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class DirTextStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the dirtext SINK — the fourth quadrant of the
+    custom-source surface (batch read/write + stream read exist above).
+    Per micro-batch: tasks write ``_tmp_`` files and report them; the
+    driver finalizes them under a batch-scoped prefix at ``commit(...,
+    batchId)``. Replay-idempotent: a re-committed batch first deletes
+    every file carrying its own prefix, so a failure between task writes
+    and commit can never double data — the sink-side half of streaming
+    exactly-once (the source-side half is ``DirTailStreamReader``'s
+    deterministic ``readBetweenOffsets``)."""
+
+    def __init__(self, options, schema=None):
+        self.dir = options["path"]
+        if schema is not None and len(schema.fields) != 1:
+            raise ValueError(
+                "dirtext writes exactly one column per line; got schema "
+                f"{[f.name for f in schema.fields]} — select the single "
+                "column to serialize before writing"
+            )
+
+    def write(self, iterator):
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f"_tmp_{uuid.uuid4().hex}")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(str(row[-1]) + "\n")
+                n += 1
+        if n == 0:
+            os.remove(tmp)
+            return DirTextCommitMessage("")
+        return DirTextCommitMessage(tmp)
+
+    def commit(self, messages, batchId: int) -> None:
+        prefix = f"b{batchId:05d}-"
+        for f in os.listdir(self.dir):  # idempotent replay: clear own batch
+            if f.startswith(prefix):
+                os.remove(os.path.join(self.dir, f))
+        for i, m in enumerate(sorted(m.tmp_path for m in messages if m.tmp_path)):
+            os.rename(m, os.path.join(self.dir, f"{prefix}{i:05d}.txt"))
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m.tmp_path and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)

@@ -152,6 +152,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_ewma_fixed_point",
     "merge_scd2_history",
     "ml_decision_stump",
+    "source_pystream_writer_wordcount",
 ]
 # Round-6 additions append to DEFERRED_TO_NEXT_WINDOW (17 carried + new
 # entries must stay within the 50-slot round-7 window; the conventions

@@ -459,3 +459,51 @@ def fn_xml_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_int(xml, F.lit("/part/size")).cast("long").alias("x_size"),
         F.size(F.xpath(words_xml, F.lit("/ws/w/text()"))).cast("long").alias("n_words"),
     )
+
+
+@register(
+    "source_pystream_writer_wordcount",
+    oracle=_WORDCOUNT_ORACLE,
+)
+def source_pystream_writer_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING SINK half of the pure-Python source — with this the
+    custom dirtext/dirtail format covers ALL FOUR quadrants (batch read,
+    batch write, stream read, stream write). Documents flow out through
+    the batch dirtext writer, tail back in through the dirtail streaming
+    source, and stream OUT again through ``DirTextStreamWriter`` — whose
+    per-micro-batch commit finalizes task ``_tmp_`` files under a
+    batch-scoped prefix and is replay-idempotent (a re-run batch deletes
+    its own prefix first, so failure between task writes and commit can
+    never double data). The batch dirtext reader then re-reads the
+    stream-written directory and the same top-20 wordcount oracle must
+    hash-match — one dropped, doubled, or torn line anywhere in the
+    chain breaks it."""
+    import tempfile
+
+    from irio_mapreduce_spark import pysource
+
+    pysource.register(spark)
+    base = tempfile.mkdtemp(prefix="pystream_w_")
+    a, b, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.regexp_replace(F.col("text"), r"[\r\n]+", " ").alias("value")
+    )
+    docs.repartition(4).write.format("dirtext").option("path", a).mode(
+        "append"
+    ).save()
+    stream = (
+        spark.readStream.format("dirtail")
+        .option("path", a)
+        .load()
+        .select("value")
+    )
+    q = (
+        stream.writeStream.format("dirtext")
+        .option("path", b)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    lines = spark.read.format("dirtext").option("path", b).load()
+    return _top20_wordcount(lines)

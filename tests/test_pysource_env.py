@@ -43,3 +43,46 @@ def test_dirtail_entry_survives_foreign_cwd_and_stripped_pythonpath(tmp_path):
     tail = (proc.stdout + proc.stderr)[-2000:]
     assert proc.returncode == 0, f"dirtail entry failed outside the repo:\n{tail}"
     assert "ok   source_dirtail_stream_wordcount" in proc.stdout, tail
+
+
+def test_stream_writer_commit_is_replay_idempotent(tmp_path):
+    """A re-committed micro-batch (failure between task writes and driver
+    commit -> Spark replays the batch) must not double data: commit()
+    clears its own batch prefix before finalizing, and a second task
+    attempt's tmp files land under the same prefix."""
+    import os
+
+    from irio_mapreduce_spark.pysource import (
+        DirTextCommitMessage,
+        DirTextStreamWriter,
+    )
+
+    d = str(tmp_path / "out")
+    w = DirTextStreamWriter({"path": d})
+
+    def run_batch(lines):
+        msgs = []
+        os.makedirs(d, exist_ok=True)
+        for chunk in lines:
+            tmp = os.path.join(d, f"_tmp_test_{len(msgs)}_{chunk[0]}")
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(chunk) + "\n")
+            msgs.append(DirTextCommitMessage(tmp))
+        return msgs
+
+    w.commit(run_batch([["a", "b"], ["c"]]), batchId=0)
+    first = sorted(os.listdir(d))
+    assert first == ["b00000-00000.txt", "b00000-00001.txt"]
+
+    # replay batch 0 (e.g. commit raced a crash): same data, new tmps
+    w.commit(run_batch([["a", "b"], ["c"]]), batchId=0)
+    assert sorted(os.listdir(d)) == first  # no duplicates, no leftovers
+
+    # a later batch appends under its own prefix
+    w.commit(run_batch([["d"]]), batchId=1)
+    assert sorted(os.listdir(d)) == first + ["b00001-00000.txt"]
+
+    lines = []
+    for f in sorted(os.listdir(d)):
+        lines += open(os.path.join(d, f)).read().split()
+    assert lines == ["a", "b", "c", "d"]
