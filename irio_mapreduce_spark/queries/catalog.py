@@ -153,6 +153,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "merge_scd2_history",
     "ml_decision_stump",
     "source_pystream_writer_wordcount",
+    "text_winnowing_fingerprints",
 ]
 # Round-6 additions append to DEFERRED_TO_NEXT_WINDOW (17 carried + new
 # entries must stay within the 50-slot round-7 window; the conventions

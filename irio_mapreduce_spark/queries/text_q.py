@@ -741,3 +741,98 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(top, "term").select(
         "term", "df", "tf_total", "top_doc_id", "top_tf", "postings_head"
     )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE doc_id % 5 = 0),
+    grams AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(t) - 3), i ->
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS g
+      FROM toks),
+    hs AS (
+      SELECT doc_id,
+             list_transform(g, x ->
+               ('0x' || substr(md5(x), 1, 12))::BIGINT) AS h
+      FROM grams WHERE len(g) >= 5),
+    picks AS (
+      SELECT doc_id, h,
+             list_distinct(list_transform(generate_series(1, len(h) - 4),
+               i -> list_min(h[i:i+4]))) AS fps
+      FROM hs)
+    SELECT doc_id,
+           CAST(len(h) AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_picks,
+           CAST(list_min(fps) AS BIGINT) AS fp_min,
+           CAST(list_sum(fps) AS BIGINT) AS fp_sum
+    FROM picks
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS plagiarism-detection selection rule, the standard local
+    fingerprinting scheme for near-dup detection at crawl scale): hash
+    every ORDERED 4-gram, slide a 5-gram-wide window, keep each window's
+    minimum hash — the guarantee is every shared substring of
+    w+k-1 = 8+ tokens between two documents yields at least one SHARED
+    fingerprint, so fingerprint overlap is a sound candidate filter.
+    Selected minima are deduplicated by value; per-doc summary columns
+    (count / min / sum of the fingerprint set) make the whole selection
+    hash-checkable — one wrong window minimum anywhere moves fp_sum.
+
+    Plan shape: pure narrow per-row array work. Ordered k-grams reuse
+    the zip_with-over-shifted-slices build (see ``llm.dedup.shingles`` —
+    ~15x over per-position slicing); gram hashes MATERIALIZE in their own
+    projection before windowing, because nested HOF lambdas re-evaluate
+    captured expressions per element (the documented minutes-at-sf0.1
+    trap); window minima then slice the materialized array. No shuffle,
+    no explode; 48-bit hash values keep the checksum inside BIGINT."""
+    from irio_mapreduce_spark.llm.dedup import tokens
+
+    k, w = 4, 5
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+    )
+    m = F.greatest(F.size("t") - (k - 1), F.lit(0))
+    acc = F.slice("t", 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice("t", 1 + j, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    grams = toks.select("doc_id", acc.alias("g")).filter(F.size("g") >= w)
+    hs = grams.select(
+        "doc_id",
+        F.transform(
+            "g",
+            lambda x: F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast(
+                "long"
+            ),
+        ).alias("h"),
+    )
+    picks = hs.select(
+        "doc_id",
+        F.size("h").cast("long").alias("n_grams"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - (w - 1)),
+                lambda i: F.array_min(F.slice("h", i, w)),
+            )
+        ).alias("fps"),
+    )
+    return picks.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("long").alias("n_picks"),
+        F.array_min("fps").cast("long").alias("fp_min"),
+        F.aggregate(
+            "fps", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("fp_sum"),
+    )
