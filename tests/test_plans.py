@@ -503,3 +503,14 @@ def test_skew_join_catalog_entry_engages_aqe_split(spark):
     assert p is not None
     assert "skew=true" in p, p
     assert "skewed" in p, p
+
+
+def test_scd2_single_shuffle_two_windows(spark, qs):
+    """merge_scd2_history's two window passes (lag change-detect, lead
+    interval-close) share one (key, time) partitioning: exactly ONE
+    Exchange and ONE Sort — the second window must reuse the first's
+    ordering, not re-shuffle or re-sort."""
+    p = plan(spark, qs, "merge_scd2_history", mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert p.count("Window") == 2, p
+    assert p.count("+- Sort") == 1, p
