@@ -1644,32 +1644,40 @@ def encode_jpeg(width: int, height: int, pixel, gray: bool = True) -> bytes:
         _jpeg_huff_codes(*_JPEG_AC_CHROMA)
     ] * (ncomp - 1)
 
+    # Vectorized forward path: materialize each component plane once,
+    # pad by edge replication, and DCT every 8x8 block in ONE batched
+    # einsum (numpy). Summation order differs from the scalar loops, but
+    # the exact-oracle class is unaffected: a constant block's AC
+    # residue is ~1e-13 under ANY order and DC lands within 1e-13 of the
+    # integer 8*(v-128) — both rounds snap identically.
+    import numpy as np
+
+    c_mat = np.asarray(_JPEG_DCT_C)
+    comp_zz = []
+    for plane in planes:
+        arr = np.asarray(
+            [[plane(x, y) for y in range(height)] for x in range(width)],
+            dtype=np.float64,
+        ) - 128.0
+        arr = np.pad(
+            arr, ((0, bw * 8 - width), (0, bh * 8 - height)), mode="edge"
+        )
+        # (bw, 8, bh, 8) -> (bw, bh, 8, 8) blocks indexed [xx][yy]
+        blocks = arr.reshape(bw, 8, bh, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,abxy,vy->abuv", c_mat, blocks, c_mat)
+        # spec zigzag indexes v*8+u (v = vertical frequency); coef is
+        # [...,u,v], so flatten v-major then reorder through the zigzag
+        flat = coef.transpose(0, 1, 3, 2).reshape(bw, bh, 64)
+        qarr = np.asarray(_JPEG_QTABLE, dtype=np.float64)
+        zzs = np.rint(flat[:, :, _JPEG_ZIGZAG] / qarr).astype(np.int64)
+        comp_zz.append(zzs)
+
     out = _JpegBitWriter()
     prev_dc = [0] * ncomp
-    q = _JPEG_QTABLE
     for by in range(bh):
         for bx in range(bw):
-            for ci, plane in enumerate(planes):
-                block = [
-                    [
-                        float(
-                            plane(
-                                min(bx * 8 + xx, width - 1),
-                                min(by * 8 + yy, height - 1),
-                            )
-                            - 128
-                        )
-                        for yy in range(8)
-                    ]
-                    for xx in range(8)
-                ]
-                coef = _jpeg_dct2(block)
-                # spec zigzag indexes v*8+u (v = vertical frequency); coef
-                # is [horizontal u][vertical v], so flatten v-major
-                flat = [coef[u][v] for v in range(8) for u in range(8)]
-                zz = [
-                    int(round(flat[_JPEG_ZIGZAG[i]] / q[i])) for i in range(64)
-                ]
+            for ci in range(ncomp):
+                zz = comp_zz[ci][bx, by].tolist()
                 diff = zz[0] - prev_dc[ci]
                 prev_dc[ci] = zz[0]
                 size, raw = _jpeg_category(diff)
@@ -1840,9 +1848,7 @@ def _decode_jpeg_core(payload: bytes):
 
     bw, bh = (width + 7) // 8, (height + 7) // 8
     ncomp = len(comps)
-    planes = [
-        [[0] * (bh * 8) for _ in range(bw * 8)] for _ in range(ncomp)
-    ]
+    comp_blocks: list[list[list[int]]] = [[] for _ in range(ncomp)]
     prev_dc = [0] * ncomp
     for by in range(bh):
         for bx in range(bw):
@@ -1872,22 +1878,34 @@ def _decode_jpeg_core(payload: bytes):
                         raise ValueError("jpeg: AC run overflows block")
                     zz[i] = _jpeg_extend(reader.bits(size), size)
                     i += 1
-                coef = [[0.0] * 8 for _ in range(8)]
-                for i in range(64):
-                    # inverse zigzag: natural index v*8+u
-                    nat = _JPEG_ZIGZAG[i]
-                    v, u = nat >> 3, nat & 7
-                    coef[u][v] = float(zz[i] * qt[i])
-                spatial = _jpeg_idct2(coef)
-                plane = planes[ci]
-                for xx in range(8):
-                    col = plane[bx * 8 + xx]
-                    row = spatial[xx]
-                    for yy in range(8):
-                        val = int(round(row[yy])) + 128
-                        col[by * 8 + yy] = (
-                            0 if val < 0 else (255 if val > 255 else val)
-                        )
+                deq = [zz[i] * qt[i] for i in range(64)]
+                comp_blocks[ci].append(deq)
+
+    # Batched inverse path (numpy): inverse-zigzag all blocks at once,
+    # one einsum IDCT per component, round+clamp vectorized. Same
+    # summation-order note as the encoder: the exact class is DC-only,
+    # where order cannot move the rounded result.
+    import numpy as np
+
+    c_mat = np.asarray(_JPEG_DCT_C)
+    inv_zz = np.empty(64, dtype=np.int64)
+    for i, nat in enumerate(_JPEG_ZIGZAG):
+        inv_zz[nat] = i  # natural v*8+u -> zigzag position
+    planes = []
+    for ci in range(ncomp):
+        zzs = np.asarray(comp_blocks[ci], dtype=np.float64)  # (nblk, 64)
+        nat = zzs[:, inv_zz].reshape(-1, 8, 8)  # [...,v,u]
+        coef = nat.transpose(0, 2, 1)  # [...,u,v]
+        spatial = np.einsum("ux,buv,vy->bxy", c_mat, coef, c_mat)
+        pix = np.clip(np.rint(spatial) + 128, 0, 255).astype(np.int64)
+        # scan order was (by, bx); rebuild the [x][y] plane
+        plane = np.empty((bw * 8, bh * 8), dtype=np.int64)
+        k = 0
+        for by in range(bh):
+            for bx in range(bw):
+                plane[bx * 8 : bx * 8 + 8, by * 8 : by * 8 + 8] = pix[k]
+                k += 1
+        planes.append(plane.tolist())
 
     return width, height, ncomp, planes
 

@@ -1931,3 +1931,29 @@ def test_jpeg_real_media_dispatch(spark):
         assert r["kind"] == "image"
         assert (r["width"], r["height"]) == (w, h)
         assert r["sum_r"] == r["sum_g"] == r["sum_b"] == exp
+
+
+def test_jpeg_batched_dct_matches_scalar_reference():
+    """The numpy-batched einsum DCT/IDCT used by the codec must agree
+    with the scalar reference implementation (the spec-shaped triple
+    loop) to float64 noise — and roundtrip to identity. Pins the
+    vectorization against silent index-convention drift (u/v transposes
+    are the classic JPEG bug)."""
+    import random
+
+    import numpy as np
+
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    rng = random.Random(3)
+    block = [[float(rng.randrange(-128, 128)) for _ in range(8)] for _ in range(8)]
+    ref = np.asarray(mm._jpeg_dct2(block))
+    c = np.asarray(mm._JPEG_DCT_C)
+    b = np.asarray(block)[None, :, :]
+    got = np.einsum("ux,abxy,vy->abuv", c, b[None], c)[0, 0]
+    assert np.max(np.abs(got - ref)) < 1e-9
+
+    back = np.asarray(mm._jpeg_idct2(ref.tolist()))
+    got_back = np.einsum("ux,buv,vy->bxy", c, ref[None], c)[0]
+    assert np.max(np.abs(got_back - back)) < 1e-9
+    assert np.max(np.abs(back - np.asarray(block))) < 1e-9  # orthonormal
