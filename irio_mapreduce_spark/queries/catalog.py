@@ -154,6 +154,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "ml_decision_stump",
     "source_pystream_writer_wordcount",
     "text_winnowing_fingerprints",
+    "udf_map_in_arrow",
 ]
 # Round-6 additions append to DEFERRED_TO_NEXT_WINDOW (17 carried + new
 # entries must stay within the 50-slot round-7 window; the conventions

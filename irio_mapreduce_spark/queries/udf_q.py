@@ -204,3 +204,61 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("long").alias("sum_k"),
         F.count("absent").alias("n_absent"),
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT p_partkey,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+           length(p_name) - length(replace(p_name, ' ', '')) + 1
+             AS name_words
+    FROM part WHERE p_partkey % 13 = 0
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped ``mapInArrow`` (the per-BATCH Arrow-native map, vs
+    ``applyInArrow``'s per-GROUP form): batches arrive as
+    ``pyarrow.RecordBatch`` iterators with NO shuffle and NO grouping —
+    the narrow-transform quadrant of the Python-compute surface (pandas
+    scalar UDF / grouped-agg / grouped-map / UDTF / pipe cover the
+    rest). The stage cents-scales money (half-away rounding — pyarrow
+    defaults to banker's) and counts name words with Arrow compute
+    kernels; zero pandas, zero object boxing. The oracle states both
+    transforms in SQL. At 100 TB this is the right shape for columnar
+    Python libraries (tokenizers, codecs) that accept Arrow directly:
+    partition-parallel, spill-free, batch-sized memory."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def cents(batches):
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            price = pc.cast(
+                pc.round(
+                    pc.multiply(t.column("p_retailprice"), 100.0),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            words = pc.add(
+                pc.subtract(
+                    pc.utf8_length(t.column("p_name")),
+                    pc.utf8_length(
+                        pc.replace_substring(t.column("p_name"), " ", "")
+                    ),
+                ),
+                1,
+            )
+            yield pa.table(
+                {
+                    "p_partkey": t.column("p_partkey"),
+                    "price_cents": price,
+                    "name_words": pc.cast(words, pa.int64()),
+                }
+            ).to_batches()[0]
+
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 13 == 0)
+    return p.select("p_partkey", "p_retailprice", "p_name").mapInArrow(
+        cents, schema="p_partkey long, price_cents long, name_words long"
+    )
