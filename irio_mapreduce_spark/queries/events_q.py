@@ -924,3 +924,66 @@ def events_ewma_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).cast("long").alias("ewma_cents"),
     )
+
+
+@register(
+    "events_dynamic_session_gap",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN 2400000000 ELSE 1200000000 END AS g
+      FROM events WHERE user_id % 19 = 0),
+    seq AS (
+      SELECT user_id, t, g,
+             max(t + g) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end,
+             event_id
+      FROM pts),
+    sid AS (
+      SELECT user_id, t, g,
+             sum(CASE WHEN prev_end IS NULL OR t >= prev_end
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS s
+      FROM seq)
+    SELECT user_id,
+           CAST(min(t) AS BIGINT) AS start_us,
+           CAST(max(t + g) AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sid GROUP BY user_id, s
+    """,
+)
+def events_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap sessionization: ``session_window`` with a PER-EVENT
+    gap expression (purchases hold a session open 40 minutes, everything
+    else 20) — the engagement-dependent timeout the static 30-minute
+    entry can't express. Semantics: each event spans [ts, ts+gap);
+    overlapping spans merge; the session END is the max span end (not
+    last-event + constant), and an event landing exactly on the running
+    end starts a NEW session (end-exclusive, same as static windows —
+    the oracle's ``t >= prev_end`` break test).
+
+    The oracle derives the same sessions from first principles: running
+    max of span ends over the (key, time) order, break flags, cumulative
+    session ids, then per-session aggregates — an independent
+    formulation, so a hash match pins Spark's merge semantics, not just
+    its output shape. Same one-shuffle (key, time) plan as the static
+    entry; the streaming form runs identically with a watermark."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") % 19 == 0)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("40 minutes")).otherwise(
+        F.lit("20 minutes")
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+        )
+    )
