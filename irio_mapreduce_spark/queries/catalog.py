@@ -156,6 +156,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "text_winnowing_fingerprints",
     "udf_map_in_arrow",
     "events_dynamic_session_gap",
+    "udf_udtf_polymorphic",
+    "source_parquet_codecs",
 ]
 # Round-6 additions append to DEFERRED_TO_NEXT_WINDOW (17 carried + new
 # entries must stay within the 50-slot round-7 window; the conventions

@@ -507,3 +507,48 @@ def source_pystream_writer_wordcount(spark: SparkSession, sf_dir: str) -> DataFr
     q.awaitTermination()
     lines = spark.read.format("dirtext").option("path", b).load()
     return _top20_wordcount(lines)
+
+
+@register(
+    "source_parquet_codecs",
+    oracle="""
+    SELECT c.codec,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer, (VALUES ('gzip'), ('snappy'), ('zstd')) c(codec)
+    WHERE c_custkey % 17 = 0
+    GROUP BY c.codec
+    """,
+)
+def source_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet COMPRESSION-CODEC roundtrip: the same customer slice
+    written under zstd, gzip, and snappy, read back and checksummed per
+    codec — identical rows and exact-cents totals prove codec choice
+    never touches values (it changes CPU/size tradeoffs only: zstd/gzip
+    for cold data, snappy/lz4 for hot paths; Spark's lz4 writes
+    LZ4_RAW, which this container's pyarrow can't name in footers, so
+    the asserted trio is gzip/snappy/zstd — the 100 TB knob that shrinks
+    a table 2-4x for the price of decode CPU). tests/test_io.py asserts
+    the written footers actually carry each codec (a silently-ignored
+    option would still pass the value check — the footer assert is what
+    pins the knob works)."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 17 == 0
+    ).select("c_custkey", "c_acctbal")
+    out = None
+    for codec in ("gzip", "snappy", "zstd"):
+        path = _scratch(sf_dir, f"customer_codec_{codec}")
+        c.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = (
+            spark.read.parquet(path)
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+                ).cast("long").alias("acctbal_cents"),
+            )
+            .select(F.lit(codec).alias("codec"), "n_rows", "acctbal_cents")
+        )
+        out = back if out is None else out.unionByName(back)
+    return out

@@ -262,3 +262,60 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("p_partkey", "p_retailprice", "p_name").mapInArrow(
         cents, schema="p_partkey long, price_cents long, name_words long"
     )
+
+
+@register(
+    "udf_udtf_polymorphic",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             string_split_regex(p_name, ' ') AS w
+      FROM part WHERE p_partkey % 29 = 0)
+    SELECT p_partkey,
+           COALESCE(w[1], '') AS f0,
+           COALESCE(w[2], '') AS f1,
+           COALESCE(w[3], '') AS f2
+    FROM t
+    """,
+)
+def udf_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output schema
+    is computed AT PLAN TIME from a constant argument — here "split the
+    name into the first n=3 tokens as n typed columns", so the same
+    table function serves any arity without code changes (the
+    static-schema UDTF entry above is the fixed-arity counterpart).
+    ``analyze`` receives each argument's type and foldable value and
+    returns the result StructType; Catalyst then plans the lateral join
+    against a KNOWN schema — no runtime schema discovery, full column
+    pruning through the UDTF boundary. The oracle states the same
+    fixed-width split with SQL list indexing."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitN:
+        @staticmethod
+        def analyze(s: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"f{i}", StringType())
+                        for i in range(n.value)
+                    ]
+                )
+            )
+
+        def eval(self, s, n):
+            parts = (s or "").split(" ")
+            yield tuple((parts + [""] * n)[:n])
+
+    spark.udtf.register("split_n_poly", udtf(SplitN))
+    read_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 29 == 0
+    ).createOrReplaceTempView("part_poly_v")
+    return spark.sql(
+        """
+        SELECT v.p_partkey, t.f0, t.f1, t.f2
+        FROM part_poly_v v, LATERAL split_n_poly(v.p_name, 3) t
+        """
+    )

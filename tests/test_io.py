@@ -330,3 +330,30 @@ def test_zorder_write_narrows_rowgroup_stats_on_both_dims(spark, tmp_path):
     assert median_span(spans(cpath, "o_custkey"), cdom) <= 0.15
     # ...but leaves the OTHER dimension full-domain in every row group
     assert median_span(spans(cpath, "od"), ddom) >= 0.8
+
+
+def test_parquet_codec_option_reaches_footers(spark):
+    """source_parquet_codecs' value check alone would pass even if the
+    compression option were silently ignored; the footers must actually
+    carry each requested codec."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from irio_mapreduce_spark.queries.sources_q import _scratch, source_parquet_codecs
+
+    sf_dir = "/root/testdata/sf0.01"
+    source_parquet_codecs(spark, sf_dir).collect()
+    for codec, expect in (("gzip", "GZIP"), ("snappy", "SNAPPY"), ("zstd", "ZSTD")):
+        files = glob.glob(
+            os.path.join(_scratch(sf_dir, f"customer_codec_{codec}"), "*.parquet")
+        )
+        assert files, codec
+        meta = pq.ParquetFile(files[0]).metadata
+        seen = {
+            meta.row_group(g).column(i).compression
+            for g in range(meta.num_row_groups)
+            for i in range(meta.num_columns)
+        }
+        assert seen == {expect} or expect in seen, (codec, seen)
