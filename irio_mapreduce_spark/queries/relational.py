@@ -2821,3 +2821,63 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("t_next").isNull().alias("is_current"),
     )
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS exact_n,
+           TRUE AS never_underestimates,
+           TRUE AS within_eps_bound
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH point-frequency estimates (Spark's native
+    ``count_min_sketch`` aggregate): one sub-linear sketch of the order
+    stream answers "how often did key k appear" for ANY k — the
+    streaming-frequency primitive next to the Misra-Gries heavy-hitters
+    entry (which keeps only the top keys). Emitted in the deterministic
+    bounded-error shape the HLL entry established: exact per-key counts
+    as hash-checked values, plus the two CMS guarantees evaluated
+    in-job as booleans — estimates NEVER underestimate (structural), and
+    land within eps*N above the truth (probabilistic, fixed seed makes
+    it deterministic). The probe set (5 priorities) is collected
+    driver-side and queried through the JVM sketch reader — bounded,
+    like the quantizer fits.
+
+    At 100 TB the sketch is the point: eps=0.001/conf=0.99 is a few KB
+    per executor merged associatively into one mergeable summary,
+    against a full groupBy's shuffle of every distinct key."""
+    o = read_table(spark, sf_dir, "orders")
+    exact = (
+        o.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .collect()
+    )
+    row = o.agg(
+        F.count_min_sketch(
+            "o_orderpriority", F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("s")
+    ).collect()[0]
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row["s"]))
+    )
+    total = sum(r["exact_n"] for r in exact)
+    out = [
+        (
+            r["o_orderpriority"],
+            r["exact_n"],
+            cms.estimateCount(r["o_orderpriority"]) >= r["exact_n"],
+            cms.estimateCount(r["o_orderpriority"])
+            <= r["exact_n"] + max(1, int(0.001 * total)),
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        out,
+        "o_orderpriority string, exact_n long, never_underestimates "
+        "boolean, within_eps_bound boolean",
+    )
