@@ -185,3 +185,27 @@ def knn_classify(
             F.col("votes").cast("long").alias("votes"),
         )
     )
+
+
+def power_iteration_fixed_point(m: list[list[int]], rounds: int) -> list[int]:
+    """Fixed-point power iteration over an integer matrix: from the
+    all-ones vector (scaled 1e6), each round computes x = M·v in exact
+    Python bignum and renormalizes v' = (x·1e6) div max|x| with division
+    TRUNCATING TOWARD ZERO — the semantics Spark ``DIV`` and DuckDB
+    ``//`` share, which is what lets a SQL oracle replay the identical
+    trajectory. Deterministic in sign and value for any round count; no
+    convergence test inside (fixed rounds ARE the cross-engine
+    contract — a data-dependent stop would diverge between engines at
+    the stopping boundary)."""
+    dims = len(m)
+
+    def trunc_div(a: int, d: int) -> int:
+        q = abs(a) // abs(d)
+        return q if (a >= 0) == (d >= 0) else -q
+
+    v = [10**6] * dims
+    for _ in range(rounds):
+        x = [sum(m[i][j] * v[j] for j in range(dims)) for i in range(dims)]
+        mx = max(abs(xi) for xi in x)
+        v = [trunc_div(xi * 10**6, mx) for xi in x]
+    return v
