@@ -160,6 +160,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "source_parquet_codecs",
     "agg_count_min_sketch",
     "ml_pca_power_iteration",
+    "ml_pca_project_topk",
 ]
 # Round-6 additions append to DEFERRED_TO_NEXT_WINDOW (17 carried + new
 # entries must stay within the 50-slot round-7 window; the conventions

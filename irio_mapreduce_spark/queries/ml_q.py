@@ -760,3 +760,68 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, v[i]) for i in range(dims)], "dim_idx long, v_scaled long"
     )
+
+
+@register(
+    "ml_pca_project_topk",
+    oracle=_pca_oracle().replace(
+        """
+    SELECT CAST(i AS BIGINT) AS dim_idx, CAST(v AS BIGINT) AS v_scaled
+    FROM v{r}
+    """.format(r=_PCA_ROUNDS),
+        """
+    , vvec AS MATERIALIZED (
+      SELECT list(CAST(v AS BIGINT) ORDER BY i) AS v FROM v{r}),
+    scores AS (
+      SELECT sv.vec_id,
+             CAST(list_sum(list_transform(range(1, {d}),
+               t -> sv.s[t] * vvec.v[t])) AS BIGINT) AS score
+      FROM sv, vvec)
+    SELECT vec_id, score FROM scores
+    ORDER BY score DESC, vec_id LIMIT 25
+    """.format(r=_PCA_ROUNDS, d=_DIMS + 1),
+    ),
+)
+def ml_pca_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA PROJECTION — the consuming half of the power-iteration entry:
+    every embedding scored by its exact integer component along the
+    learned direction (dot of the 1e6-scaled vector with the 1e6-scaled
+    direction — products ~1e12 × 64 dims stay in BIGINT), top-25 by
+    score. The direction is re-derived in-entry (driver bignum, same
+    fixed arithmetic) and broadcast INTO the plan as literals, so the
+    scoring pass is map-only over the embedding scan — the shape any
+    "project 100 TB onto the learned subspace" job takes: one narrow
+    pass, no shuffle except the bounded top-k. Ties break on vec_id."""
+    from irio_mapreduce_spark.llm.clustering import power_iteration_fixed_point
+
+    sv = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", scaled_vec(F.col("embedding")).alias("s")
+    )
+    ex = sv.select("vec_id", F.posexplode("s").alias("i", "si")).persist()
+    s1_rows = ex.groupBy("i").agg(F.sum("si").alias("t1")).collect()
+    b = ex.select("vec_id", F.col("i").alias("j"), F.col("si").alias("sj"))
+    s2_rows = (
+        ex.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("si") * F.col("sj")).alias("t2"))
+        .collect()
+    )
+    n = sv.count()
+    ex.unpersist()
+    s1 = {r["i"]: int(r["t1"]) for r in s1_rows}
+    dims = len(s1)
+    m = [[0] * dims for _ in range(dims)]
+    for r in s2_rows:
+        m[r["i"]][r["j"]] = n * int(r["t2"]) - s1[r["i"]] * s1[r["j"]]
+    v = power_iteration_fixed_point(m, rounds=_PCA_ROUNDS)
+    # direction as a plan literal -> map-only scoring, no shuffle
+    varr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    scored = sv.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("s"), varr, lambda a, c: a * c),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), "vec_id").limit(25)
