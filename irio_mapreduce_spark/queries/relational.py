@@ -2881,3 +2881,145 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority string, exact_n long, never_underestimates "
         "boolean, within_eps_bound boolean",
     )
+
+
+@register(
+    "agg_theta_sketch_setops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderpriority = '2-HIGH')
+    SELECT
+      CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+      CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+      CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+           AS BIGINT) AS exact_union,
+      CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+           AS BIGINT) AS exact_intersection,
+      CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+           AS BIGINT) AS exact_difference,
+      TRUE AS union_within_5pct,
+      TRUE AS intersection_within_5pct,
+      TRUE AS difference_within_5pct
+    """,
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA sketches (Spark 4.1 native): the mergeable-distinct sketch
+    family that — unlike HLL — supports INTERSECTION and DIFFERENCE
+    estimates, i.e. audience-overlap analytics ("urgent-order customers
+    who also placed high-priority orders") without ever re-scanning raw
+    data: sketch each cohort once, compose set algebra on the summaries.
+    Deterministic bounded-error shape as the HLL/CMS entries: exact
+    cohort/set-op cardinalities as hash-checked values, sketch estimates
+    as within-5% booleans computed in the same job. At 100 TB each
+    cohort sketch is KBs, composition is O(sketch), and the exact
+    baselines here exist only to gate the estimates."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_theta_v"
+    )
+    return spark.sql(
+        """
+        WITH a AS (SELECT o_custkey FROM orders_theta_v
+                   WHERE o_orderpriority = '1-URGENT'),
+        b AS (SELECT o_custkey FROM orders_theta_v
+              WHERE o_orderpriority = '2-HIGH'),
+        sk AS (SELECT
+                 (SELECT theta_sketch_agg(o_custkey) FROM a) AS sa,
+                 (SELECT theta_sketch_agg(o_custkey) FROM b) AS sb),
+        ex AS (SELECT
+                 CAST((SELECT count(DISTINCT o_custkey) FROM a) AS BIGINT)
+                   AS exact_a,
+                 CAST((SELECT count(DISTINCT o_custkey) FROM b) AS BIGINT)
+                   AS exact_b,
+                 CAST((SELECT count(DISTINCT x.o_custkey) FROM
+                        (SELECT o_custkey FROM a UNION
+                         SELECT o_custkey FROM b) x) AS BIGINT)
+                   AS exact_union,
+                 CAST((SELECT count(DISTINCT x.o_custkey) FROM
+                        (SELECT o_custkey FROM a INTERSECT
+                         SELECT o_custkey FROM b) x) AS BIGINT)
+                   AS exact_intersection,
+                 CAST((SELECT count(DISTINCT x.o_custkey) FROM
+                        (SELECT o_custkey FROM a EXCEPT
+                         SELECT o_custkey FROM b) x) AS BIGINT)
+                   AS exact_difference)
+        SELECT ex.exact_a, ex.exact_b, ex.exact_union,
+               ex.exact_intersection, ex.exact_difference,
+               abs(theta_sketch_estimate(theta_union(sk.sa, sk.sb))
+                   - ex.exact_union) <= 0.05 * ex.exact_union
+                 AS union_within_5pct,
+               abs(theta_sketch_estimate(theta_intersection(sk.sa, sk.sb))
+                   - ex.exact_intersection)
+                 <= 0.05 * greatest(ex.exact_intersection, 1)
+                 AS intersection_within_5pct,
+               abs(theta_sketch_estimate(theta_difference(sk.sa, sk.sb))
+                   - ex.exact_difference)
+                 <= 0.05 * greatest(ex.exact_difference, 1)
+                 AS difference_within_5pct
+        FROM sk, ex
+        """
+    )
+
+
+@register(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey, o_orderpriority,
+             epoch_us(o_orderdate) AS t_us, o_orderkey
+      FROM orders WHERE o_custkey % 151 = 0),
+    seq AS (
+      SELECT o_custkey, o_orderpriority, t_us, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev_p
+      FROM src
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY t_us, o_orderkey)),
+    ch AS (
+      SELECT o_custkey, o_orderpriority, t_us, o_orderkey
+      FROM seq WHERE prev_p IS NULL OR prev_p <> o_orderpriority),
+    hist AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             t_us AS valid_from_us,
+             COALESCE(lead(t_us) OVER (
+               PARTITION BY o_custkey ORDER BY t_us, o_orderkey
+             ), 253402300800000000) AS valid_to_us
+      FROM ch),
+    ev AS (
+      SELECT user_id, epoch_us(ts) AS t FROM events
+      WHERE user_id % 151 = 0)
+    SELECT h.priority,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM ev e JOIN hist h
+      ON h.custkey = e.user_id
+     AND h.valid_from_us <= e.t AND e.t < h.valid_to_us
+    GROUP BY h.priority
+    """,
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD2 dimension — the query SCD2
+    exists to answer: each event matched to the attribute version VALID
+    AT ITS TIMESTAMP (`valid_from <= t < valid_to`, the half-open
+    contract of merge_scd2_history's intervals, sentinel-closed current
+    rows included). Events before a customer's first version correctly
+    match nothing (inner join). The plan is an EQUI join on the entity
+    key with the validity range as a post-join filter — never a range
+    scan: co-partition by key, and the per-key interval count (priority
+    changes per customer) is small and bounded, exactly why warehouses
+    key SCD2 lookups this way at 100 TB."""
+    hist = merge_scd2_history(spark, sf_dir).select(
+        "custkey", "priority", "valid_from_us", "valid_to_us"
+    )
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 151 == 0
+    ).select("user_id", F.unix_micros("ts").alias("t"))
+    j = ev.join(
+        hist,
+        (F.col("custkey") == F.col("user_id"))
+        & (F.col("valid_from_us") <= F.col("t"))
+        & (F.col("t") < F.col("valid_to_us")),
+    )
+    return j.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
