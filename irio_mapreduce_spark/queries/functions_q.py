@@ -756,3 +756,85 @@ def fn_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "fn_pipe_sql_syntax",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY n_name
+    HAVING count(*) >= 2
+    """,
+)
+def fn_pipe_sql_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE SYNTAX (Spark 4's ``|>`` operators, the linear query
+    form from the SQL-has-problems line of work): scan |> join |> filter
+    |> aggregate |> filter-on-aggregate, each stage reading top-to-
+    bottom instead of inside-out. Catalyst compiles it to the SAME plan
+    as the nested form — the oracle IS that nested form, so the hash
+    match proves pipe syntax is surface, not semantics. Money in exact
+    cents per the half-boundary convention."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_pipe_v"
+    )
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_pipe_v"
+    )
+    return spark.sql(
+        """
+        FROM customer_pipe_v
+        |> JOIN nation_pipe_v ON c_nationkey = n_nationkey
+        |> WHERE c_mktsegment = 'BUILDING'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_customers,
+                     CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS acctbal_cents
+           GROUP BY n_name
+        |> WHERE n_customers >= 2
+        """
+    )
+
+
+@register(
+    "fn_session_variables",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_totalprice >= 150000 AND o_custkey % 3 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def fn_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SESSION VARIABLES (SQL:2016 / Spark 4 ``DECLARE VARIABLE`` /
+    ``SET VARIABLE``): typed, session-scoped scalars referenced directly
+    in queries — the parameterization surface for SQL-only users (no
+    string interpolation, no injection, constant-folded into the plan so
+    predicate pushdown still sees a literal). The entry declares a price
+    threshold and a cohort modulus, updates one with SET, and filters
+    through both; the oracle inlines the final values."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_var_v"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 100000.0"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE cohort_mod BIGINT DEFAULT 3")
+    spark.sql("SET VARIABLE price_floor = 150000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders_var_v
+        WHERE o_totalprice >= price_floor AND o_custkey % cohort_mod = 0
+        GROUP BY o_orderpriority
+        """
+    )
