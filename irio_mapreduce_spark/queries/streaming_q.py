@@ -748,3 +748,74 @@ def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.sum").cast("long").alias("user_id_sum"),
     )
+
+
+@register(
+    "stream_dynamic_session_gap",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN 2400000000 ELSE 1200000000 END AS g
+      FROM events WHERE user_id % 101 = 0),
+    seq AS (
+      SELECT user_id, t, g,
+             max(t + g) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end,
+             event_id
+      FROM pts),
+    sid AS (
+      SELECT user_id, t, g,
+             sum(CASE WHEN prev_end IS NULL OR t >= prev_end
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS s
+      FROM seq)
+    SELECT user_id,
+           CAST(min(t) AS BIGINT) AS start_us,
+           CAST(max(t + g) AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sid GROUP BY user_id, s
+    """,
+)
+def stream_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap sessions on the REAL streaming engine — the streaming
+    twin of the batch events_dynamic_session_gap entry: per-event gap
+    expression (purchases hold sessions open 40 minutes, other events
+    20) inside ``session_window`` under append mode + watermark, drained
+    over the time-ordered 4-chunk replay with the far-future sentinel
+    flushing every real session past the watermark (the established
+    sentinel technique; its id passes the % 101 filter and its own
+    never-closed session is excluded). The oracle derives the same
+    sessions from first principles (running max span end, end-exclusive
+    break) — a hash match proves the INCREMENTAL merge of
+    variable-width spans equals the batch semantics, state bounded by
+    the watermark as always."""
+    d = _ordered_replay_dir(spark, sf_dir)
+    stream = read_events_stream(spark, d, max_files_per_trigger=2).filter(
+        F.col("user_id") % 101 == 0
+    )
+    gap = F.when(F.col("event_type") == "purchase", F.lit("40 minutes")).otherwise(
+        F.lit("20 minutes")
+    )
+    sessions = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_to_completion(sessions, name, "append")
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") != _SESSION_SENTINEL)
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+        )
+    )
