@@ -3023,3 +3023,127 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@register(
+    "quality_expectations_suite",
+    oracle="""
+    WITH base AS (
+      SELECT count(*) AS n,
+             count(o_custkey) AS custkey_nonnull,
+             count(DISTINCT o_orderkey) AS orderkey_distinct,
+             sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS price_pos,
+             sum(CASE WHEN o_orderpriority IN
+                   ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                 THEN 1 ELSE 0 END) AS prio_in_domain
+      FROM orders),
+    fk AS (
+      SELECT count(*) AS orphans FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey))
+    SELECT * FROM (
+      SELECT 'completeness_custkey' AS check_name,
+             CAST(custkey_nonnull AS BIGINT) AS measured,
+             CAST(n AS BIGINT) AS out_of,
+             custkey_nonnull = n AS passed FROM base
+      UNION ALL
+      SELECT 'uniqueness_orderkey', CAST(orderkey_distinct AS BIGINT),
+             CAST(n AS BIGINT), orderkey_distinct = n FROM base
+      UNION ALL
+      SELECT 'range_totalprice_positive', CAST(price_pos AS BIGINT),
+             CAST(n AS BIGINT), price_pos = n FROM base
+      UNION ALL
+      SELECT 'domain_orderpriority', CAST(prio_in_domain AS BIGINT),
+             CAST(n AS BIGINT), prio_in_domain = n FROM base
+      UNION ALL
+      SELECT 'referential_custkey', CAST(n - fk.orphans AS BIGINT),
+             CAST(n AS BIGINT), fk.orphans = 0 FROM base, fk)
+    """,
+)
+def quality_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARATIVE DATA-QUALITY EXPECTATIONS (the Deequ /
+    Great-Expectations operator class): a suite of checks —
+    completeness, key uniqueness, value range, domain membership,
+    referential integrity — evaluated against the orders table and
+    emitted as one verdict row per check with EXACT measured/out-of
+    counts (never a float "score": exact integers are what make the
+    report diffable run-to-run and hash-checkable cross-engine).
+
+    Cost shape, the part that matters at 100 TB: the four row-local
+    checks fold into ONE conditional-aggregation pass over the scan
+    (count/sum(CASE) — no per-check jobs, which is the classic naive-
+    framework mistake of scanning once per expectation); uniqueness
+    adds the unavoidable distinct aggregate, and the referential check
+    one anti-join against the (broadcastable) key side. Adding 50 more
+    row-local checks costs zero extra passes."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    base = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_orderkey").alias("orderkey_distinct"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)).alias(
+            "price_pos"
+        ),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin(
+                    "1-URGENT",
+                    "2-HIGH",
+                    "3-MEDIUM",
+                    "4-NOT SPECIFIED",
+                    "5-LOW",
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("prio_in_domain"),
+    )
+    orphans = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").alias("orphans"))
+    )
+    b = base.crossJoin(F.broadcast(orphans))
+
+    def check(name: str, measured, passed):
+        return b.select(
+            F.lit(name).alias("check_name"),
+            measured.cast("long").alias("measured"),
+            F.col("n").cast("long").alias("out_of"),
+            passed.alias("passed"),
+        )
+
+    return (
+        check(
+            "completeness_custkey",
+            F.col("custkey_nonnull"),
+            F.col("custkey_nonnull") == F.col("n"),
+        )
+        .unionByName(
+            check(
+                "uniqueness_orderkey",
+                F.col("orderkey_distinct"),
+                F.col("orderkey_distinct") == F.col("n"),
+            )
+        )
+        .unionByName(
+            check(
+                "range_totalprice_positive",
+                F.col("price_pos"),
+                F.col("price_pos") == F.col("n"),
+            )
+        )
+        .unionByName(
+            check(
+                "domain_orderpriority",
+                F.col("prio_in_domain"),
+                F.col("prio_in_domain") == F.col("n"),
+            )
+        )
+        .unionByName(
+            check(
+                "referential_custkey",
+                F.col("n") - F.col("orphans"),
+                F.col("orphans") == 0,
+            )
+        )
+    )
