@@ -987,3 +987,88 @@ def events_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "events_holt_linear_fixed_point",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS t_us, event_id
+      FROM events WHERE user_id % 23 = 0),
+    lst AS (
+      SELECT user_id, list(cents ORDER BY t_us, event_id) AS xs,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM pts GROUP BY user_id),
+    fold AS (
+      SELECT user_id, n_events,
+             list_reduce(
+               list_transform(xs, x -> (x + 536870912) * 2147483648 + 536870912),
+               (acc, x) -> ((acc // 2147483648 - 536870912) + (acc % 2147483648 - 536870912) + (((x // 2147483648 - 536870912) - (acc // 2147483648 - 536870912) - (acc % 2147483648 - 536870912)) // 4) + 536870912) * 2147483648 + ((acc % 2147483648 - 536870912) + (((x // 2147483648 - 536870912) - (acc // 2147483648 - 536870912) - (acc % 2147483648 - 536870912)) // 4) // 8 + 536870912)) AS st
+      FROM lst)
+    SELECT user_id, n_events,
+           CAST(st // 2147483648 - 536870912 AS BIGINT) AS level_cents,
+           CAST(st % 2147483648 - 536870912 AS BIGINT) AS trend_cents,
+           CAST((st // 2147483648 - 536870912) + 3 * (st % 2147483648 - 536870912) AS BIGINT)
+             AS forecast3_cents
+    FROM fold
+    """,
+)
+def events_holt_linear_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR-TREND smoothing (double exponential) as a fixed-point
+    integer fold — the level+trend extension of the EWMA entry:
+    l_t = l+t + (x−l−t) div 4, t_t = t + ((x−l−t) div 4) div 8 (dyadic
+    α=1/4, β=1/8; l_0 = x_0, t_0 = 0), plus the h=3 forecast l + 3t.
+    Same exactness argument as EWMA: a recursive float statistic can
+    never hash-match cross-engine; truncating integer division does.
+
+    The two-component state is PACKED into one BIGINT
+    (state = (l + 2^29)·2^31 + (t + 2^29), decoded with div/mod inside
+    the lambda) on BOTH sides — not an optimization but a workaround
+    with a finding behind it: DuckDB v1.0.0's ``list_reduce`` evaluates
+    STRUCT-accumulator lambdas with misaligned field bindings (the
+    second field's ``acc.t`` picked up the first field's intermediate —
+    reproduced on a 3-element list; scalar accumulators are correct,
+    cf. the EWMA entry). Cent values are |x| < 2^29 by corpus range, so
+    the packing never overflows 2^61. Sequential per key, parallel
+    across keys, as every recursive filter."""
+    pts = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 23 == 0
+    ).select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+    )
+    lst = pts.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("t_us", "event_id", "cents"))
+        ).alias("seq"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    folded = lst.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            """
+            aggregate(
+              slice(transform(seq, s -> (s.cents + 536870912L) * 2147483648L + 536870912L),
+                    2, size(seq) - 1),
+              element_at(
+                transform(seq, s -> (s.cents + 536870912L) * 2147483648L + 536870912L), 1),
+              (acc, x) -> ((acc DIV 2147483648L - 536870912L) + (acc % 2147483648L - 536870912L) + (((x DIV 2147483648L - 536870912L) - (acc DIV 2147483648L - 536870912L) - (acc % 2147483648L - 536870912L)) DIV 4) + 536870912L) * 2147483648L + ((acc % 2147483648L - 536870912L) + (((x DIV 2147483648L - 536870912L) - (acc DIV 2147483648L - 536870912L) - (acc % 2147483648L - 536870912L)) DIV 4) DIV 8 + 536870912L)
+            )
+            """
+        ).alias("st"),
+    )
+    # decode with INTEGER div — st reaches ~2^61, past double precision,
+    # so a float `/` here would corrupt the level
+    lvl = F.expr("st DIV 2147483648L") - 536870912
+    trd = (F.col("st") % 2147483648) - 536870912
+    return folded.select(
+        "user_id",
+        "n_events",
+        lvl.cast("long").alias("level_cents"),
+        trd.cast("long").alias("trend_cents"),
+        (lvl + 3 * trd).cast("long").alias("forecast3_cents"),
+    )
