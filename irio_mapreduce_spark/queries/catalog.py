@@ -168,6 +168,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stream_dynamic_session_gap",
     "quality_expectations_suite",
     "events_holt_linear_fixed_point",
+    "fn_interval_family",
 ]
 # Round-6 additions append to DEFERRED_TO_NEXT_WINDOW (17 carried + new
 # entries must stay within the 50-slot round-7 window; the conventions

@@ -838,3 +838,51 @@ def fn_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "fn_interval_family",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + to_days(90), '%Y-%m-%d') AS due_90d,
+           strftime(o_orderdate + to_months(CAST(o_orderkey % 12 AS INTEGER)),
+                    '%Y-%m-%d') AS staggered_month,
+           datediff('day', o_orderdate, o_orderdate + to_days(90))
+             AS days_to_due,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')
+             AS quarter_start
+    FROM orders WHERE o_orderkey % 101 = 0
+    """,
+)
+def fn_interval_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-arithmetic family: timestamp ± day/month intervals
+    (``make_interval`` with a COLUMN month count — the per-row interval
+    case), day differences, ``last_day``, quarter truncation. The
+    treacherous semantics this entry pins cross-engine: month addition
+    CLAMPS to month end (Jan 31 + 1 month = Feb 29 in 2020 — probed
+    identical in both engines), and day intervals preserve time-of-day.
+    Outputs formatted to strings per the no-raw-timestamp convention."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 101 == 0
+    )
+    fmt = "yyyy-MM-dd"
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.col("o_orderdate") + F.expr("make_interval(0, 0, 0, 90)"), fmt
+        ).alias("due_90d"),
+        F.date_format(
+            F.col("o_orderdate")
+            + F.expr("make_interval(0, CAST(o_orderkey % 12 AS INT))"),
+            fmt,
+        ).alias("staggered_month"),
+        F.datediff(
+            F.col("o_orderdate") + F.expr("make_interval(0, 0, 0, 90)"),
+            F.col("o_orderdate"),
+        ).cast("long").alias("days_to_due"),
+        F.date_format(F.last_day("o_orderdate"), fmt).alias("month_end"),
+        F.date_format(F.date_trunc("quarter", F.col("o_orderdate")), fmt).alias(
+            "quarter_start"
+        ),
+    )
