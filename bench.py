@@ -136,6 +136,44 @@ def main() -> int:
             print(f"[bench] warmup {_name}: FAILED {e}", file=sys.stderr)
         break
 
+    # The pure-Python DataSource path (dirtext/dirtail) runs in SEPARATE
+    # Python planner/writer worker processes that the head-entry warm-up
+    # above never touches; their first spawn (+ the cloudpickle-by-value
+    # registration payload) costs ~5-10 s and lands on whichever pysource
+    # entry the rotation put first — r6's rotation made the dirtail entry
+    # look 2.9x slower with a byte-identical plan (r6 VERDICT "What's
+    # wrong #1"). Warm that machinery once, unmeasured, on a 3-row corpus.
+    _t0 = time.monotonic()
+    try:
+        import tempfile
+
+        from irio_mapreduce_spark import pysource
+
+        pysource.register(spark)
+        _wd = tempfile.mkdtemp(prefix="bench_warm_pysrc_")
+        _rows = spark.range(3).selectExpr("CAST(id AS STRING) AS value")
+        _rows.write.format("dirtext").option("path", f"{_wd}/d").save()
+        _q = (
+            spark.readStream.format("dirtail")
+            .option("path", f"{_wd}/d")
+            .load()
+            .select("value")
+            .writeStream.format("dirtext")
+            .option("path", f"{_wd}/o")
+            .option("checkpointLocation", f"{_wd}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _q.awaitTermination()
+        _force(spark.read.format("dirtext").option("path", f"{_wd}/o").load())
+        print(
+            f"[bench] warmup pysource runner: {time.monotonic() - _t0:.3f}s "
+            "(unmeasured)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] warmup pysource runner: FAILED {e}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     skipped: list[str] = []
     for name, fn in qs.items():

@@ -1762,10 +1762,26 @@ def _decode_jpeg_core(payload: bytes):
             raise ValueError("jpeg: truncated before SOS")
         if d[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
+        # legal 0xFF fill bytes may pad before the marker byte (T.81
+        # B.1.1.2); skip them or they'd be misparsed as a segment length
+        while pos + 2 <= len(d) and d[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(d):
+            raise ValueError("jpeg: truncated before SOS")
         marker = d[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before scan
             raise ValueError("jpeg: EOI before SOS")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone markers with NO length segment;
+            # RSTn before SOS also implies a restart-interval stream this
+            # baseline decoder doesn't handle — raise by name, not a
+            # misleading length-parse error
+            if 0xD0 <= marker <= 0xD7:
+                raise NotImplementedError(
+                    "jpeg: restart markers not supported"
+                )
+            continue
         if marker in (0xC2, 0xC6, 0xCA, 0xCE):
             raise NotImplementedError("jpeg: progressive scans not supported")
         if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):

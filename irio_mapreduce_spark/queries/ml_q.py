@@ -485,11 +485,20 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("hi"))
         .alias("f_qty"),
     )
-    li = li.persist()  # three grouped passes over the labeled points
-    prior = li.groupBy("cls").agg(F.count("*").alias("n_c"))
-    fs = li.groupBy("cls", "f_status").agg(F.count("*").alias("n_sc"))
-    fq = li.groupBy("cls", "f_qty").agg(F.count("*").alias("n_qc"))
-    cells = li.select("f_status", "f_qty").distinct()
+    li = li.persist()  # four grouped passes over the labeled points
+    # The grouped aggregates are all tiny (<= 3 classes x 2 features x 2
+    # bands): materialize them EAGERLY as local rows so the cache can be
+    # released before returning — a lazily-returned plan would otherwise
+    # pin the cached lineitem blocks for the whole session across the
+    # 200+-entry bench/verify sweeps (r6 ADVICE.md). Bounded driver
+    # artifacts, same class as the k-means centroid collects.
+    def _eager(df: DataFrame) -> DataFrame:
+        return spark.createDataFrame(df.collect(), df.schema)
+
+    prior = _eager(li.groupBy("cls").agg(F.count("*").alias("n_c")))
+    fs = _eager(li.groupBy("cls", "f_status").agg(F.count("*").alias("n_sc")))
+    fq = _eager(li.groupBy("cls", "f_qty").agg(F.count("*").alias("n_qc")))
+    cells = _eager(li.select("f_status", "f_qty").distinct())
     dec = "decimal(38,0)"
     scored = (
         cells.crossJoin(F.broadcast(prior))
@@ -533,9 +542,12 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("f_status", "f_qty", F.col("cls").alias("predicted_flag"))
     )
-    counts = li.groupBy("f_status", "f_qty").agg(
-        F.count("*").cast("long").alias("n_rows")
+    counts = _eager(
+        li.groupBy("f_status", "f_qty").agg(
+            F.count("*").cast("long").alias("n_rows")
+        )
     )
+    li.unpersist()  # every derived aggregate is materialized above
     return beaten.join(counts, ["f_status", "f_qty"])
 
 

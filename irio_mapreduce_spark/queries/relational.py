@@ -2672,8 +2672,9 @@ def join_skew_aqe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot tenant); the dim side is a 98-row mapping that a merge hint keeps
     on the sort-merge path (a broadcast would dodge the skew instead of
     demonstrating its handling). Under skew thresholds scaled to test
-    data volume (64 KB where a production cluster uses the 256 MB
-    default), AQE splits the hot partition into advisory-sized chunks at
+    data volume (8 KB skew threshold / 4 KB advisory chunk where a
+    production cluster uses the 256 MB/64 MB defaults — the confs set
+    below), AQE splits the hot partition into advisory-sized chunks at
     runtime — SortMergeJoin(skew=true) — so the join's wall-clock is
     bounded by the chunk size, not the hot key's total volume; the
     post-join rollup groups by a DIM attribute, so the extra shuffle the

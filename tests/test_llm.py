@@ -1902,6 +1902,19 @@ def test_jpeg_decoder_rejects_corruption_and_names_unsupported():
     with pytest.raises(NotImplementedError, match="subsampl"):
         mm.decode_jpeg(bytes(sub))
 
+    # legal 0xFF fill bytes before a marker (T.81 B.1.1.2) must be
+    # tolerated, not parsed as a segment length (r6 ADVICE.md)
+    padded = good[:2] + b"\xff\xff" + good[2:]
+    assert mm.decode_jpeg(padded) == mm.decode_jpeg(good)
+
+    # standalone TEM marker (0x01, length-less) is skipped
+    tem = good[:2] + b"\xff\x01" + good[2:]
+    assert mm.decode_jpeg(tem) == mm.decode_jpeg(good)
+
+    # standalone RSTn before SOS implies restart intervals: by-name raise
+    with pytest.raises(NotImplementedError, match="restart"):
+        mm.decode_jpeg(good[:2] + b"\xff\xd0" + good[2:])
+
 
 def test_jpeg_real_media_dispatch(spark):
     """JPEG payloads decode off their own magic bytes alongside the other
