@@ -253,6 +253,52 @@ def multimodal_real_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_energy_windows",
+    oracle="""
+    WITH aud AS (SELECT doc_id AS media_id, 64 + doc_id % 129 AS n
+                 FROM documents WHERE doc_id % 2 = 1),
+    wins AS (SELECT media_id, n,
+                    unnest(generate_series(0, (n + 31) // 32 - 1)) AS w
+             FROM aud),
+    si AS (SELECT media_id, w,
+                  unnest(generate_series(w * 32, least((w + 1) * 32, n) - 1)) AS i
+           FROM wins),
+    sv AS (SELECT media_id, w,
+                  ((media_id*7919 + i*104729) % 65536) - 32768 AS v
+           FROM si)
+    SELECT media_id, w AS win_idx,
+           CAST(count(*) AS BIGINT) AS n_in_win,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM sv GROUP BY media_id, w
+    """,
+)
+def multimodal_wav_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level AUDIO FEATURE EXTRACTION under the exact-oracle gate:
+    genuine PCM16 WAV payloads are byte-parsed and split into 32-sample
+    frames, each frame reduced to its exact integer energy (sum of
+    squared amplitudes) and peak amplitude — the windowed-energy signal a
+    curation pipeline thresholds for silence/activity before keeping
+    audio (the numeric twin of the 1→N segmentation entry, which
+    re-encodes bytes; this one extracts features). The oracle reproduces
+    every frame's energy in closed form from the deterministic sample
+    generator without seeing any bytes, so the hash match proves the
+    RIFF walk, int16 decode, and framing are all exact. Integer bounds:
+    |s| <= 2^15, 32 samples → energy < 2^45, BIGINT-safe on both
+    engines."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        synthesize_real_media,
+        wav_energy_windows,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_real_media(docs).filter(F.col("meta.kind") == "audio")
+    return wav_energy_windows(media, window_samples=32)
+
+
+@register(
     "multimodal_real_png",
     oracle="""
     WITH img AS (SELECT doc_id AS media_id,

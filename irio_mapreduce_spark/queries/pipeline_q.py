@@ -66,6 +66,52 @@ def mr_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mr_terasort_rank",
+    oracle="""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_extendedprice, pos
+    FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS pos
+          FROM lineitem)
+    WHERE pos % 5000 = 0
+    """,
+)
+def mr_terasort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TeraSort — the canonical MapReduce benchmark — as a DISTRIBUTED
+    total-order sort of the FULL lineitem table (no filter), made
+    observable by stamping every row's exact global position and
+    decimating to every 5000th rank so the output stays driver-comparable
+    at any scale. Parity: the reference's reduce stage emits key-sorted
+    output per partition (`mr-bins/reduce/reduce.cpp:19,35-38` —
+    ``std::map`` ordering) and hash-partitions keys across reducers
+    (`mr-bins/partition/partition.cpp:33-38`); swapping the hash
+    partitioner for a RANGE partitioner turns that into a global sort —
+    exactly ``operators.topk.global_rank``: repartitionByRange +
+    sortWithinPartitions + per-partition offset numbering, never the
+    single-reducer ``row_number() OVER (ORDER BY ...)`` the oracle uses
+    (an ``Exchange SinglePartition`` cannot exist at 100 TB; the window
+    form is correct as an ORACLE precisely because DuckDB runs it on one
+    machine anyway). (l_extendedprice, l_orderkey, l_linenumber) is a
+    deterministic total order — unique tie-break keys, so range placement
+    of equal prices cannot change ranks."""
+    from irio_mapreduce_spark.operators.topk import global_rank
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    ranked = global_rank(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], rank_col="pos"
+    )
+    return ranked.filter(F.col("pos") % 5000 == 0).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_extendedprice",
+        "pos",
+    )
+
+
+@register(
     "mr_batch_json_wordcount",
     oracle="""
     SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (

@@ -2750,6 +2750,86 @@ def join_skew_aqe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+# Executed plan of the most recent join_runtime_bloom_filter run, recorded
+# so tests/test_plans.py can assert the optimizer actually injected the
+# runtime bloom filter (``might_contain`` on the fact scan) for a CATALOG
+# entry — the driver-visible half is the exact oracle below.
+BLOOM_JOIN_EXECUTED_PLAN: str | None = None
+
+
+@register(
+    "join_runtime_bloom_filter",
+    oracle="""
+    SELECT CAST(p_size AS BIGINT) AS size_band,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size < 5
+    GROUP BY p_size
+    """,
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM-FILTER join pruning — the second of Spark's two
+    runtime-adaptive join defenses beside the AQE skew split
+    (`join_skew_aqe_rollup`): when a shuffle join's build side carries a
+    selective filter (p_size < 5 keeps ~8%% of part), the optimizer
+    pre-aggregates a bloom filter of the surviving build keys and injects
+    ``might_contain(...)`` into the FACT side's scan filter, so ~92%% of
+    the 100 TB probe rows are dropped AT THE SCAN, before ever being
+    shuffled — the semi-join reduction that turns a full-fact shuffle
+    into a matching-rows shuffle. At production scale this fires under
+    the default thresholds (creation side < 10 MB, application side
+    > 10 GB); the test corpus is under both, so the entry scopes
+    threshold confs the same way the skew entry scopes its 8 KB ones and
+    disables auto-broadcast (a broadcast dim would dodge the shuffle the
+    bloom filter exists to shrink).
+
+    The result (5 size bands) is collected inside the set/restore window
+    and the executed plan recorded in ``BLOOM_JOIN_EXECUTED_PLAN`` for
+    the plan assert; correctness never depends on whether injection
+    engaged — the oracle is the plain join either way."""
+    global BLOOM_JOIN_EXECUTED_PLAN
+    fact = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    dim = read_table(spark, sf_dir, "part").filter(F.col("p_size") < 5).select(
+        "p_partkey", "p_size"
+    )
+    out = (
+        fact.join(dim, fact["l_partkey"] == dim["p_partkey"])
+        .groupBy(F.col("p_size").cast("long").alias("size_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("qty").cast("long").alias("qty_sum"),
+        )
+    )
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved: dict[str, str | None] = {}
+    for key, val in confs.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, val)
+    try:
+        rows = out.collect()
+        BLOOM_JOIN_EXECUTED_PLAN = (
+            out._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    return spark.createDataFrame(rows, out.schema)
+
+
 @register(
     "merge_scd2_history",
     oracle="""

@@ -510,6 +510,54 @@ def source_pystream_writer_wordcount(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "source_parquet_bloom_stats",
+    oracle="""
+    SELECT c_custkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer WHERE c_custkey IN (2, 3, 5, 7, 11, 13)
+    GROUP BY c_custkey
+    """,
+)
+def source_parquet_bloom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet COLUMN BLOOM FILTERS (``parquet.bloom.filter.enabled#col``)
+    — the point-lookup row-group-skipping knob beside the codec knob
+    (``source_parquet_codecs``): min/max footer stats cannot skip row
+    groups for a high-cardinality key whose values span every group (an
+    id column's min/max covers the whole domain), but a per-row-group
+    bloom filter answers "is key k possibly here?" and lets an
+    ``id = k`` / ``IN`` scan skip groups with no false negatives — at
+    100 TB the difference between touching every row group and touching
+    one. The entry writes the customer table with a bloom on c_custkey
+    (ndv-tuned), reads it back through an IN-list point predicate, and
+    checksums the hits in exact cents; the oracle runs the same lookup on
+    the ORIGINAL parquet, so the hash match proves the bloom-annotated
+    file is value-identical and the lookup loses nothing.
+    tests/test_io.py pins that the option actually emits bloom payloads
+    (byte-identical data written with/without the option differs by the
+    filter bytes; this container's pyarrow predates bloom-offset
+    metadata accessors, so the size delta is the observable)."""
+    path = _scratch(sf_dir, "customer_bloom")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    (
+        c.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#c_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#c_custkey", "20000")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("c_custkey").isin(2, 3, 5, 7, 11, 13)
+    )
+    return back.groupBy("c_custkey").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("acctbal_cents"),
+    )
+
+
+@register(
     "source_parquet_codecs",
     oracle="""
     SELECT c.codec,

@@ -387,3 +387,38 @@ def test_parquet_codec_option_reaches_footers(spark):
             for i in range(meta.num_columns)
         }
         assert seen == {expect} or expect in seen, (codec, seen)
+
+
+def test_parquet_bloom_option_emits_filter_bytes(spark, tmp_path):
+    """source_parquet_bloom_stats' value check alone would pass even if
+    the bloom option were silently ignored. This container's pyarrow
+    predates bloom-offset metadata accessors, so the observable is the
+    byte budget: the SAME single-task write with and without the option
+    must differ by the bloom payload (split-block filter for 20k ndv is
+    tens of KB), while row counts and values stay identical."""
+    import glob
+    import os
+
+    from irio_mapreduce_spark.io import read_table
+
+    c = read_table(spark, "/root/testdata/sf0.01", "customer").select(
+        "c_custkey", "c_acctbal"
+    ).coalesce(1)
+    plain, bloom = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    c.write.mode("overwrite").parquet(plain)
+    (
+        c.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#c_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#c_custkey", "20000")
+        .parquet(bloom)
+    )
+
+    def size(d):
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, files
+        return os.path.getsize(files[0])
+
+    assert size(bloom) > size(plain) + 4096, (size(bloom), size(plain))
+    a = spark.read.parquet(plain).orderBy("c_custkey").collect()
+    b = spark.read.parquet(bloom).orderBy("c_custkey").collect()
+    assert a == b

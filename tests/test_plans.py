@@ -505,6 +505,25 @@ def test_skew_join_catalog_entry_engages_aqe_split(spark):
     assert "skewed" in p, p
 
 
+def test_bloom_join_catalog_entry_injects_runtime_filter(spark):
+    """The CATALOG runtime-bloom entry (join_runtime_bloom_filter) must
+    execute with the optimizer's injected semi-join reduction engaged at
+    sf0.01: the recorded executed plan shows a bloom_filter_agg build on
+    the dim side and a might_contain(...) predicate on the FACT scan's
+    filter — rows drop at the scan, before the shuffle. Correctness
+    (exact DuckDB oracle) never depends on injection; this pins the
+    100 TB mechanism itself."""
+    import irio_mapreduce_spark.queries.relational as rel
+
+    rel.BLOOM_JOIN_EXECUTED_PLAN = None
+    out = rel.join_runtime_bloom_filter(spark, SF_DIR)
+    assert out.count() == 4  # size bands 1..4 (p_size >= 1 in the corpus)
+    p = rel.BLOOM_JOIN_EXECUTED_PLAN
+    assert p is not None
+    assert "might_contain" in p, p
+    assert "bloom_filter_agg" in p, p
+
+
 def test_scd2_single_shuffle_two_windows(spark, qs):
     """merge_scd2_history's two window passes (lag change-detect, lead
     interval-close) share one (key, time) partitioning: exactly ONE
