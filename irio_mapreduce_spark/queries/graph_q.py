@@ -225,6 +225,115 @@ def graph_bfs_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_pagerank_components",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT 2 * o_custkey AS u, 2 * l_suppkey + 1 AS v
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+        AND o_custkey % 5 = 0),
+    bsym AS (SELECT u, v FROM base UNION SELECT v, u FROM base),
+    bnodes AS (SELECT DISTINCT u AS n FROM bsym),
+    reach(id, r) AS (
+      SELECT n, n FROM bnodes
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN bsym e ON e.u = reach.id),
+    comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+    yr AS (
+      SELECT DISTINCT 2 * o_custkey AS u, 2 * l_suppkey + 1 AS v
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+        AND o_custkey % 5 = 0),
+    ce AS (
+      SELECT DISTINCT least(coalesce(cu.c, y.u), coalesce(cv.c, y.v)) AS a,
+                      greatest(coalesce(cu.c, y.u), coalesce(cv.c, y.v)) AS b
+      FROM yr y
+        LEFT JOIN comp cu ON cu.id = y.u
+        LEFT JOIN comp cv ON cv.id = y.v
+      WHERE coalesce(cu.c, y.u) <> coalesce(cv.c, y.v)),
+    edges AS (SELECT a AS src, b AS dst FROM ce
+              UNION ALL SELECT b, a FROM ce),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    r0 AS (SELECT src AS node, {PAGERANK_SCALE} // n.n AS ri FROM deg, n),
+    {_PR_ROUND.format(out="r1", prev="r0")},
+    {_PR_ROUND.format(out="r2", prev="r1")},
+    {_PR_ROUND.format(out="r3", prev="r2")}
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(ri AS BIGINT) AS pr_fp,
+           ri / {PAGERANK_SCALE} AS pr
+    FROM r3
+    """,
+)
+def graph_pagerank_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CC→RANK pipeline in ONE chained plan: connected components of
+    the January-1995 purchase graph via LARGE/SMALL-STAR contraction
+    (`llm.dedup.connected_components_star` — the O(log² n)-round variant
+    that survives adversarial diameters), then every node of the
+    full-1995 purchase graph CONTRACTED to its January component (nodes
+    outside January label themselves), and three fixed-point PageRank
+    rounds over the contracted supergraph — "which January supplier
+    communities stay central over the whole year". This is the standard
+    coarsening move for trillion-edge graphs: contract locally-dense
+    clusters first, rank the quotient graph, and the rank table shrinks
+    from |nodes| to |components|.
+
+    Exactness: node ids are disjoint integers (customer 2k, supplier
+    2k+1, pure arithmetic both sides); component labels are min node ids
+    (the star-contraction contract, fixpoint-checked); contracted edges
+    canonicalize as distinct (least, greatest) pairs before mirroring so
+    neither engine double-counts a mixed-orientation pair; the rank
+    arithmetic is the BIGINT fixed-point of ``operators.graph.pagerank``.
+    The oracle recomputes the components with a RECURSIVE min-label CTE
+    — a genuinely different fixpoint algorithm — so the hash match pins
+    the component semantics, not the implementation."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).filter(F.col("o_custkey") % 5 == 0)
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+
+    def pairs(date_lo: str, date_hi: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderdate").between(date_lo, date_hi))
+            .join(li, orders["o_orderkey"] == li["l_orderkey"])
+            .select(
+                (F.col("o_custkey") * 2).alias("u"),
+                (F.col("l_suppkey") * 2 + 1).alias("v"),
+            )
+            .distinct()
+        )
+
+    from irio_mapreduce_spark.llm.dedup import connected_components_star
+
+    comp = connected_components_star(
+        pairs("1995-01-01", "1995-01-31"), "u", "v", id_col="id"
+    )
+    yr = pairs("1995-01-01", "1995-12-31")
+    cu = comp.select(F.col("id").alias("u"), F.col("component").alias("cu"))
+    cv = comp.select(F.col("id").alias("v"), F.col("component").alias("cv"))
+    # label-map joins are plain equi-joins: AQE broadcasts them here (the
+    # contraction window is one month), and falls back to a shuffle join
+    # when the component map outgrows the broadcast budget at full scale
+    labeled = (
+        yr.join(cu, "u", "left")
+        .join(cv, "v", "left")
+        .select(
+            F.coalesce("cu", "u").alias("la"), F.coalesce("cv", "v").alias("lb")
+        )
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.least("la", "lb").alias("a"), F.greatest("la", "lb").alias("b"))
+        .distinct()
+    )
+    edges = labeled.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        labeled.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank(edges, "src", "dst", iterations=3).select(
+        F.col("node").cast("long").alias("node"), "pr_fp", "pr"
+    )
+
+
 _LPA_ROUND = """
     v{r} AS (
       SELECT e.src AS vnode, r.lab AS vlab, count(*) AS c

@@ -670,6 +670,217 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml_decision_tree_depth2",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem),
+    per_q AS (
+      SELECT q, count(*) AS n_q, sum(pos) AS pos_q FROM pts GROUP BY q),
+    cum AS (
+      SELECT q,
+             sum(n_q) OVER w AS n_l, sum(pos_q) OVER w AS pos_l,
+             (SELECT count(*) FROM pts) AS n,
+             (SELECT sum(pos) FROM pts) AS pos_tot
+      FROM per_q WINDOW w AS (ORDER BY q)),
+    cand0 AS (
+      SELECT q AS t, n_l, pos_l, n - n_l AS n_r, pos_tot - pos_l AS pos_r
+      FROM cum WHERE n_l > 0 AND n - n_l > 0),
+    scored0 AS (
+      SELECT t,
+             2 * (CAST(pos_l AS HUGEINT) * (n_l - pos_l) * n_r
+                  + CAST(pos_r AS HUGEINT) * (n_r - pos_r) * n_l) AS num,
+             CAST(n_l AS HUGEINT) * n_r AS den
+      FROM cand0),
+    best0 AS (
+      SELECT a.t FROM scored0 a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM scored0 b
+        WHERE b.num * a.den < a.num * b.den
+           OR (b.num * a.den = a.num * b.den AND b.t < a.t))),
+    sided AS (
+      SELECT CASE WHEN p.q <= b.t THEN 'le' ELSE 'gt' END AS side, p.d, p.pos
+      FROM pts p, best0 b),
+    per_d AS (
+      SELECT side, d, count(*) AS n_d, sum(pos) AS pos_d
+      FROM sided GROUP BY side, d),
+    cum2 AS (
+      SELECT side, d,
+             sum(n_d) OVER w2 AS n_l, sum(pos_d) OVER w2 AS pos_l,
+             sum(n_d) OVER ws AS n, sum(pos_d) OVER ws AS pos_tot
+      FROM per_d
+      WINDOW w2 AS (PARTITION BY side ORDER BY d),
+             ws AS (PARTITION BY side)),
+    cand2 AS (
+      SELECT side, d AS t, n_l, pos_l, n - n_l AS n_r, pos_tot - pos_l AS pos_r
+      FROM cum2 WHERE n_l > 0 AND n - n_l > 0),
+    scored2 AS (
+      SELECT side, t, n_l, n_r, pos_l, pos_r,
+             2 * (CAST(pos_l AS HUGEINT) * (n_l - pos_l) * n_r
+                  + CAST(pos_r AS HUGEINT) * (n_r - pos_r) * n_l) AS num,
+             CAST(n_l AS HUGEINT) * n_r AS den
+      FROM cand2)
+    SELECT a.side,
+           CAST(b0.t AS BIGINT) AS root_threshold,
+           CAST(a.t AS BIGINT) AS best_discount_pct,
+           CAST(a.n_l AS BIGINT) AS n_left,
+           CAST(a.n_r AS BIGINT) AS n_right,
+           CAST(a.pos_l AS BIGINT) AS pos_left,
+           CAST(a.pos_r AS BIGINT) AS pos_right
+    FROM scored2 a, best0 b0
+    WHERE NOT EXISTS (
+      SELECT 1 FROM scored2 b
+      WHERE b.side = a.side
+        AND (b.num * a.den < a.num * b.den
+             OR (b.num * a.den = a.num * b.den AND b.t < a.t)))
+    """,
+)
+def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL decision tree by recursive exact-Gini splitting — the
+    multi-level extension the stump entry's docstring promises ("greedy
+    deeper trees = recurse per leaf, one grouped pass per level"): level
+    1 re-finds the stump's best quantity threshold; level 2 then finds,
+    WITHIN EACH root leaf, the best discount-percent threshold by the
+    same minimum-weighted-Gini criterion — a genuine 2-feature CART path
+    (quantity at the root, discount at depth 2), every comparison exact
+    integer cross-multiplication (DECIMAL(38) / HUGEINT carry products
+    to ~n^5; ties break at the smallest threshold per leaf, so both
+    engines pick identical splits with no float impurity anywhere).
+
+    Scale shape = exactly one grouped pass per level, the CART recursion
+    written as dataflow: pass 1 compacts 100 TB to |distinct quantity|
+    rows; the 1-row best root broadcasts back onto the points (map-side,
+    no shuffle of the broadcast); pass 2 compacts to |sides x distinct
+    discount| rows (<= 2·11 here); all scoring/dominance runs on those
+    broadcast-sized frames. Depth k = k chained passes of the same
+    shape. Cites the stump entry (`ml_decision_stump`) for the
+    exactness argument and per-leaf Gini algebra."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    dec = "decimal(38,0)"
+
+    def _scored(cand: DataFrame) -> DataFrame:
+        return cand.select(
+            *cand.columns,
+            (
+                F.lit(2).cast(dec)
+                * (
+                    F.col("pos_l").cast(dec)
+                    * (F.col("n_l") - F.col("pos_l"))
+                    * F.col("n_r")
+                    + F.col("pos_r").cast(dec)
+                    * (F.col("n_r") - F.col("pos_r"))
+                    * F.col("n_l")
+                )
+            ).alias("num"),
+            (F.col("n_l").cast(dec) * F.col("n_r")).alias("den"),
+        )
+
+    # -- level 1: best quantity threshold (same pass as ml_decision_stump)
+    per_q = li.groupBy("q").agg(
+        F.count("*").alias("n_q"), F.sum("pos").alias("pos_q")
+    )
+    w1 = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    tot = li.agg(F.count("*").alias("n"), F.sum("pos").alias("pos_tot"))
+    cand0 = (
+        per_q.withColumn("n_l", F.sum("n_q").over(w1))
+        .withColumn("pos_l", F.sum("pos_q").over(w1))
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("n_l") > 0) & (F.col("n") - F.col("n_l") > 0))
+        .select(
+            F.col("q").alias("t"),
+            "n_l",
+            "pos_l",
+            (F.col("n") - F.col("n_l")).alias("n_r"),
+            (F.col("pos_tot") - F.col("pos_l")).alias("pos_r"),
+        )
+    )
+    s0 = _scored(cand0)
+    o0 = s0.select(
+        F.col("t").alias("b_t"), F.col("num").alias("b_num"), F.col("den").alias("b_den")
+    )
+    best0 = s0.join(
+        F.broadcast(o0),
+        (F.col("b_num") * F.col("den") < F.col("num") * F.col("b_den"))
+        | (
+            (F.col("b_num") * F.col("den") == F.col("num") * F.col("b_den"))
+            & (F.col("b_t") < F.col("t"))
+        ),
+        "left_anti",
+    ).select(F.col("t").alias("root_t"))
+
+    # -- level 2: per root leaf, best discount threshold (one grouped pass)
+    sided = li.crossJoin(F.broadcast(best0)).select(
+        F.when(F.col("q") <= F.col("root_t"), F.lit("le"))
+        .otherwise(F.lit("gt"))
+        .alias("side"),
+        "d",
+        "pos",
+        "root_t",
+    )
+    per_d = sided.groupBy("side", "d").agg(
+        F.count("*").alias("n_d"),
+        F.sum("pos").alias("pos_d"),
+        F.max("root_t").alias("root_t"),
+    )
+    w2 = Window.partitionBy("side").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ws = Window.partitionBy("side")
+    cand2 = (
+        per_d.withColumn("n_l", F.sum("n_d").over(w2))
+        .withColumn("pos_l", F.sum("pos_d").over(w2))
+        .withColumn("n", F.sum("n_d").over(ws))
+        .withColumn("pos_tot", F.sum("pos_d").over(ws))
+        .filter((F.col("n_l") > 0) & (F.col("n") - F.col("n_l") > 0))
+        .select(
+            "side",
+            "root_t",
+            F.col("d").alias("t"),
+            "n_l",
+            "pos_l",
+            (F.col("n") - F.col("n_l")).alias("n_r"),
+            (F.col("pos_tot") - F.col("pos_l")).alias("pos_r"),
+        )
+    )
+    s2 = _scored(cand2)
+    o2 = s2.select(
+        F.col("side").alias("b_side"),
+        F.col("t").alias("b_t"),
+        F.col("num").alias("b_num"),
+        F.col("den").alias("b_den"),
+    )
+    best2 = s2.join(
+        F.broadcast(o2),
+        (F.col("b_side") == F.col("side"))
+        & (
+            (F.col("b_num") * F.col("den") < F.col("num") * F.col("b_den"))
+            | (
+                (F.col("b_num") * F.col("den") == F.col("num") * F.col("b_den"))
+                & (F.col("b_t") < F.col("t"))
+            )
+        ),
+        "left_anti",
+    )
+    return best2.select(
+        "side",
+        F.col("root_t").cast("long").alias("root_threshold"),
+        F.col("t").cast("long").alias("best_discount_pct"),
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("n_r").cast("long").alias("n_right"),
+        F.col("pos_l").cast("long").alias("pos_left"),
+        F.col("pos_r").cast("long").alias("pos_right"),
+    )
+
+
 _PCA_ROUNDS = 8
 
 

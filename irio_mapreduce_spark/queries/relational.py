@@ -2772,9 +2772,9 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RUNTIME BLOOM-FILTER join pruning — the second of Spark's two
     runtime-adaptive join defenses beside the AQE skew split
     (`join_skew_aqe_rollup`): when a shuffle join's build side carries a
-    selective filter (p_size < 5 keeps ~8%% of part), the optimizer
+    selective filter (p_size < 5 keeps ~8% of part), the optimizer
     pre-aggregates a bloom filter of the surviving build keys and injects
-    ``might_contain(...)`` into the FACT side's scan filter, so ~92%% of
+    ``might_contain(...)`` into the FACT side's scan filter, so ~92% of
     the 100 TB probe rows are dropped AT THE SCAN, before ever being
     shuffled — the semi-join reduction that turns a full-fact shuffle
     into a matching-rows shuffle. At production scale this fires under

@@ -27,6 +27,7 @@ from irio_mapreduce_spark.streaming import (
     sentinel_events,
     session_rollup,
     sliding_value_rollup,
+    stateful_holt_linear,
     stateful_user_totals,
     stream_static_enrich,
     tumbling_value_rollup,
@@ -817,5 +818,79 @@ def stream_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("w.start").alias("start_us"),
             F.unix_micros("w.end").alias("end_us"),
             "n_events",
+        )
+    )
+
+
+@register(
+    "stream_holt_linear_fixed_point",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS t_us, event_id
+      FROM events WHERE user_id % 23 = 0),
+    lst AS (
+      SELECT user_id, list(cents ORDER BY t_us, event_id) AS xs,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM pts GROUP BY user_id),
+    fold AS (
+      SELECT user_id, n_events,
+             list_reduce(
+               list_transform(xs, x -> (x + 536870912) * 2147483648 + 536870912),
+               (acc, x) -> ((acc // 2147483648 - 536870912) + (acc % 2147483648 - 536870912) + (((x // 2147483648 - 536870912) - (acc // 2147483648 - 536870912) - (acc % 2147483648 - 536870912)) // 4) + 536870912) * 2147483648 + ((acc % 2147483648 - 536870912) + (((x // 2147483648 - 536870912) - (acc // 2147483648 - 536870912) - (acc % 2147483648 - 536870912)) // 4) // 8 + 536870912)) AS st
+      FROM lst)
+    SELECT user_id, n_events,
+           CAST(st // 2147483648 - 536870912 AS BIGINT) AS level_cents,
+           CAST(st % 2147483648 - 536870912 AS BIGINT) AS trend_cents,
+           CAST((st // 2147483648 - 536870912) + 3 * (st % 2147483648 - 536870912) AS BIGINT)
+             AS forecast3_cents
+    FROM fold
+    """,
+)
+def stream_holt_linear_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt LINEAR-TREND smoothing on the REAL streaming engine — the
+    ``applyInPandasWithState`` twin of the batch packed-fold entry
+    (``events_holt_linear_fixed_point``, same oracle verbatim): per-user
+    (level, trend, n) state advances across micro-batches of the
+    TIME-ORDERED 4-chunk replay with the identical truncating-integer
+    transition, and each user's final emission (max n, update mode) must
+    hash-match the batch fold over the whole history. This is exactly
+    the recursion class the r6 review flagged as ``transformWithState``'s
+    natural workload — multi-component numeric state the batch side has
+    to PACK into one BIGINT (a single ``aggregate`` accumulator) lives
+    here as two named state columns. Time-ordered chunking is what makes
+    stream ≡ batch: chunk ranges partition event time (ties inseparable
+    by construction), and the fold sorts within each batch, so the
+    global fold order is (t_us, event_id) on both paths. The sentinel
+    row fails the % 23 filter, so no exclusion step is needed."""
+    from pyspark.sql.window import Window
+
+    d = _ordered_replay_dir(spark, sf_dir)
+    stream = (
+        read_events_stream(spark, d, max_files_per_trigger=2)
+        .filter(F.col("user_id") % 23 == 0)
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            F.unix_micros("ts").alias("t_us"),
+            "event_id",
+        )
+    )
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_to_completion(stateful_holt_linear(stream), name, "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            "level_cents",
+            "trend_cents",
+            (F.col("level_cents") + 3 * F.col("trend_cents"))
+            .cast("long")
+            .alias("forecast3_cents"),
         )
     )

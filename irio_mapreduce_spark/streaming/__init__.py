@@ -26,6 +26,7 @@ from irio_mapreduce_spark.streaming.ops import (  # noqa: F401
     session_rollup,
     sliding_value_rollup,
     stateful_change_intervals,
+    stateful_holt_linear,
     stateful_user_totals,
     stream_static_enrich,
     stream_stream_interval_join,

@@ -283,6 +283,75 @@ def stateful_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataF
     )
 
 
+def stateful_holt_linear(points: DataFrame) -> DataFrame:
+    """STREAMING Holt linear-trend smoothing via ``applyInPandasWithState``
+    — the incremental twin of the batch fixed-point fold
+    (``queries/events_q.py:events_holt_linear_fixed_point``): per-user
+    state carries (level, trend, n) across micro-batches and each batch
+    advances it with the identical integer transition
+    ``d = x - l - t; l += t + d div 4; t += (d div 4) div 8`` (dyadic
+    α=1/4, β=1/8; l0 = first observation, t0 = 0). The packed-BIGINT
+    trick the batch fold needs (one ``aggregate`` accumulator) is
+    unnecessary here — the state struct holds the two components as
+    separate longs, which is exactly why ``transformWithState``-class
+    operators are the natural home for multi-component recursions.
+
+    Exactness contract: ``div`` is Spark's truncate-toward-zero integer
+    division (Java semantics), so the Python fold uses explicit
+    truncating division — floor ``//`` would differ on negative
+    deltas. Rows are folded in (t_us, event_id) order WITHIN each batch;
+    cross-batch order is the caller's contract (feed a time-ordered
+    replay / watermarked source), same stance as every recursive filter:
+    sequential per key, parallel across keys.
+
+    Input columns: user_id, cents, t_us, event_id. Emits the running
+    (n_events, level, trend) per user per batch in update mode; the
+    final emission (max n_events) equals the batch fold over the whole
+    stream — driver-checked against the batch entry's oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def tdiv(a: int, b: int) -> int:
+        # Spark DIV truncates toward zero; Python // floors. b > 0 here.
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    def fn(key, pdfs, state):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["t_us", "event_id"])
+        xs = [int(x) for x in rows["cents"]]
+        if state.exists:
+            lvl, trd, n = state.get
+        else:
+            lvl, trd, n = int(xs[0]), 0, 1
+            xs = xs[1:]
+        for x in xs:
+            d = x - lvl - trd
+            dd = tdiv(d, 4)
+            lvl = lvl + trd + dd
+            trd = trd + tdiv(dd, 8)
+            n += 1
+        state.update((lvl, trd, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "level_cents": [lvl],
+                "trend_cents": [trd],
+            }
+        )
+
+    return points.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, n_events long, level_cents long, trend_cents long"
+        ),
+        stateStructType="lvl long, trd long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_static_enrich(
     events: DataFrame, dim: DataFrame, on: str, how: str = "inner"
 ) -> DataFrame:
