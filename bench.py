@@ -152,7 +152,9 @@ def main() -> int:
         pysource.register(spark)
         _wd = tempfile.mkdtemp(prefix="bench_warm_pysrc_")
         _rows = spark.range(3).selectExpr("CAST(id AS STRING) AS value")
-        _rows.write.format("dirtext").option("path", f"{_wd}/d").save()
+        _rows.write.format("dirtext").option("path", f"{_wd}/d").mode(
+            "append"
+        ).save()
         _q = (
             spark.readStream.format("dirtail")
             .option("path", f"{_wd}/d")

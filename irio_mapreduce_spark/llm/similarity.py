@@ -629,6 +629,72 @@ def rp_lsh_topk(
     )
 
 
+def rp_lsh_multiprobe_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    digits: int = 6,
+) -> DataFrame:
+    """MULTI-PROBE random-hyperplane LSH (Lv et al., VLDB'07): the query
+    probes its own bucket PLUS every bucket at Hamming distance 1 in each
+    table's sign pattern (flip one plane's sign bit — the buckets a
+    near-boundary neighbor most likely fell into), so p+1 probes per
+    table buy the recall that single-probe LSH needs extra TABLES for.
+    The 100 TB consequence is index SIZE: the corpus is stored once per
+    table, so halving the table count at equal recall halves the index;
+    only the query side fans out, and queries are the small side by
+    definition.
+
+    Mechanically the corpus indexes EXACTLY as in :func:`rp_lsh_topk`
+    (one exploded (table, bucket) row per table); the probe expansion is
+    a per-query ``transform``+``flatten`` over the key array (XOR of one
+    low bit per plane; the table tag rides the high bits untouched), and
+    candidates still come from ONE equi-join — same shuffle shape, L·(p+1)
+    query rows instead of L. Exact cosine re-ranks candidates only.
+    Returns (query_id, vec_id, cosine, rn<=k)."""
+    planes = random_hyperplanes(dim, n_tables * planes_per_table, seed)
+    keys = _table_buckets(F.col(vec_col), planes, n_tables, planes_per_table)
+    corpus = widen(df).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        F.explode(keys).alias("_bucket"),
+    )
+
+    def probe_set(key: Column) -> Column:
+        return F.array(
+            key,
+            *[
+                key.bitwiseXOR(F.lit(1 << j))
+                for j in range(planes_per_table)
+            ],
+        )
+
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(F.flatten(F.transform(keys, probe_set))).alias("_bucket"),
+    )
+    from pyspark.sql import Window
+
+    sim = F.round(cosine(as_double(F.col("_qv")), as_double(F.col("_cv"))), digits)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        qs.join(corpus, "_bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("cosine", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine", "rn")
+    )
+
+
 def pq_topk(
     df: DataFrame,
     vec_col: str,

@@ -173,6 +173,87 @@ def pagerank(
     )
 
 
+def pagerank_personalized(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    sources: DataFrame,
+    source_col: str,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart): identical
+    fixed-point integer arithmetic to :func:`pagerank`, but the teleport
+    mass restarts ONLY onto the ``sources`` set — rank becomes "proximity
+    to S weighted by graph structure", the recommendation / trust-rank
+    / related-entity primitive (vs global centrality). Differences from
+    the global form, all exactness-preserving:
+
+    * init: ``SCALE div |S|`` on source nodes, 0 elsewhere (S is
+      intersected with the node universe first — teleporting onto a
+      node with no edges would strand mass invisibly);
+    * update: the ``(1-d)`` teleport term is paid only to members of S;
+      non-members receive pure in-edge mass. Mass LEAKS by design on
+      non-mirrored graphs (walks that die restart at S) — on a mirrored
+      graph no mass is lost to sinks, as with the global entry.
+
+    Same per-round Pregel shuffle pair; the S-membership flag is a
+    column on the rank table (one semi-join at init), so rounds add no
+    extra join over the global operator. ``assume_none`` dangling
+    contract only — personalize over a graph with sinks by mirroring or
+    pre-filtering, the caller's choice, kept explicit."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("_src"), dst.alias("_dst")).localCheckpoint(
+        eager=True
+    )
+    deg = e.groupBy("_src").agg(F.count("*").alias("_outdeg")).localCheckpoint(
+        eager=True
+    )
+    nodes = deg.select(F.col("_src").alias("_node"))
+    s = (
+        sources.select(F.col(source_col).alias("_node"))
+        .distinct()
+        .join(nodes, "_node", "left_semi")
+    )
+    # membership flag rides the rank table: one row per node, _in_s 0/1
+    flagged = nodes.join(
+        s.withColumn("_in_s", F.lit(1)), "_node", "left"
+    ).select("_node", F.coalesce("_in_s", F.lit(0)).alias("_in_s"))
+    flagged = flagged.localCheckpoint(eager=True)
+    ns_df = flagged.agg(F.sum("_in_s").alias("_ns"))
+    base_num = (damping_den - damping_num) * PAGERANK_SCALE
+    ranks = flagged.join(F.broadcast(ns_df)).select(
+        "_node",
+        "_in_s",
+        F.expr(f"CASE WHEN _in_s = 1 THEN {PAGERANK_SCALE} div _ns ELSE 0L END").alias(
+            "_ri"
+        ),
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["_src"] == ranks["_node"])
+            .join(deg, "_src")
+            .select("_dst", F.expr("_ri div _outdeg").alias("_ci"))
+        )
+        sums = contrib.groupBy("_dst").agg(F.sum("_ci").alias("_s"))
+        update = (
+            f"(CASE WHEN _in_s = 1 THEN {base_num} div ({damping_den} * _ns) "
+            f"ELSE 0L END)"
+            f" + (({damping_num} * coalesce(_s, 0L)) div {damping_den})"
+        )
+        ranks = (
+            flagged.join(sums, flagged["_node"] == F.col("_dst"), "left")
+            .join(F.broadcast(ns_df))
+            .select("_node", "_in_s", F.expr(update).alias("_ri"))
+        )
+    return ranks.select(
+        F.col("_node").alias("node"),
+        F.col("_ri").cast("long").alias("pr_fp"),
+        (F.col("_ri") / F.lit(PAGERANK_SCALE)).alias("pr"),
+    )
+
+
 def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     """Exact triangle count of an undirected graph given as an edge list
     (either orientation, self-loops and duplicates tolerated), returning a

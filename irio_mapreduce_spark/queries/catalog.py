@@ -126,12 +126,16 @@ FRONT_WINDOW: list[str] = [
 
 # Entries that did not fit the current 50-slot window and therefore form
 # the MANDATORY head of the NEXT round's window (tests/test_conventions.py
-# asserts the plan). Round 7: empty — the 43-entry round-6 queue plus the
-# 7 round-7 additions fit the window exactly, so the driver-green union
-# reaches the full catalog this round. Any mid-round additions beyond the
+# asserts the plan). Round 7: the 43-entry round-6 queue plus the first 7
+# round-7 additions fit the window exactly, so the driver-green union
+# reaches the full catalog this round; mid-round additions beyond the
 # budget append HERE (never displacing the window head) and stay fully
 # oracle-tested per-entry in tests/test_oracle.py meanwhile.
-DEFERRED_TO_NEXT_WINDOW: list[str] = []
+DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "graph_pagerank_personalized",
+    "sim_ann_lsh_multiprobe",
+    "udf_cogrouped_map",
+]
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

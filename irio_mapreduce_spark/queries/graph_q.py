@@ -21,6 +21,7 @@ from irio_mapreduce_spark.operators.graph import (
     kcore_peel,
     label_propagation,
     pagerank,
+    pagerank_personalized,
     triangle_count,
 )
 from irio_mapreduce_spark.queries.catalog import register
@@ -223,6 +224,103 @@ def graph_bfs_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+# One PERSONALIZED PageRank round in DuckDB: identical integer arithmetic
+# to _PR_ROUND, but the (1-d) teleport term is paid only to members of the
+# source set (in_s flag on the node universe) — matching
+# operators.graph.pagerank_personalized exactly.
+_PPR_ROUND = f"""
+    {{out}} AS (
+      SELECT f.node,
+             (CASE WHEN f.in_s = 1
+                   THEN {15 * PAGERANK_SCALE} // (100 * ns.n) ELSE 0 END)
+               + ((85 * COALESCE(c.s, CAST(0 AS BIGINT))) // 100) AS ri
+      FROM flagged f
+        CROSS JOIN ns
+        LEFT JOIN (
+          SELECT e.dst, CAST(sum(r.ri // d.outdeg) AS BIGINT) AS s
+          FROM edges e
+            JOIN {{prev}} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src
+          GROUP BY e.dst) c ON c.dst = f.node)
+"""
+
+
+@register(
+    "graph_pagerank_personalized",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT concat('C', CAST(o_custkey AS VARCHAR)) AS c,
+                      concat('S', CAST(l_suppkey AS VARCHAR)) AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY 1),
+    s0 AS (
+      SELECT DISTINCT concat('C', CAST(c_custkey AS VARCHAR)) AS node
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'),
+    flagged AS (
+      SELECT d.src AS node,
+             CASE WHEN s0.node IS NOT NULL THEN 1 ELSE 0 END AS in_s
+      FROM deg d LEFT JOIN s0 ON s0.node = d.src),
+    ns AS (SELECT CAST(sum(in_s) AS BIGINT) AS n FROM flagged),
+    r0 AS (SELECT node,
+                  CASE WHEN in_s = 1 THEN {PAGERANK_SCALE} // ns.n
+                       ELSE 0 END AS ri
+           FROM flagged, ns),
+    {_PPR_ROUND.format(out="r1", prev="r0")},
+    {_PPR_ROUND.format(out="r2", prev="r1")},
+    {_PPR_ROUND.format(out="r3", prev="r2")}
+    SELECT node,
+           CAST(ri AS BIGINT) AS pr_fp,
+           ri / {PAGERANK_SCALE} AS pr
+    FROM r3 WHERE ri > 0
+    """,
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart) over the mirrored
+    purchase graph, teleporting only onto NATION_7's customers — "which
+    customers and suppliers are structurally closest to this nation's
+    customer base", the recommendation/trust-rank primitive that global
+    PageRank (`graph_pagerank_purchases`) cannot express: rank here is
+    proximity to the source set, so after 3 rounds only nodes within 3
+    hops carry mass (the ``ri > 0`` filter makes that support explicit
+    on both sides). Same fixed-point BIGINT arithmetic and per-round
+    Pregel shuffle pair as the global entry — the S-membership flag
+    rides the rank table, so personalization adds one init-time
+    semi-join and zero per-round cost
+    (``operators.graph.pagerank_personalized``). The oracle unrolls the
+    identical three personalized rounds as chained CTEs."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    nation = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sources = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("node")
+        )
+    )
+    return pagerank_personalized(
+        edges, "src", "dst", sources, "node", iterations=3
+    ).filter(F.col("pr_fp") > 0)
 
 
 @register(

@@ -19,6 +19,7 @@ from irio_mapreduce_spark.llm.similarity import (
     cosine_pairs_bruteforce,
     cosine_topk,
     ivf_topk,
+    rp_lsh_multiprobe_topk,
     rp_lsh_topk,
 )
 from irio_mapreduce_spark.queries.catalog import register
@@ -237,6 +238,30 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     ann = rp_lsh_topk(
         emb, "embedding", "vec_id", queries, k=5, n_tables=24,
+        planes_per_table=4, dim=64, seed=42,
+    )
+    return _ann_recall_validation(emb, ann, k=5, bound=0.6)
+
+
+@register("sim_ann_lsh_multiprobe", oracle=_ANN_RECALL_ORACLE)
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE LSH top-5 (Lv et al., VLDB'07): 8 tables x 4 planes
+    with the query probing its own bucket plus every Hamming-distance-1
+    bucket (5 probes/table, 40 effective probes) — the recall of the
+    24-single-probe-table entry (`sim_ann_lsh_topk`) from an index ONE
+    THIRD its size, because the corpus is stored once per table and only
+    the query side fans out. Same single candidate equi-join; exact
+    cosine re-rank; fixed plane seed.
+
+    Driver-checkable via :func:`_ann_recall_validation`: recall@5 >= 0.6
+    per query (measured against brute force across sf0.001/0.01/0.1 with
+    margin; tests/test_llm.py bounds the raw recall separately and
+    asserts the index-size claim — 3x fewer corpus index rows than the
+    single-probe entry at matched recall)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann = rp_lsh_multiprobe_topk(
+        emb, "embedding", "vec_id", queries, k=5, n_tables=8,
         planes_per_table=4, dim=64, seed=42,
     )
     return _ann_recall_validation(emb, ann, k=5, bound=0.6)

@@ -319,3 +319,82 @@ def udf_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part_poly_v v, LATERAL split_n_poly(v.p_name, 3) t
         """
     )
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(o.o_orderkey)
+                  FILTER (o.o_totalprice > c.c_acctbal) AS BIGINT)
+             AS n_above_balance,
+           CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 37 = 0
+    GROUP BY c.c_custkey, c.c_acctbal
+    """,
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-GROUPED pandas map (``df.groupBy(k).cogroup(other.groupBy(k))
+    .applyInPandas``) — the last Python-compute quadrant beside scalar /
+    grouped-agg / grouped-map / mapIn{Pandas,Arrow}: BOTH sides shuffle
+    on the key and each key's two group frames arrive in ONE function
+    call, the escape hatch for per-key algorithms over two tables that
+    no join expresses (custom as-of alignment, per-entity
+    reconciliation, trajectory diffing). Here each customer's orders are
+    reconciled against their account row (order count + how many orders
+    exceed the balance + exact-cents balance), deliberately re-stating a
+    plain join+filter aggregate so the DuckDB oracle hash-checks the
+    mechanism end to end. Keys present on only one side still produce a
+    call (the other frame arrives EMPTY) — customers with no orders must
+    emit n_orders=0, which the LEFT JOIN oracle pins. Scale: one
+    co-partitioned shuffle pair, state bounded by the largest single
+    key's rows — the same contract as grouped-map."""
+    import pandas as pd
+
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 37 == 0
+    ).select("c_custkey", "c_acctbal")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    # semi-filter the fact side before the shuffle: only the 1/37 keys
+    # the entry reports can contribute (predicate-pushdown analog for
+    # the cogroup, keeps the big side's exchange proportional)
+    orders = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_semi"
+    )
+
+    def reconcile(key, cdf: pd.DataFrame, odf: pd.DataFrame) -> pd.DataFrame:
+        if len(cdf) == 0:
+            # order rows whose key has no customer row: impossible here
+            # (semi-filtered), but the contract is explicit
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "n_above_balance", "acctbal_cents"]
+            )
+        import math
+
+        bal = float(cdf["c_acctbal"].iloc[0])
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(key[0])],
+                "n_orders": [len(odf)],
+                "n_above_balance": [int((odf["o_totalprice"] > bal).sum())],
+                # floor, not int(): acctbal is negative for ~10% of
+                # customers and int() truncates toward zero
+                "acctbal_cents": [math.floor(bal * 100 + 0.5)],
+            }
+        )
+
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy(F.col("o_custkey").alias("c_custkey")))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "c_custkey long, n_orders long, n_above_balance long, "
+                "acctbal_cents long"
+            ),
+        )
+    )

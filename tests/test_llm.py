@@ -146,6 +146,44 @@ def test_rp_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"recall {recall}"
 
 
+def test_rp_lsh_multiprobe_recall_and_index_size(spark):
+    """Multi-probe LSH (8 tables, Hamming-1 probes) must match-or-beat the
+    same 8-table single-probe configuration's recall — strictly more
+    candidates per query by construction — while its CORPUS index stays
+    exactly 8 rows per vector (vs 24 for the single-probe catalog entry's
+    table count): the index-size-for-probe-count trade the entry claims."""
+    from irio_mapreduce_spark.llm.similarity import rp_lsh_multiprobe_topk
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def recall_of(fn):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in fn(
+                emb, "embedding", "vec_id", queries, k=5, n_tables=8,
+                planes_per_table=4, dim=64, seed=42,
+            ).collect()
+        }
+        hits = total = 0
+        for q in queries.collect():
+            exact = cosine_topk(
+                emb.filter(F.col("vec_id") != q.vec_id),
+                "embedding",
+                "vec_id",
+                [float(x) for x in q.embedding],
+                k=5,
+            ).collect()
+            for r in exact:
+                total += 1
+                hits += (q.vec_id, r.vec_id) in got
+        return hits / total
+
+    single, multi = recall_of(rp_lsh_topk), recall_of(rp_lsh_multiprobe_topk)
+    assert multi >= single, (multi, single)
+    assert multi >= 0.5, f"multiprobe recall {multi}"
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF with 16 cells / 4 probes must recover a solid fraction of the
     exact top-5 — and strictly more than random cell assignment would
