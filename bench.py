@@ -176,6 +176,27 @@ def main() -> int:
     except Exception as e:
         print(f"[bench] warmup pysource runner: FAILED {e}", file=sys.stderr)
 
+    # The streaming entries share two session-cached replay directories
+    # (4-chunk out-of-order and time-ordered, queries/streaming_q.py);
+    # whichever entry FIRST needs one pays its ~1-2 s materialization —
+    # another rotation-order cost that masquerades as a per-entry
+    # regression when the window shuffles (r6→r7 diff showed the two
+    # entries newly at the window head at ~2x their standing numbers
+    # with byte-identical plans). Materialize both once, unmeasured.
+    _t0 = time.monotonic()
+    try:
+        from irio_mapreduce_spark.queries import streaming_q as _sq
+
+        _sq._replay_dir(spark, sf_dir)
+        _sq._ordered_replay_dir(spark, sf_dir)
+        print(
+            f"[bench] warmup replay dirs: {time.monotonic() - _t0:.3f}s "
+            "(unmeasured)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] warmup replay dirs: FAILED {e}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     skipped: list[str] = []
     for name, fn in qs.items():

@@ -470,10 +470,12 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator (n_c+2)² makes score comparison a CROSS-MULTIPLICATION
     of integers up to ~n⁵ — beyond BIGINT at sf0.1, so both sides carry
     the products in 128-bit-capable types (Spark DECIMAL(38,0), DuckDB
-    HUGEINT). Ties break lexicographically by class. Train and predict
-    are the same two grouped aggregates + a broadcast of the 3x2x2 model
-    — at 100 TB the model table is still 12 rows; scoring any table is a
-    map-only broadcast join, the same shape as ml_linear_score_classify.
+    HUGEINT). Ties break lexicographically by class. Training is ONE
+    grouped aggregate (the 3x2x2 contingency table; priors and
+    likelihood counts are its margins, derived driver-side from the 12
+    rows) — at 100 TB the model table is still 12 rows; scoring any
+    table is a map-only broadcast join, same shape as
+    ml_linear_score_classify.
 
     The oracle restates the argmax as an explicit dominance count (class
     beaten by none) — a deliberately different formulation of the same
@@ -485,20 +487,54 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("hi"))
         .alias("f_qty"),
     )
-    li = li.persist()  # four grouped passes over the labeled points
-    # The grouped aggregates are all tiny (<= 3 classes x 2 features x 2
-    # bands): materialize them EAGERLY as local rows so the cache can be
-    # released before returning — a lazily-returned plan would otherwise
-    # pin the cached lineitem blocks for the whole session across the
-    # 200+-entry bench/verify sweeps (r6 ADVICE.md). Bounded driver
-    # artifacts, same class as the k-means centroid collects.
-    def _eager(df: DataFrame) -> DataFrame:
-        return spark.createDataFrame(df.collect(), df.schema)
+    # ONE grouped pass compacts the labeled points to the full (cls,
+    # status, band) contingency table — <= 3x2x2 = 12 rows — and every
+    # model relation (class priors, per-feature likelihood counts, the
+    # observed feature cells, per-cell row counts) is derived from those
+    # 12 rows DRIVER-SIDE. One scan, one shuffle, no cache to leak (the
+    # r6 ADVICE item), and no per-aggregate job round trips (the first
+    # fix materialized four aggregates as four separate jobs — 2.6x the
+    # entry's cost at sf0.1). Bounded driver artifact, same class as the
+    # k-means centroid collects.
+    table = li.groupBy("cls", "f_status", "f_qty").agg(
+        F.count("*").alias("n")
+    ).collect()
 
-    prior = _eager(li.groupBy("cls").agg(F.count("*").alias("n_c")))
-    fs = _eager(li.groupBy("cls", "f_status").agg(F.count("*").alias("n_sc")))
-    fq = _eager(li.groupBy("cls", "f_qty").agg(F.count("*").alias("n_qc")))
-    cells = _eager(li.select("f_status", "f_qty").distinct())
+    def _mk(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    agg: dict = {}
+    for r in table:
+        agg[(r["cls"], r["f_status"], r["f_qty"])] = r["n"]
+    classes = sorted({c for c, _, _ in agg})
+    prior = _mk(
+        [
+            (c, sum(n for (cc, _, _), n in agg.items() if cc == c))
+            for c in classes
+        ],
+        "cls string, n_c long",
+    )
+    fs = _mk(
+        sorted(
+            (
+                (c, s, sum(n for (cc, ss, _), n in agg.items() if cc == c and ss == s))
+                for c, s in {(cc, ss) for cc, ss, _ in agg}
+            )
+        ),
+        "cls string, f_status string, n_sc long",
+    )
+    fq = _mk(
+        sorted(
+            (
+                (c, q, sum(n for (cc, _, qq), n in agg.items() if cc == c and qq == q))
+                for c, q in {(cc, qq) for cc, _, qq in agg}
+            )
+        ),
+        "cls string, f_qty string, n_qc long",
+    )
+    cells = _mk(
+        sorted({(s, q) for _, s, q in agg}), "f_status string, f_qty string"
+    )
     dec = "decimal(38,0)"
     scored = (
         cells.crossJoin(F.broadcast(prior))
@@ -542,12 +578,15 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("f_status", "f_qty", F.col("cls").alias("predicted_flag"))
     )
-    counts = _eager(
-        li.groupBy("f_status", "f_qty").agg(
-            F.count("*").cast("long").alias("n_rows")
-        )
+    counts = _mk(
+        sorted(
+            (
+                (s, q, sum(n for (_, ss, qq), n in agg.items() if ss == s and qq == q))
+                for s, q in {(ss, qq) for _, ss, qq in agg}
+            )
+        ),
+        "f_status string, f_qty string, n_rows long",
     )
-    li.unpersist()  # every derived aggregate is materialized above
     return beaten.join(counts, ["f_status", "f_qty"])
 
 
