@@ -85,6 +85,93 @@ def asof_join(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    matched_ts: str = "matched_ts",
+) -> DataFrame:
+    """NEAREST-match as-of join: each left row picks the right row
+    minimizing ``|right_ts - left_ts|`` for the same key, ties (an
+    equidistant prior and following match) resolved to the PRIOR — the
+    pandas ``merge_asof(direction='nearest')`` / kdb ``wj`` semantics,
+    for aligning measurements to the closest observation rather than the
+    last one (sensor fusion, price-to-event alignment).
+
+    Same single-shuffle union+window technique as :func:`asof_join`, run
+    in BOTH directions over ONE sort: the backward frame carries the
+    latest prior right struct, the forward frame the earliest following
+    one (Catalyst plans both windows over the same Exchange+Sort — same
+    partitioning, same ordering), and a null-aware comparison of the two
+    timestamp gaps picks the winner. No range probe, no nested loop;
+    linear in rows like the backward form. Right (key, ts) should be
+    unique for determinism — pre-aggregate as with :func:`asof_join`.
+
+    Returns left columns + ``value_cols`` + ``matched_ts`` (the chosen
+    right row's timestamp, NULL when the key has no right rows at all).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_lrow"),
+        F.struct(
+            F.col(right_ts).alias("_rts"), *[F.col(c) for c in value_cols]
+        ).alias("_rvals"),
+    )
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(r_tag.schema["_rvals"].dataType).alias("_rvals"),
+    )
+    order = [F.col("_ts").asc(), F.col("_side").asc()]
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "_side",
+        "_lrow",
+        "_ts",
+        F.last("_rvals", ignorenulls=True).over(wb).alias("_prior"),
+        F.first("_rvals", ignorenulls=True).over(wf).alias("_next"),
+    )
+    lts = F.col("_ts").cast("timestamp")
+    gap_prior = F.unix_micros(lts) - F.unix_micros(
+        F.col("_prior._rts").cast("timestamp")
+    )
+    gap_next = F.unix_micros(F.col("_next._rts").cast("timestamp")) - F.unix_micros(
+        lts
+    )
+    use_prior = F.col("_prior").isNotNull() & (
+        F.col("_next").isNull() | (gap_prior <= gap_next)
+    )
+    out = carried.filter(F.col("_side") == 1).withColumn(
+        "_m", F.when(use_prior, F.col("_prior")).otherwise(F.col("_next"))
+    )
+    return out.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(c) for c in value_cols],
+        F.col("_m._rts").alias(matched_ts),
+    )
+
+
 def asof_join_bucketed(
     left: DataFrame,
     right: DataFrame,

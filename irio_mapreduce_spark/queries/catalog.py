@@ -135,6 +135,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "graph_pagerank_personalized",
     "sim_ann_lsh_multiprobe",
     "udf_cogrouped_map",
+    "join_asof_nearest",
+    "events_cross_correlation_lag",
 ]
 
 

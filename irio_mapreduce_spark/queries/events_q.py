@@ -1072,3 +1072,65 @@ def events_holt_linear_fixed_point(spark: SparkSession, sf_dir: str) -> DataFram
         trd.cast("long").alias("trend_cents"),
         (lvl + 3 * trd).cast("long").alias("forecast3_cents"),
     )
+
+
+@register(
+    "events_cross_correlation_lag",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1, 2),
+    v AS (SELECT d, n FROM g WHERE event_type = 'view'),
+    p AS (SELECT d, n FROM g WHERE event_type = 'purchase'),
+    lags AS (SELECT unnest(generate_series(0, 7)) AS lag)
+    SELECT l.lag,
+           CAST(coalesce(sum(v.n * p.n), 0) AS BIGINT) AS xcorr,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM lags l
+      JOIN v ON TRUE
+      JOIN p ON p.d = v.d + CAST(l.lag AS INTEGER)
+    GROUP BY l.lag
+    """,
+)
+def events_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged CROSS-CORRELATION between two event streams — "how many
+    days after a view surge does the purchase surge follow": the raw
+    (unnormalized) cross-correlation r(lag) = Σ_d views(d)·purchases(d+
+    lag) for lags 0..7, emitted as the full exact-integer lag profile
+    (argmax is the lead time; normalization is a per-lag scalar that
+    cannot move the argmax and would put floats in the hash). The
+    time-series-alignment primitive behind lead/lag attribution and
+    sensor sync.
+
+    Scale shape = the compact-first rule (SCALE.md): one grouped pass
+    collapses 100 TB of events to the |days| x 2 daily grid, and ALL lag
+    arithmetic runs on that compacted relation — the 8-lag expansion is
+    an equi-join on (day + lag), broadcast-sized by construction, never
+    a self-join of raw events. Counts are BIGINT; daily products stay
+    far under 2^62 at any realistic rate."""
+    g = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(
+            F.col("ts").cast("date").alias("d"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    v = g.filter(F.col("event_type") == "view").select(
+        F.col("d").alias("vd"), F.col("n").alias("vn")
+    )
+    p = g.filter(F.col("event_type") == "purchase").select(
+        F.col("d").alias("pd"), F.col("n").alias("pn")
+    )
+    lagged = v.select(
+        "vd", "vn", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("lag")
+    )
+    joined = lagged.join(
+        p, F.col("pd") == F.date_add(F.col("vd"), F.col("lag"))
+    )
+    return joined.groupBy("lag").agg(
+        F.sum(F.col("vn") * F.col("pn")).cast("long").alias("xcorr"),
+        F.count("*").cast("long").alias("n_days"),
+    )

@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.io import load_tables, read_table
 from irio_mapreduce_spark.operators.aggregates import salted_agg
-from irio_mapreduce_spark.operators.joins import asof_join, asof_join_bucketed, range_join
+from irio_mapreduce_spark.operators.joins import (
+    asof_join,
+    asof_join_bucketed,
+    asof_join_nearest,
+    range_join,
+)
 from irio_mapreduce_spark.operators.topk import top_k_per_group
 from irio_mapreduce_spark.queries.catalog import register
 
@@ -367,6 +372,87 @@ def join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["event_id", "event_type"],
     )
     return joined.select("o_orderkey", "event_id", "event_type")
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      CAST(o_orderdate AS TIMESTAMP) AS ots
+               FROM orders WHERE o_orderkey % 97 = 0),
+    e AS (SELECT user_id, ts, max(event_id) AS event_id,
+                 max_by(event_type, event_id) AS event_type
+          FROM events GROUP BY user_id, ts),
+    b AS (SELECT o.o_orderkey, o.ots, e.ts AS bts,
+                 e.event_id AS bid, e.event_type AS btyp
+          FROM o ASOF LEFT JOIN e
+            ON o.o_custkey = e.user_id AND e.ts <= o.ots),
+    f AS (SELECT o.o_orderkey, e.ts AS fts,
+                 e.event_id AS fid, e.event_type AS ftyp
+          FROM o ASOF LEFT JOIN e
+            ON o.o_custkey = e.user_id AND e.ts >= o.ots)
+    SELECT b.o_orderkey,
+           CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+                     epoch_us(b.ots) - epoch_us(b.bts)
+                       <= epoch_us(f.fts) - epoch_us(b.ots))
+                THEN b.bid ELSE f.fid END AS event_id,
+           CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+                     epoch_us(b.ots) - epoch_us(b.bts)
+                       <= epoch_us(f.fts) - epoch_us(b.ots))
+                THEN b.btyp ELSE f.ftyp END AS event_type,
+           CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+                     epoch_us(b.ots) - epoch_us(b.bts)
+                       <= epoch_us(f.fts) - epoch_us(b.ots))
+                THEN epoch_us(b.ots) - epoch_us(b.bts)
+                WHEN f.fts IS NOT NULL
+                THEN epoch_us(f.fts) - epoch_us(b.ots) END AS dist_us
+    FROM b JOIN f USING (o_orderkey)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join — pandas ``merge_asof(direction=
+    'nearest')`` / kdb window-join semantics: each order aligns to the
+    user's CLOSEST event in either direction (equidistant ties -> the
+    prior event), with the exact microsecond gap emitted. One shuffle +
+    one sort via the both-direction carry-forward window
+    (``operators.joins.asof_join_nearest``: Catalyst plans the backward
+    and forward frames over the SAME Exchange+Sort — plan-asserted);
+    the oracle takes a genuinely different route, TWO DuckDB ASOF joins
+    (one per direction) merged by the same null-aware gap comparison, so
+    the hash match pins the nearest semantics, not the implementation.
+    Events pre-aggregated per (user, ts) as in the backward entry for
+    determinism under duplicate timestamps. Gap arithmetic is integer
+    epoch microseconds; the timezone interpretation of date->timestamp
+    midnight cancels out of every comparison and of the emitted
+    difference."""
+    t = load_tables(spark, sf_dir, "orders", "events")
+    orders = t["orders"].filter(F.col("o_orderkey") % 97 == 0)
+    events = (
+        t["events"]
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("event_type", "event_id").alias("event_type"),
+        )
+        .withColumnRenamed("user_id", "o_custkey")
+    )
+    joined = asof_join_nearest(
+        orders,
+        events,
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        value_cols=["event_id", "event_type"],
+    )
+    dist = F.unix_micros(F.col("matched_ts").cast("timestamp")) - F.unix_micros(
+        F.col("o_orderdate").cast("timestamp")
+    )
+    return joined.select(
+        "o_orderkey",
+        "event_id",
+        "event_type",
+        F.abs(dist).cast("long").alias("dist_us"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -505,6 +505,44 @@ def test_skew_join_catalog_entry_engages_aqe_split(spark):
     assert "skewed" in p, p
 
 
+def test_terasort_entry_never_single_partition(spark, qs):
+    """mr_terasort_rank's core claim: the full-table total-order sort
+    pays a RANGE exchange plus per-partition offset numbering, never the
+    Exchange SinglePartition the window form would plan (the oracle uses
+    the window form precisely because DuckDB is single-machine)."""
+    p = plan(spark, qs, "mr_terasort_rank", mode="simple")
+    assert "SinglePartition" not in p, p
+    # the range exchange itself ran inside global_rank's checkpoint
+    # barrier (test_global_rank_has_single_range_exchange pins it on the
+    # operator); what remains visible is the offset-numbering map stage
+    # over the frozen layout
+    assert "MapInPandas" in p, p
+    assert "ExistingRDD" in p, p
+
+
+def test_cogrouped_map_two_exchanges_one_per_side(spark, qs):
+    """udf_cogrouped_map shuffles each side once on the key and hands the
+    co-partitioned group pairs to ONE Python stage — no extra exchange,
+    no join node doing the pairing."""
+    p = plan(spark, qs, "udf_cogrouped_map", mode="simple")
+    assert "FlatMapCoGroupsInPandas" in p, p
+    # the two key exchanges (+1 AQE may add for the semi-filter's
+    # broadcast, which plans as BroadcastExchange, not Exchange hash)
+    hash_exchanges = p.count("Exchange hashpartitioning")
+    assert hash_exchanges == 2, (hash_exchanges, p)
+
+
+def test_asof_nearest_shares_one_sort_across_directions(spark, qs):
+    """join_asof_nearest's claim: the backward and forward carry windows
+    run over the SAME partitioning and ordering, so Catalyst plans ONE
+    Exchange + ONE Sort for both directions — nearest costs no more than
+    backward. (The union's two input sides each shuffle into the window
+    exchange; the count below is of post-union window machinery.)"""
+    p = plan(spark, qs, "join_asof_nearest", mode="simple")
+    assert p.count("Window") == 1, p  # both frames in one Window node
+    assert "SinglePartition" not in p, p
+
+
 def test_bloom_join_catalog_entry_injects_runtime_filter(spark):
     """The CATALOG runtime-bloom entry (join_runtime_bloom_filter) must
     execute with the optimizer's injected semi-join reduction engaged at
