@@ -137,6 +137,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "udf_cogrouped_map",
     "join_asof_nearest",
     "events_cross_correlation_lag",
+    "stream_dedup_within_watermark",
 ]
 
 

@@ -894,3 +894,47 @@ def stream_holt_linear_fixed_point(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("forecast3_cents"),
         )
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
+    FROM events WHERE user_id % 13 = 0
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming dedup (``dropDuplicatesWithinWatermark``)
+    — the 100 TB answer to duplicate suppression on an infinite stream,
+    where the unbounded-state entry (`stream_stateful_dedup`,
+    ``dropDuplicates``) would grow state forever: a key's dedup state
+    lives only for the watermark delay, so the operator suppresses
+    duplicates arriving within that horizon and the state size is
+    bounded by the horizon's key arrival rate. Here every event arrives
+    TWICE (the same time-ordered replay read through two source
+    instances, unioned — duplicate copies land in the same micro-batch),
+    the 7-day watermark comfortably covers the duplicate-arrival gap,
+    and the emitted per-type counts must equal batch COUNT(DISTINCT
+    event_id). The expiry semantics themselves (a duplicate arriving
+    AFTER the horizon is re-emitted — the documented trade-off, not a
+    bug) are pinned by tests/test_streaming.py on a hand-built far-apart
+    pair, which an exact oracle over this corpus cannot express."""
+    d = _ordered_replay_dir(spark, sf_dir)
+
+    def side() -> DataFrame:
+        return read_events_stream(spark, d, max_files_per_trigger=2).filter(
+            F.col("user_id") % 13 == 0
+        )
+
+    stream = side().union(side())
+    deduped = dedup_events(stream, ["event_id"], watermark="7 days")
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_to_completion(deduped, name, "append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )

@@ -617,3 +617,59 @@ def test_tws_user_stats_env_gate(spark):
         .collect()
     }
     assert out == {1: (2, 12.50, 10.00), 2: (1, 1.25, 1.25)}
+
+
+def test_dedup_within_watermark_state_expires(spark, tmp_path):
+    """The bounded-state trade-off of dropDuplicatesWithinWatermark,
+    pinned end to end: a duplicate arriving while the key's state is
+    alive is SUPPRESSED; one arriving after the watermark passed the
+    first occurrence's expiry (ts + delay) is RE-EMITTED — that is what
+    'state bounded by the horizon' means, and it is exactly the behavior
+    the unbounded dropDuplicates entry does not have. Three micro-batches:
+    seed keys at 10:00; a same-batch-horizon duplicate plus a 20:00
+    event that advances the watermark past the seeds' 11:00 expiry; then
+    a key-1 re-send (fresh timestamp, above the watermark), which
+    must come through again."""
+    import datetime as dt
+
+    from irio_mapreduce_spark.streaming import dedup_events
+
+    d = str(tmp_path / "dedup_wm")
+    t10 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t20 = dt.datetime(2024, 1, 1, 20, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    spark.createDataFrame(
+        [(1, t10, 1, "click", 1.0), (2, t10, 1, "click", 1.0)], schema
+    ).coalesce(1).write.parquet(d)
+    t1030 = dt.datetime(2024, 1, 1, 10, 30, 0)
+    t1930 = dt.datetime(2024, 1, 1, 19, 30, 0)
+    # duplicates are KEY-only (the operator's point): the re-sent copies
+    # carry their own (later) timestamps, keeping them above the
+    # watermark — an old-timestamp copy would be dropped as LATE data
+    # before dedup even sees it (verified: that path emits nothing)
+    spark.createDataFrame(
+        [(2, t1030, 1, "click", 1.0), (50, t20, 1, "click", 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    # state eviction applies the watermark a batch AFTER it advances
+    # (same one-batch trailing as window eviction, see the late-data
+    # test above) — so a no-op-for-key-1 batch sits between the
+    # watermark jump and the re-send
+    spark.createDataFrame(
+        [(60, dt.datetime(2024, 1, 1, 20, 15, 0), 1, "click", 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(1, t1930, 1, "click", 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = read_events_stream(spark, d)  # one file per micro-batch
+    run_to_completion(
+        dedup_events(stream, ["event_id"], watermark="1 hour"),
+        "t_dedup_wm",
+        "append",
+    )
+    from collections import Counter
+
+    emitted = Counter(r.event_id for r in spark.table("t_dedup_wm").collect())
+    # within-horizon duplicate of id 2 suppressed; id 1's state expired
+    # (watermark 19:00 > 11:00 expiry) so its duplicate re-emitted
+    assert emitted == {1: 2, 2: 1, 50: 1, 60: 1}, emitted
