@@ -530,6 +530,206 @@ def resize_bmp(payload: bytes, new_width: int, new_height: int) -> bytes:
     return encode_bmp(new_width, new_height, resampled)
 
 
+# ---------------------------------------------------------------------------
+# BMP RLE8 — the COMPRESSED palettized BMP variant (biCompression=BI_RLE8,
+# Windows BMP spec): 8-bit palette indexes run-length encoded as
+# (count, index) pairs with 00 00 end-of-line / 00 01 end-of-bitmap escapes
+# and 00 n absolute (literal) mode, word-aligned. Unlike the uncompressed
+# 24-bit path above this exercises a real VARIABLE-LENGTH entropy layer +
+# color-table indirection, both directions, from first principles — the
+# same class as the GIF LZW and TIFF codecs. Delta escapes (00 02 dx dy,
+# which leave pixels implied) raise NotImplementedError by name — the
+# honesty boundary of the supported fully-covered profile.
+# ---------------------------------------------------------------------------
+
+
+def _rle8_index(seed: int, x: int, y: int) -> int:
+    """Deterministic palette index; the x//4 quantization manufactures
+    genuine runs so the encoder's RLE layer is actually exercised."""
+    return (seed * 13 + y * 7 + (x // 4) * 3) % 256
+
+
+def _rle8_palette_bytes() -> bytes:
+    """Fixed 256-entry BGRA color table: b=i, g=2i%256, r=3i%256 — a
+    closed-form palette the SQL oracle can reproduce per index."""
+    out = bytearray()
+    for i in range(256):
+        out += bytes((i, (2 * i) % 256, (3 * i) % 256, 0))
+    return bytes(out)
+
+
+def encode_bmp_rle8(width: int, height: int, index_of) -> bytes:
+    """Encode a to-spec RLE8 BMP from an ``index_of(x, y)`` accessor:
+    bottom-up rows, maximal encoded runs (capped at 255), end-of-line
+    after every row, end-of-bitmap last, 256-entry BGRA palette."""
+    data = bytearray()
+    for stored_row in range(height):
+        y = height - 1 - stored_row
+        x = 0
+        while x < width:
+            idx = index_of(x, y)
+            run = 1
+            while x + run < width and run < 255 and index_of(x + run, y) == idx:
+                run += 1
+            data += bytes((run, idx))
+            x += run
+        data += b"\x00\x00"
+    data += b"\x00\x01"
+    palette = _rle8_palette_bytes()
+    offset = 14 + 40 + len(palette)
+    header = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(data), 2835, 2835, 256, 0
+    )
+    return header + info + palette + bytes(data)
+
+
+def decode_bmp_rle8(payload: bytes) -> dict:
+    """Decode an RLE8 BMP from its actual bytes — header validation,
+    palette read, and the full escape grammar: encoded runs, ABSOLUTE
+    (literal) mode with word alignment, end-of-line, end-of-bitmap.
+    Returns dims + exact integer index/channel sums. Delta escapes and
+    streams leaving implied (skipped) pixels raise by name; structural
+    corruption raises ValueError."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    magic, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 8 or compression != 1:
+        raise ValueError(
+            f"not an RLE8 BMP: bpp={bpp} compression={compression}"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"unsupported BMP orientation/dims: {width}x{height}")
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+    pal_off = 14 + hdr_size
+    if pal_off + 4 * n_colors > len(payload):
+        raise ValueError("truncated BMP palette")
+    palette = [
+        tuple(payload[pal_off + 4 * i : pal_off + 4 * i + 3])
+        for i in range(n_colors)
+    ]
+    pos, x, stored_row = offset, 0, 0
+    sum_idx, sums, npx = 0, [0, 0, 0], 0
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("truncated RLE8 stream")
+        b0, b1 = payload[pos], payload[pos + 1]
+        pos += 2
+        if b0 > 0:  # encoded run: b0 copies of palette[b1]
+            if stored_row >= height or x + b0 > width or b1 >= len(palette):
+                raise ValueError("RLE8 run overflows row/palette")
+            bl, g, r = palette[b1]
+            sum_idx += b0 * b1
+            sums[0] += b0 * bl
+            sums[1] += b0 * g
+            sums[2] += b0 * r
+            npx += b0
+            x += b0
+        elif b1 == 0:  # end of line
+            x, stored_row = 0, stored_row + 1
+        elif b1 == 1:  # end of bitmap
+            break
+        elif b1 == 2:
+            raise NotImplementedError("bmp rle8: delta escapes not supported")
+        else:  # absolute mode: b1 literal indexes, word-aligned
+            n = b1
+            if pos + n + (n & 1) > len(payload):
+                raise ValueError("truncated RLE8 absolute run")
+            if stored_row >= height or x + n > width:
+                raise ValueError("RLE8 absolute run overflows row")
+            for k in range(n):
+                idx = payload[pos + k]
+                if idx >= len(palette):
+                    raise ValueError("RLE8 index outside palette")
+                bl, g, r = palette[idx]
+                sum_idx += idx
+                sums[0] += bl
+                sums[1] += g
+                sums[2] += r
+            npx += n
+            x += n
+            pos += n + (n & 1)
+    if npx != width * height:
+        raise NotImplementedError(
+            "bmp rle8: streams with implied (skipped) pixels not supported"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "sum_idx": sum_idx,
+        "sum_b": sums[0],
+        "sum_g": sums[1],
+        "sum_r": sums[2],
+    }
+
+
+def synthesize_rle8_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Materialize genuine RLE8 BMP payloads per id (dims a function of
+    the id, indexes from the closed-form generator). Distributed; bytes
+    never visit the driver."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 6 + mid % 9, 5 + mid % 6
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": mm.encode_bmp_rle8(
+                            w, h, lambda x, y, m=mid: mm._rle8_index(m, x, y)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return ids.mapInPandas(run, schema="media_id long, payload binary")
+
+
+def decode_rle8_features(media: DataFrame) -> DataFrame:
+    """Decode RLE8 BMP payloads back to exact integer index/channel sums
+    (Arrow-batched; the genuine run-length + palette walk per row)."""
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                d = mm.decode_bmp_rle8(bytes(r["payload"]))
+                d["media_id"] = int(r["media_id"])
+                rows.append(d)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "sum_idx",
+                    "sum_b", "sum_g", "sum_r",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, width long, height long, sum_idx long, "
+            "sum_b long, sum_g long, sum_r long"
+        ),
+    )
+
+
 def resize_real_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """REAL resize stage over ``mapInPandas``: BMP and PNG payloads are
     decoded off their own magic bytes, nearest-neighbor resampled and

@@ -138,6 +138,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "join_asof_nearest",
     "events_cross_correlation_lag",
     "stream_dedup_within_watermark",
+    "multimodal_real_bmp_rle8",
 ]
 
 

@@ -488,3 +488,50 @@ def multimodal_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
     )
+
+
+@register(
+    "multimodal_real_bmp_rle8",
+    oracle="""
+    WITH img AS (SELECT doc_id AS media_id,
+                        6 + doc_id % 9 AS w, 5 + doc_id % 6 AS h
+                 FROM documents),
+    ix AS (SELECT media_id, w, h,
+                  unnest(generate_series(0, w * h - 1)) AS p
+           FROM img),
+    px AS (SELECT media_id, w, h,
+                  (media_id*13 + (p // w)*7 + ((p % w) // 4)*3) % 256 AS idx
+           FROM ix)
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum(idx) AS BIGINT) AS sum_idx,
+           CAST(sum(idx) AS BIGINT) AS sum_b,
+           CAST(sum((2 * idx) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((3 * idx) % 256) AS BIGINT) AS sum_r
+    FROM px GROUP BY media_id
+    """,
+)
+def multimodal_real_bmp_rle8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED BMP variant under the exact-oracle gate: genuine
+    BI_RLE8 payloads (run-length escapes + 256-entry palette, written to
+    the Windows BMP spec) are encoded distributed, shipped through the
+    binary column, and byte-decoded back through the full escape grammar
+    — encoded runs, absolute mode, end-of-line/bitmap — to exact integer
+    index and palette-channel sums. The oracle reproduces every sum in
+    closed form from the index generator and the closed-form palette
+    (b=i, g=2i%256, r=3i%256) without seeing any bytes, so a hash match
+    proves the variable-length entropy layer and the color-table
+    indirection both invert exactly — the sixth from-first-principles
+    codec (BMP24/WAV/PNG/GIF/TIFF/JPEG) and the second compressed one
+    beyond GIF's LZW. Delta escapes stay a named honesty boundary
+    (tests/test_llm.py)."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_rle8_features,
+        synthesize_rle8_media,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return decode_rle8_features(synthesize_rle8_media(docs))

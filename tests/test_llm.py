@@ -2051,3 +2051,59 @@ def test_pca_power_iteration_quality(spark):
     top = q[:, 0]
     cos = abs(got @ top) / (np.linalg.norm(got) * np.linalg.norm(top))
     assert cos > 0.999, cos
+
+
+def test_bmp_rle8_roundtrip_and_escape_grammar():
+    """The RLE8 codec is genuinely invertible on the supported profile,
+    decodes hand-built ABSOLUTE-mode streams (word alignment included),
+    and raises BY NAME on delta escapes / implied pixels — the honesty
+    boundary — and with ValueError on structural corruption."""
+    import struct
+
+    import pytest
+
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    for seed, w, h in [(1, 6, 5), (7, 14, 10), (12, 9, 6), (3, 4, 1)]:
+        payload = mm.encode_bmp_rle8(
+            w, h, lambda x, y, s=seed: mm._rle8_index(s, x, y)
+        )
+        d = mm.decode_bmp_rle8(payload)
+        exp_idx = sum(
+            mm._rle8_index(seed, x, y) for y in range(h) for x in range(w)
+        )
+        assert (d["width"], d["height"], d["sum_idx"]) == (w, h, exp_idx)
+        assert d["sum_b"] == exp_idx
+        assert d["sum_g"] == sum(
+            (2 * mm._rle8_index(seed, x, y)) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+
+    # hand-built ABSOLUTE-mode stream: one 3-wide row as 00 03 [a b c] +
+    # pad byte (n odd -> word alignment), EOL, EOB
+    pal = mm._rle8_palette_bytes()
+    offset = 14 + 40 + len(pal)
+    data = bytes((0, 3, 10, 20, 30, 0)) + b"\x00\x00" + b"\x00\x01"
+    hdr = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 3, 1, 1, 8, 1, len(data), 2835, 2835, 256, 0
+    )
+    d = mm.decode_bmp_rle8(hdr + info + pal + data)
+    assert (d["width"], d["height"], d["sum_idx"]) == (3, 1, 60)
+    assert d["sum_g"] == (2 * 10) % 256 + (2 * 20) % 256 + (2 * 30) % 256
+
+    # delta escape raises by name
+    delta = bytes((0, 2, 1, 1)) + b"\x00\x01"
+    with pytest.raises(NotImplementedError, match="delta"):
+        mm.decode_bmp_rle8(hdr + info + pal + delta)
+
+    # early EOB leaving implied pixels raises by name
+    short = bytes((2, 5)) + b"\x00\x01"  # 2 of 3 pixels covered
+    with pytest.raises(NotImplementedError, match="implied"):
+        mm.decode_bmp_rle8(hdr + info + pal + short)
+
+    # structural corruption: truncated stream
+    good = mm.encode_bmp_rle8(6, 5, lambda x, y: mm._rle8_index(1, x, y))
+    with pytest.raises(ValueError):
+        mm.decode_bmp_rle8(good[:-3])
