@@ -139,6 +139,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_cross_correlation_lag",
     "stream_dedup_within_watermark",
     "multimodal_real_bmp_rle8",
+    "fn_sql_udf_family",
 ]
 
 

@@ -886,3 +886,64 @@ def fn_interval_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quarter_start"
         ),
     )
+
+
+@register(
+    "fn_sql_udf_family",
+    oracle="""
+    SELECT s.sz,
+           CAST(count(p.p_partkey) AS BIGINT) AS n_parts,
+           CAST(coalesce(sum(CAST(floor(p.p_retailprice * 100 + 0.5)
+                                  AS BIGINT)), 0) AS BIGINT) AS retail_cents,
+           CAST(count(p.p_partkey) * 2 AS BIGINT) AS double_parts
+    FROM (VALUES (1), (2), (3)) s(sz)
+      LEFT JOIN part p ON p.p_size = s.sz
+    GROUP BY s.sz
+    """,
+)
+def fn_sql_udf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DEFINED functions (SQL:2016 / Spark 4 ``CREATE FUNCTION ...
+    RETURN``) — the catalog-resident UDF tier BELOW Python: a scalar SQL
+    UDF (exact cents), a SQL TABLE function whose body parameterizes a
+    real table scan (through an ``IDENTIFIER()`` constant-string table
+    reference — the SQL-injection-safe dynamic-name clause), the table
+    function consumed via correlated LATERAL, and a LATERAL COLUMN ALIAS
+    (``double_parts`` references the ``n_parts`` alias defined in the
+    same SELECT). Everything here stays INSIDE Catalyst — SQL UDFs
+    inline into the plan (the cents expression reaches codegen; nothing
+    crosses to Python), which is exactly why they beat Python UDFs as
+    the first resort for reusable logic at 100 TB. The oracle restates
+    the whole composition as one declarative join, so the hash match
+    proves inlining preserves semantics."""
+    read_table(spark, sf_dir, "part").createOrReplaceTempView(
+        "fn_sqludf_part_v"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION fn_sqludf_cents(x DOUBLE)
+        RETURNS BIGINT RETURN CAST(floor(x * 100 + 0.5) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION fn_sqludf_parts_of_size(sz INT)
+        RETURNS TABLE(p_partkey BIGINT, p_retailprice DOUBLE)
+        RETURN SELECT p_partkey, p_retailprice
+               FROM IDENTIFIER('fn_sqludf_part_v') WHERE p_size = sz
+        """
+    )
+    return spark.sql(
+        """
+        SELECT s.sz,
+               t.n_parts AS n_parts,
+               t.retail_cents,
+               n_parts * 2 AS double_parts
+        FROM (VALUES (1), (2), (3)) s(sz),
+          LATERAL (
+            SELECT CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(coalesce(sum(fn_sqludf_cents(p_retailprice)), 0)
+                        AS BIGINT) AS retail_cents
+            FROM fn_sqludf_parts_of_size(s.sz)
+          ) t
+        """
+    )
