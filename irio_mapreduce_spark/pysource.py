@@ -35,6 +35,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
@@ -227,12 +228,73 @@ def register(spark) -> None:
     if getattr(spark, "_dirtext_registered", False):
         return
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    for src in (DirTextDataSource, DirTailStreamSource):
+    for src in (DirTextDataSource, DirTailStreamSource, DirTailPartStreamSource):
         try:
             spark.dataSource.register(src)
         except Exception:
             pass  # already registered on this session
     spark._dirtext_registered = True
+
+
+class DirTailPartStreamSource(DataSource):
+    """``spark.readStream.format("dirtailp")`` — the PARTITIONED streaming
+    reader for the dir-of-files model, the scale-path upgrade over
+    :class:`DirTailStreamSource`: the Simple API funnels every byte
+    through ONE driver-side ``read()`` call per batch (fine for control
+    streams, a bottleneck for data); this full
+    ``DataSourceStreamReader`` keeps only the OFFSET computation on the
+    driver (a directory listing) and plans one :class:`InputPartition`
+    per new file, whose bytes are read BY EXECUTORS in parallel — the
+    reference's one-map-task-per-file split (`DistrStorage.java:137-155`),
+    now on the streaming engine. Offsets are the consumed-file list, so
+    a committed batch replays deterministically (``partitions(start,
+    end)`` is a pure function of the two offsets)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dirtailp"
+
+    def schema(self) -> str:
+        return "path string, value string"
+
+    def streamReader(self, schema):
+        return DirTailPartStreamReader(self.options)
+
+
+class DirTailPartStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.dir = options["path"]
+
+    def initialOffset(self):
+        return {"files": []}
+
+    def latestOffset(self):
+        files = sorted(
+            f
+            for f in os.listdir(self.dir)
+            if not f.startswith((".", "_tmp_"))
+        )
+        return {"files": files}
+
+    def partitions(self, start: dict, end: dict):
+        seen = set(start["files"])
+        new = [f for f in end["files"] if f not in seen]
+        # one partition per file: executor-parallel reads, the reference's
+        # split model — the driver never touches file CONTENTS
+        return [
+            InputPartition(os.path.join(self.dir, f)) for f in new
+        ] or [InputPartition(None)]
+
+    def read(self, partition):
+        # runs ON EXECUTORS (unlike SimpleDataSourceStreamReader.read)
+        if partition.value is None:
+            return
+        with open(partition.value) as fh:
+            for line in fh:
+                yield (os.path.basename(partition.value), line.rstrip("\n"))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are file lists; nothing external to clean up
 
 
 class DirTailStreamSource(DataSource):

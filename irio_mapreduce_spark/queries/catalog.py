@@ -140,6 +140,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stream_dedup_within_watermark",
     "multimodal_real_bmp_rle8",
     "fn_sql_udf_family",
+    "source_dirtail_partitioned_stream",
 ]
 
 

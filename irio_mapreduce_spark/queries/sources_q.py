@@ -600,3 +600,40 @@ def source_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = back if out is None else out.unionByName(back)
     return out
+
+
+@register(
+    "source_dirtail_partitioned_stream",
+    oracle=_WORDCOUNT_ORACLE,
+)
+def source_dirtail_partitioned_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTITIONED streaming reader (full ``DataSourceStreamReader``)
+    under the oracle gate — the scale-path half of the custom streaming
+    source beside the Simple-API entry (`source_dirtail_stream_wordcount`):
+    there, every byte funnels through one driver-side ``read()`` per
+    micro-batch (the Simple API's documented trade-off); here the driver
+    computes only OFFSETS (a directory listing) and plans one input
+    partition per new file, whose contents EXECUTORS read in parallel —
+    the reference's one-map-task-per-file split
+    (`DistrStorage.java:137-155`) on the streaming engine, and the only
+    form that survives a 1000-executor backlog drain. Same top-20
+    wordcount oracle over the same exactly-once parquet drain: one
+    dropped, doubled, or torn line anywhere breaks the hash."""
+    import tempfile
+
+    from irio_mapreduce_spark import pysource
+    from irio_mapreduce_spark.streaming import write_stream_parquet_exactly_once
+
+    pysource.register(spark)
+    base = tempfile.mkdtemp(prefix="dirtailp_q_")
+    d, out, ck = f"{base}/docs", f"{base}/out", f"{base}/ck"
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.regexp_replace(F.col("text"), r"[\r\n]+", " ").alias("value")
+    )
+    docs.repartition(4).write.format("dirtext").option("path", d).mode(
+        "append"
+    ).save()
+    stream = spark.readStream.format("dirtailp").option("path", d).load()
+    write_stream_parquet_exactly_once(stream.select("value"), out, ck)
+    lines = spark.read.parquet(out)
+    return _top20_wordcount(lines)
