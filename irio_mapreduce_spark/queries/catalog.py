@@ -141,6 +141,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "multimodal_real_bmp_rle8",
     "fn_sql_udf_family",
     "source_dirtail_partitioned_stream",
+    "ml_tree_predict_rollup",
 ]
 
 

@@ -709,10 +709,18 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_decision_tree_depth2",
-    oracle="""
-    WITH pts AS (
+def _tree_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared labeled-point projection of the two depth-2 tree entries."""
+    return read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+
+
+_TREE_CTES = """pts AS (
       SELECT CAST(l_quantity AS BIGINT) AS q,
              CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
@@ -761,7 +769,13 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
              2 * (CAST(pos_l AS HUGEINT) * (n_l - pos_l) * n_r
                   + CAST(pos_r AS HUGEINT) * (n_r - pos_r) * n_l) AS num,
              CAST(n_l AS HUGEINT) * n_r AS den
-      FROM cand2)
+      FROM cand2)"""
+
+
+@register(
+    "ml_decision_tree_depth2",
+    oracle=f"""
+    WITH {_TREE_CTES}
     SELECT a.side,
            CAST(b0.t AS BIGINT) AS root_threshold,
            CAST(a.t AS BIGINT) AS best_discount_pct,
@@ -797,13 +811,7 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized frames. Depth k = k chained passes of the same
     shape. Cites the stump entry (`ml_decision_stump`) for the
     exactness argument and per-leaf Gini algebra."""
-    li = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("long").alias("q"),
-        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
-        F.when(F.col("l_returnflag") == "R", F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("pos"),
-    )
+    li = _tree_points(spark, sf_dir)
     dec = "decimal(38,0)"
 
     def _scored(cand: DataFrame) -> DataFrame:
@@ -1087,3 +1095,81 @@ def ml_pca_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), "vec_id").limit(25)
+
+
+@register(
+    "ml_tree_predict_rollup",
+    oracle=f"""
+    WITH {_TREE_CTES},
+    best2 AS (
+      SELECT a.side, b0.t AS root_t, a.t, a.n_l, a.pos_l, a.n_r, a.pos_r
+      FROM scored2 a, best0 b0
+      WHERE NOT EXISTS (
+        SELECT 1 FROM scored2 b
+        WHERE b.side = a.side
+          AND (b.num * a.den < a.num * b.den
+               OR (b.num * a.den = a.num * b.den AND b.t < a.t)))),
+    leaves AS (
+      SELECT side, 'le' AS subleaf, n_l AS n_rows, pos_l AS n_returned
+      FROM best2
+      UNION ALL
+      SELECT side, 'gt', n_r, pos_r FROM best2)
+    SELECT side, subleaf,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_returned AS BIGINT) AS n_returned,
+           CASE WHEN 2 * n_returned > n_rows THEN 'R' ELSE 'N' END
+             AS predicted_flag,
+           CAST(CASE WHEN 2 * n_returned > n_rows THEN n_returned
+                     ELSE n_rows - n_returned END AS BIGINT) AS n_hits
+    FROM leaves
+    """,
+)
+def ml_tree_predict_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PREDICT half of the depth-2 tree — train once, then score every
+    row MAP-ONLY: the 2-row learned tree (`ml_decision_tree_depth2`) is
+    collected (the bounded-model contract, same as the linear scorer's
+    2-row fit) and its thresholds broadcast back as literals; each
+    lineitem row walks root -> leaf in pure codegen'd expressions, and
+    the per-leaf rollup emits row/positive counts, the leaf's
+    majority-class prediction, and the training hits that prediction
+    scores. The ORACLE never scores a row: it derives all four leaves'
+    numbers from the split-search statistics alone — so the hash match
+    proves the scoring pass reproduces the training partition exactly
+    (one mislabeled row anywhere breaks a leaf count). At 100 TB,
+    scoring any table with a trained tree is this same shape: broadcast
+    literals, zero shuffles before the final rollup."""
+    tree = {
+        r["side"]: r
+        for r in ml_decision_tree_depth2(spark, sf_dir).collect()
+    }
+    root_t = next(iter(tree.values()))["root_threshold"]
+    t_le = tree["le"]["best_discount_pct"]
+    t_gt = tree["gt"]["best_discount_pct"]
+    pts = _tree_points(spark, sf_dir)
+    side = F.when(F.col("q") <= F.lit(root_t), F.lit("le")).otherwise(
+        F.lit("gt")
+    )
+    d_thresh = F.when(side == "le", F.lit(t_le)).otherwise(F.lit(t_gt))
+    subleaf = F.when(F.col("d") <= d_thresh, F.lit("le")).otherwise(
+        F.lit("gt")
+    )
+    rolled = (
+        pts.select(side.alias("side"), subleaf.alias("subleaf"), "pos")
+        .groupBy("side", "subleaf")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("pos").cast("long").alias("n_returned"),
+        )
+    )
+    pred_r = 2 * F.col("n_returned") > F.col("n_rows")
+    return rolled.select(
+        "side",
+        "subleaf",
+        "n_rows",
+        "n_returned",
+        F.when(pred_r, F.lit("R")).otherwise(F.lit("N")).alias("predicted_flag"),
+        F.when(pred_r, F.col("n_returned"))
+        .otherwise(F.col("n_rows") - F.col("n_returned"))
+        .cast("long")
+        .alias("n_hits"),
+    )
