@@ -149,6 +149,43 @@ def test_dirtail_streaming_source_checkpoint_resume(spark, tmp_path):
     assert sorted(vals) == ["a", "b", "c"]  # exactly-once across restarts
 
 
+def test_dirtailp_partitioned_stream_checkpoint_resume(spark, tmp_path):
+    """The PARTITIONED streaming reader's offset contract: consumed-file
+    lists live in the checkpoint and ``partitions(start, end)`` is a pure
+    function of the two offsets, so a restarted query plans executor-read
+    partitions for exactly the files added since — no re-reads, no gaps.
+    Same scenario as the Simple-reader test above, through the
+    executor-side read path."""
+    import os
+
+    from irio_mapreduce_spark import pysource
+    from irio_mapreduce_spark.streaming import write_stream_parquet_exactly_once
+
+    pysource.register(spark)
+    d, ck = str(tmp_path / "tailp"), str(tmp_path / "ckp")
+    out = str(tmp_path / "outp")
+    os.makedirs(d)
+    with open(os.path.join(d, "f1.txt"), "w") as fh:
+        fh.write("a\nb")
+
+    def drain():
+        write_stream_parquet_exactly_once(
+            spark.readStream.format("dirtailp").option("path", d).load(),
+            out, ck,
+        )
+
+    drain()
+    assert {r.value for r in spark.read.parquet(out).collect()} == {"a", "b"}
+
+    with open(os.path.join(d, "f2.txt"), "w") as fh:
+        fh.write("c")
+    with open(os.path.join(d, "f3.txt"), "w") as fh:
+        fh.write("dd")
+    drain()  # resume: exactly f2+f3 consumed, one partition each
+    vals = [r.value for r in spark.read.parquet(out).collect()]
+    assert sorted(vals) == ["a", "b", "c", "dd"]
+
+
 def test_dirtext_append_twice_does_not_clobber(spark, tmp_path):
     """ADVICE fix: a second mode("append") into a non-empty dir must start
     part numbering after the existing max index, never os.rename over a
