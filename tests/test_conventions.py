@@ -161,8 +161,12 @@ def test_front_window_covers_all_unverified_entries():
         f"50-entry window and not declared deferred: {missing}"
     )
     # deferral is for genuine window overflow only, never for displacing
-    # rotation debt: every deferred entry must be absent from ALL prior
-    # driver files, and the window must be full.
+    # rotation debt: every deferred entry must be registered, absent from
+    # ALL prior driver files, and the window must be full.
+    unknown_deferred = [n for n in DEFERRED_TO_NEXT_WINDOW if n not in _QUERIES]
+    assert not unknown_deferred, (
+        f"DEFERRED_TO_NEXT_WINDOW names not registered: {unknown_deferred}"
+    )
     assert len(window) == 50
     overlap = seen & set(DEFERRED_TO_NEXT_WINDOW)
     assert not overlap, (

@@ -656,3 +656,75 @@ def test_auc_block_identity_matches_pair_counting(data):
         before += cnt
     num -= n1 * (n1 + 1)
     assert Fraction(num, 2 * n1 * n0) == want
+
+
+@given(left=events_strategy, right=events_strategy)
+@SETTINGS
+def test_asof_join_nearest_matches_python_reference(spark, left, right):
+    """asof_join_nearest over arbitrary keyed event sets equals the spec
+    written as brute force: per left row, the right row minimizing
+    |rts - lts| for the key, equidistant ties resolved to the PRIOR
+    (right unique per (key, ts) — the documented determinism domain).
+    A python reference rather than pandas merge_asof so OUR tie contract
+    is what's pinned, not pandas'."""
+    from irio_mapreduce_spark.operators.joins import asof_join_nearest
+
+    base = datetime.datetime(2024, 1, 1)
+    # the schema needs >= 1 row; the dummy participates in the reference
+    lsrc = [(k, ts, i) for i, (k, ts, _) in enumerate(left)] or [(0, 0, -1)]
+    lrows = [
+        (k, base + datetime.timedelta(seconds=ts), i) for k, ts, i in lsrc
+    ]
+    seen, rrows = set(), []
+    for k, ts, v in right:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            rrows.append((k, base + datetime.timedelta(seconds=ts), ts, v))
+    ldf = spark.createDataFrame(lrows, "k long, lts timestamp, lid long")
+    rdf = spark.createDataFrame(
+        [(k, t, v) for k, t, _s, v in rrows] or [(99, base, -1)],
+        "k long, rts timestamp, v long",
+    )
+    got = {
+        (r.k, r.lid): r.v
+        for r in asof_join_nearest(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", value_cols=["v"]
+        ).collect()
+    }
+
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, _t, s, v in rrows:
+        by_key.setdefault(k, []).append((s, v))
+    want = {}
+    for k, ls, i in lsrc:
+        best = None  # (dist, is_following, v) — prior wins ties
+        for rs, v in by_key.get(k, []):
+            cand = (abs(rs - ls), rs > ls, v)
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+        want[(k, i)] = best[2] if best else None
+    assert got == want
+
+
+@given(
+    dims=st.tuples(st.integers(1, 12), st.integers(1, 6)),
+    cells=st.lists(st.integers(0, 255), min_size=1, max_size=16),
+)
+@SETTINGS
+def test_bmp_rle8_roundtrip_property(dims, cells):
+    """RLE8 roundtrip on arbitrary index matrices: decode(encode(M))
+    reproduces exact index/channel sums for any pixel content — runs,
+    literals, full-row runs, alternating values alike."""
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    w, h = dims
+
+    def idx(x, y):
+        return cells[(x + y * w) % len(cells)]
+
+    d = mm.decode_bmp_rle8(mm.encode_bmp_rle8(w, h, idx))
+    exp = [idx(x, y) for y in range(h) for x in range(w)]
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["sum_idx"] == sum(exp)
+    assert d["sum_g"] == sum((2 * i) % 256 for i in exp)
+    assert d["sum_r"] == sum((3 * i) % 256 for i in exp)
