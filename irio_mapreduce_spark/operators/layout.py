@@ -136,3 +136,43 @@ def ensure_bucketed_table(
         f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
         f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
     )
+
+
+def compact_small_files(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """SMALL-FILE COMPACTION — the standing table-maintenance job every
+    100 TB lakehouse runs (Delta/Iceberg ``OPTIMIZE``, Hive concatenate):
+    streaming ingest and fine-grained partitioning leave thousands of
+    KB-sized files whose per-file open/footer/task overhead dominates
+    scans; compaction rewrites them into files near ``target_file_bytes``
+    (the parquet sweet spot is 128 MB-1 GB — big enough to amortize
+    footers, small enough to split).
+
+    Output file count is computed from the INPUT's actual on-disk bytes
+    (compacting same-codec parquet roughly preserves size), then one
+    round-robin ``repartition(n)`` rewrite — a single narrow-ish shuffle
+    whose width IS the file count; no sorting, no layout change
+    (compose with ``repartitionByRange``/Z-order writes when clustering
+    is wanted too — those entries exist separately). Returns the file
+    count written. Value identity is the caller's check (the catalog
+    entry hash-compares a checksum against the ORIGINAL table)."""
+    import math
+    import os
+
+    total = sum(
+        e.stat().st_size
+        for e in os.scandir(in_dir)
+        if e.is_file() and e.name.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    (
+        spark.read.parquet(in_dir)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return n_out

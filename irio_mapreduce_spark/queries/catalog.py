@@ -142,6 +142,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "fn_sql_udf_family",
     "source_dirtail_partitioned_stream",
     "ml_tree_predict_rollup",
+    "layout_compact_small_files",
 ]
 
 

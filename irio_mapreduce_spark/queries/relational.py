@@ -2084,6 +2084,55 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "layout_compact_small_files",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders WHERE o_custkey % 3 = 0
+    """,
+)
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION under the oracle gate — the standing
+    lakehouse maintenance job (Delta/Iceberg ``OPTIMIZE`` class): an
+    orders slice is first written DELIBERATELY fragmented (64 files,
+    each a few KB — the shape streaming ingest leaves behind, where
+    per-file open/footer/task overhead dominates any scan), then
+    compacted by ``operators.layout.compact_small_files`` into a file
+    count computed from the fragments' actual bytes against a target
+    file size, and read back for an exact checksum against the ORIGINAL
+    table — the compaction rewrote everything and lost nothing. The
+    file-count claims themselves (64 before, the computed handful
+    after) are pinned by tests/test_bucketing.py; at 100 TB this is the
+    same one-shuffle rewrite with a 128 MB-1 GB target."""
+    import os
+    import tempfile
+
+    from irio_mapreduce_spark.operators.layout import compact_small_files
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(
+        tempfile.gettempdir(), "irio_mapreduce_spark_layout", tag
+    )
+    frag = os.path.join(base, "compact_frag")
+    out = os.path.join(base, "compact_out")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 3 == 0
+    ).select("o_orderkey", "o_totalprice")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_small_files(spark, frag, out, target_file_bytes=4 * 1024 * 1024)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct(F.col("o_orderkey")).cast("long").alias("n_keys"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+    )
+
+
+@register(
     "layout_bucketed_join",
     oracle="""
     SELECT c_nationkey,
