@@ -143,6 +143,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "source_dirtail_partitioned_stream",
     "ml_tree_predict_rollup",
     "layout_compact_small_files",
+    "source_malformed_json",
 ]
 
 

@@ -637,3 +637,70 @@ def source_dirtail_partitioned_stream(spark: SparkSession, sf_dir: str) -> DataF
     write_stream_parquet_exactly_once(stream.select("value"), out, ck)
     lines = spark.read.parquet(out)
     return _top20_wordcount(lines)
+
+
+@register(
+    "source_malformed_json",
+    oracle="""
+    WITH base AS (SELECT s_suppkey, s_nationkey FROM supplier)
+    SELECT CAST((SELECT count(*) FROM base WHERE s_suppkey % 5 <> 0) AS BIGINT)
+             AS n_good,
+           CAST((SELECT count(*) FROM base WHERE s_suppkey % 5 = 0) AS BIGINT)
+             AS n_bad,
+           CAST((SELECT sum(s_nationkey) FROM base WHERE s_suppkey % 5 <> 0)
+                AS BIGINT) AS good_nation_sum
+    """,
+)
+def source_malformed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSON twin of the malformed-CSV quarantine entry: every
+    suppkey % 5 record is planted as STRUCTURALLY broken JSON (truncated
+    object — an unclosed brace mid-stream, the shape a crashed upstream
+    writer leaves), read back in PERMISSIVE mode with a
+    ``_corrupt_record`` column. JSON breaks differently from CSV (no
+    arity to violate; corruption is tokenizer-level), so the quarantine
+    family needs both under the oracle gate. Same
+    materialization-barrier note as the CSV entry (cache, aggregate,
+    checkpoint, unpersist); at 100 TB the one-pass shape is an immediate
+    good/bad split-write."""
+    path = _scratch(sf_dir, "supplier_malformed_json")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    lines = s.select(
+        F.when(
+            F.col("s_suppkey") % 5 == 0,
+            F.concat(
+                F.lit('{"s_suppkey": '), F.col("s_suppkey").cast("string"),
+                F.lit(', "s_nationkey": '),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"s_suppkey": '), F.col("s_suppkey").cast("string"),
+                F.lit(', "s_nationkey": '),
+                F.col("s_nationkey").cast("string"), F.lit("}"),
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "s_suppkey BIGINT, s_nationkey BIGINT, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    back = back.cache()
+    result = back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).cast("long").alias(
+            "n_good"
+        ),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).cast("long").alias(
+            "n_bad"
+        ),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("s_nationkey")))
+        .cast("long")
+        .alias("good_nation_sum"),
+    ).localCheckpoint(eager=True)
+    back.unpersist()
+    return result
