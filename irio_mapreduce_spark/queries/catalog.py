@@ -144,6 +144,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "ml_tree_predict_rollup",
     "layout_compact_small_files",
     "source_malformed_json",
+    "quality_observe_metrics",
 ]
 
 

@@ -1454,6 +1454,61 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           CAST(count(*) FILTER (l_quantity > 45) AS BIGINT) AS n_high_qty,
+           CAST(count(*) FILTER (l_discount > 0.08) AS BIGINT) AS n_deep_disc
+    FROM lineitem WHERE l_orderkey % 3 = 0
+    """,
+)
+def quality_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-FLIGHT data-quality metrics via ``df.observe()`` — Spark's
+    Observation API attaches named aggregates to a plan node so quality
+    counters (row counts, out-of-range tallies) are collected DURING the
+    main job's single pass over the data, not by a second scan: at
+    100 TB the difference between free monitoring and doubling the read.
+    The entry runs a real downstream aggregation as the main action (a
+    per-flag rollup consuming every row, so the observe node sees the
+    full pass exactly once), then returns the OBSERVED metrics, which
+    must hash-match DuckDB computing the same aggregates directly —
+    proving observe() neither drops nor double-counts rows. Exact
+    integers only (observed sums/counts); the one-row result is the
+    driver-side metric record every production job ships to its metrics
+    store."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality_metrics")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 3 == 0
+    )
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        F.count(F.when(F.col("l_quantity") > 45, 1)).alias("n_high_qty"),
+        F.count(F.when(F.col("l_discount") > 0.08, 1)).alias("n_deep_disc"),
+    )
+    # the main job: a real rollup that consumes every observed row (its
+    # result is bounded — the flag alphabet — and intentionally unused
+    # here; production ships it to its sink while the metrics ride along)
+    observed.groupBy("l_returnflag").count().collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["qty_sum"]),
+                int(m["n_high_qty"]),
+                int(m["n_deep_disc"]),
+            )
+        ],
+        "n_rows long, qty_sum long, n_high_qty long, n_deep_disc long",
+    )
+
+
+@register(
     "quality_fk_conformance",
     oracle="""
     SELECT 'lineitem->orders' AS fk,
