@@ -74,12 +74,12 @@ def test_front_window_consistent_with_registry():
 
 
 def test_front_window_covers_all_unverified_entries():
-    """Round-7 rotation contract (r6 VERDICT.md item 1): every entry
-    without a driver-green CORRECTNESS row in the union of rounds 1-6
+    """Round-9 rotation contract (r8 VERDICT.md item 1): every entry
+    without a driver-green CORRECTNESS row in the union of rounds 1-8
     sits inside the driver's 50-entry window this round, or is pinned in
-    DEFERRED_TO_NEXT_WINDOW as the mandatory head of the round-8 window.
-    The 43-entry round-6 deferred queue is the MANDATORY window head, in
-    its pinned order; round-7 additions are budgeted at 7 so the head is
+    DEFERRED_TO_NEXT_WINDOW as the mandatory head of the round-10 window.
+    The 13-entry round-8 deferred queue is the MANDATORY window head, in
+    its pinned order; round-9 additions are budgeted at 37 so the head is
     never displaced. With the window green the driver-green union reaches
     the full catalog."""
     import glob
@@ -92,8 +92,8 @@ def test_front_window_covers_all_unverified_entries():
     )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    prior = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-6].json")))
-    assert len(prior) >= 6, "missing prior-round driver files"
+    prior = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-8].json")))
+    assert len(prior) >= 8, "missing prior-round driver files"
     green: set[str] = set()
     seen: set[str] = set()
     for p in prior:
@@ -107,55 +107,25 @@ def test_front_window_covers_all_unverified_entries():
         for n in needs_row
         if n not in window and n not in DEFERRED_TO_NEXT_WINDOW
     ]
-    # the round-8 head (if any) must fit one window
+    # the round-10 head (if any) must fit one window
     assert len(DEFERRED_TO_NEXT_WINDOW) <= 50
-    # the 43 round-6 deferred entries stay pinned as the r7 head, in order
-    r7_head = [
-        "quality_cascade_delete_audit",
-        "ml_calibration_bins",
-        "ml_auc_exact",
-        "multimodal_real_gif",
-        "fn_binary_family",
-        "multimodal_real_tiff",
-        "source_xml_roundtrip",
-        "fn_xml_family",
-        "fn_crypto_family",
-        "fn_url_family",
-        "fn_csv_scalar_family",
-        "join_lateral_topk",
-        "agg_percentile_disc",
-        "fn_collation_family",
-        "fn_try_family",
-        "agg_bitmap_native",
-        "agg_hll_sketch_union",
-        "join_skew_aqe_rollup",
-        "multimodal_real_jpeg",
-        "fn_listagg_family",
-        "fn_sql_scripting",
-        "stream_state_store_read",
-        "ml_naive_bayes",
-        "events_ewma_fixed_point",
-        "merge_scd2_history",
-        "ml_decision_stump",
-        "source_pystream_writer_wordcount",
-        "text_winnowing_fingerprints",
-        "udf_map_in_arrow",
-        "events_dynamic_session_gap",
-        "udf_udtf_polymorphic",
-        "source_parquet_codecs",
-        "agg_count_min_sketch",
-        "ml_pca_power_iteration",
-        "ml_pca_project_topk",
-        "agg_theta_sketch_setops",
-        "join_point_in_time_scd2",
-        "fn_pipe_sql_syntax",
-        "fn_session_variables",
-        "stream_dynamic_session_gap",
-        "quality_expectations_suite",
-        "events_holt_linear_fixed_point",
-        "fn_interval_family",
+    # the 13 round-8 deferred entries stay pinned as the r9 head, in order
+    r9_head = [
+        "graph_pagerank_personalized",
+        "sim_ann_lsh_multiprobe",
+        "udf_cogrouped_map",
+        "join_asof_nearest",
+        "events_cross_correlation_lag",
+        "stream_dedup_within_watermark",
+        "multimodal_real_bmp_rle8",
+        "fn_sql_udf_family",
+        "source_dirtail_partitioned_stream",
+        "ml_tree_predict_rollup",
+        "layout_compact_small_files",
+        "source_malformed_json",
+        "quality_observe_metrics",
     ]
-    assert FRONT_WINDOW[: len(r7_head)] == r7_head
+    assert FRONT_WINDOW[: len(r9_head)] == r9_head
     assert not missing, (
         f"entries still lacking a driver-green row are outside the "
         f"50-entry window and not declared deferred: {missing}"
