@@ -2876,7 +2876,17 @@ def join_skew_aqe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the materialized rows; the executed adaptive plan is recorded in
     ``SKEW_JOIN_EXECUTED_PLAN`` for the plan test. Correctness never
     depends on whether the split engaged (sf0.001 stays under the
-    threshold; the oracle is plain SQL either way)."""
+    threshold; the oracle is plain SQL either way).
+
+    Width is scoped to the test volume exactly like the thresholds:
+    ``spark.sql.shuffle.partitions`` is set to 8 inside the same conf
+    window (restored after), and the mapper-emulating round-robin is 8
+    wide. Profiling the r7/r8 regression showed the entry's wall-clock
+    was ~150 near-empty scheduled tasks across the 8 AQE-staged jobs at
+    the session width of 32 (~10 ms apiece of pure scheduling on the
+    bench hosts) — not the join or the split. At production width the
+    same entry would run with the cluster's defaults; nothing here
+    changes the 100 TB story, only the demo's fixed overhead."""
     global SKEW_JOIN_EXECUTED_PLAN
     # AQE can only split a skewed partition at MAP-TASK boundaries: the
     # skewed reduce partition is reassembled from per-mapper output
@@ -2894,7 +2904,7 @@ def join_skew_aqe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("k"),
             F.col("l_quantity").cast("long").alias("qty"),
         )
-        .repartition(16)
+        .repartition(8)
     )
     dim = spark.range(98).select(
         F.col("id").alias("k"),
@@ -2918,6 +2928,7 @@ def join_skew_aqe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
         "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.shuffle.partitions": "8",
     }
     saved: dict[str, str | None] = {}
     for key, val in confs.items():
