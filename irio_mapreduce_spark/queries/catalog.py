@@ -86,6 +86,7 @@ FRONT_WINDOW: list[str] = [
     # round-9 additions (new entries, never driver-checked; budget 37 so
     # the mandatory 13-entry head above is never displaced) — appended as
     # each lands with a green oracle test.
+    "ml_adaboost_stumps",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

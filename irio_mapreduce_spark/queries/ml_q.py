@@ -1173,3 +1173,196 @@ def ml_tree_predict_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_hits"),
     )
+
+
+def _adaboost_round_sql(r: int) -> str:
+    """One unrolled AdaBoost round over state ``s{r}`` (columns q, d, pos,
+    cnt, w — all HUGEINT-safe): per-feature cumulative weighted class
+    masses, both stump polarities, total-order argmin, and the integer
+    weight rescale that defines ``s{r+1}``."""
+    return f"""
+    gq{r} AS (
+      SELECT q AS t, sum(w * cnt * pos) AS wpos, sum(w * cnt * (1 - pos)) AS wneg
+      FROM s{r} GROUP BY q),
+    aq{r} AS (
+      SELECT t, sum(wpos) OVER (ORDER BY t) AS wpos_l,
+             sum(wneg) OVER (ORDER BY t) AS wneg_l,
+             sum(wpos) OVER () AS wpos_tot, sum(wneg) OVER () AS wneg_tot
+      FROM gq{r}),
+    gd{r} AS (
+      SELECT d AS t, sum(w * cnt * pos) AS wpos, sum(w * cnt * (1 - pos)) AS wneg
+      FROM s{r} GROUP BY d),
+    ad{r} AS (
+      SELECT t, sum(wpos) OVER (ORDER BY t) AS wpos_l,
+             sum(wneg) OVER (ORDER BY t) AS wneg_l,
+             sum(wpos) OVER () AS wpos_tot, sum(wneg) OVER () AS wneg_tot
+      FROM gd{r}),
+    c{r} AS (
+      SELECT 'q' AS feat, t, 1 AS pol,
+             wneg_l + (wpos_tot - wpos_l) AS w_mis,
+             wpos_tot + wneg_tot AS w_all
+      FROM aq{r} WHERE (wpos_tot + wneg_tot) - (wpos_l + wneg_l) > 0
+      UNION ALL
+      SELECT 'q', t, 0, wpos_l + (wneg_tot - wneg_l), wpos_tot + wneg_tot
+      FROM aq{r} WHERE (wpos_tot + wneg_tot) - (wpos_l + wneg_l) > 0
+      UNION ALL
+      SELECT 'd', t, 1, wneg_l + (wpos_tot - wpos_l), wpos_tot + wneg_tot
+      FROM ad{r} WHERE (wpos_tot + wneg_tot) - (wpos_l + wneg_l) > 0
+      UNION ALL
+      SELECT 'd', t, 0, wpos_l + (wneg_tot - wneg_l), wpos_tot + wneg_tot
+      FROM ad{r} WHERE (wpos_tot + wneg_tot) - (wpos_l + wneg_l) > 0),
+    b{r} AS (
+      SELECT feat, t, pol, w_mis, w_all
+      FROM c{r} ORDER BY w_mis, feat, t, pol LIMIT 1),
+    s{r + 1} AS (
+      SELECT s.q, s.d, s.pos, s.cnt,
+             s.w * CASE WHEN (CASE WHEN (CASE WHEN b.feat = 'q' THEN s.q
+                                             ELSE s.d END) <= b.t
+                                  THEN b.pol ELSE 1 - b.pol END) <> s.pos
+                        THEN b.w_all - b.w_mis ELSE b.w_mis END AS w
+      FROM s{r} s, b{r} b)"""
+
+
+_ADABOOST_ORACLE = f"""
+    WITH raw AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem),
+    s1 AS (
+      SELECT q, d, pos, CAST(count(*) AS HUGEINT) AS cnt,
+             CAST(1 AS HUGEINT) AS w
+      FROM raw GROUP BY q, d, pos),
+    {_adaboost_round_sql(1)},
+    {_adaboost_round_sql(2)},
+    {_adaboost_round_sql(3)}
+    SELECT CAST(r.rnd AS BIGINT) AS round, r.feat,
+           CAST(r.t AS BIGINT) AS threshold,
+           CAST(r.pol AS BIGINT) AS left_positive,
+           CAST(r.w_mis AS VARCHAR) AS w_err,
+           CAST(r.w_all - r.w_mis AS VARCHAR) AS w_corr,
+           CAST(r.w_all AS VARCHAR) AS w_total
+    FROM (
+      SELECT 1 AS rnd, * FROM b1
+      UNION ALL SELECT 2, * FROM b2
+      UNION ALL SELECT 3, * FROM b3) r
+    """
+
+
+@register("ml_adaboost_stumps", oracle=_ADABOOST_ORACLE)
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-ROUND AdaBoost over decision stumps — boosting expressed as
+    CHAINED REDUCE BATCHES (the reference chains reducers per
+    common/common.proto:17; each boosting round is one grouped-reduce
+    batch over the re-weighted frame, exactly the shape
+    ReduceProcessor.java:32-47 executes per partition), and every weight
+    is an EXACT INTEGER. The transcendental-free trick: AdaBoost's
+    multiplicative update w <- w * exp(+-alpha) only matters up to a
+    per-round uniform scale, so misclassified rows multiply by W_corr
+    and correct rows by W_err (both integers) — the same rational
+    reweighting, zero floats, bit-identical across engines. Per round
+    the best stump over BOTH features (quantity, discount-pct) and BOTH
+    polarities is the total-order argmin of weighted misclassification
+    (w_mis, feat, t, pol) — weighted 0-1 loss, the classical AdaBoost
+    criterion, again pure integer comparison.
+
+    Scale shape: ONE distributed pass compacts 100 TB of lineitems to
+    the (q, d, pos) domain (<= 50*11*2 rows) with multiplicities —
+    legal because a stump's prediction, hence every row's weight
+    trajectory, depends only on (q, d, pos). The boosting loop then
+    runs on that checkpointed domain frame: 2 tiny grouped aggregates
+    + a 1-row argmin collect per round (the bounded driver artifact
+    pattern of the 2-row tree models). Weight magnitudes are bounded
+    by W_tot(3) <= 2 * (n^2/2)^2 ~ 1e22 at sf0.1 — inside
+    DECIMAL(38,0)/HUGEINT by 16 orders; the two big weight columns are
+    output as strings (BIGINT saturates at 9.2e18).
+    """
+    dec = "decimal(38,0)"
+    pts = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    state = (
+        pts.groupBy("q", "d", "pos")
+        .agg(F.count("*").cast(dec).alias("cnt"))
+        .withColumn("w", F.lit(1).cast(dec))
+        .localCheckpoint(eager=True)  # the ONE big pass; rounds run tiny
+    )
+    out: list[tuple] = []
+    for rnd in (1, 2, 3):
+        cands = []
+        for feat in ("q", "d"):
+            per_t = state.groupBy(F.col(feat).alias("t")).agg(
+                F.sum(F.col("w") * F.col("cnt") * F.col("pos")).alias("wpos"),
+                F.sum(
+                    F.col("w") * F.col("cnt") * (1 - F.col("pos"))
+                ).alias("wneg"),
+            )
+            cum_w = Window.orderBy("t").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            tot = per_t.agg(
+                F.sum("wpos").alias("wpos_tot"),
+                F.sum("wneg").alias("wneg_tot"),
+            )
+            acc = (
+                per_t.withColumn("wpos_l", F.sum("wpos").over(cum_w))
+                .withColumn("wneg_l", F.sum("wneg").over(cum_w))
+                .crossJoin(F.broadcast(tot))
+                .filter(
+                    (F.col("wpos_tot") + F.col("wneg_tot"))
+                    - (F.col("wpos_l") + F.col("wneg_l"))
+                    > 0
+                )
+            )
+            for pol, mis in (
+                (1, F.col("wneg_l") + (F.col("wpos_tot") - F.col("wpos_l"))),
+                (0, F.col("wpos_l") + (F.col("wneg_tot") - F.col("wneg_l"))),
+            ):
+                cands.append(
+                    acc.select(
+                        F.lit(feat).alias("feat"),
+                        F.col("t"),
+                        F.lit(pol).alias("pol"),
+                        mis.alias("w_mis"),
+                        (F.col("wpos_tot") + F.col("wneg_tot")).alias(
+                            "w_all"
+                        ),
+                    )
+                )
+        union = cands[0]
+        for c in cands[1:]:
+            union = union.unionByName(c)
+        best = union.orderBy("w_mis", "feat", "t", "pol").limit(1).collect()[0]
+        w_mis, w_all = int(best["w_mis"]), int(best["w_all"])
+        out.append(
+            (
+                rnd,
+                best["feat"],
+                int(best["t"]),
+                int(best["pol"]),
+                str(w_mis),
+                str(w_all - w_mis),
+                str(w_all),
+            )
+        )
+        if rnd < 3:
+            v = F.col(best["feat"])
+            pred = F.when(
+                v <= F.lit(int(best["t"])), F.lit(int(best["pol"]))
+            ).otherwise(F.lit(1 - int(best["pol"])))
+            mult = F.when(
+                pred != F.col("pos"),
+                F.lit(str(w_all - w_mis)).cast(dec),
+            ).otherwise(F.lit(str(w_mis)).cast(dec))
+            state = state.withColumn("w", F.col("w") * mult).localCheckpoint(
+                eager=True
+            )
+    return spark.createDataFrame(
+        out,
+        "round long, feat string, threshold long, left_positive long, "
+        "w_err string, w_corr string, w_total string",
+    )

@@ -728,3 +728,91 @@ def test_bmp_rle8_roundtrip_property(dims, cells):
     assert d["sum_idx"] == sum(exp)
     assert d["sum_g"] == sum((2 * i) % 256 for i in exp)
     assert d["sum_r"] == sum((3 * i) % 256 for i in exp)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_adaboost_stumps_matches_python_reference(spark, tmp_path_factory, pts):
+    """ml_adaboost_stumps vs a pure-Python integer AdaBoost: same
+    compaction, same weighted 0-1 argmin with the (w_mis, feat, t, pol)
+    total order, same integer W_corr/W_err rescale — every output cell
+    (thresholds, polarities, exact weight strings) must match."""
+    from hypothesis import assume
+
+    from irio_mapreduce_spark.queries.ml_q import ml_adaboost_stumps
+
+    assume(len({q for q, _, _ in pts}) >= 2 or len({d for _, d, _ in pts}) >= 2)
+
+    # pure-Python reference on exact integers
+    state = collections.Counter()
+    for q, d, pos in pts:
+        state[(q, d, pos)] += 1
+    weights = {k: 1 for k in state}
+    expect = []
+    for rnd in (1, 2, 3):
+        cands = []
+        for feat in ("q", "d"):
+            idx = 0 if feat == "q" else 1
+            vals = sorted({k[idx] for k in state})
+            for t in vals:
+                left = [k for k in state if k[idx] <= t]
+                if len(left) == len(state):
+                    continue  # empty right side
+                wpos_l = sum(weights[k] * state[k] for k in left if k[2] == 1)
+                wneg_l = sum(weights[k] * state[k] for k in left if k[2] == 0)
+                wpos_t = sum(
+                    weights[k] * state[k] for k in state if k[2] == 1
+                )
+                wneg_t = sum(
+                    weights[k] * state[k] for k in state if k[2] == 0
+                )
+                w_all = wpos_t + wneg_t
+                cands.append(
+                    (wneg_l + (wpos_t - wpos_l), feat, t, 1, w_all)
+                )
+                cands.append(
+                    (wpos_l + (wneg_t - wneg_l), feat, t, 0, w_all)
+                )
+        w_mis, feat, t, pol, w_all = min(
+            (c[0], c[1], c[2], c[3], c[4]) for c in cands
+        )
+        expect.append(
+            (rnd, feat, t, pol, str(w_mis), str(w_all - w_mis), str(w_all))
+        )
+        if rnd < 3:
+            idx = 0 if feat == "q" else 1
+            for k in state:
+                pred = pol if k[idx] <= t else 1 - pol
+                weights[k] *= (w_all - w_mis) if pred != k[2] else w_mis
+
+    tmp = tmp_path_factory.mktemp("adaboost")
+    pd.DataFrame(
+        {
+            "l_quantity": [float(q) for q, _, _ in pts],
+            "l_discount": [d / 100.0 for _, d, _ in pts],
+            "l_returnflag": ["R" if pos else "N" for _, _, pos in pts],
+        }
+    ).to_parquet(tmp / "lineitem.parquet")
+    got = [
+        (
+            r["round"],
+            r["feat"],
+            r["threshold"],
+            r["left_positive"],
+            r["w_err"],
+            r["w_corr"],
+            r["w_total"],
+        )
+        for r in ml_adaboost_stumps(spark, str(tmp)).collect()
+    ]
+    assert got == expect
