@@ -87,6 +87,7 @@ FRONT_WINDOW: list[str] = [
     # the mandatory 13-entry head above is never displaced) — appended as
     # each lands with a green oracle test.
     "ml_adaboost_stumps",
+    "stream_tws_stateful_totals",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

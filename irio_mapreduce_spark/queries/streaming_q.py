@@ -489,6 +489,74 @@ def stream_rocksdb_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_tws_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total,
+           max(value) AS max_value
+    FROM events WHERE user_id % 11 = 0
+    GROUP BY user_id
+    """,
+)
+def stream_tws_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``stream_custom_stateful_totals`` topology on Spark 4's
+    **transformWithStateInPandas** API (``streaming.ops.tws_user_stats``)
+    under the driver's oracle gate — named, individually-evolvable state
+    handles instead of the classic API's one opaque tuple, running on
+    the protocol that REQUIRES protobuf on the Python side: the entry is
+    the end-to-end proof that ``protobuf_vendor.ensure_protobuf``'s
+    addPyFile + sc.environment[PYTHONPATH] shipping reaches BOTH worker
+    classes (executor task workers and the JVM-spawned state-protocol
+    driver worker). transformWithState also mandates the RocksDB state
+    provider — the 100 TB state backend — scoped set/restore like
+    ``stream_rocksdb_state_totals``. Each user's final emission (highest
+    monotonically-growing count) must equal the batch aggregate; the
+    running total accumulates as exact integer cents in state, so the
+    emission is independent of micro-batch replay slicing.
+    """
+    from pyspark.sql.window import Window
+
+    from irio_mapreduce_spark.streaming.ops import tws_user_stats
+    from irio_mapreduce_spark.streaming.protobuf_vendor import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "no protobuf runtime available to vendor — "
+            "transformWithStateInPandas cannot run in this environment"
+        )
+    stream = _replayed_stream(spark, sf_dir).filter(
+        F.col("user_id") % 11 == 0
+    )
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        with _stream_partitions(spark):
+            run_to_completion(tws_user_stats(stream), name, "update")
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n", "total", "max_value")
+    )
+
+
+@register(
     "stream_watermark_late_drop",
     oracle="""
     SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S') AS win_start,

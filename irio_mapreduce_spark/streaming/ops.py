@@ -604,15 +604,23 @@ def tws_user_stats(events: DataFrame) -> DataFrame:
     (count, exact cent-total, max value) kept in a named ``ValueState``,
     emitted every micro-batch the user appears in (update mode).
 
-    ENVIRONMENT GATE: the transformWithState Python worker speaks a
-    protobuf-based state protocol — ``import google.protobuf`` must
-    succeed on workers or query start crashes with an opaque
+    ENVIRONMENT GATE, now with a local un-gate path: the
+    transformWithState Python worker speaks a protobuf-based state
+    protocol — ``import google.protobuf`` must succeed on workers or
+    query start crashes with an opaque
     ``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE``. This container
-    ships no protobuf (and installs are off-limits), so the operator
-    raises a clear error up front; the plan/state topology is covered by
-    ``tests/test_streaming.py`` (guarded), and the equivalent
-    driver-gated surface runs on the classic API
-    (``stateful_user_totals`` → ``stream_custom_stateful_totals``).
+    ships no protobuf pip package, but
+    ``streaming.protobuf_vendor.ensure_protobuf`` ships the host
+    google-cloud-sdk's pure-Python runtime via ``addPyFile`` (see that
+    module for the version-floor patch and its safety argument); only
+    if NO local runtime exists does the operator still raise the clear
+    error. The driver-gated catalog surface is
+    ``stream_tws_stateful_totals``; the classic-API twin remains
+    ``stateful_user_totals`` → ``stream_custom_stateful_totals``.
+    NOTE: transformWithState additionally requires the RocksDB state
+    store provider — callers scope
+    ``spark.sql.streaming.stateStore.providerClass`` the way
+    ``stream_rocksdb_state_totals`` does.
 
     vs the classic API (``stateful_user_totals``): state is a set of
     NAMED, individually-evolvable handles on a ``StatefulProcessorHandle``
@@ -629,15 +637,18 @@ def tws_user_stats(events: DataFrame) -> DataFrame:
     the grouping key across state stores; at scale the RocksDB provider
     (``stream_rocksdb_state_totals`` entry) holds it off-heap.
     """
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as exc:
+    from irio_mapreduce_spark.streaming.protobuf_vendor import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf(events.sparkSession):
         raise RuntimeError(
             "transformWithStateInPandas requires the 'protobuf' package "
-            "(its Python<->JVM state protocol); not available in this "
-            "environment. Use stateful_user_totals (applyInPandasWithState) "
-            "for the same topology."
-        ) from exc
+            "(its Python<->JVM state protocol); no pip install and no "
+            "local google-cloud-sdk runtime to vendor in this "
+            "environment. Use stateful_user_totals "
+            "(applyInPandasWithState) for the same topology."
+        )
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -566,29 +566,28 @@ def test_cdc_read_skips_torn_uncommitted_version(spark, tmp_path):
 
 def test_tws_user_stats_env_gate(spark):
     """transformWithStateInPandas needs the protobuf package on workers;
-    without it the operator must fail FAST with a clear message (the raw
-    engine error is an opaque runner-init crash at query start). When the
-    environment does ship protobuf, the operator must drain to the same
-    totals as the classic applyInPandasWithState topology."""
+    without it (and without a vendorable local runtime) the operator
+    must fail FAST with a clear message (the raw engine error is an
+    opaque runner-init crash at query start). When protobuf is present
+    or ``protobuf_vendor.ensure_protobuf`` can ship the host
+    google-cloud-sdk's pure-Python runtime, the operator must drain to
+    the same totals as the classic applyInPandasWithState topology."""
     import pytest
 
     from irio_mapreduce_spark.streaming.ops import tws_user_stats
-
-    try:
-        import google.protobuf  # noqa: F401
-
-        have_protobuf = True
-    except ImportError:
-        have_protobuf = False
+    from irio_mapreduce_spark.streaming.protobuf_vendor import (
+        ensure_protobuf,
+    )
 
     events = spark.createDataFrame(
         [(1, 10.00), (1, 2.50), (2, 1.25)], "user_id long, value double"
     )
-    if not have_protobuf:
+    if not ensure_protobuf(spark):
         with pytest.raises(RuntimeError, match="protobuf"):
             tws_user_stats(events)
         return
-    # protobuf present: run the topology end-to-end on a file replay
+    # protobuf importable (native or vendored): run end-to-end on a file
+    # replay. transformWithState requires the RocksDB state provider.
     import tempfile
     import uuid
 
@@ -596,15 +595,31 @@ def test_tws_user_stats_env_gate(spark):
     events.write.json(d)
     stream = spark.readStream.schema("user_id long, value double").json(d)
     name = f"t_tws_{uuid.uuid4().hex[:8]}"
-    q = (
-        tws_user_stats(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
-    q.awaitTermination()
+    try:
+        q = (
+            tws_user_stats(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
