@@ -1340,3 +1340,181 @@ def paragraph_dedup(
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce("rebuilt_text", F.lit("")).alias("rebuilt_text"),
     )
+
+
+def _write_index_segment(
+    idx: DataFrame, out_dir: str, seg: str, bands: int, rows_per_band: int
+) -> None:
+    """Write one GENERATION of the three index sub-tables as
+    ``seg=<seg>`` partition directories (``docs/ fps/ bands/`` under
+    ``out_dir``). ``idx`` is a materialized ``(_cid, _cfp, _csh)`` frame.
+    Overwrite mode per segment path is the idempotence primitive: a
+    replayed micro-batch rewrites ITS OWN directory and can never
+    duplicate rows into the index. Per-segment ``fps`` distinct is
+    sufficient — the probe uses the table as an anti-join set, where
+    cross-segment duplicates change bytes, never results."""
+    import os as _os
+
+    idx.select("_cid", "_csh").write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "docs", f"seg={seg}")
+    )
+    idx.select(F.col("_cfp").alias("_fp")).distinct().write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(out_dir, "fps", f"seg={seg}"))
+    idx.select(
+        "_cid",
+        F.explode(
+            F.array(
+                *[
+                    _band_key(F.col("_csh"), b, rows_per_band)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bucket"),
+    ).write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "bands", f"seg={seg}")
+    )
+
+
+def build_streaming_index_base(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> None:
+    """Base generation of a STREAM-MAINTAINED dedup index: the same three
+    artifacts as :func:`build_incremental_index`, laid out as
+    ``seg=base`` partition directories so ``foreachBatch`` maintenance
+    (:func:`index_maintenance_handler`) can append per-micro-batch
+    ``seg=b<batchId>`` generations idempotently. Readers scan the parent
+    sub-table paths and see the union of all generations; partition
+    discovery carries the segment name for exclusion filters. Same
+    commit protocol as the batch builder (``_COMMITTED`` manifest over
+    the whole tree)."""
+    import os as _os
+
+    from irio_mapreduce_spark.llm import artifacts
+
+    fp = F.sha2(F.col(text_col), 256)
+    sh = shingles(tokens(F.col(text_col)), n)
+    rows_per_band = num_hashes // bands
+    target = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    artifacts.begin_build(out_dir)
+    idx = widen(
+        corpus.select(
+            F.col(id_col).alias("_cid"), fp.alias("_cfp"), sh.alias("_csh")
+        ),
+        target_partitions=target,
+    ).localCheckpoint(eager=True)
+    try:
+        _write_index_segment(idx, out_dir, "base", bands, rows_per_band)
+    finally:
+        free_checkpoint(idx)
+    artifacts.commit(
+        out_dir,
+        {
+            "n": n,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "layout": "segmented",
+        },
+    )
+
+
+def streaming_index_params(out_dir: str) -> dict | None:
+    """Committed-manifest check for the SEGMENTED layout: the base
+    generation's ``_SUCCESS`` markers live under ``<table>/seg=base``
+    (streamed ``seg=b*`` generations are maintained by the foreachBatch
+    handler and carry their own per-write markers)."""
+    from irio_mapreduce_spark.llm import artifacts
+
+    return artifacts.committed_params(
+        out_dir, ("docs/seg=base", "fps/seg=base", "bands/seg=base")
+    )
+
+
+def index_maintenance_handler(
+    index_dir: str, id_col: str, text_col: str, threshold: float = 0.8
+):
+    """The STEADY-STATE INGEST LOOP as a ``foreachBatch`` handler: each
+    document micro-batch is deduped against every EXISTING index
+    generation (exact fingerprints, LSH candidates, exact-Jaccard
+    verification — :func:`_probe_corpus_index` over the segmented
+    layout), then the SURVIVORS' artifacts are appended as generation
+    ``seg=b<batchId>`` — so batch N+1 automatically dedups against
+    batch N's survivors without any corpus rebuild. This is the loop
+    ``dedup_incremental_persisted`` documents but runs only batch-side.
+
+    Replay idempotence (exactly-once effect on the index): the probe
+    EXCLUDES the batch's own segment (a replayed batch must see the
+    same index state it saw the first time — without the exclusion its
+    own earlier output would mark every row duplicate and the replay
+    would overwrite the segment as empty), and the segment write is a
+    per-path overwrite. Pinned by
+    tests/test_streaming.py::test_index_maintenance_replay_idempotent.
+
+    At 100 TB: per batch the corpus-side inputs are plain scans of the
+    three sub-tables (no re-tokenization), the probe joins are linear
+    in the batch, and the appended segment is linear in the batch's
+    survivors; periodic compaction of many small ``seg=b*`` generations
+    into a new base is the same operation as the initial build."""
+    params = streaming_index_params(index_dir)
+    if params is None:
+        raise ValueError(
+            f"streaming index at {index_dir} is missing or torn — build "
+            "it with build_streaming_index_base"
+        )
+    n, num_hashes, bands = params["n"], params["num_hashes"], params["bands"]
+    rows_per_band = num_hashes // bands
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        spark = batch.sparkSession
+        own = f"b{batch_id}"
+        c_fps = (
+            spark.read.parquet(_os.path.join(index_dir, "fps"))
+            .filter(F.col("seg") != own)
+            .select("_fp")
+        )
+        c_bands = (
+            spark.read.parquet(_os.path.join(index_dir, "bands"))
+            .filter(F.col("seg") != own)
+            .select("_cid", "_bucket")
+        )
+        c_docs = (
+            spark.read.parquet(_os.path.join(index_dir, "docs"))
+            .filter(F.col("seg") != own)
+            .select("_cid", "_csh")
+        )
+        survivors = _probe_corpus_index(
+            c_fps,
+            c_bands,
+            c_docs,
+            batch,
+            id_col,
+            text_col,
+            n=n,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        idx = (
+            survivors.select(
+                F.col(id_col).alias("_cid"),
+                F.sha2(F.col(text_col), 256).alias("_cfp"),
+                shingles(tokens(F.col(text_col)), n).alias("_csh"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        try:
+            _write_index_segment(idx, index_dir, own, bands, rows_per_band)
+        finally:
+            free_checkpoint(idx)
+
+    return handle

@@ -88,6 +88,7 @@ FRONT_WINDOW: list[str] = [
     # each lands with a green oracle test.
     "ml_adaboost_stumps",
     "stream_tws_stateful_totals",
+    "stream_dedup_index_maintenance",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

@@ -852,3 +852,153 @@ def dedup_paragraph_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.md5(F.encode(F.col("rebuilt_text"), "UTF-8")).alias("rebuilt_md5"),
     )
+
+
+# Shared trigram-set expression of the streaming-maintenance oracle (same
+# tokenization as _INCR_DEDUP_ORACLE).
+_TRIGRAMS = (
+    "list_distinct(list_transform("
+    "generate_series(1, len(list_filter(string_split_regex(lower(trim(text)),"
+    " '\\s+'), t -> t <> '')) - 2),"
+    " i -> array_to_string(list_filter(string_split_regex(lower(trim(text)),"
+    " '\\s+'), t -> t <> '')[i:i+2], ' ')))"
+)
+
+_STREAM_IDX_ORACLE = f"""
+    WITH batch AS (
+      SELECT doc_id, text, (doc_id // 10) % 3 AS chunk
+      FROM documents WHERE doc_id % 10 = 0),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 20 = 0),
+    bt AS (SELECT doc_id, chunk, {_TRIGRAMS} AS s, sha256(text) AS fp
+           FROM batch),
+    ct AS (SELECT {_TRIGRAMS} AS s, sha256(text) AS fp FROM corpus),
+    dupc AS (
+      SELECT DISTINCT b.doc_id FROM bt b, ct c
+      WHERE c.fp = b.fp
+         OR len(list_intersect(c.s, b.s)) * 1.0
+            / (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))) >= 0.8),
+    dupb AS (
+      SELECT DISTINCT a.doc_id AS late_id, a.chunk AS late_chunk,
+             b.doc_id AS early_id, b.chunk AS early_chunk
+      FROM bt a, bt b
+      WHERE a.chunk > b.chunk
+        AND (a.fp = b.fp
+             OR len(list_intersect(a.s, b.s)) * 1.0
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               >= 0.8)),
+    s0 AS (
+      SELECT doc_id, chunk FROM bt
+      WHERE chunk = 0 AND doc_id NOT IN (SELECT doc_id FROM dupc)),
+    s1 AS (
+      SELECT doc_id, chunk FROM bt
+      WHERE chunk = 1 AND doc_id NOT IN (SELECT doc_id FROM dupc)
+        AND doc_id NOT IN (
+          SELECT late_id FROM dupb
+          WHERE early_id IN (SELECT doc_id FROM s0))),
+    s2 AS (
+      SELECT doc_id, chunk FROM bt
+      WHERE chunk = 2 AND doc_id NOT IN (SELECT doc_id FROM dupc)
+        AND doc_id NOT IN (
+          SELECT late_id FROM dupb
+          WHERE early_id IN (SELECT doc_id FROM s0
+                             UNION ALL SELECT doc_id FROM s1)))
+    SELECT doc_id, CAST(chunk AS BIGINT) AS chunk FROM s0
+    UNION ALL SELECT doc_id, CAST(chunk AS BIGINT) FROM s1
+    UNION ALL SELECT doc_id, CAST(chunk AS BIGINT) FROM s2
+    """
+
+
+@register("stream_dedup_index_maintenance", oracle=_STREAM_IDX_ORACLE)
+def stream_dedup_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING INCREMENTAL LSH INDEX MAINTENANCE — the steady-state
+    ingest loop ``dedup_incremental_persisted`` documents, actually
+    running on the streaming engine: the ingest batch replays as THREE
+    time-ordered micro-batches (chunk = (doc_id div 10) % 3, one parquet
+    file each, maxFilesPerTrigger=1), and a ``foreachBatch`` handler
+    (``llm.dedup.index_maintenance_handler``) dedups each micro-batch
+    against every existing index generation then APPENDS the survivors
+    as a new ``seg=b<batchId>`` generation of the persisted
+    three-artifact index — so chunk 2 dedups against base + chunk 0's +
+    chunk 1's survivors with no corpus rebuild. Output: the final index
+    state's streamed generations (doc_id, chunk) — i.e. which batch rows
+    entered the index and in which micro-batch.
+
+    Oracle: chained brute-force dedup unrolled over the three chunks
+    (vs corpus, then vs earlier chunks' SURVIVORS — a row rejected in
+    chunk 0 never shadows a chunk-2 row). Within-chunk duplicates are
+    NOT deduped (the probe sees only prior generations) — both sides
+    agree by construction. Replay idempotence (a re-run micro-batch
+    overwrites its own segment, probing the index state minus itself)
+    is pinned by tests/test_streaming.py.
+
+    The base index is warehouse-persisted per (sf, corpus stamp) like
+    ``dedup_incremental_persisted``; each run resets only the streamed
+    ``seg=b*`` generations — the production analogue of replaying an
+    ingest window against a standing corpus index."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from irio_mapreduce_spark.llm.dedup import (
+        build_streaming_index_base,
+        index_maintenance_handler,
+        streaming_index_params,
+    )
+    from irio_mapreduce_spark.streaming.ops import _write_replay_sequenced
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus, batch = _ingest_split(docs)
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    idx_dir = os.path.join(
+        root,
+        "spark-warehouse",
+        "stream_idx_v1_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{_corpus_stamp(sf_dir)}",
+    )
+    if streaming_index_params(idx_dir) is not None:
+        # reset only the STREAMED generations (b0, b1, ...) — the glob
+        # must not catch seg=base ("b*" would!)
+        for seg in glob.glob(os.path.join(idx_dir, "*", "seg=b[0-9]*")):
+            shutil.rmtree(seg)
+    else:
+        build_streaming_index_base(corpus, "doc_id", "text", idx_dir)
+    run_dir = tempfile.mkdtemp(prefix="stream_idx_run_")
+    replay_dir = os.path.join(run_dir, "replay")
+    chunked = batch.select(
+        "doc_id",
+        "text",
+        F.expr("CAST((doc_id div 10) % 3 AS INT)").alias("_chunk"),
+    )
+    _write_replay_sequenced(chunked, "_chunk", 3, replay_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            index_maintenance_handler(idx_dir, "doc_id", "text")
+        )
+        .option("checkpointLocation", os.path.join(run_dir, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(idx_dir, "docs"))
+        .filter(F.col("seg") != "base")
+        .select(
+            F.col("_cid").alias("doc_id"),
+            F.regexp_replace(F.col("seg").cast("string"), "^b", "")
+            .cast("long")
+            .alias("chunk"),
+        )
+    )

@@ -688,3 +688,62 @@ def test_dedup_within_watermark_state_expires(spark, tmp_path):
     # within-horizon duplicate of id 2 suppressed; id 1's state expired
     # (watermark 19:00 > 11:00 expiry) so its duplicate re-emitted
     assert emitted == {1: 2, 2: 1, 50: 1, 60: 1}, emitted
+
+
+def test_index_maintenance_replay_idempotent(spark, tmp_path):
+    """The foreachBatch index-maintenance loop's exactly-once effect,
+    pinned the way test_cdc_upsert pins version replays: (1) a replayed
+    micro-batch id rewrites ITS OWN seg=b<id> generation to the identical
+    content — the probe excludes the batch's own segment, so the replay
+    sees the index state minus itself (without the exclusion its own
+    earlier output would mark every row duplicate and the replay would
+    empty the segment); (2) a later batch dedups against an earlier
+    batch's SURVIVORS, not just the base corpus."""
+    from irio_mapreduce_spark.llm.dedup import (
+        build_streaming_index_base,
+        index_maintenance_handler,
+        streaming_index_params,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_streaming_index_base(corpus, "doc_id", "text", idx)
+    assert streaming_index_params(idx) is not None
+    handler = index_maintenance_handler(idx, "doc_id", "text")
+
+    def seg_ids(seg):
+        return {
+            r._cid
+            for r in spark.read.parquet(f"{idx}/docs")
+            .filter(F.col("seg") == seg)
+            .collect()
+        }
+
+    batch0 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # exact dup vs corpus
+            (11, "totally new text about ducks and rivers flowing"),
+        ],
+        "doc_id long, text string",
+    )
+    handler(batch0, 0)
+    assert seg_ids("b0") == {11}
+    # replay of the SAME batch id: identical effect, no self-shadowing
+    handler(batch0, 0)
+    assert seg_ids("b0") == {11}
+    # a later batch must dedup against batch 0's survivor
+    batch1 = spark.createDataFrame(
+        [
+            (20, "totally new text about ducks and rivers flowing"),
+            (21, "another fresh document entirely unique here"),
+        ],
+        "doc_id long, text string",
+    )
+    handler(batch1, 1)
+    assert seg_ids("b1") == {21}
