@@ -89,6 +89,7 @@ FRONT_WINDOW: list[str] = [
     "ml_adaboost_stumps",
     "stream_tws_stateful_totals",
     "stream_dedup_index_maintenance",
+    "stream_asof_nearest_attrib",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

@@ -1006,3 +1006,128 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("event_type")
         .agg(F.count("*").cast("long").alias("n_events"))
     )
+
+
+_NEAREST_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _nearest_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Time-ordered events replay with a TWO-TYPE far-future sentinel
+    (one 'purchase', one 'click' row, negative ids): the nearest-as-of
+    entry filters each join side to one type, and the watermark node on
+    each side only sees post-filter rows — so flushing BOTH sides' state
+    needs a sentinel that passes each side's filter."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NEAREST_DIRS:
+        from irio_mapreduce_spark.io import read_table
+
+        d = tempfile.mkdtemp(prefix="stream_q_near_") + "/events"
+        replay_time_ordered(spark, sf_dir, d, n_chunks=4)
+        ev = read_table(spark, sf_dir, "events")
+        sentinel_events(
+            ev, _SESSION_SENTINEL, types=[(-1, "purchase"), (-2, "click")]
+        ).coalesce(1).write.mode("append").parquet(d)
+        _NEAREST_DIRS[key] = d
+    return _NEAREST_DIRS[key]
+
+
+@register(
+    "stream_asof_nearest_attrib",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    m AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             c.event_id AS click_id,
+             abs(epoch_us(c.ts) - epoch_us(p.ts)) AS dist_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                        c.event_id DESC) AS rn
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND c.ts >= p.ts - INTERVAL 24 HOUR
+        AND c.ts <= p.ts + INTERVAL 24 HOUR)
+    SELECT purchase_id, user_id, click_id, CAST(dist_us AS BIGINT) AS dist_us
+    FROM m WHERE rn = 1
+    """,
+)
+def stream_asof_nearest_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM NEAREST AS-OF JOIN — the streaming twin of
+    ``join_asof_nearest`` (equidistant ties -> the PRIOR event, then max
+    event id; exact integer microsecond gap), horizon-bounded at 24 h
+    because that is what makes it STREAMABLE: unbounded nearest would
+    need infinite lookback state, while the symmetric interval condition
+    ``p.ts - H <= c.ts <= p.ts + H`` gives the engine per-side eviction
+    thresholds. Topology: each purchase joins every same-user click in
+    the horizon (watermarked stream-stream interval join), then a SECOND
+    stateful operator — an event-time-windowed aggregation, Spark 4's
+    chained-stateful-operators support — reduces each purchase's
+    candidates to the argmin of ``(dist, direction, -click_id)`` via one
+    ``min(struct(...))`` (total order, no floats). Run over a
+    time-ordered replay with a 14-day watermark delay (>= chunk span -
+    horizon, so eviction can never race a real match on this finite
+    harness; production sizes it to horizon + max disorder) and a
+    two-type far-future sentinel that advances both sides' watermarks
+    past every real window, flushing join AND aggregation state. Oracle:
+    the batch nearest-in-horizon argmin verbatim (row_number over dist,
+    direction, id)."""
+    d = _nearest_replay_dir(spark, sf_dir)
+    purchases = (
+        read_events_stream(spark, d, max_files_per_trigger=2)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "14 days")
+    )
+    clicks = (
+        read_events_stream(spark, d, max_files_per_trigger=2)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "14 days")
+    )
+    p, c = purchases.alias("p"), clicks.alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("c.ts") <= F.col("p.ts") + F.expr("INTERVAL 24 HOURS"))
+    )
+    dist = F.abs(
+        F.unix_micros(F.col("c.ts")) - F.unix_micros(F.col("p.ts"))
+    )
+    joined = p.join(c, cond, "inner").select(
+        F.col("p.ts").alias("pts"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.struct(
+            dist.alias("dist_us"),
+            F.when(F.col("c.ts") <= F.col("p.ts"), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("dir"),
+            (-F.col("c.event_id")).alias("neg_id"),
+            F.col("c.event_id").alias("click_id"),
+        ).alias("cand"),
+    )
+    agg = joined.groupBy(
+        F.window("pts", "1 day"), "purchase_id", "user_id"
+    ).agg(F.min("cand").alias("w"))
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_to_completion(agg, name, "append")
+    # Sentinel exclusion and projection happen BATCH-SIDE on the drained
+    # table: a `purchase_id >= 0` filter inside the streaming plan gets
+    # pushed below the EventTimeWatermark node (it doesn't reference the
+    # time column), which silently deletes the sentinel row before the
+    # watermark ever sees it — the purchase-side watermark then stalls
+    # at max(real ts) - delay and only the first half of the windows
+    # flush. Found empirically (57/115 rows); the drained-table filter
+    # is semantically identical and plan-safe.
+    return (
+        spark.table(name)
+        .filter(F.col("purchase_id") >= 0)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("w.click_id").alias("click_id"),
+            F.col("w.dist_us").cast("long").alias("dist_us"),
+        )
+    )
