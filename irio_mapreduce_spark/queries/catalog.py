@@ -90,6 +90,9 @@ FRONT_WINDOW: list[str] = [
     "stream_tws_stateful_totals",
     "stream_dedup_index_maintenance",
     "stream_asof_nearest_attrib",
+    "fn_variant_family",
+    "fn_execute_immediate",
+    "source_partitioned_pruning",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

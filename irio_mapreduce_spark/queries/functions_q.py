@@ -947,3 +947,113 @@ def fn_sql_udf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
           ) t
         """
     )
+
+
+@register(
+    "fn_variant_family",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             '{"k":' || o_orderkey || ',"pri":"' || o_orderpriority ||
+             '","arr":[' || o_custkey || ',' || (o_orderkey % 7) ||
+             '],"nul":null}' AS j
+      FROM orders WHERE o_orderkey % 101 = 0)
+    SELECT o_orderkey,
+           CAST(json_extract(j, '$.k') AS BIGINT) AS got_k,
+           json_extract_string(j, '$.pri') AS got_pri,
+           CAST(json_extract(j, '$.arr[1]') AS BIGINT) AS got_arr1,
+           json_extract(j, '$.missing') IS NULL AS miss_null,
+           coalesce(json_type(j, '$.nul') = 'NULL', false) AS nul_is_null
+    FROM src
+    """,
+)
+def fn_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type — the engine-native semi-structured column
+    (binary-encoded, shredded access paths; the open-table-format answer
+    to schemaless JSON at 100 TB: parse ONCE at ingest, then every
+    downstream path extraction skips string re-parsing). Surface pinned:
+    ``parse_json`` -> VARIANT, typed ``variant_get`` path extraction
+    (scalar, string, array index), ``try_variant_get`` returning NULL on
+    a missing path (vs the throwing form), and ``is_variant_null``
+    distinguishing a JSON ``null`` VALUE from an absent path — the
+    classic JSON tri-state. The JSON text is built engine-identically by
+    string concatenation from ``orders`` columns; the oracle walks the
+    same documents with DuckDB's json_extract family (json_type(...) =
+    'NULL' is its spelling of the value-vs-absent distinction). The
+    VARIANT binary itself never appears in the output (engine-internal
+    encoding); ``schema_of_variant`` is asserted in-entry instead —
+    inference must type the document OBJECT with a BIGINT array."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 101 == 0
+    )
+    j = F.concat(
+        F.lit('{"k":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"pri":"'),
+        F.col("o_orderpriority"),
+        F.lit('","arr":['),
+        F.col("o_custkey").cast("string"),
+        F.lit(","),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit('],"nul":null}'),
+    )
+    v = F.parse_json(j)
+    out = o.select(
+        "o_orderkey",
+        F.variant_get(v, "$.k", "long").alias("got_k"),
+        F.variant_get(v, "$.pri", "string").alias("got_pri"),
+        F.variant_get(v, "$.arr[1]", "long").alias("got_arr1"),
+        F.try_variant_get(v, "$.missing", "long").isNull().alias("miss_null"),
+        F.is_variant_null(F.variant_get(v, "$.nul", "variant")).alias(
+            "nul_is_null"
+        ),
+        F.schema_of_variant(v).alias("_sch"),
+    )
+    schemas = [r["_sch"] for r in out.select("_sch").distinct().collect()]
+    if not all("OBJECT<" in s and "ARRAY<BIGINT>" in s for s in schemas):
+        raise RuntimeError(
+            f"schema_of_variant inferred unexpected shapes: {schemas}"
+        )
+    return out.drop("_sch")
+
+
+@register(
+    "fn_execute_immediate",
+    oracle="""
+    SELECT CAST(p_size AS BIGINT) AS size_band,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           (SELECT CAST(count(*) AS BIGINT) FROM part WHERE p_size <= 10)
+             AS total_all
+    FROM part WHERE p_size <= 10
+    GROUP BY p_size
+    """,
+)
+def fn_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC SQL surface — ``EXECUTE IMMEDIATE`` (Spark 4): a statement
+    held in a SESSION VARIABLE runs with positional parameter markers
+    (``?`` bound via USING), its scalar form captures INTO a second
+    session variable, and the table name itself is late-bound through
+    ``IDENTIFIER(?)`` — SQL-injection-safe dynamic identifiers, the
+    pattern metadata-driven pipelines use instead of driver-side string
+    splicing. The INTO-captured total rides every output row (the same
+    value the oracle recomputes as a scalar subquery), so the driver
+    hash covers both the grouped EXECUTE IMMEDIATE result and the
+    variable round-trip."""
+    read_table(spark, sf_dir, "part").createOrReplaceTempView("fn_ei_part_v")
+    spark.sql("DECLARE OR REPLACE VARIABLE fn_ei_stmt STRING")
+    spark.sql("DECLARE OR REPLACE VARIABLE fn_ei_total BIGINT")
+    spark.sql(
+        """SET VAR fn_ei_stmt =
+           'SELECT CAST(p_size AS BIGINT) AS size_band,
+                   CAST(count(*) AS BIGINT) AS n_parts
+            FROM IDENTIFIER(?) WHERE p_size <= ? GROUP BY p_size'"""
+    )
+    spark.sql(
+        """EXECUTE IMMEDIATE
+           'SELECT CAST(count(*) AS BIGINT) FROM IDENTIFIER(?)
+            WHERE p_size <= ?'
+           INTO fn_ei_total USING 'fn_ei_part_v', 10"""
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE fn_ei_stmt USING 'fn_ei_part_v', 10"
+    ).withColumn("total_all", F.expr("fn_ei_total"))
