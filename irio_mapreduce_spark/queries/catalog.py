@@ -93,6 +93,8 @@ FRONT_WINDOW: list[str] = [
     "fn_variant_family",
     "fn_execute_immediate",
     "source_partitioned_pruning",
+    "ml_kmeans_parallel_init",
+    "text_bm25_rational_topk",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

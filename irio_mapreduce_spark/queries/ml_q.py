@@ -1366,3 +1366,149 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round long, feat string, threshold long, left_positive long, "
         "w_err string, w_corr string, w_total string",
     )
+
+
+_KMPP_H = "('0x' || substr(md5(vec_id::VARCHAR || '|kmpp{r}'), 1, 8))::BIGINT"
+
+_KMPP_ROUND = f"""
+    d{{r}} AS (
+      SELECT vec_id, min(dsum) AS d2 FROM (
+        SELECT v.vec_id, c.cid,
+               CAST(sum((v.s[i] - c.c[i]) * (v.s[i] - c.c[i])) AS BIGINT)
+                 AS dsum
+        FROM sv v, cand{{prev}} c, range(1, {_DIMS + 1}) t(i)
+        GROUP BY v.vec_id, c.cid)
+      GROUP BY vec_id),
+    phi{{r}} AS (SELECT CAST(sum(d2) AS HUGEINT) AS phi FROM d{{r}}),
+    sel{{r}} AS (
+      SELECT d.vec_id FROM d{{r}} d, phi{{r}} p
+      WHERE {_KMPP_H.format(r="{r}")} * p.phi
+            < 16 * CAST(d.d2 AS HUGEINT) * CAST(4294967296 AS HUGEINT)),
+    cand{{r}} AS (
+      SELECT * FROM cand{{prev}}
+      UNION ALL
+      SELECT v.vec_id AS cid, v.s AS c, {{r}} AS rnd
+      FROM sv v JOIN sel{{r}} USING (vec_id))
+"""
+
+_KMPP_ORACLE = f"""
+    WITH {_SV},
+    seed AS (
+      SELECT vec_id, s FROM sv
+      ORDER BY {_KMPP_H.format(r=0)}, vec_id LIMIT 1),
+    cand0 AS (SELECT vec_id AS cid, s AS c, 0 AS rnd FROM seed),
+    {_KMPP_ROUND.format(r=1, prev=0)},
+    {_KMPP_ROUND.format(r=2, prev=1)},
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY sum((v.s[i] - c.c[i]) * (v.s[i] - c.c[i])), c.cid
+               ) AS rn
+        FROM sv v, cand2 c, range(1, {_DIMS + 1}) t(i)
+        GROUP BY v.vec_id, c.cid)
+      WHERE rn = 1)
+    SELECT CAST(c.cid AS BIGINT) AS cid,
+           CAST(c.rnd AS BIGINT) AS round_added,
+           CAST(coalesce(w.n, 0) AS BIGINT) AS weight
+    FROM cand2 c LEFT JOIN
+      (SELECT cid, count(*) AS n FROM asg GROUP BY cid) w USING (cid)
+    """
+
+
+@register("ml_kmeans_parallel_init", oracle=_KMPP_ORACLE)
+def ml_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| INITIALIZATION (Bahmani et al., VLDB'12 — the
+    distributed k-means++ used by Spark MLlib itself), DERANDOMIZED so
+    the oracle can replay it bit-for-bit: every "coin flip" is an md5
+    draw. Seed = argmin md5-priority point; each of 2 rounds computes
+    every point's exact integer squared distance d2 to the CURRENT
+    candidate set, the potential phi = sum(d2), and admits point x iff
+    h(x|round) * phi < l * d2(x) * 2^32 — the integer cross-multiplied
+    form of u < l*d2/phi with u = h/2^32, oversampling l = 2k = 16.
+    Already-admitted points have d2 = 0 and can never re-enter. The
+    final pass weights every candidate by the number of points it is
+    nearest to (ties -> lowest candidate id) — the weighted summary the
+    final (driver-sized, k x dims) clustering consumes.
+
+    100 TB shape: per round ONE scan of the corpus against a broadcast
+    candidate set (|C| <= 1 + r*l, tiny), one bounded scalar collect
+    (phi), and a filter — no shuffle of the points at all; the weight
+    pass is one more broadcast-argmin scan + a |C|-group aggregate.
+    That is exactly why k-means|| exists: k-means++ needs k sequential
+    passes, this needs O(log n) (here fixed 2 + weight pass).
+    Magnitudes: d2 <= 64*(2e6)^2 ~ 2.6e14, h*phi <= 4.3e9 * n*d2max —
+    DECIMAL(38)/HUGEINT territory, 10 orders of headroom at sf0.1."""
+    from irio_mapreduce_spark.llm.clustering import _sq_dist
+
+    dec = "decimal(38,0)"
+    pts = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", scaled_vec(F.col("embedding")).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+
+    def h(r: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("vec_id").cast("string"), F.lit(f"|kmpp{r}")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    cands = (
+        pts.orderBy(h(0).asc(), F.col("vec_id").asc())
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("s").alias("c"),
+            F.lit(0).alias("rnd"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in (1, 2):
+        d2 = (
+            pts.crossJoin(F.broadcast(cands))
+            .groupBy("vec_id")
+            .agg(F.min(_sq_dist(F.col("s"), F.col("c"))).alias("d2"))
+        )
+        phi = d2.agg(F.sum("d2")).collect()[0][0]  # bounded: one scalar
+        sel = d2.filter(
+            h(r).cast(dec) * F.lit(str(int(phi))).cast(dec)
+            < F.lit(16).cast(dec)
+            * F.col("d2").cast(dec)
+            * F.lit(4294967296).cast(dec)
+        ).select("vec_id")
+        cands = cands.unionByName(
+            sel.join(pts, "vec_id").select(
+                F.col("vec_id").alias("cid"),
+                F.col("s").alias("c"),
+                F.lit(r).alias("rnd"),
+            )
+        ).localCheckpoint(eager=True)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_d").asc(), F.col("cid").asc()
+    )
+    asg = (
+        pts.crossJoin(F.broadcast(cands))
+        .select("vec_id", "cid", _sq_dist(F.col("s"), F.col("c")).alias("_d"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    weights = asg.groupBy("cid").agg(F.count("*").alias("n"))
+    return (
+        cands.join(weights, "cid", "left")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("rnd").cast("long").alias("round_added"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("weight"),
+        )
+    )

@@ -836,3 +836,113 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fps", F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("fp_sum"),
     )
+
+
+@register(
+    "text_bm25_rational_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    tot AS (SELECT CAST(sum(dl) AS BIGINT) AS T,
+                   CAST(count(*) AS BIGINT) AS N FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ('join', 'hash', 'scan', 'filter', 'batch')
+      GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST((CAST(44 * t.T * tf.tf * (2 * t.N - 2 * df.df + 1)
+                        AS HUGEINT) * 1000000)
+                  // (CAST(20 * t.T * tf.tf + 6 * t.T + 18 * dl.dl * t.N
+                           AS HUGEINT) * (2 * df.df + 1))
+                  AS BIGINT) AS c
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot t),
+    scored AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_fp,
+             CAST(count(*) AS BIGINT) AS n_terms
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, score_fp, n_terms FROM scored
+    ORDER BY score_fp DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_rational_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 DOCUMENT SCORING in exact-rational form — the retrieval
+    scorer behind every "rank corpus documents against a query" step of
+    a training-data pipeline, restated without transcendentals so two
+    engines agree bitwise (same stance as the tf*N/df TF-IDF entry):
+    with k1 = 6/5, b = 3/4 and the Robertson idf replaced by its
+    rational core (N - df + 1/2)/(df + 1/2), each matched term's BM25
+    contribution algebraically reduces to the single integer fraction
+
+        44*T*tf*(2N - 2df + 1)
+      ------------------------------------  (T = corpus tokens, dl =
+      (20*T*tf + 6T + 18*dl*N)*(2df + 1)     doc length, N = #docs)
+
+    emitted as fixed-point (num * 10^6) div den — integer division both
+    engines truncate identically on positives — and summed per doc.
+    Query: 5 fixed terms. Ranking: top-10 by (score, doc_id) — a
+    deterministic set.
+
+    Plan shape at 100 TB: tokenize+explode -> per-doc lengths (shuffle
+    on doc_id), term postings filtered to the QUERY VOCABULARY before
+    any shuffle (the big win: df/tf frames carry only matching terms),
+    df on the 5-row term frame, one broadcast of the 2-scalar totals,
+    and a top-10 TakeOrdered — no full-corpus sort, no vocabulary-wide
+    join."""
+    from irio_mapreduce_spark.llm.dedup import tokens
+
+    terms = ["join", "hash", "scan", "filter", "batch"]
+    dec = "decimal(38,0)"
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tot = dl.agg(
+        F.sum("dl").cast("long").alias("T"),
+        F.count("*").cast("long").alias("N"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    j = (
+        tf.join(df, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+    )
+    num = (
+        F.lit(44).cast(dec)
+        * F.col("T")
+        * F.col("tf")
+        * (2 * F.col("N") - 2 * F.col("df") + 1)
+    )
+    den = (
+        (
+            F.lit(20).cast(dec) * F.col("T") * F.col("tf")
+            + F.lit(6).cast(dec) * F.col("T")
+            + F.lit(18).cast(dec) * F.col("dl") * F.col("N")
+        )
+        * (2 * F.col("df") + 1)
+    )
+    contrib = j.select(
+        "doc_id",
+        (num * F.lit(1000000).cast(dec)).alias("_num6"),
+        den.alias("_den"),
+    ).select(
+        "doc_id",
+        F.expr("CAST(_num6 div _den AS BIGINT)").alias("c"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("score_fp"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+        .orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
