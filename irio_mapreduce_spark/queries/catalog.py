@@ -92,9 +92,10 @@ FRONT_WINDOW: list[str] = [
     "stream_asof_nearest_attrib",
     "fn_variant_family",
     "fn_execute_immediate",
-    "source_partitioned_pruning",
+    "source_partition_range_pruning",
     "ml_kmeans_parallel_init",
     "text_bm25_rational_topk",
+    "join_dynamic_partition_pruning",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

@@ -709,33 +709,10 @@ def source_malformed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PART_PRUNE_DIRS: dict[tuple[str, str], str] = {}
 
 
-@register(
-    "source_partitioned_pruning",
-    oracle="""
-    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total_value
-    FROM events
-    WHERE strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d')
-          BETWEEN '2024-01-05' AND '2024-01-11'
-    GROUP BY 1, 2
-    """,
-)
-def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HIVE-STYLE PARTITION PRUNING — the first line of defense at
-    100 TB: ``events`` is laid out ``partitionBy(day)`` (one directory
-    per day, the ingest-date layout every production event table uses),
-    and a day-range query must touch ONLY the 7 matching directories —
-    the scan's ``PartitionFilters`` prune at the FILE LISTING level,
-    before any parquet footer is opened (vs ``PushedFilters``, which
-    still reads row-group stats). The entry asserts the executed plan
-    carries the pruned day bounds in PartitionFilters and raises if the
-    pruning silently degraded to a full scan; the oracle recomputes the
-    same day-range rollup from the unpartitioned source of truth. The
-    partitioned copy is written once per session (30 directories, one
-    job); pruning correctness also covers the string-typed partition
-    column round trip (day is a DIRECTORY NAME, read back as string)."""
+def _events_by_day_dir(spark: SparkSession, sf_dir: str) -> str:
+    """``events`` rewritten ``partitionBy(day)`` once per session — the
+    shared fixture of the two partition-pruning entries (static range +
+    dynamic join-driven)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PART_PRUNE_DIRS:
         d = tempfile.mkdtemp(prefix="part_prune_") + "/events_by_day"
@@ -747,8 +724,40 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(d)
         )
         _PART_PRUNE_DIRS[key] = d
+    return _PART_PRUNE_DIRS[key]
+
+
+@register(
+    "source_partition_range_pruning",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d')
+          BETWEEN '2024-01-05' AND '2024-01-11'
+    GROUP BY 1, 2
+    """,
+)
+def source_partition_range_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE pruning over TYPE-INFERRED partition values — the second
+    static-pruning path beside ``source_hive_partitioned_pruned`` (that
+    entry: EQUALITY on a string partition; this one: a BETWEEN range
+    over partition directories that type inference reads back as DATE).
+    ``events`` is laid out ``partitionBy(day)`` — the ingest-date layout
+    every production event table uses — and a 7-day range query must
+    prune at the FILE LISTING level: range predicates only prune when
+    the inferred partition TYPE orders correctly (a string-vs-date
+    mismatch silently degrades BETWEEN to a post-scan filter), which is
+    exactly the failure mode this entry pins. The executed plan must
+    carry the day bounds in PartitionFilters or the entry raises; the
+    oracle recomputes the rollup from the unpartitioned source of
+    truth, and the output day column exercises the DATE->string
+    round trip of the directory encoding. Written once per session
+    (30 directories, one job)."""
     out = (
-        spark.read.parquet(_PART_PRUNE_DIRS[key])
+        spark.read.parquet(_events_by_day_dir(spark, sf_dir))
         .filter(F.col("day").between("2024-01-05", "2024-01-11"))
         # partition-type inference reads the directory names back as
         # DATE; the oracle-compared output column is the string form
@@ -764,5 +773,66 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             "day-range predicate did not reach PartitionFilters — "
             f"pruning degraded to a full scan:\n{plan[:2000]}"
+        )
+    return out
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+      SELECT strftime(DATE '2024-01-01' + INTERVAL (i) DAY, '%Y-%m-%d')
+               AS day,
+             CASE WHEN i % 5 = 2 THEN 'promo' ELSE 'normal' END AS grp
+      FROM range(0, 31) t(i))
+    SELECT d.day, e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+      JOIN dim d ON strftime(time_bucket(INTERVAL 1 DAY, e.ts),
+                             '%Y-%m-%d') = d.day
+    WHERE d.grp = 'promo'
+    GROUP BY d.day, e.event_type
+    """,
+)
+def join_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING — the join-driven sibling of the two
+    static pruning entries: the fact side is partitioned on ``day`` but
+    the query's day set is only known from a FILTERED DIMENSION (the 6
+    'promo' days of a 31-day calendar), so no static PartitionFilter can
+    exist. Catalyst injects a ``dynamicpruning`` subquery into the fact
+    scan's PartitionFilters: the dim's broadcast result is reused to
+    prune the fact's FILE LISTING at runtime — at 100 TB this is the
+    star-schema fast path (scan 6/31 of the fact for free; without DPP
+    the whole fact is read and filtered post-join). The entry raises
+    unless the executed plan shows the injected dynamicpruning filter;
+    the oracle recomputes the same join from the unpartitioned source
+    of truth, so the hash also proves pruning dropped no rows."""
+    fact = spark.read.parquet(_events_by_day_dir(spark, sf_dir))
+    dim = spark.range(31).select(
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), F.col("id").cast("int")
+        ).alias("day"),
+        F.when(F.col("id") % 5 == 2, F.lit("promo"))
+        .otherwise(F.lit("normal"))
+        .alias("grp"),
+    )
+    out = (
+        fact.join(dim.filter(F.col("grp") == "promo"), "day")
+        .groupBy(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "dynamicpruning" not in plan.lower():
+        raise RuntimeError(
+            "no dynamicpruning filter injected on the fact scan — DPP "
+            f"degraded to a full read:\n{plan[:2000]}"
         )
     return out
