@@ -96,6 +96,7 @@ FRONT_WINDOW: list[str] = [
     "ml_kmeans_parallel_init",
     "text_bm25_rational_topk",
     "join_dynamic_partition_pruning",
+    "stream_tws_session_timers",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

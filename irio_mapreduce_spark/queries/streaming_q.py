@@ -1131,3 +1131,88 @@ def stream_asof_nearest_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.dist_us").cast("long").alias("dist_us"),
         )
     )
+
+
+@register(
+    "stream_tws_session_timers",
+    oracle="""
+    WITH u AS (SELECT user_id, ts, value FROM events WHERE user_id % 101 = 0),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM u),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSIONIZATION REBUILT FROM EVENT-TIME TIMERS — the same 30-min
+    sessions (same oracle) as ``stream_session_rollup``, but where that
+    entry leans on the engine's built-in ``session_window`` aggregation,
+    this one builds the operator from transformWithStateInPandas
+    primitives: per-user ValueState + ONE registered event-time timer
+    per key, with ``handleExpiredTimer`` closing idle sessions when the
+    watermark passes ``last_seen + gap`` (``streaming.ops.
+    tws_session_windows``). That a custom stateful operator reproduces
+    the built-in's output bit-for-bit under the driver's hash is the
+    strongest statement the timer API surface can make. Same
+    time-ordered sentinel replay; the sentinel's own session has a
+    timer the final watermark never reaches (sentinel - delay <
+    sentinel + gap), so it stays in state and is filtered from the
+    drained table. RocksDB provider scoped like every
+    transformWithState entry."""
+    from irio_mapreduce_spark.streaming.ops import tws_session_windows
+
+    d = _ordered_replay_dir(spark, sf_dir)
+    stream = (
+        read_events_stream(spark, d, max_files_per_trigger=2)
+        .filter(F.col("user_id") % 101 == 0)
+        .withWatermark("ts", "1 minute")
+        .select(
+            "user_id",
+            "ts",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            "value",
+        )
+    )
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        with _stream_partitions(spark):
+            run_to_completion(tws_session_windows(stream), name, "append")
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") != _SESSION_SENTINEL)
+        .select(
+            "user_id",
+            F.date_format(
+                F.timestamp_micros(F.col("session_start_us")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -696,3 +696,117 @@ def tws_user_stats(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def tws_session_windows(events: DataFrame, gap_ms: int = 30 * 60_000) -> DataFrame:
+    """CUSTOM SESSIONIZATION with EVENT-TIME TIMERS on
+    ``transformWithStateInPandas`` — the workload the timer API exists
+    for: per-user session state (start, last-seen, count, exact cents)
+    plus ONE registered event-time timer at ``last_seen + gap``; the
+    engine fires ``handleExpiredTimer`` when the watermark passes that
+    expiry, closing idle sessions WITHOUT waiting for the user's next
+    event — the property the built-in ``session_window`` aggregation
+    gives you implicitly and a custom stateful operator must build from
+    timers. Arrival-driven closes (a row with ``t_us - last >= gap``)
+    emit inline and re-register the timer; timer-driven closes clear
+    the state so the two paths can never double-emit.
+
+    Gap semantics are END-EXCLUSIVE (strict ``< gap`` extends) to match
+    the engine's session windows and the DuckDB oracles. Within a
+    micro-batch rows are folded in ``t_us`` order; cross-batch order is
+    the caller's contract (time-ordered replay / watermark-bounded
+    disorder) — the same stance as every recursive per-key fold here.
+    An early timer fire is CORRECT under that contract: the watermark
+    passing ``last + gap`` proves no extending event can still arrive.
+
+    Requires ``timeMode="EventTime"`` (so the input must carry a
+    watermarked event-time column), protobuf on the Python side
+    (``protobuf_vendor.ensure_protobuf``) and the RocksDB state
+    provider, like every transformWithState operator. Emits
+    (user_id, session_start_us, n_events, total_value) per CLOSED
+    session; never-closed sessions (no post-gap event, watermark never
+    passed their expiry — e.g. a far-future sentinel's own session)
+    stay in state by design.
+    """
+    from irio_mapreduce_spark.streaming.protobuf_vendor import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf(events.sparkSession):
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package; "
+            "no local runtime to vendor in this environment."
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_ms * 1000
+
+    def _cents(v: float) -> int:
+        return int(abs(v) * 100 + 0.5) * (1 if v >= 0 else -1)
+
+    class SessionTimers(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start_us long, last_us long, n long, cents long"
+            )
+
+        def _emit(self, user_id, start_us, n, cents):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_us": [start_us],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            state = self._sess.get() if self._sess.exists() else None
+            out = []
+            for pdf in rows:
+                for t_us, v in sorted(
+                    zip(pdf["t_us"], pdf["value"]), key=lambda p: p[0]
+                ):
+                    t_us = int(t_us)
+                    if state is not None and t_us - state[1] < gap_us:
+                        state = (
+                            state[0],
+                            max(state[1], t_us),
+                            state[2] + 1,
+                            state[3] + _cents(float(v)),
+                        )
+                    else:
+                        if state is not None:
+                            out.append(self._emit(key[0], state[0], state[2], state[3]))
+                        state = (t_us, t_us, 1, _cents(float(v)))
+            if state is not None:
+                self._sess.update(state)
+                for t in list(self._handle.listTimers()):
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer((state[1] + gap_us) // 1000)
+            yield from out
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self._handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+            if self._sess.exists():
+                s = self._sess.get()
+                self._sess.clear()
+                yield self._emit(key[0], s[0], s[2], s[3])
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionTimers(),
+        outputStructType=(
+            "user_id long, session_start_us long, n_events long, "
+            "total_value double"
+        ),
+        outputMode="Append",
+        timeMode="EventTime",
+    )
