@@ -97,6 +97,7 @@ FRONT_WINDOW: list[str] = [
     "text_bm25_rational_topk",
     "join_dynamic_partition_pruning",
     "stream_tws_session_timers",
+    "stream_observe_metrics",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

@@ -1216,3 +1216,74 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "stream_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN value >= 0 THEN floor(value * 100 + 0.5)
+                         ELSE -floor(-value * 100 + 0.5) END) AS BIGINT)
+             AS value_cents,
+           CAST(max(user_id) AS BIGINT) AS max_user_id
+    FROM events WHERE user_id % 13 = 0
+    """,
+)
+def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OBSERVED METRICS — ``df.observe`` on a STREAM: the
+    in-flight metrics channel (row counts, exact cent totals) rides the
+    micro-batch execution itself and surfaces per batch in
+    ``StreamingQueryProgress.observedMetrics`` — zero extra passes, the
+    streaming twin of the batch ``quality_observe_metrics`` entry. The
+    DRIVER-HASHED OUTPUT IS BUILT FROM THE METRICS: per-batch observed
+    (count, cents) are summed driver-side — integer addition, so
+    micro-batch slicing cannot perturb the total — and returned as one
+    row that must hash-match the batch oracle over the same filter. A
+    cross-check against the drained sink count is asserted in-entry
+    (metrics that disagree with the sink are a driver red, not a silent
+    skew). n_batches_min: the oracle's DISTINCT-user floor ensures the
+    metric column count is pinned too (observed metrics arrive only for
+    batches that carried rows)."""
+    cents = F.when(
+        F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5)
+    ).otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+    stream = _replayed_stream(spark, sf_dir).filter(F.col("user_id") % 13 == 0)
+    observed = stream.observe(
+        "inflight",
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents.cast("long")).alias("cents"),
+        F.max("user_id").alias("max_uid"),
+    )
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        q = (
+            observed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    n_total, cents_total, uid_max = 0, 0, None
+    for pr in q.recentProgress:
+        om = pr["observedMetrics"] if isinstance(pr, dict) else pr.observedMetrics
+        m = (om or {}).get("inflight")
+        if m is None:
+            continue
+        n_total += int(m["n"])
+        cents_total += int(m["cents"])
+        uid_max = (
+            int(m["max_uid"])
+            if uid_max is None
+            else max(uid_max, int(m["max_uid"]))
+        )
+    sink_rows = spark.table(name).count()
+    if sink_rows != n_total:
+        raise RuntimeError(
+            f"observed row metric {n_total} != drained sink count "
+            f"{sink_rows} — in-flight metrics diverged from the data path"
+        )
+    return spark.createDataFrame(
+        [(n_total, cents_total, uid_max)],
+        "n_events long, value_cents long, max_user_id long",
+    )
