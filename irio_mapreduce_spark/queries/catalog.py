@@ -98,6 +98,9 @@ FRONT_WINDOW: list[str] = [
     "join_dynamic_partition_pruning",
     "stream_tws_session_timers",
     "stream_observe_metrics",
+    "join_strategy_hints",
+    "pipeline_backfill_incremental",
+    "quality_rowcount_drift",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

@@ -3429,3 +3429,146 @@ def quality_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# Executed plans of the most recent join_strategy_hints run (merge vs
+# shuffle-hash vs broadcast on the same logical join), recorded for the
+# plan test; the driver-visible half is the exact oracle below.
+STRATEGY_HINT_PLANS: dict[str, str] = {}
+
+
+@register(
+    "join_strategy_hints",
+    oracle="""
+    WITH j AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS acctbal_cents
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT s.strategy, j.* FROM j,
+      (VALUES ('merge'), ('shuffle_hash'), ('broadcast')) s(strategy)
+    """,
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL JOIN-STRATEGY CONTROL — the same logical customer×nation
+    join executed three times under the three join-strategy hints
+    (``merge``, ``shuffle_hash``, ``broadcast``), results unioned with a
+    strategy tag: the driver hash proves the physical strategy NEVER
+    changes the answer, and the recorded executed plans (asserted in
+    tests/test_plans.py) prove each hint was actually HONORED —
+    SortMergeJoin vs ShuffledHashJoin vs BroadcastHashJoin. Hints are
+    the manual override lane when the optimizer's size estimates are
+    wrong at 100 TB (a misestimated build side OOMs a shuffle-hash
+    join; a misestimated broadcast floods the driver) — auto-broadcast
+    is disabled inside the entry's conf window so the non-broadcast
+    hints are not silently upgraded."""
+    global STRATEGY_HINT_PLANS
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        outs = []
+        plans: dict[str, str] = {}
+        for strategy in ("merge", "shuffle_hash", "broadcast"):
+            joined = (
+                t["customer"]
+                .join(
+                    t["nation"].hint(strategy),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                )
+                .groupBy("n_name")
+                .agg(
+                    F.count("*").cast("long").alias("n_customers"),
+                    F.sum(
+                        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+                    )
+                    .cast("long")
+                    .alias("acctbal_cents"),
+                )
+                .select(F.lit(strategy).alias("strategy"), "*")
+            )
+            rows = joined.collect()
+            plans[strategy] = (
+                joined._jdf.queryExecution().executedPlan().toString()
+            )
+            outs.extend(rows)
+        STRATEGY_HINT_PLANS = plans
+        want = {
+            "merge": "SortMergeJoin",
+            "shuffle_hash": "ShuffledHashJoin",
+            "broadcast": "BroadcastHashJoin",
+        }
+        for strategy, node in want.items():
+            if node not in plans[strategy]:
+                raise RuntimeError(
+                    f"hint {strategy!r} was not honored — expected {node} "
+                    f"in the executed plan:\n{plans[strategy][:1500]}"
+                )
+        first = joined.schema
+        return spark.createDataFrame(outs, first)
+    finally:
+        spark.conf.set(key, saved)
+
+
+@register(
+    "quality_rowcount_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day, n,
+             list_sort(list(n) OVER (ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS prev
+      FROM daily)
+    SELECT day, n,
+           CAST(coalesce(prev[(len(prev) + 1) // 2], -1) AS BIGINT)
+             AS median_prev,
+           CASE WHEN len(prev) > 0
+                THEN n > 2 * prev[(len(prev) + 1) // 2]
+                ELSE FALSE END AS is_spike
+    FROM w
+    """,
+)
+def quality_rowcount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-COUNT DRIFT MONITORING — the pipeline-health check every
+    scheduled ingest needs: per-day arrival counts compared to the
+    LOWER MEDIAN of the trailing 7 days, flagging days that more than
+    double it (a doubled feed, a replayed upstream, a partition
+    re-delivery). The trailing median is computed EXACTLY and
+    engine-portably: the previous-7 window's counts collected, sorted,
+    and indexed at (len+1)/2 — a discrete (lower) median with no
+    interpolation, so the hash compare is exact where a float
+    percentile would not be (same reasoning as agg_percentile_disc).
+    The first day has an empty lookback -> sentinel baseline -1 and
+    flag false (explicit cold-start values; NULL cells would crash the
+    driver's pandas canonicalization). At 100 TB the daily frame this runs
+    on is ~365 rows/year — the monitoring query costs nothing; the
+    payoff is the per-day count scan being the same aggregate the
+    ingest already computes."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = (
+        Window.orderBy("day").rowsBetween(-7, -1)
+    )
+    prev = F.array_sort(F.collect_list("n").over(w))
+    # 0-based F.get: NULL (never an ANSI index error) on the first day's
+    # empty lookback, exactly the oracle's out-of-range list index
+    median = F.get(
+        prev, (((F.size(prev) + 1) / 2) - 1).cast("int")
+    )
+    return daily.select(
+        "day",
+        "n",
+        F.coalesce(median, F.lit(-1)).cast("long").alias("median_prev"),
+        F.coalesce(
+            F.when(F.size(prev) > 0, F.col("n") > 2 * median),
+            F.lit(False),
+        ).alias("is_spike"),
+    )

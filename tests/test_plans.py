@@ -571,3 +571,23 @@ def test_scd2_single_shuffle_two_windows(spark, qs):
     assert p.count("Exchange") == 1, p
     assert p.count("Window") == 2, p
     assert p.count("+- Sort") == 1, p
+
+
+def test_join_strategy_hints_each_honored(spark, qs):
+    """join_strategy_hints' claim: the three hints actually flip the
+    physical join node on the SAME logical query — SortMergeJoin vs
+    ShuffledHashJoin vs BroadcastHashJoin — with auto-broadcast disabled
+    so nothing is silently upgraded. (The entry re-raises if a hint is
+    ignored; this test pins the recorded executed plans.)"""
+    import irio_mapreduce_spark.queries.relational as rel
+
+    rel.STRATEGY_HINT_PLANS = {}
+    out = rel.join_strategy_hints(spark, SF_DIR)
+    assert out.count() == 75  # 25 nations x 3 strategies
+    plans = rel.STRATEGY_HINT_PLANS
+    assert "SortMergeJoin" in plans["merge"]
+    assert "ShuffledHashJoin" in plans["shuffle_hash"]
+    assert "BroadcastHashJoin" in plans["broadcast"]
+    # and the non-hinted nodes are absent from each respective plan
+    assert "BroadcastHashJoin" not in plans["merge"]
+    assert "SortMergeJoin" not in plans["shuffle_hash"]
