@@ -101,6 +101,9 @@ FRONT_WINDOW: list[str] = [
     "join_strategy_hints",
     "pipeline_backfill_incremental",
     "quality_rowcount_drift",
+    "mr_secondary_sort",
+    "events_funnel_steps",
+    "sample_stratified_lrm",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

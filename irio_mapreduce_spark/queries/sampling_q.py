@@ -199,3 +199,85 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("weight"),
         F.round(F.col("priority") * 1e9, 6).alias("priority_scaled"),
     )
+
+
+@register(
+    "sample_stratified_lrm",
+    oracle="""
+    WITH cnt AS (
+      SELECT lang, count(*) AS n_s,
+             sum(count(*)) OVER () AS n_tot
+      FROM documents GROUP BY lang),
+    q AS (
+      SELECT lang, n_s,
+             (100 * n_s) // n_tot AS base,
+             (100 * n_s) % n_tot AS rem,
+             100 - sum((100 * n_s) // n_tot) OVER () AS leftover
+      FROM cnt),
+    quota AS (
+      SELECT lang,
+             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                         <= leftover THEN 1 ELSE 0 END AS k_s
+      FROM q),
+    ranked AS (
+      SELECT d.doc_id, d.lang, qq.k_s,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY ('0x' || substr(md5(d.doc_id::VARCHAR || '|lrm'),
+                         1, 8))::BIGINT,
+                        d.doc_id) AS rn
+      FROM documents d JOIN quota qq USING (lang))
+    SELECT doc_id, lang FROM ranked WHERE rn <= k_s
+    """,
+)
+def sample_stratified_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROPORTIONAL STRATIFIED SAMPLING with EXACT APPORTIONMENT — a
+    global budget of 100 documents split across language strata by the
+    largest-remainder method (floor(K*n_s/N) each, the K - sum(floors)
+    leftovers going to the largest remainders, ties by stratum name):
+    the allocation is all-integer, sums to EXACTLY K, and never
+    under/over-shoots the way independent per-stratum fractions do —
+    the apportionment every fixed-token-budget mixture step needs.
+    Selection within a stratum is the standing md5-priority order
+    (reproducible, partitioning-invariant). Shape at 100 TB: the
+    apportionment runs on the |strata|-row count frame (driver-free,
+    one tiny window), selection is one window shuffle on the stratum
+    key — identical cost to the plain quota entry, but the quotas are
+    now data-derived instead of fixed."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("n_s"))
+    wall = Window.partitionBy()
+    q = cnt.select(
+        "lang",
+        "n_s",
+        F.expr("(100 * n_s) div sum(n_s) OVER ()").alias("base"),
+        F.expr("(100 * n_s) % sum(n_s) OVER ()").alias("rem"),
+    ).withColumn("leftover", F.lit(100) - F.sum("base").over(wall))
+    w_rem = Window.orderBy(F.col("rem").desc(), F.col("lang").asc())
+    quota = q.select(
+        "lang",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_rem) <= F.col("leftover"), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("k_s"),
+    )
+    prio = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|lrm"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w_sel = Window.partitionBy("lang").orderBy(prio.asc(), F.col("doc_id").asc())
+    return (
+        docs.join(F.broadcast(quota), "lang")
+        .withColumn("_rn", F.row_number().over(w_sel))
+        .filter(F.col("_rn") <= F.col("k_s"))
+        .select("doc_id", "lang")
+    )

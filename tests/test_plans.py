@@ -591,3 +591,14 @@ def test_join_strategy_hints_each_honored(spark, qs):
     # and the non-hinted nodes are absent from each respective plan
     assert "BroadcastHashJoin" not in plans["merge"]
     assert "SortMergeJoin" not in plans["shuffle_hash"]
+
+
+def test_secondary_sort_one_exchange_one_sort_no_window(spark, qs):
+    """mr_secondary_sort's claim: the per-key ordered fold plans as ONE
+    hash Exchange + ONE Sort feeding a single Python stage — no window
+    machinery, no extra shuffle."""
+    p = plan(spark, qs, "mr_secondary_sort", mode="simple")
+    assert "MapInPandas" in p, p
+    assert "Window" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Sort ") == 1, p

@@ -747,3 +747,33 @@ def test_index_maintenance_replay_idempotent(spark, tmp_path):
     )
     handler(batch1, 1)
     assert seg_ids("b1") == {21}
+
+
+def test_protobuf_vendor_zip_contents(spark, tmp_path):
+    """The vendored protobuf zip must contain the namespace-extending
+    google/__init__.py, the runtime package, and the guarded
+    version-floor patch (major-equality only — minor gencode skew loads,
+    major mismatch still raises)."""
+    import zipfile
+
+    from irio_mapreduce_spark.streaming import protobuf_vendor as pv
+
+    root = pv._find_runtime_root()
+    if root is None:
+        import pytest
+
+        pytest.skip("no local protobuf runtime to vendor on this host")
+    zip_path = pv._build_zip(root)
+    with zipfile.ZipFile(zip_path) as zf:
+        names = set(zf.namelist())
+        assert "google/__init__.py" in names
+        assert "google/protobuf/__init__.py" in names
+        rv = zf.read("google/protobuf/runtime_version.py").decode()
+    assert "vendored patch" in rv
+    assert "gen_major != MAJOR" in rv
+    # ensure_protobuf memoizes per application and reports importable
+    assert pv.ensure_protobuf(spark) is True
+    app_id = spark.sparkContext.applicationId
+    first = pv._SHIPPED.get(app_id)
+    assert pv.ensure_protobuf(spark) is True
+    assert pv._SHIPPED.get(app_id) == first
