@@ -104,6 +104,7 @@ FRONT_WINDOW: list[str] = [
     "mr_secondary_sort",
     "events_funnel_steps",
     "sample_stratified_lrm",
+    "source_rowgroup_stats_pruning",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

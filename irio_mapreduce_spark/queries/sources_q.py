@@ -836,3 +836,123 @@ def join_dynamic_partition_pruning(
             f"degraded to a full read:\n{plan[:2000]}"
         )
     return out
+
+
+_RG_PRUNE_DIRS: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "source_rowgroup_stats_pruning",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(max(l_orderkey) * 0.4) AS BIGINT) AS lo,
+             CAST(floor(max(l_orderkey) * 0.45) AS BIGINT) AS hi
+      FROM lineitem)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           TRUE AS rowgroup_skip_engaged
+    FROM lineitem, b
+    WHERE l_orderkey >= b.lo AND l_orderkey < b.hi
+    """,
+)
+def source_rowgroup_stats_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROW-GROUP MIN/MAX SKIPPING — the third pruning layer (partition
+    dirs -> row-group stats -> bloom filters), and the reason SORT
+    ORDER is a storage decision at 100 TB: the same lineitem bytes are
+    written twice with small row groups, once sorted by l_orderkey and
+    once in arrival order, and the same pushed range predicate is run
+    against both. On the sorted copy parquet's per-row-group min/max
+    prove most groups can't match and the reader never materializes
+    them; on the unsorted copy every group's [min,max] straddles the
+    range and ALL rows come off disk for Spark's post-filter to drop.
+    The entry reads the two scans' actual ``numOutputRows`` SQL metrics
+    (AQE scoped off for the two probe queries — metric introspection
+    needs the raw FileSourceScanExec leaf) and RAISES unless the sorted
+    scan materialized under half the unsorted scan's rows; the measured
+    fact surfaces as the constant ``rowgroup_skip_engaged`` the oracle
+    pins TRUE. The probe range is data-derived ([40%, 45%) of the max
+    key — floor of one IEEE multiply, identical in both engines) so the
+    entry exercises real rows at every scale factor. Data result
+    recomputed from the source of truth."""
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RG_PRUNE_DIRS:
+        d = tempfile.mkdtemp(prefix="rg_prune_")
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        (
+            li.sort("l_orderkey")
+            .coalesce(1)
+            .write.option("parquet.block.size", 16384)
+            .mode("overwrite")
+            .parquet(os.path.join(d, "sorted"))
+        )
+        (
+            li.coalesce(1)
+            .write.option("parquet.block.size", 16384)
+            .mode("overwrite")
+            .parquet(os.path.join(d, "unsorted"))
+        )
+        _RG_PRUNE_DIRS[key] = d
+    d = _RG_PRUNE_DIRS[key]
+    aqe_key = "spark.sql.adaptive.enabled"
+    saved = spark.conf.get(aqe_key)
+    spark.conf.set(aqe_key, "false")
+    try:
+
+        mx = (
+            read_table(spark, sf_dir, "lineitem")
+            .agg(F.max("l_orderkey"))
+            .collect()[0][0]
+        )
+        lo, hi = int(mx * 0.4), int(mx * 0.45)
+
+        def probe(sub: str):
+            df = (
+                spark.read.parquet(os.path.join(d, sub))
+                .filter(
+                    (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi)
+                )
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum(F.col("l_quantity").cast("long"))
+                    .cast("long")
+                    .alias("qty_sum"),
+                )
+            )
+            row = df.collect()[0]
+            leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+            scanned = None
+            for i in range(leaves.size()):
+                m = leaves.apply(i).metrics()
+                it = m.iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "numOutputRows":
+                        scanned = kv._2().value()
+            return row, scanned
+
+        row_s, scan_sorted = probe("sorted")
+        row_u, scan_unsorted = probe("unsorted")
+    finally:
+        spark.conf.set(aqe_key, saved)
+    if (row_s["n"], row_s["qty_sum"]) != (row_u["n"], row_u["qty_sum"]):
+        raise RuntimeError(
+            f"layouts disagree on the data: {row_s} vs {row_u}"
+        )
+    if scan_sorted is None or scan_unsorted is None:
+        raise RuntimeError("scan metrics not found on the probe plans")
+    if 2 * scan_sorted >= scan_unsorted:
+        raise RuntimeError(
+            f"row-group skipping did not engage: sorted scan materialized "
+            f"{scan_sorted} rows vs unsorted {scan_unsorted}"
+        )
+    return spark.createDataFrame(
+        [(row_s["n"], row_s["qty_sum"], True)],
+        "n long, qty_sum long, rowgroup_skip_engaged boolean",
+    )
