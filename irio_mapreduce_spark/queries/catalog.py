@@ -102,9 +102,9 @@ FRONT_WINDOW: list[str] = [
     "pipeline_backfill_incremental",
     "quality_rowcount_drift",
     "mr_secondary_sort",
-    "events_funnel_steps",
     "sample_stratified_lrm",
     "source_rowgroup_stats_pruning",
+    "subq_not_in_null_semantics",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

@@ -1134,67 +1134,3 @@ def events_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("vn") * F.col("pn")).cast("long").alias("xcorr"),
         F.count("*").cast("long").alias("n_days"),
     )
-
-
-@register(
-    "events_funnel_steps",
-    oracle="""
-    WITH v AS (
-      SELECT user_id, min(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY user_id),
-    c AS (
-      SELECT e.user_id, min(e.ts) AS t2
-      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
-      WHERE e.event_type = 'click' GROUP BY e.user_id),
-    p AS (
-      SELECT e.user_id, min(e.ts) AS t3
-      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
-      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
-    SELECT 'view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
-    UNION ALL
-    SELECT 'view>click', CAST((SELECT count(*) FROM c) AS BIGINT)
-    UNION ALL
-    SELECT 'view>click>purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
-    """,
-)
-def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SEQUENTIAL FUNNEL ANALYSIS — the product-analytics staple: how
-    many users progressed view -> click -> purchase IN ORDER (each
-    stage strictly after the user's FIRST completion of the previous
-    one — the strict ``>`` makes the funnel re-entry-proof and the
-    answer deterministic under duplicate timestamps of different
-    types). Shape: three chained per-user min-aggregations, each stage
-    joining only the SURVIVORS of the previous stage — at 100 TB the
-    frames shrink monotonically down the funnel and every join/agg
-    shuffles on the same user key, so AQE reuses the partitioning;
-    nothing ever self-joins the full event table. Output: the 3-row
-    funnel (stage, n_users) — counts exact, no rates (rates are a
-    presentation divide)."""
-    ev = read_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
-    )
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    counts = [
-        ("view", v.count()),
-        ("view>click", c.count()),
-        ("view>click>purchase", p.count()),
-    ]
-    return spark.createDataFrame(counts, "stage string, n_users long")

@@ -3572,3 +3572,62 @@ def quality_rowcount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("is_spike"),
     )
+
+
+@register(
+    "subq_not_in_null_semantics",
+    oracle="""
+    WITH keys AS (
+      SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                  ELSE o_custkey END AS k
+      FROM orders)
+    SELECT
+      CAST((SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM keys)) AS BIGINT)
+        AS n_not_in,
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = c.c_custkey))
+           AS BIGINT) AS n_not_exists,
+      CAST((SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT k FROM keys WHERE k IS NOT NULL)) AS BIGINT)
+        AS n_not_in_clean
+    """,
+)
+def subq_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE NOT-IN NULL TRAP, pinned as a correctness contract: with even
+    ONE NULL in the subquery (planted here on every 1000th order key),
+    three-valued logic makes ``x NOT IN (...)`` UNKNOWN for every x —
+    the count collapses to 0 — while ``NOT EXISTS`` is a plain
+    anti-join and the NULL-filtered NOT IN equals it. Engines that
+    implement NOT IN as a naive anti-join silently return the wrong
+    (non-empty) answer; Spark plans it as a NULL-AWARE anti join
+    (single-column null-aware BroadcastHashJoin) precisely to keep the
+    standard semantics, and this entry hash-pins all three counts
+    against DuckDB's. At 100 TB the practical lesson is the plan
+    shape: null-aware anti joins cannot use ordinary hash anti-join
+    fast paths, so curation pipelines should write NOT EXISTS / IS NOT
+    NULL-filtered forms — the third count is the recipe."""
+    from irio_mapreduce_spark.io import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        WITH keys AS (
+          SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                      ELSE o_custkey END AS k
+          FROM orders)
+        SELECT
+          CAST((SELECT count(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT k FROM keys)) AS BIGINT)
+            AS n_not_in,
+          CAST((SELECT count(*) FROM customer c
+                WHERE NOT EXISTS
+                  (SELECT 1 FROM keys WHERE k = c.c_custkey)) AS BIGINT)
+            AS n_not_exists,
+          CAST((SELECT count(*) FROM customer
+                WHERE c_custkey NOT IN
+                  (SELECT k FROM keys WHERE k IS NOT NULL)) AS BIGINT)
+            AS n_not_in_clean
+        """
+    )
