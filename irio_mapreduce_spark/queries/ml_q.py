@@ -1264,7 +1264,10 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the best stump over BOTH features (quantity, discount-pct) and BOTH
     polarities is the total-order argmin of weighted misclassification
     (w_mis, feat, t, pol) — weighted 0-1 loss, the classical AdaBoost
-    criterion, again pure integer comparison.
+    criterion, again pure integer comparison. A perfect round
+    (W_err = 0) zeroes all weights and ENDS the boosting — later
+    rounds emit no rows on either side (hypothesis-found degenerate,
+    impossible on the natural corpus, semantics pinned anyway).
 
     Scale shape: ONE distributed pass compacts 100 TB of lineitems to
     the (q, d, pos) domain (<= 50*11*2 rows) with multiplicities —
@@ -1336,7 +1339,15 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         union = cands[0]
         for c in cands[1:]:
             union = union.unionByName(c)
-        best = union.orderBy("w_mis", "feat", "t", "pol").limit(1).collect()[0]
+        top = union.orderBy("w_mis", "feat", "t", "pol").limit(1).collect()
+        if not top:
+            # Degenerate convergence: a perfect stump (W_err = 0) zeroes
+            # every weight, so the next round has no positive-mass
+            # candidates — boosting is DONE and later rounds emit
+            # nothing. The oracle reaches the same state naturally (its
+            # candidate CTEs go empty), so both sides just stop.
+            break
+        best = top[0]
         w_mis, w_all = int(best["w_mis"]), int(best["w_all"])
         out.append(
             (

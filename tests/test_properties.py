@@ -751,15 +751,17 @@ def test_adaboost_stumps_matches_python_reference(spark, tmp_path_factory, pts):
 
     from irio_mapreduce_spark.queries.ml_q import ml_adaboost_stumps
 
-    assume(len({q for q, _, _ in pts}) >= 2 or len({d for _, d, _ in pts}) >= 2)
-
-    # pure-Python reference on exact integers
+    # pure-Python reference on exact integers (no assume: degenerate
+    # inputs — single-valued features, perfect first stumps — must
+    # terminate identically on both sides)
     state = collections.Counter()
     for q, d, pos in pts:
         state[(q, d, pos)] += 1
     weights = {k: 1 for k in state}
     expect = []
     for rnd in (1, 2, 3):
+        if all(w == 0 for w in weights.values()):
+            break
         cands = []
         for feat in ("q", "d"):
             idx = 0 if feat == "q" else 1
@@ -783,6 +785,8 @@ def test_adaboost_stumps_matches_python_reference(spark, tmp_path_factory, pts):
                 cands.append(
                     (wpos_l + (wneg_t - wneg_l), feat, t, 0, w_all)
                 )
+        if not cands:
+            break
         w_mis, feat, t, pol, w_all = min(
             (c[0], c[1], c[2], c[3], c[4]) for c in cands
         )
