@@ -105,6 +105,7 @@ FRONT_WINDOW: list[str] = [
     "sample_stratified_lrm",
     "source_rowgroup_stats_pruning",
     "subq_not_in_null_semantics",
+    "text_bpe_train_merges",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

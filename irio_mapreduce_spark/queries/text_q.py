@@ -946,3 +946,144 @@ def text_bm25_rational_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=f"""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({_DUCK_TOKS}) AS w FROM documents) GROUP BY w),
+    v1 AS (SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s, freq
+           FROM words),
+    c1 AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS pair,
+               freq
+        FROM (SELECT string_split(substring(s, 2, length(s) - 2), '><') AS t,
+                     freq FROM v1))
+      GROUP BY pair),
+    w1 AS (SELECT pair, pair_count FROM c1
+           ORDER BY pair_count DESC, pair LIMIT 1),
+    v2 AS (SELECT replace(v1.s, '<' || replace(w1.pair, ' ', '><') || '>',
+                          '<' || replace(w1.pair, ' ', '') || '>') AS s, freq
+           FROM v1 CROSS JOIN w1),
+    c2 AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS pair,
+               freq
+        FROM (SELECT string_split(substring(s, 2, length(s) - 2), '><') AS t,
+                     freq FROM v2))
+      GROUP BY pair),
+    w2 AS (SELECT pair, pair_count FROM c2
+           ORDER BY pair_count DESC, pair LIMIT 1),
+    v3 AS (SELECT replace(v2.s, '<' || replace(w2.pair, ' ', '><') || '>',
+                          '<' || replace(w2.pair, ' ', '') || '>') AS s, freq
+           FROM v2 CROSS JOIN w2),
+    c3 AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS pair,
+               freq
+        FROM (SELECT string_split(substring(s, 2, length(s) - 2), '><') AS t,
+                     freq FROM v3))
+      GROUP BY pair),
+    w3 AS (SELECT pair, pair_count FROM c3
+           ORDER BY pair_count DESC, pair LIMIT 1)
+    SELECT 1 AS merge_round, pair AS merged_pair, pair_count FROM w1
+    UNION ALL SELECT 2, pair, pair_count FROM w2
+    UNION ALL SELECT 3, pair, pair_count FROM w3
+    """,
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING (3 merge rounds) — the step that precedes
+    every token-counting/packing stage of an LLM data pipeline, run as the
+    classic frequency-compressed trainer: the corpus collapses to a
+    (word, freq) vocabulary ONCE, and every merge round is a pair-count
+    aggregate over the vocabulary (not the corpus), exactly how
+    production BPE trainers (and the reference's chained reduce stages,
+    common.proto:17) bound per-round cost.
+
+    Representation: each word becomes a wrapped token string
+    ``spark -> <s><p><a><r><k>``; the winning pair ``(a, b)`` (max
+    weighted count, ties by pair text — deterministic) is applied as a
+    PLAIN string replace ``<a><b> -> <ab>``, whose left-to-right
+    non-overlapping semantics are identical in Spark and DuckDB and match
+    greedy BPE scan order (``<a><a><a>`` merges the LEFT pair only).
+    Wrappers make token boundaries unambiguous (tokens are ``[a-z0-9]``),
+    so no regex — and RE2 (DuckDB) lacks lookahead anyway.
+
+    Plan shape at 100 TB: one corpus-wide word count (the only
+    corpus-scale shuffle), then per round: explode adjacent pairs of the
+    vocabulary frame, one vocab-sized groupBy, a 1-row broadcast of the
+    winner crossed onto the vocabulary for a map-side replace. No
+    collect; the 3-round lineage stays 3 plans deep over a frame the
+    size of the VOCABULARY."""
+    from irio_mapreduce_spark.llm.dedup import tokens
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    vocab = words.select(
+        F.regexp_replace("w", "(.)", "<$1>").alias("s"), "freq"
+    )
+    out: DataFrame | None = None
+    for r in (1, 2, 3):
+        toks = F.split(F.expr("substring(s, 2, length(s) - 2)"), "><")
+        with_t = vocab.select("freq", toks.alias("t")).where(
+            F.size("t") >= 2
+        )
+        counts = (
+            with_t.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("t", i),
+                            F.element_at("t", i + 1),
+                        ),
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+        )
+        win = (
+            counts.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(
+                F.lit(r).alias("merge_round"),
+                F.col("pair").alias("merged_pair"),
+                "pair_count",
+            )
+        )
+        out = win if out is None else out.unionAll(win)
+        repl = F.broadcast(
+            win.select(
+                F.concat(
+                    F.lit("<"),
+                    F.regexp_replace("merged_pair", " ", "><"),
+                    F.lit(">"),
+                ).alias("_search"),
+                F.concat(
+                    F.lit("<"),
+                    F.regexp_replace("merged_pair", " ", ""),
+                    F.lit(">"),
+                ).alias("_repl"),
+            )
+        )
+        vocab = vocab.crossJoin(repl).select(
+            F.replace(F.col("s"), F.col("_search"), F.col("_repl")).alias(
+                "s"
+            ),
+            "freq",
+        )
+    assert out is not None
+    return out
