@@ -106,6 +106,10 @@ FRONT_WINDOW: list[str] = [
     "source_rowgroup_stats_pruning",
     "subq_not_in_null_semantics",
     "text_bpe_train_merges",
+    "graph_sssp_weighted",
+    "join_salted_skew",
+    "events_interval_union",
+    "events_pattern_match_regex",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

@@ -1134,3 +1134,186 @@ def events_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("vn") * F.col("pn")).cast("long").alias("xcorr"),
         F.count("*").cast("long").alias("n_days"),
     )
+
+
+@register(
+    "events_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 1000000
+               AS e
+      FROM events),
+    marked AS (
+      SELECT user_id, event_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM iv),
+    islands AS (
+      SELECT user_id, s, e,
+             CAST(sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM marked),
+    merged AS (
+      SELECT user_id, island,
+             CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(max(e) - min(s) AS BIGINT) AS covered_us
+      FROM islands GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_merged,
+           CAST(sum(n_raw) AS BIGINT) AS n_raw,
+           CAST(sum(covered_us) AS BIGINT) AS covered_us,
+           CAST(max(covered_us) AS BIGINT) AS longest_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION (merge overlapping intervals) per user — the
+    sweep-line classic behind "total engaged time", ad-break coverage and
+    sensor-uptime rollups, where naive ``sum(duration)`` double-counts
+    overlap. Each event opens an interval of ``value*100`` seconds
+    (cent-scaled to BIGINT — exact on both engines since the double
+    product is the same IEEE value everywhere); a new island starts when
+    an interval's start exceeds the running ``max(end)`` of everything
+    earlier (window cummax over rows-preceding), island ids are a running
+    conditional sum, and per-island coverage is ``max(end) - min(start)``.
+
+    All three windows and both aggregations share the ONE user_id
+    partitioning — Spark plans a single exchange for the whole merge. At
+    100 TB this is the streaming-compaction shape: per-user state is one
+    open interval (the cummax), which is why the same algorithm runs as
+    an incremental pass; timestamps stay integer microseconds end-to-end
+    (``unix_micros`` / ``epoch_us``), so the oracle is exact."""
+    from pyspark.sql.window import Window
+
+    iv = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 100).cast("long") * F.lit(1000000)
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.max("e").over(w_prev).alias("prev_max_e"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w_run)
+        .cast("long")
+        .alias("island"),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        (F.max("e") - F.min("s")).cast("long").alias("covered_us"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_merged"),
+        F.sum("n_raw").cast("long").alias("n_raw"),
+        F.sum("covered_us").cast("long").alias("covered_us"),
+        F.max("covered_us").cast("long").alias("longest_us"),
+    )
+
+
+@register(
+    "events_pattern_match_regex",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id) AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT) AS n_funnel,
+           CAST(coalesce(list_max(list_transform(
+                  regexp_extract_all(seq, 'v+p'), x -> length(x) - 1)), 0)
+                AS BIGINT) AS max_views_before_buy,
+           CAST(coalesce(list_max(list_transform(
+                  regexp_extract_all(seq, 'e+'), x -> length(x))), 0)
+                AS BIGINT) AS max_error_burst
+    FROM seqs
+    """,
+)
+def events_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PATTERN MATCHING (MATCH_RECOGNIZE semantics) via the
+    string-fold trick: each user's event stream collapses to a compact
+    type-initial string in (ts, event_id) order — c/s/e/v/p — and row
+    patterns become regexes over it: ``v+p`` counts non-overlapping
+    view-streak→purchase funnels (and the streak length that converted),
+    ``e+`` finds the longest error burst. Greedy non-overlapping
+    left-to-right scan is identical in Java regex and RE2 for these
+    alternation-free patterns, so counts and lengths are cross-engine
+    exact. This is how engines without MATCH_RECOGNIZE (Spark included)
+    run arbitrary row-pattern queries at scale: ONE groupBy-collect per
+    user (sequences never leave their partition), then pattern state
+    machines as vectorized string ops — no self-joins, no per-pattern
+    passes; at 100 TB the per-user string is bounded by per-user event
+    cardinality, the same bound any MATCH_RECOGNIZE state machine needs."""
+    seqs = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("t"),
+                                F.col("event_id").alias("i"),
+                                F.substring("event_type", 1, 1).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    funnels = F.regexp_extract_all("seq", F.lit("v+p"), 0)
+    bursts = F.regexp_extract_all("seq", F.lit("e+"), 0)
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.size(funnels).cast("long").alias("n_funnel"),
+        F.coalesce(
+            F.array_max(F.transform(funnels, lambda x: F.length(x) - 1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_views_before_buy"),
+        F.coalesce(
+            F.array_max(F.transform(bursts, lambda x: F.length(x))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_error_burst"),
+    )

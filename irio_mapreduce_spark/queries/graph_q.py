@@ -561,3 +561,107 @@ def graph_kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kcore_peel(pairs, "s1", "s2", k=8, rounds=3)
+
+
+@register(
+    "graph_sssp_weighted",
+    oracle="""
+    WITH pairs AS (
+      SELECT concat('C', CAST(o_custkey AS VARCHAR)) AS c,
+             concat('S', CAST(l_suppkey AS VARCHAR)) AS s,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_ord
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT c AS src, s AS dst, CAST(1000000 // n_ord AS BIGINT) AS w
+      FROM pairs
+      UNION ALL
+      SELECT s, c, CAST(1000000 // n_ord AS BIGINT) FROM pairs),
+    d0 AS (
+      SELECT DISTINCT concat('C', CAST(c_custkey AS VARCHAR)) AS node,
+             CAST(0 AS BIGINT) AS dist
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'),
+    d1 AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL
+        SELECT e.dst, d0.dist + e.w FROM d0 JOIN edges e ON e.src = d0.node)
+      GROUP BY node),
+    d2 AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL
+        SELECT e.dst, d1.dist + e.w FROM d1 JOIN edges e ON e.src = d1.node)
+      GROUP BY node),
+    d3 AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL
+        SELECT e.dst, d2.dist + e.w FROM d2 JOIN edges e ON e.src = d2.node)
+      GROUP BY node)
+    SELECT node, dist FROM d3 WHERE dist > 0
+    ORDER BY dist, node LIMIT 20
+    """,
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (bounded Bellman-Ford, 3
+    relaxation rounds) over the mirrored customer–supplier purchase graph:
+    edge cost ``1000000 div n_orders`` makes strongly-connected pairs
+    cheap to traverse, so the result ranks the 20 counterparties most
+    tightly coupled to NATION_3's customer base through at most 3
+    purchase hops — the weighted twin of ``graph_bfs_purchases``.
+    All-integer costs (floor division both engines truncate identically
+    on positives), so the oracle's 3 unrolled full-relaxation CTE rounds
+    match the frontier-based Spark rounds exactly (a node that did not
+    improve has already propagated its distance). Round structure and
+    scale notes in ``operators.graph.sssp_rounds``."""
+    from irio_mapreduce_spark.operators.graph import sssp_rounds
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("n_ord"))
+        .select(
+            "c", "s", F.expr("CAST(1000000 div n_ord AS BIGINT)").alias("w")
+        )
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    sources = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    dist = sssp_rounds(edges, sources, "src", "dst", "w", "node", rounds=3)
+    return (
+        dist.where(F.col("dist") > 0)
+        .orderBy(F.col("dist").asc(), F.col("node").asc())
+        .limit(20)
+    )

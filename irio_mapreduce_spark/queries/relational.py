@@ -3631,3 +3631,74 @@ def subq_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_not_in_clean
         """
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+                  ELSE 1 + (l_orderkey % 97) END AS k,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem),
+    dim AS (
+      SELECT range AS k, 'b' || CAST(range % 7 AS VARCHAR) AS bucket_name
+      FROM range(0, 98))
+    SELECT bucket_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(qty) AS BIGINT) AS qty_sum,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+    FROM fact JOIN dim USING (k)
+    GROUP BY bucket_name
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANUAL key-salting for a skewed join — the static rewrite that
+    predates (and still outlives) AQE's runtime skew split: the fact key
+    is widened to ``(k, salt)`` with ``salt = pmod(hash(row key), 8)``
+    and the dim side is replicated once per salt value, so the hot key's
+    rows land on 8 reduce partitions instead of 1. Same manufactured
+    75%-hot-key fact as ``join_skew_aqe_rollup``; that entry shows the
+    runtime split, this one the technique for the cases AQE cannot
+    split — e.g. when the skewed join's output must stay co-partitioned
+    for a downstream bucketed write, or on engines without adaptive
+    execution. The merge hint keeps the join on the sort-merge path (a
+    broadcast would dodge the skew instead of demonstrating its
+    handling); replication factor 8 multiplies only the DIM (98 rows ->
+    784), the 100 TB-side cost model: salt fan-out is paid on the small
+    side, never the fact.
+
+    Join on (k, salt) with the dim exploded across ALL salt values is
+    identical to the plain join on k — the oracle is the unsalted SQL."""
+    fact = read_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(0))
+        .otherwise((F.col("l_orderkey") % 97) + 1)
+        .cast("long")
+        .alias("k"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.pmod(F.hash(F.col("l_orderkey"), F.col("l_linenumber")), F.lit(8))
+        .cast("int")
+        .alias("salt"),
+    )
+    dim = (
+        spark.range(98)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("b"), (F.col("id") % 7).cast("string")).alias(
+                "bucket_name"
+            ),
+        )
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(7)).cast("array<int>"))
+        )
+    )
+    return (
+        fact.hint("merge")
+        .join(dim, ["k", "salt"])
+        .groupBy("bucket_name")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("qty").cast("long").alias("qty_sum"),
+            F.countDistinct("k").cast("long").alias("n_keys"),
+        )
+    )
