@@ -476,6 +476,8 @@ def decode_real_media_features(media: DataFrame) -> DataFrame:
                     base.update(kind="image", **mm.decode_tiff(payload))
                 elif payload[:2] == b"\xff\xd8":
                     base.update(kind="image", **mm.decode_jpeg(payload))
+                elif payload[:2] in (b"P6", b"P5"):
+                    base.update(kind="image", **mm.decode_ppm(payload))
                 elif payload[:4] == b"RIFF":
                     base.update(kind="audio", **mm.decode_wav(payload))
                 else:
@@ -2255,6 +2257,150 @@ def synthesize_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame
                         "payload": mm.synth_jpeg(mid, w, h),
                         "meta": {
                             "kind": "image", "mime": "image/jpeg",
+                            "width": w, "height": h,
+                            "sample_rate": None, "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Netpbm (PPM P6 / PGM P5): the simplest REAL raster container — an ASCII
+# header (magic, dims, maxval, with '#' comment lines and arbitrary
+# whitespace allowed between tokens) followed by raw binary samples. The
+# encoder deliberately emits a comment line so the decoder's token scanner
+# (skip-whitespace + skip-comment state machine, the part naive parsers
+# get wrong) is genuinely exercised.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, pixel) -> bytes:
+    """P6 binary PPM: ``pixel(x, y, c) -> 0..255`` for c in (0=R,1=G,2=B)."""
+    header = b"P6\n# synthetic\n%d %d\n255\n" % (width, height)
+    body = bytes(
+        pixel(x, y, c)
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+    return header + body
+
+
+def encode_pgm(width: int, height: int, gray) -> bytes:
+    """P5 binary PGM: ``gray(x, y) -> 0..255``."""
+    header = b"P5\n# synthetic\n%d %d\n255\n" % (width, height)
+    body = bytes(gray(x, y) for y in range(height) for x in range(width))
+    return header + body
+
+
+def _netpbm_tokens(payload: bytes, n: int, start: int):
+    """Scan ``n`` whitespace/comment-separated ASCII tokens from
+    ``start``; returns (tokens, offset_after). Raises ValueError on a
+    malformed header — netpbm comments run '#' to end-of-line and may
+    appear between any two tokens."""
+    toks: list[bytes] = []
+    i = start
+    while len(toks) < n:
+        if i >= len(payload):
+            raise ValueError("netpbm: truncated header")
+        b = payload[i : i + 1]
+        if b == b"#":
+            j = payload.find(b"\n", i)
+            if j < 0:
+                raise ValueError("netpbm: unterminated comment")
+            i = j + 1
+        elif b.isspace():
+            i += 1
+        else:
+            j = i
+            while (
+                j < len(payload)
+                and not payload[j : j + 1].isspace()
+                and payload[j : j + 1] != b"#"
+            ):
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+    # exactly ONE whitespace byte separates the maxval token from the
+    # binary raster (the spec's single-whitespace rule)
+    if i >= len(payload) or not payload[i : i + 1].isspace():
+        raise ValueError("netpbm: missing raster separator")
+    return toks, i + 1
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse P6 (RGB) or P5 (grayscale) netpbm bytes to exact per-channel
+    sums; grayscale reports the same sum on all three channels."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary netpbm payload: {magic!r}")
+    toks, off = _netpbm_tokens(payload, 3, 2)
+    width, height, maxval = (int(t) for t in toks)
+    if maxval != 255:
+        raise ValueError(f"netpbm: unsupported maxval {maxval}")
+    nch = 3 if magic == b"P6" else 1
+    need = width * height * nch
+    raster = payload[off : off + need]
+    if len(raster) != need:
+        raise ValueError("netpbm: truncated raster")
+    if nch == 3:
+        sum_r = sum(raster[0::3])
+        sum_g = sum(raster[1::3])
+        sum_b = sum(raster[2::3])
+    else:
+        sum_r = sum_g = sum_b = sum(raster)
+    return {
+        "width": width,
+        "height": height,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }
+
+
+def synth_ppm(seed: int, width: int, height: int) -> bytes:
+    return encode_ppm(
+        width, height, lambda x, y, c: (seed * 43 + y * 17 + x * 7 + c * 29) % 256
+    )
+
+
+def synth_pgm(seed: int, width: int, height: int) -> bytes:
+    return encode_pgm(
+        width, height, lambda x, y: (seed * 31 + y * 13 + x * 5) % 256
+    )
+
+
+def synthesize_netpbm_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Even ids become P6 PPMs, odd ids P5 PGMs (dims a function of the
+    id). Distributed mapInPandas; payload bytes never visit the driver."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w, h = 7 + mid % 9, 5 + mid % 6
+                    payload = mm.synth_ppm(mid, w, h)
+                    mime = "image/x-portable-pixmap"
+                else:
+                    w, h = 6 + mid % 8, 4 + mid % 7
+                    payload = mm.synth_pgm(mid, w, h)
+                    mime = "image/x-portable-graymap"
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": payload,
+                        "meta": {
+                            "kind": "image", "mime": mime,
                             "width": w, "height": h,
                             "sample_rate": None, "duration_ms": None,
                         },

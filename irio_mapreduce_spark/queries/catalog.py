@@ -110,6 +110,12 @@ FRONT_WINDOW: list[str] = [
     "join_salted_skew",
     "events_interval_union",
     "events_pattern_match_regex",
+    "stream_stream_left_semi",
+    "multimodal_real_netpbm",
+    "ml_ridge_shrinkage",
+    "sink_dynamic_partition_overwrite",
+    "mr_distributed_grep",
+    "events_anomaly_3sigma",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

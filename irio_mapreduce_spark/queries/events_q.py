@@ -1317,3 +1317,91 @@ def events_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_error_burst"),
     )
+
+
+@register(
+    "events_anomaly_3sigma",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, event_id, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    w AS (
+      SELECT event_type, c,
+             CAST(count(*) OVER tw AS BIGINT) AS n,
+             CAST(sum(c) OVER tw AS BIGINT) AS s,
+             CAST(sum(c * c) OVER tw AS BIGINT) AS sq
+      FROM pts
+      WINDOW tw AS (PARTITION BY event_type ORDER BY t, event_id
+                    ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)),
+    flagged AS (
+      SELECT event_type, n, c, s, sq,
+             CASE WHEN n >= 20
+                   AND (n*c - s)*(n*c - s) > 9*(n*sq - s*s)
+                  THEN 1 ELSE 0 END AS is_anom
+      FROM w)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN n >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_eligible,
+           CAST(sum(is_anom) AS BIGINT) AS n_anomalies,
+           CAST(max(CASE WHEN is_anom = 1 THEN c END) AS BIGINT)
+             AS max_anom_cents
+    FROM flagged GROUP BY event_type
+    """,
+)
+def events_anomaly_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 3-SIGMA ANOMALY DETECTION in exact-rational form — the
+    monitoring classic (flag points > 3 standard deviations from the
+    trailing-window mean) restated without sqrt so two engines agree
+    bitwise: with trailing integer moments (n, S=Σc, Q=Σc²) over the
+    last 100 points per event type, ``|x − S/n| > 3·σ`` squares to
+
+        (n·x − S)² > 9·(n·Q − S²)
+
+    — all BIGINT on cent-scaled values, no division, no sqrt, no float.
+    A 20-point warm-up gate avoids flagging the unstable early window.
+    One event_type exchange serves the moment window and the rollup. At
+    100 TB the same trailing-moment state is O(1) per series, which is
+    why this exact detector also runs incrementally (cf. the CUSUM and
+    EWMA entries for the drift/trend-shaped variants)."""
+    pts = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "event_id")
+        .rowsBetween(-99, 0)
+    )
+    w = pts.select(
+        "event_type",
+        "c",
+        F.count("*").over(tw).cast("long").alias("n"),
+        F.sum("c").over(tw).cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(tw).cast("long").alias("sq"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var_n2 = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    flagged = w.select(
+        "event_type",
+        "n",
+        "c",
+        F.when(
+            (F.col("n") >= 20) & (dev * dev > 9 * var_n2), 1
+        )
+        .otherwise(0)
+        .alias("is_anom"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.sum(F.when(F.col("n") >= 20, 1).otherwise(0))
+        .cast("long")
+        .alias("n_eligible"),
+        F.sum("is_anom").cast("long").alias("n_anomalies"),
+        F.max(F.when(F.col("is_anom") == 1, F.col("c")))
+        .cast("long")
+        .alias("max_anom_cents"),
+    )

@@ -1523,3 +1523,82 @@ def ml_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("weight"),
         )
     )
+
+
+@register(
+    "ml_ridge_shrinkage",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS xi,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      FROM lineitem),
+    m AS (SELECT flag,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(xi) AS BIGINT) AS sx,
+                 CAST(sum(yc) AS BIGINT) AS syc,
+                 CAST(sum(xi * yc) AS BIGINT) AS sxyc,
+                 CAST(sum(xi * xi) AS BIGINT) AS sxx
+          FROM pts GROUP BY flag)
+    SELECT flag, n,
+           ((CAST(n AS DOUBLE) * CAST(sxyc AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(syc AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100
+             AS slope_ols,
+           ((CAST(n AS DOUBLE) * CAST(sxyc AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(syc AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               + CAST(n AS DOUBLE) * 1000000.0)) / 100
+             AS slope_ridge,
+           ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               + CAST(n AS DOUBLE) * 1000000.0))
+             AS shrink_factor
+    FROM m
+    """,
+)
+def ml_ridge_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIDGE REGRESSION (L2-regularized least squares, intercept
+    unpenalized) per returnflag group, closed form on integer moments:
+    ``b_ridge = (n·Sxy − Sx·Sy) / (n·Sxx − Sx² + n·λ)`` with λ = 10^6 on
+    the cents slope — shown side-by-side with the OLS slope and the exact
+    shrinkage factor ridge applies (the variance-ratio interpretation of
+    L2). Same exactness argument as ``stats_ols_price_vs_qty``: moments
+    are exact BIGINT sums (quantity integer, price 2-decimal money ->
+    cents), each casts to double once (correctly rounded in both
+    engines), and the estimators are a FIXED sequence of scalar IEEE ops
+    — so even the unrounded doubles hash-match. Distributed cost: one
+    scan, one 5-moment map-side-combined aggregate per group; the model
+    itself is a per-group scalar, the shape a 1000-executor fit of
+    per-segment calibration models takes."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("xi"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("yc"),
+    )
+    m = li.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("syc"),
+        F.sum(F.col("xi") * F.col("yc")).cast("long").alias("sxyc"),
+        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    syc = F.col("syc").cast("double")
+    sxyc = F.col("sxyc").cast("double")
+    sxx = F.col("sxx").cast("double")
+    lam = F.lit(1000000.0)
+    sxx_c = n * sxx - sx * sx
+    num = n * sxyc - sx * syc
+    return m.select(
+        "flag",
+        "n",
+        ((num / sxx_c) / 100).alias("slope_ols"),
+        ((num / (sxx_c + n * lam)) / 100).alias("slope_ridge"),
+        (sxx_c / (sxx_c + n * lam)).alias("shrink_factor"),
+    )

@@ -535,3 +535,64 @@ def multimodal_real_bmp_rle8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id")
     )
     return decode_rle8_features(synthesize_rle8_media(docs))
+
+
+@register(
+    "multimodal_real_netpbm",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 7 + doc_id % 9
+                  ELSE 6 + doc_id % 8 END AS w,
+             CASE WHEN doc_id % 2 = 0 THEN 5 + doc_id % 6
+                  ELSE 4 + doc_id % 7 END AS h
+      FROM documents),
+    ix AS (SELECT media_id, w, h,
+                  unnest(generate_series(0, w * h - 1)) AS p
+           FROM img),
+    ipx AS (SELECT media_id, w, h, p % w AS x, p // w AS y FROM ix)
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum(CASE WHEN media_id % 2 = 0
+                         THEN (media_id*43 + y*17 + x*7) % 256
+                         ELSE (media_id*31 + y*13 + x*5) % 256 END)
+                AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN media_id % 2 = 0
+                         THEN (media_id*43 + y*17 + x*7 + 29) % 256
+                         ELSE (media_id*31 + y*13 + x*5) % 256 END)
+                AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN media_id % 2 = 0
+                         THEN (media_id*43 + y*17 + x*7 + 58) % 256
+                         ELSE (media_id*31 + y*13 + x*5) % 256 END)
+                AS BIGINT) AS sum_b
+    FROM ipx GROUP BY media_id
+    """,
+)
+def multimodal_real_netpbm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL netpbm decode (P6 PPM + P5 PGM in one mixed table) — the
+    simplest raster container is also the one whose HEADER is the real
+    parser test: ASCII tokens separated by arbitrary whitespace with
+    ``#`` comment lines allowed between any two tokens, then exactly one
+    whitespace byte before the binary raster. The encoder deliberately
+    emits a comment line, so the decoder's token scanner (not just the
+    raster math) is load-bearing for the hash match. Even ids are RGB
+    P6, odd ids grayscale P5 (grayscale reports its sum on all three
+    channels), so ONE decode stage dispatches both subformats by magic.
+
+    Scale shape: identical to the BMP/PNG path — synthesize and decode
+    are both ``mapInPandas`` stages over Arrow batches; payload bytes
+    never visit the driver and never shuffle. See
+    ``llm.multimodal.encode_ppm``/``decode_ppm``."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        synthesize_netpbm_media,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = decode_real_media_features(synthesize_netpbm_media(ids))
+    return feats.select(
+        "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
+    )

@@ -519,3 +519,54 @@ def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey long, n_orders long, first_priority string, "
         "last_priority string, max_gap_days long",
     )
+
+
+@register(
+    "mr_distributed_grep",
+    oracle="""
+    WITH hits AS (
+      SELECT source,
+             len(regexp_extract_all(text, 'scan\\s+\\w+\\s+table'))
+               AS n_matches
+      FROM documents
+      WHERE regexp_matches(text, 'scan\\s+\\w+\\s+table'))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_matches) AS BIGINT) AS n_matches
+    FROM hits GROUP BY source
+    """,
+)
+def mr_distributed_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED GREP — the other canonical MapReduce program from the
+    original paper (map = emit lines matching a pattern, reduce =
+    identity/rollup), run through the reference-shaped Batch pipeline
+    API exactly like ``mr_wordcount``: scan -> map chain (regex filter +
+    per-doc occurrence count, both inside whole-stage codegen — Java
+    regex JVM-side, no Python) -> hash partition on source -> reduce
+    rollup (reference operators R1-R7, SURVEY.md §2.1). The predicate is
+    a real multi-token pattern (``scan <word> table``) so the match
+    count per doc exercises non-trivial regex extraction, not substring
+    containment. The grep filter sits in the FIRST map stage, so at
+    100 TB the shuffle carries only matching docs' (source, count)
+    pairs — the selectivity is the scale story, as it was in the
+    paper."""
+    pat = r"scan\s+\w+\s+table"
+    spec = BatchSpec(
+        input_path=table_path(sf_dir, "documents"),
+        input_format="parquet",
+        map_fns=[
+            lambda df: df.filter(F.col("text").rlike(pat)).select(
+                "source",
+                F.size(
+                    F.regexp_extract_all("text", F.lit(pat), 0)
+                ).alias("n"),
+            )
+        ],
+        partition_key="source",
+        r_num=8,
+        reduce_agg=[
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_matches"),
+        ],
+    )
+    return submit_batch(spark, spec)

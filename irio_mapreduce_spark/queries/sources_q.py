@@ -956,3 +956,65 @@ def source_rowgroup_stats_pruning(
         [(row_s["n"], row_s["qty_sum"], True)],
         "n long, qty_sum long, rowgroup_skip_engaged boolean",
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d')
+            NOT IN ('2024-01-10', '2024-01-20')
+       OR value >= 5.0
+    GROUP BY day
+    """,
+)
+def sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE — the partition-RESTATEMENT sink idiom
+    (the complement of ``pipeline_backfill_incremental``'s fill-missing
+    appends): a corrected recompute of SOME days must atomically replace
+    exactly those day directories and leave every other partition
+    untouched. Static overwrite mode would truncate the whole table
+    first (the classic data-loss footgun); ``partitionOverwriteMode=
+    dynamic`` — set per-write via a writer OPTION, no session conf —
+    replaces only the partitions the incoming frame actually contains.
+
+    In-entry protocol: full 30-day write partitioned by day, then a
+    correction frame holding ONLY days 2024-01-10 and 2024-01-20
+    (re-filtered to value >= 5, the simulated upstream fix) written with
+    mode("overwrite") + dynamic. The read-back per-day rollup must show
+    exactly those two days restated and all others intact — which is the
+    oracle, derived straight from events. At 100 TB this is how every
+    idempotent daily-correction job commits: the write is atomic per
+    partition directory, retries restate the same days, and no
+    read-modify-write of the other 10 000 partitions ever happens.
+    Cents-scaled BIGINT value sums keep the rollup exact."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "value",
+    )
+    target = tempfile.mkdtemp(prefix="dpo_") + "/daily"
+    ev.drop("value").write.partitionBy("day").mode("overwrite").parquet(
+        target
+    )
+    correction = ev.filter(
+        F.col("day").isin("2024-01-10", "2024-01-20")
+        & (F.col("value") >= 5.0)
+    ).drop("value")
+    (
+        correction.write.partitionBy("day")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(target)
+    )
+    back = spark.read.parquet(target)
+    return back.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )

@@ -1287,3 +1287,60 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_total, cents_total, uid_max)],
         "n_events long, value_cents long, max_user_id long",
     )
+
+
+@register(
+    "stream_stream_left_semi",
+    oracle="""
+    SELECT l.event_id AS click_id, l.user_id AS user_id
+    FROM (SELECT * FROM events
+          WHERE event_type = 'click' AND user_id % 2 = 0) l
+    WHERE EXISTS (
+      SELECT 1 FROM events r
+      WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR)
+    """,
+)
+def stream_stream_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — the existence form of the
+    attribution topology ("which clicks converted", without duplicating a
+    click per purchase): a left row emits ONCE on its first match and
+    never again, and an unmatched left row is silently evicted when the
+    watermark proves no match can arrive — so like the outer forms it
+    REQUIRES watermarks (state eviction is what implements the
+    no-duplicate contract). Time-ordered replay with far-future sentinels
+    on BOTH inputs flushes all state; the drained result must equal the
+    batch EXISTS — the oracle, which never sees the sentinels. Completes
+    the stream-stream family: inner (`stream_stream_join_attrib`), left
+    outer, full outer, and now semi."""
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="ss_semi_") + "/events"
+    replay_time_ordered(spark, sf_dir, d, n_chunks=4)
+    base = spark.read.parquet(d)
+    sentinel_user = 4 * 10**9
+    sentinel_events(
+        base, sentinel_user, types=[(-1, "click"), (-2, "purchase")]
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = read_events_stream(spark, d, max_files_per_trigger=2).filter(
+        F.col("user_id") % 2 == 0
+    )
+    clicks = stream.filter(F.col("event_type") == "click")
+    buys = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join(
+        clicks,
+        buys,
+        "user_id",
+        "6 hours",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+        how="left_semi",
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("user_id"),
+    )
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_to_completion(joined, name, "append")
+    return spark.table(name).filter(F.col("user_id") != sentinel_user)

@@ -2107,3 +2107,40 @@ def test_bmp_rle8_roundtrip_and_escape_grammar():
     good = mm.encode_bmp_rle8(6, 5, lambda x, y: mm._rle8_index(1, x, y))
     with pytest.raises(ValueError):
         mm.decode_bmp_rle8(good[:-3])
+
+
+def test_netpbm_codec_roundtrip_and_header_grammar():
+    """P6/P5 encode->decode inverts exactly; the header scanner honors
+    comment lines between ANY two tokens and rejects truncation."""
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    w, h = 5, 4
+    d = mm.decode_ppm(mm.synth_ppm(7, w, h))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["sum_r"] == sum(
+        (7 * 43 + y * 17 + x * 7) % 256 for y in range(h) for x in range(w)
+    )
+    g = mm.decode_ppm(mm.synth_pgm(9, w, h))
+    assert g["sum_r"] == g["sum_g"] == g["sum_b"]
+    assert g["sum_r"] == sum(
+        (9 * 31 + y * 13 + x * 5) % 256 for y in range(h) for x in range(w)
+    )
+
+    # comments may sit between any two header tokens, and whitespace runs
+    # of any length separate them — both P6 and P5
+    body = bytes((x + y) % 256 for y in range(2) for x in range(3))
+    hairy = b"P5 # c1\n  # c2\n 3\t#c3\n 2 # c4\n255\n" + body
+    d2 = mm.decode_ppm(hairy)
+    assert (d2["width"], d2["height"]) == (3, 2)
+    assert d2["sum_r"] == sum(body)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mm.decode_ppm(mm.synth_ppm(1, 4, 4)[:-2])  # truncated raster
+    with _pt.raises(ValueError):
+        mm.decode_ppm(b"P6\n# only a comment")  # truncated header
+    with _pt.raises(ValueError):
+        mm.decode_ppm(b"P4\n1 1\n\x00")  # bitmap subformat: unsupported
+    with _pt.raises(ValueError):
+        mm.decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))  # 16-bit maxval
