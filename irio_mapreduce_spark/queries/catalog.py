@@ -116,6 +116,11 @@ FRONT_WINDOW: list[str] = [
     "sink_dynamic_partition_overwrite",
     "mr_distributed_grep",
     "events_anomaly_3sigma",
+    "events_seasonal_decompose",
+    "ml_gbt_residual_stumps",
+    "quality_benford_first_digit",
+    "quality_id_gap_ranges",
+    "layout_hilbert_tiles",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

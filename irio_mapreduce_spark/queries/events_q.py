@@ -1405,3 +1405,105 @@ def events_anomaly_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_anom_cents"),
     )
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY d),
+    tr AS (
+      SELECT d, cents,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(d AS DATE))
+                  AS BIGINT) AS epoch_day,
+             CASE WHEN count(*) OVER cw = 7
+                  THEN CAST(sum(cents) OVER cw AS BIGINT) END AS trend7
+      FROM daily
+      WINDOW cw AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    dowd AS (
+      SELECT d, cents, trend7, (epoch_day + 4) % 7 AS dow,
+             7 * cents - trend7 AS detr7
+      FROM tr),
+    seas AS (
+      SELECT dow,
+             CAST(sum(detr7) AS BIGINT) AS seas_num,
+             CAST(7 * count(detr7) AS BIGINT) AS seas_den
+      FROM dowd WHERE detr7 IS NOT NULL GROUP BY dow)
+    SELECT strftime(d, '%Y-%m-%d') AS day, cents,
+           CAST(dow AS BIGINT) AS dow, trend7, seas_num, seas_den,
+           CAST(7 * seas_den * cents - seas_den * trend7
+                - 7 * seas_num AS BIGINT) AS resid_scaled
+    FROM dowd JOIN seas USING (dow)
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL SEASONAL DECOMPOSITION (trend + day-of-week seasonal +
+    residual, the moving-average method behind STL's initial pass) on the
+    daily value series, in EXACT integer form: trend is the centered
+    7-day moving average kept as its numerator ``trend7 = Σ₇ cents``
+    (full windows only), the seasonal component is the day-of-week mean
+    of the detrended series kept as ``seas_num/seas_den`` with
+    ``detr7 = 7·cents − trend7``, and the residual is the decomposition
+    identity cleared of ALL denominators:
+    ``resid·(7·seas_den) = 7·seas_den·cents − seas_den·trend7 − 7·seas_num``.
+    No quotient is ever materialized — detrended values go NEGATIVE and
+    integer division on negatives is the one arithmetic the engines
+    disagree on (Spark ``div`` truncates toward zero, DuckDB ``//``
+    floors), so the entry returns exact numerator/denominator pairs.
+    Day-of-week is pure arithmetic ``(epoch_day + 4) % 7`` (1970-01-01
+    was a Thursday) — immune to the engines' different dayofweek
+    conventions. Shape: one day rollup, one 7-row window, one 7-group
+    broadcast join — at 100 TB the raw scan dominates and everything
+    downstream is O(days)."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").start.alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    cw = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "cents",
+        F.datediff(F.col("d").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_day"),
+        F.when(
+            F.count("*").over(cw) == 7, F.sum("cents").over(cw).cast("long")
+        ).alias("trend7"),
+    )
+    dowd = tr.select(
+        "d",
+        "cents",
+        "trend7",
+        F.pmod(F.col("epoch_day") + 4, F.lit(7)).alias("dow"),
+        (7 * F.col("cents") - F.col("trend7")).alias("detr7"),
+    )
+    seas = (
+        dowd.where(F.col("detr7").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.sum("detr7").cast("long").alias("seas_num"),
+            (7 * F.count("detr7")).cast("long").alias("seas_den"),
+        )
+    )
+    return dowd.join(F.broadcast(seas), "dow").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "cents",
+        F.col("dow").cast("long").alias("dow"),
+        "trend7",
+        "seas_num",
+        "seas_den",
+        (
+            7 * F.col("seas_den") * F.col("cents")
+            - F.col("seas_den") * F.col("trend7")
+            - 7 * F.col("seas_num")
+        )
+        .cast("long")
+        .alias("resid_scaled"),
+    )

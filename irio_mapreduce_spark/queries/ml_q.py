@@ -1602,3 +1602,238 @@ def ml_ridge_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((num / (sxx_c + n * lam)) / 100).alias("slope_ridge"),
         (sxx_c / (sxx_c + n * lam)).alias("shrink_factor"),
     )
+
+
+_GBT_ORACLE = """
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(month(l_shipdate) AS BIGINT) AS m,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem WHERE l_orderkey % 100 = 0),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS s FROM pts),
+    per_q AS (SELECT q, count(*) AS n_q, sum(y) AS s_q FROM pts GROUP BY q),
+    cum1 AS (
+      SELECT q, sum(n_q) OVER w AS n_l, sum(s_q) OVER w AS s_l
+      FROM per_q WINDOW w AS (ORDER BY q)),
+    cand1 AS (
+      SELECT q AS t, n_l, s_l, t2.n - n_l AS n_r, t2.s - s_l AS s_r
+      FROM cum1 CROSS JOIN tot t2
+      WHERE n_l > 0 AND t2.n - n_l > 0),
+    scored1 AS (
+      SELECT t, n_l, s_l, n_r, s_r,
+             CAST(s_l AS HUGEINT) * s_l * n_r
+               + CAST(s_r AS HUGEINT) * s_r * n_l AS num,
+             CAST(n_l AS HUGEINT) * n_r AS den
+      FROM cand1),
+    best1 AS (
+      SELECT * FROM scored1 a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM scored1 b
+        WHERE b.num * a.den > a.num * b.den
+           OR (b.num * a.den = a.num * b.den AND b.t < a.t))),
+    res AS (
+      SELECT p.m,
+             CASE WHEN p.q <= b.t
+                  THEN (b.n_l * b.n_r) * p.y - b.n_r * b.s_l
+                  ELSE (b.n_l * b.n_r) * p.y - b.n_l * b.s_r END AS r,
+             b.n_l * b.n_r AS scale
+      FROM pts p CROSS JOIN best1 b),
+    tot2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(r) AS BIGINT) AS s,
+                    CAST(max(scale) AS BIGINT) AS scale FROM res),
+    per_m AS (SELECT m, count(*) AS n_m, sum(r) AS s_m FROM res GROUP BY m),
+    cum2 AS (
+      SELECT m, sum(n_m) OVER w AS n_l, sum(s_m) OVER w AS s_l
+      FROM per_m WINDOW w AS (ORDER BY m)),
+    cand2 AS (
+      SELECT m AS t, n_l, s_l, t2.n - n_l AS n_r, t2.s - s_l AS s_r,
+             t2.scale
+      FROM cum2 CROSS JOIN tot2 t2
+      WHERE n_l > 0 AND t2.n - n_l > 0),
+    scored2 AS (
+      SELECT t, n_l, s_l, n_r, s_r, scale,
+             CAST(s_l AS HUGEINT) * s_l * n_r
+               + CAST(s_r AS HUGEINT) * s_r * n_l AS num,
+             CAST(n_l AS HUGEINT) * n_r AS den
+      FROM cand2),
+    best2 AS (
+      SELECT * FROM scored2 a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM scored2 b
+        WHERE b.num * a.den > a.num * b.den
+           OR (b.num * a.den = a.num * b.den AND b.t < a.t)))
+    SELECT 1 AS round, 'quantity' AS feature, CAST(t AS BIGINT) AS t,
+           'L' AS side, CAST(s_l AS BIGINT) AS leaf_num,
+           CAST(n_l AS BIGINT) AS leaf_den, CAST(1 AS BIGINT) AS scale
+    FROM best1
+    UNION ALL
+    SELECT 1, 'quantity', CAST(t AS BIGINT), 'R', CAST(s_r AS BIGINT),
+           CAST(n_r AS BIGINT), CAST(1 AS BIGINT) FROM best1
+    UNION ALL
+    SELECT 2, 'month', CAST(t AS BIGINT), 'L', CAST(s_l AS BIGINT),
+           CAST(n_l AS BIGINT), CAST(scale AS BIGINT) FROM best2
+    UNION ALL
+    SELECT 2, 'month', CAST(t AS BIGINT), 'R', CAST(s_r AS BIGINT),
+           CAST(n_r AS BIGINT), CAST(scale AS BIGINT) FROM best2
+"""
+
+
+def _gbt_best_split(pts: DataFrame, feat: str) -> DataFrame:
+    """Exact squared-loss regression-stump split on integer targets:
+    maximize gain (S_L²·n_R + S_R²·n_L)/(n_L·n_R) via cross-multiplied
+    dominance on DECIMAL(38,0) (same argmin discipline as
+    ``ml_decision_stump``; ties at the smallest threshold). Input:
+    (feat, _y); output 1 row (t, n_l, s_l, n_r, s_r)."""
+    dec = "decimal(38,0)"
+    tot = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("s"),
+    )
+    per = pts.groupBy(feat).agg(
+        F.count("*").alias("n_f"), F.sum("_y").alias("s_f")
+    )
+    w = Window.orderBy(feat).rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per.withColumn("n_l", F.sum("n_f").over(w).cast("long"))
+        .withColumn("s_l", F.sum("s_f").over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+    )
+    cand = cum.filter(
+        (F.col("n_l") > 0) & (F.col("n") - F.col("n_l") > 0)
+    ).select(
+        F.col(feat).cast("long").alias("t"),
+        "n_l",
+        "s_l",
+        (F.col("n") - F.col("n_l")).cast("long").alias("n_r"),
+        (F.col("s") - F.col("s_l")).cast("long").alias("s_r"),
+    )
+    scored = cand.select(
+        "t",
+        "n_l",
+        "s_l",
+        "n_r",
+        "s_r",
+        (
+            F.col("s_l").cast(dec) * F.col("s_l") * F.col("n_r")
+            + F.col("s_r").cast(dec) * F.col("s_r") * F.col("n_l")
+        ).alias("num"),
+        (F.col("n_l").cast(dec) * F.col("n_r")).alias("den"),
+    )
+    other = scored.select(
+        F.col("t").alias("b_t"),
+        F.col("num").alias("b_num"),
+        F.col("den").alias("b_den"),
+    )
+    return scored.join(
+        F.broadcast(other),
+        (F.col("b_num") * F.col("den") > F.col("num") * F.col("b_den"))
+        | (
+            (F.col("b_num") * F.col("den") == F.col("num") * F.col("b_den"))
+            & (F.col("b_t") < F.col("t"))
+        ),
+        "left_anti",
+    ).select("t", "n_l", "s_l", "n_r", "s_r")
+
+
+@register("ml_gbt_residual_stumps", oracle=_GBT_ORACLE)
+def ml_gbt_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADIENT BOOSTING (squared loss, 2 rounds of regression stumps) in
+    EXACT integer arithmetic — the regression complement of
+    ``ml_adaboost_stumps``: round 1 fits a quantity-threshold stump to
+    discount cents by exact SSE argmin (gain (S_L²n_R + S_R²n_L)/(n_Ln_R),
+    cross-multiplied dominance — a float argmin flips near-equal splits
+    between engines); round 2 fits a month stump to the RESIDUALS, kept
+    integer by clearing the round-1 leaf denominators: with
+    D = n_L·n_R, ``r = D·y − n_R·S_L`` (left rows) / ``D·y − n_L·S_R``
+    (right) — exact because D/n_L = n_R is integral, sidestepping both
+    float residuals and the negative-operand ``div``/``//`` divergence.
+    Leaves are reported as (num, den, scale) triples, never quotients.
+
+    The deterministic 1%-of-orders subsample bounds the dominance
+    products inside DECIMAL(38)/HUGEINT (degree-5 in n; full-corpus
+    magnitudes overflow BOTH engines' widest integers — the bound is
+    arithmetic, not computational). Distributed shape per round: one
+    grouped aggregate compacts the corpus to |distinct feature| rows;
+    scoring and dominance run on that broadcast-sized frame; the
+    residual pass is one broadcast of the 1-row model (reference:
+    chained reduce batches, common.proto:17)."""
+    pts = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            F.col("l_quantity").cast("long").alias("q"),
+            F.month("l_shipdate").cast("long").alias("m"),
+            F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("y"),
+        )
+    )
+    best1 = _gbt_best_split(
+        pts.select(F.col("q"), F.col("y").alias("_y")), "q"
+    ).localCheckpoint(eager=True)
+    b = F.broadcast(
+        best1.select(
+            F.col("t").alias("_t"),
+            F.col("n_l").alias("_nl"),
+            F.col("s_l").alias("_sl"),
+            F.col("n_r").alias("_nr"),
+            F.col("s_r").alias("_sr"),
+        )
+    )
+    res = pts.crossJoin(b).select(
+        "m",
+        F.when(
+            F.col("q") <= F.col("_t"),
+            (F.col("_nl") * F.col("_nr")) * F.col("y")
+            - F.col("_nr") * F.col("_sl"),
+        )
+        .otherwise(
+            (F.col("_nl") * F.col("_nr")) * F.col("y")
+            - F.col("_nl") * F.col("_sr")
+        )
+        .alias("_y"),
+        (F.col("_nl") * F.col("_nr")).alias("scale"),
+    )
+    scale = res.agg(F.max("scale").cast("long").alias("scale"))
+    best2 = _gbt_best_split(res.select("m", "_y"), "m").crossJoin(
+        F.broadcast(scale)
+    )
+    one = F.lit(1).cast("long")
+    out1 = best1.select(
+        F.lit(1).alias("round"),
+        F.lit("quantity").alias("feature"),
+        F.col("t"),
+        F.lit("L").alias("side"),
+        F.col("s_l").alias("leaf_num"),
+        F.col("n_l").alias("leaf_den"),
+        one.alias("scale"),
+    ).unionByName(
+        best1.select(
+            F.lit(1).alias("round"),
+            F.lit("quantity").alias("feature"),
+            F.col("t"),
+            F.lit("R").alias("side"),
+            F.col("s_r").alias("leaf_num"),
+            F.col("n_r").alias("leaf_den"),
+            one.alias("scale"),
+        )
+    )
+    out2 = best2.select(
+        F.lit(2).alias("round"),
+        F.lit("month").alias("feature"),
+        F.col("t"),
+        F.lit("L").alias("side"),
+        F.col("s_l").alias("leaf_num"),
+        F.col("n_l").alias("leaf_den"),
+        F.col("scale"),
+    ).unionByName(
+        best2.select(
+            F.lit(2).alias("round"),
+            F.lit("month").alias("feature"),
+            F.col("t"),
+            F.lit("R").alias("side"),
+            F.col("s_r").alias("leaf_num"),
+            F.col("n_r").alias("leaf_den"),
+            F.col("scale"),
+        )
+    )
+    return out1.unionByName(out2)

@@ -3702,3 +3702,238 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").cast("long").alias("n_keys"),
         )
     )
+
+
+@register(
+    "quality_benford_first_digit",
+    oracle="""
+    WITH bp(digit, p5) AS (VALUES
+      (1, 30103), (2, 17609), (3, 12494), (4, 9691), (5, 7918),
+      (6, 6695), (7, 5799), (8, 5115), (9, 4576)),
+    obs AS (
+      SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT bp.digit,
+           coalesce(o.n_obs, 0) AS n_obs,
+           CAST(t.n * bp.p5 AS BIGINT) AS expected_fp5,
+           CAST(CAST(100000 * coalesce(o.n_obs, 0) - t.n * bp.p5
+                     AS HUGEINT)
+                * (100000 * coalesce(o.n_obs, 0) - t.n * bp.p5)
+                // (t.n * bp.p5) AS BIGINT) AS chi2_contrib_fp5
+    FROM bp LEFT JOIN obs o ON o.digit = bp.digit CROSS JOIN tot t
+    """,
+)
+def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit conformance — the forensic data-quality
+    screen for fabricated or truncated numeric columns (real multi-scale
+    money follows P(d) = log10(1+1/d); synthetic/uniform data does not,
+    which is exactly what this flags on the generator's prices). The
+    Benford expectations enter as FIXED-POINT LITERAL constants
+    (30103/100000 for d=1, …) — identical bytes on both engines, so no
+    transcendental is ever evaluated — and the chi-square contribution is
+    all-integer: ``(10^5·obs − n·p5)² div (n·p5)``, positive operands, so
+    floor and truncate agree. Missing digits (price floors keep low
+    digits possible-but-absent at small SF) surface as 0-count rows via
+    the digit-table left join — the screen must REPORT absence, not drop
+    it. First digit via string head of the cents BIGINT: no log10, no
+    pow. One scan, one 9-group aggregate, a broadcast 9-row constant
+    join: at 100 TB the scan is the entire cost."""
+    bp = spark.createDataFrame(
+        [
+            (1, 30103), (2, 17609), (3, 12494), (4, 9691), (5, 7918),
+            (6, 6695), (7, 5799), (8, 5115), (9, 4576),
+        ],
+        "digit long, p5 long",
+    )
+    obs = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            F.substring(
+                F.round(F.col("l_extendedprice") * 100, 0)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    j = (
+        bp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            (F.col("n") * F.col("p5")).cast("long").alias("expected_fp5"),
+            F.expr(
+                "CAST(CAST(100000 * coalesce(n_obs, 0) - n * p5"
+                "      AS DECIMAL(38,0))"
+                " * (100000 * coalesce(n_obs, 0) - n * p5)"
+                " div (n * p5) AS BIGINT)"
+            ).alias("chi2_contrib_fp5"),
+        )
+    )
+    return j
+
+
+@register(
+    "quality_id_gap_ranges",
+    oracle="""
+    WITH ids AS (
+      SELECT o_orderkey AS id FROM orders WHERE o_orderstatus = 'F'),
+    gaps AS (
+      SELECT id + 1 AS gap_start,
+             lead(id) OVER (ORDER BY id) - 1 AS gap_end
+      FROM ids)
+    SELECT CAST(gap_start AS BIGINT) AS gap_start,
+           CAST(gap_end AS BIGINT) AS gap_end,
+           CAST(gap_end - gap_start + 1 AS BIGINT) AS missing
+    FROM gaps WHERE gap_end >= gap_start
+    ORDER BY missing DESC, gap_start LIMIT 20
+    """,
+)
+def quality_id_gap_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-SPACE COMPLETENESS AUDIT: the 20 widest MISSING RANGES in a
+    supposedly-contiguous key sequence — the "which ingestion chunks did
+    we lose" check every backfill starts with (cf.
+    ``pipeline_backfill_incremental``, which heals day partitions; this
+    finds holes at row granularity). Gaps-and-islands via one ``lead``
+    over the sorted key: a gap exists where the next key skips ahead,
+    reported as an inclusive [gap_start, gap_end] range with its missing
+    count — range output, not exploded ids, so a million-row hole costs
+    one row (the 100 TB detail that matters: never materialize the
+    missing keys). The 'F'-status filter stands in for the
+    incomplete-ingest subset. Single total-order window at the compacted
+    id frame; ties in the top-20 break by gap_start — deterministic."""
+    ids = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("id"))
+    )
+    w = Window.orderBy("id")
+    gaps = ids.select(
+        (F.col("id") + 1).alias("gap_start"),
+        (F.lead("id").over(w) - 1).alias("gap_end"),
+    ).filter(F.col("gap_end") >= F.col("gap_start"))
+    return (
+        gaps.select(
+            F.col("gap_start").cast("long").alias("gap_start"),
+            F.col("gap_end").cast("long").alias("gap_end"),
+            (F.col("gap_end") - F.col("gap_start") + 1)
+            .cast("long")
+            .alias("missing"),
+        )
+        .orderBy(F.col("missing").desc(), F.col("gap_start").asc())
+        .limit(20)
+    )
+
+
+def _hilbert_oracle_sql(bits: int = 6) -> str:
+    """Build the chained-CTE DuckDB mirror of ``layout.hilbert_index``:
+    one CTE per curve level, each computing the rotated (x, y) state and
+    the accumulated d from the previous level's named columns — the same
+    linear-per-level structure as the Spark chained projections."""
+    n = 1 << bits
+    ctes = [
+        f"""h{bits} AS (
+      SELECT o_custkey, od, cq AS x, dq AS y, CAST(0 AS BIGINT) AS d
+      FROM g)"""
+    ]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        prev = f"h{i + 1}"
+        rx = f"((x >> {i}) & 1)"
+        ry = f"((y >> {i}) & 1)"
+        ctes.append(
+            f"""h{i} AS (
+      SELECT o_custkey, od,
+             CASE WHEN {ry} = 1 THEN x
+                  WHEN {rx} = 1 THEN {n - 1} - y ELSE y END AS x,
+             CASE WHEN {ry} = 1 THEN y
+                  WHEN {rx} = 1 THEN {n - 1} - x ELSE x END AS y,
+             d + {s * s} * (CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0
+                                 WHEN {rx} = 0 AND {ry} = 1 THEN 1
+                                 WHEN {rx} = 1 AND {ry} = 1 THEN 2
+                                 ELSE 3 END) AS d
+      FROM {prev})"""
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH b AS (SELECT CAST(min(o_custkey) AS BIGINT) AS clo,
+                      CAST(max(o_custkey) AS BIGINT) AS chi,
+                      CAST(min(epoch_days) AS BIGINT) AS dlo,
+                      CAST(max(epoch_days) AS BIGINT) AS dhi
+               FROM (SELECT o_custkey,
+                            datediff('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE)) AS epoch_days
+                     FROM orders)),
+    g AS (SELECT o_custkey,
+                 datediff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS od,
+                 greatest(0, least({n - 1},
+                   ((o_custkey - clo) * {n - 1}) // (chi - clo))) AS cq,
+                 greatest(0, least({n - 1},
+                   ((datediff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) - dlo) * {n - 1})
+                     // (dhi - dlo))) AS dq
+          FROM orders, b),
+    {chain}
+    SELECT d >> {bits} AS tile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_custkey) AS BIGINT) AS min_cust,
+           CAST(max(o_custkey) AS BIGINT) AS max_cust,
+           CAST(min(od) AS BIGINT) AS min_day,
+           CAST(max(od) AS BIGINT) AS max_day
+    FROM h0 GROUP BY 1
+    """
+
+
+@register("layout_hilbert_tiles", oracle=_hilbert_oracle_sql(6))
+def layout_hilbert_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-CURVE keys over (custkey, orderdate) rolled up per 64-key
+    tile with each tile's bounding box — the locality-superior sibling of
+    ``layout_zorder_tiles``: consecutive Hilbert keys are always UNIT
+    neighbors (Morton order takes Z-shaped jumps at every power-of-two
+    boundary), so a key-range of rows covers a tighter 2-D bounding box
+    and a Hilbert-clustered write narrows parquet row-group stats harder
+    on range-scanned dimensions (Databricks liquid clustering and
+    ClickHouse both moved Z-order workloads to Hilbert for this reason).
+    Key construction and the chained-projection trick that keeps the
+    Catalyst tree linear in bits are in ``operators.layout.hilbert_index``
+    (bijectivity + unit-step adjacency property-tested on the full
+    grid); the oracle replays the identical per-level fold as chained
+    CTEs. Same quantizer and tile-rollup discipline as the Z-order
+    entry, so the two are directly comparable."""
+    from irio_mapreduce_spark.operators.layout import hilbert_index, quantize
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("od"),
+    )
+    clo, chi, dlo, dhi = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("od"), F.max("od")
+    ).head()
+    g = orders.select(
+        "o_custkey",
+        "od",
+        quantize(F.col("o_custkey"), int(clo), int(chi), 6).alias("cq"),
+        quantize(F.col("od"), int(dlo), int(dhi), 6).alias("dq"),
+    )
+    h = hilbert_index(g, "cq", "dq", 6, out="hkey")
+    return h.groupBy(F.shiftrightunsigned("hkey", 6).alias("tile")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("o_custkey").cast("long").alias("min_cust"),
+        F.max("o_custkey").cast("long").alias("max_cust"),
+        F.min("od").cast("long").alias("min_day"),
+        F.max("od").cast("long").alias("max_day"),
+    )

@@ -459,3 +459,41 @@ def test_parquet_bloom_option_emits_filter_bytes(spark, tmp_path):
     a = spark.read.parquet(plain).orderBy("c_custkey").collect()
     b = spark.read.parquet(bloom).orderBy("c_custkey").collect()
     assert a == b
+
+
+def test_hilbert_index_bijective_and_unit_adjacent(spark):
+    """operators.layout.hilbert_index on the FULL 64x64 grid: a bijection
+    onto [0, 4096) whose consecutive keys are always unit neighbors (the
+    locality invariant Z-order lacks), and exactly the classic xy2d
+    reference construction."""
+    from pyspark.sql import functions as F
+
+    from irio_mapreduce_spark.operators.layout import hilbert_index
+
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    rows = hilbert_index(grid, "x", "y", 6, out="d").collect()
+    assert len(rows) == n * n
+    pos = {r["d"]: (r["x"], r["y"]) for r in rows}
+    assert len(pos) == n * n, "hilbert index is not a bijection"
+
+    def xy2d(size, x, y):
+        d, s = 0, size // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = size - 1 - x, size - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    for r in rows[:256]:
+        assert r["d"] == xy2d(n, r["x"], r["y"])
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, f"non-unit step at d={d}"
