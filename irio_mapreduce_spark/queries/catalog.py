@@ -121,6 +121,7 @@ FRONT_WINDOW: list[str] = [
     "quality_benford_first_digit",
     "quality_id_gap_ranges",
     "layout_hilbert_tiles",
+    "events_session_capped",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

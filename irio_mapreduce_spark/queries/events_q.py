@@ -1507,3 +1507,97 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("resid_scaled"),
     )
+
+
+@register(
+    "events_session_capped",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t
+      FROM events WHERE user_id % 11 = 0),
+    flagged AS (
+      SELECT user_id, t, event_id,
+             CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+                                        ORDER BY t, event_id)
+                       < 1800000000 THEN 0 ELSE 1 END AS new_s
+      FROM pts),
+    sess AS (
+      SELECT user_id, t, event_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    capped AS (
+      SELECT user_id, sid, t,
+             (t - min(t) OVER (PARTITION BY user_id, sid)) // 7200000000
+               AS chunk
+      FROM sess),
+    per AS (
+      SELECT user_id, sid, chunk,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(t) - min(t) AS BIGINT) AS span_us
+      FROM capped GROUP BY user_id, sid, chunk)
+    SELECT user_id,
+           CAST(count(DISTINCT sid) AS BIGINT) AS n_gap_sessions,
+           CAST(count(*) AS BIGINT) AS n_capped_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(span_us) AS BIGINT) AS max_span_us
+    FROM per GROUP BY user_id
+    """,
+)
+def events_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPPED SESSIONIZATION — inactivity-gap sessions (30 min) that are
+    ADDITIONALLY split when they run past a 2-hour duration cap, the
+    product-analytics convention (Amplitude/Snowplow) that stops one
+    long-lived tab from producing an unbounded session. Two-pass window
+    composition over ONE user_id exchange: the classic lag/flag/cumsum
+    gap sessionization, then a per-session ``(t − session_start) div 2h``
+    chunk split — floor division on non-negative elapsed micros, so both
+    engines truncate identically, and every capped chunk's span is < 2 h
+    by construction (the oracle's max_span_us proves it). The capped
+    variant is what keeps per-key streaming state bounded at 100 TB:
+    session growth is capped, so eviction is time-driven even without a
+    gap. All-integer microseconds; (ts, event_id) is the deterministic
+    tie-break throughout."""
+    pts = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 11 == 0)
+        .select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = pts.select(
+        "user_id",
+        "t",
+        "event_id",
+        F.when(
+            F.col("t") - F.lag("t").over(w_seq) < 1800000000, 0
+        )
+        .otherwise(1)
+        .alias("new_s"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "t",
+        F.sum("new_s")
+        .over(w_seq.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    w_sess = Window.partitionBy("user_id", "sid")
+    capped = sess.select(
+        "user_id",
+        "sid",
+        "t",
+        F.expr(
+            "CAST((t - min(t) OVER (PARTITION BY user_id, sid))"
+            " div 7200000000 AS BIGINT)"
+        ).alias("chunk"),
+    )
+    per = capped.groupBy("user_id", "sid", "chunk").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("t") - F.min("t")).cast("long").alias("span_us"),
+    )
+    return per.groupBy("user_id").agg(
+        F.countDistinct("sid").cast("long").alias("n_gap_sessions"),
+        F.count("*").cast("long").alias("n_capped_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("span_us").cast("long").alias("max_span_us"),
+    )
