@@ -1837,3 +1837,90 @@ def ml_gbt_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out1.unionByName(out2)
+
+
+@register(
+    "ml_confusion_threshold_sweep",
+    oracle=f"""
+    WITH {_FIT_SQL},
+    bounds AS (SELECT CAST(min(score) AS BIGINT) AS smin,
+                      CAST(max(score) AS BIGINT) AS smax FROM sc),
+    compact AS (SELECT score, pos, CAST(count(*) AS BIGINT) AS n
+                FROM sc GROUP BY score, pos),
+    grid AS (SELECT t.k AS k,
+                    smin + (t.k * (smax - smin)) // 10 AS thr
+             FROM range(1, 10) t(k), bounds),
+    cells AS (
+      SELECT g.k, g.thr,
+             CAST(sum(CASE WHEN c.pos AND c.score >= g.thr
+                           THEN c.n ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN NOT c.pos AND c.score >= g.thr
+                           THEN c.n ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN c.pos AND c.score < g.thr
+                           THEN c.n ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN NOT c.pos AND c.score < g.thr
+                           THEN c.n ELSE 0 END) AS BIGINT) AS tn
+      FROM grid g CROSS JOIN compact c GROUP BY g.k, g.thr)
+    SELECT CAST(k AS BIGINT) AS k, thr, tp, fp, fn, tn FROM cells
+    """,
+)
+def ml_confusion_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPERATING-POINT SWEEP for the curation classifier: the full
+    confusion matrix at 9 evenly spaced integer thresholds across the
+    score range — the table behind every precision/recall tradeoff
+    decision (pick the threshold, know exactly what you keep and what
+    you lose). Complements `ml_auc_exact` (threshold-free ranking
+    quality) and `ml_linear_score_classify` (the single midpoint
+    operating point) with the curve between them.
+
+    The 100 TB discipline is COMPACT-THEN-SWEEP: scores first collapse
+    to a (score, class, count) frame — the only corpus-sized pass — and
+    the 9-threshold fan-out runs on that compacted frame against a
+    broadcast grid (BroadcastNestedLoopJoin over 9 rows, never a
+    shuffle). Thresholds ``smin + k·(smax−smin) div 10`` are all-integer
+    on non-negative operands, scores are the exact fixed-point dot
+    products of the shared centroid rule, so every cell hash-matches."""
+    sv = _labeled_scaled(spark, sf_dir)
+    w, _t2 = _fit_centroid_rule(sv)
+    score = _score_expr(w)
+    compact = (
+        sv.select(F.col("pos"), score.alias("score"))
+        .groupBy("score", "pos")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    bounds = compact.agg(
+        F.min("score").cast("long").alias("smin"),
+        F.max("score").cast("long").alias("smax"),
+    )
+    grid = (
+        spark.range(1, 10)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "k",
+            F.expr(
+                "CAST(smin + (k * (smax - smin)) div 10 AS BIGINT)"
+            ).alias("thr"),
+        )
+    )
+    hit = F.col("score") >= F.col("thr")
+    return (
+        compact.crossJoin(F.broadcast(grid))
+        .groupBy("k", "thr")
+        .agg(
+            F.sum(F.when(F.col("pos") & hit, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(~F.col("pos") & hit, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(F.col("pos") & ~hit, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+            F.sum(F.when(~F.col("pos") & ~hit, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("tn"),
+        )
+    )

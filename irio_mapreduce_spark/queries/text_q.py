@@ -948,6 +948,83 @@ def text_bm25_rational_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_merge_rounds(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE trainer core (see ``text_bpe_train_merges`` for the
+    representation and cross-engine argument): returns the post-merge
+    vocabulary ``(w, s, freq)`` — the original word is carried through
+    every round so appliers can join token counts back to the corpus —
+    and the merge table ``(merge_round, merged_pair, pair_count)``."""
+    from irio_mapreduce_spark.llm.dedup import tokens
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    vocab = words.select(
+        "w", F.regexp_replace("w", "(.)", "<$1>").alias("s"), "freq"
+    )
+    out: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        toks = F.split(F.expr("substring(s, 2, length(s) - 2)"), "><")
+        with_t = vocab.select("freq", toks.alias("t")).where(
+            F.size("t") >= 2
+        )
+        counts = (
+            with_t.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("t", i),
+                            F.element_at("t", i + 1),
+                        ),
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+        )
+        win = (
+            counts.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(
+                F.lit(r).alias("merge_round"),
+                F.col("pair").alias("merged_pair"),
+                "pair_count",
+            )
+        )
+        out = win if out is None else out.unionAll(win)
+        repl = F.broadcast(
+            win.select(
+                F.concat(
+                    F.lit("<"),
+                    F.regexp_replace("merged_pair", " ", "><"),
+                    F.lit(">"),
+                ).alias("_search"),
+                F.concat(
+                    F.lit("<"),
+                    F.regexp_replace("merged_pair", " ", ""),
+                    F.lit(">"),
+                ).alias("_repl"),
+            )
+        )
+        vocab = vocab.crossJoin(repl).select(
+            "w",
+            F.replace(F.col("s"), F.col("_search"), F.col("_repl")).alias(
+                "s"
+            ),
+            "freq",
+        )
+    assert out is not None
+    return vocab, out
+
+
 @register(
     "text_bpe_train_merges",
     oracle=f"""
@@ -1021,69 +1098,116 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     winner crossed onto the vocabulary for a map-side replace. No
     collect; the 3-round lineage stays 3 plans deep over a frame the
     size of the VOCABULARY."""
+    _vocab, out = _bpe_merge_rounds(spark, sf_dir, rounds=3)
+    return out
+
+
+@register(
+    "text_bpe_apply_tokens",
+    oracle=f"""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({_DUCK_TOKS}) AS w FROM documents) GROUP BY w),
+    v1 AS (SELECT w, regexp_replace(w, '(.)', '<\\1>', 'g') AS s, freq
+           FROM words),
+    c1 AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS pair,
+               freq
+        FROM (SELECT string_split(substring(s, 2, length(s) - 2), '><') AS t,
+                     freq FROM v1))
+      GROUP BY pair),
+    w1 AS (SELECT pair FROM c1 ORDER BY pair_count DESC, pair LIMIT 1),
+    v2 AS (SELECT w, replace(v1.s, '<' || replace(w1.pair, ' ', '><') || '>',
+                             '<' || replace(w1.pair, ' ', '') || '>') AS s,
+                  freq
+           FROM v1 CROSS JOIN w1),
+    c2 AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS pair,
+               freq
+        FROM (SELECT string_split(substring(s, 2, length(s) - 2), '><') AS t,
+                     freq FROM v2))
+      GROUP BY pair),
+    w2 AS (SELECT pair FROM c2 ORDER BY pair_count DESC, pair LIMIT 1),
+    v3 AS (SELECT w, replace(v2.s, '<' || replace(w2.pair, ' ', '><') || '>',
+                             '<' || replace(w2.pair, ' ', '') || '>') AS s,
+                  freq
+           FROM v2 CROSS JOIN w2),
+    c3 AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS pair,
+               freq
+        FROM (SELECT string_split(substring(s, 2, length(s) - 2), '><') AS t,
+                     freq FROM v3))
+      GROUP BY pair),
+    w3 AS (SELECT pair FROM c3 ORDER BY pair_count DESC, pair LIMIT 1),
+    v4 AS (SELECT w, replace(v3.s, '<' || replace(w3.pair, ' ', '><') || '>',
+                             '<' || replace(w3.pair, ' ', '') || '>') AS s
+           FROM v3 CROSS JOIN w3),
+    tokc AS (
+      SELECT w,
+             CAST(len(string_split(substring(s, 2, length(s) - 2), '><'))
+                  AS BIGINT) AS n_tok
+      FROM v4),
+    sw AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents)
+      GROUP BY source, w)
+    SELECT sw.source,
+           CAST(sum(sw.cnt) AS BIGINT) AS n_words,
+           CAST(sum(sw.cnt * length(sw.w)) AS BIGINT) AS char_tokens,
+           CAST(sum(sw.cnt * tokc.n_tok) AS BIGINT) AS bpe_tokens
+    FROM sw JOIN tokc USING (w)
+    GROUP BY sw.source
+    """,
+)
+def text_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER APPLICATION — the other half of the tokenizer loop
+    (`text_bpe_train_merges` learns the merges; this measures the corpus
+    under them): per-source token counts before (pure characters) and
+    after the 3 learned merges — the compression a trained tokenizer
+    buys, the number every token-budget sampler and context packer
+    consumes downstream.
+
+    Scale discipline: merges apply to the VOCABULARY (the post-merge
+    token count per distinct word), never to raw text — the corpus-sized
+    work is one (source, word) count, then a broadcast join of the
+    |vocab|-row token-count table. This is exactly how production
+    tokenizer pipelines amortize encoding: encode each distinct word
+    once, multiply by frequency. The oracle replays the identical 3
+    rounds carrying the word key through every merge (same chain as the
+    trainer, plus the per-source rollup)."""
     from irio_mapreduce_spark.llm.dedup import tokens
 
-    docs = read_table(spark, sf_dir, "documents").select("text")
-    words = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").cast("long").alias("freq"))
+    vocab, _merges = _bpe_merge_rounds(spark, sf_dir, rounds=3)
+    tokc = vocab.select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), "><")
+        )
+        .cast("long")
+        .alias("n_tok"),
     )
-    vocab = words.select(
-        F.regexp_replace("w", "(.)", "<$1>").alias("s"), "freq"
+    sw = (
+        read_table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
-    out: DataFrame | None = None
-    for r in (1, 2, 3):
-        toks = F.split(F.expr("substring(s, 2, length(s) - 2)"), "><")
-        with_t = vocab.select("freq", toks.alias("t")).where(
-            F.size("t") >= 2
-        )
-        counts = (
-            with_t.select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("t") - 1),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at("t", i),
-                            F.element_at("t", i + 1),
-                        ),
-                    )
-                ).alias("pair"),
-                "freq",
-            )
-            .groupBy("pair")
-            .agg(F.sum("freq").cast("long").alias("pair_count"))
-        )
-        win = (
-            counts.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
-            .limit(1)
-            .select(
-                F.lit(r).alias("merge_round"),
-                F.col("pair").alias("merged_pair"),
-                "pair_count",
-            )
-        )
-        out = win if out is None else out.unionAll(win)
-        repl = F.broadcast(
-            win.select(
-                F.concat(
-                    F.lit("<"),
-                    F.regexp_replace("merged_pair", " ", "><"),
-                    F.lit(">"),
-                ).alias("_search"),
-                F.concat(
-                    F.lit("<"),
-                    F.regexp_replace("merged_pair", " ", ""),
-                    F.lit(">"),
-                ).alias("_repl"),
-            )
-        )
-        vocab = vocab.crossJoin(repl).select(
-            F.replace(F.col("s"), F.col("_search"), F.col("_repl")).alias(
-                "s"
+    return (
+        sw.join(F.broadcast(tokc), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("w")).cast("long").alias(
+                "char_tokens"
             ),
-            "freq",
+            F.sum(F.col("cnt") * F.col("n_tok")).cast("long").alias(
+                "bpe_tokens"
+            ),
         )
-    assert out is not None
-    return out
+    )
