@@ -134,6 +134,9 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "events_sliding_distinct_users",
     "ml_confusion_threshold_sweep",
     "text_bpe_apply_tokens",
+    "agg_mode_exact",
+    "events_changepoint_sse",
+    "graph_hits_hubs_authorities",
 ]
 
 

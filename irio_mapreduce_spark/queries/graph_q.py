@@ -665,3 +665,100 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dist").asc(), F.col("node").asc())
         .limit(20)
     )
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT concat('C', CAST(o_custkey AS VARCHAR)) AS c,
+                      concat('S', CAST(l_suppkey AS VARCHAR)) AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    a1 AS (SELECT s, CAST(count(*) AS BIGINT) * 1000000 AS a
+           FROM edges GROUP BY s),
+    h1 AS (SELECT c, CAST(sum(a1.a) AS BIGINT) AS h
+           FROM edges JOIN a1 USING (s) GROUP BY c),
+    a2 AS (SELECT s, CAST(sum(h1.h) AS BIGINT) AS a
+           FROM edges JOIN h1 USING (c) GROUP BY s),
+    h2 AS (SELECT c, CAST(sum(a2.a) AS BIGINT) AS h
+           FROM edges JOIN a2 USING (s) GROUP BY c),
+    top_a AS (SELECT 'authority' AS role, s AS node, a AS score
+              FROM a2 ORDER BY a DESC, s LIMIT 10),
+    top_h AS (SELECT 'hub' AS role, c AS node, h AS score
+              FROM h2 ORDER BY h DESC, c LIMIT 10)
+    SELECT role, node, score FROM top_a
+    UNION ALL SELECT role, node, score FROM top_h
+    """,
+)
+def graph_hits_hubs_authorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities, 2 unnormalized rounds) on the
+    directed customer→supplier purchase graph: authorities are the
+    suppliers the best-connected customers concentrate on, hubs the
+    customers whose purchases span the strongest suppliers — the
+    mutual-reinforcement ranking PageRank's single score cannot express
+    (a node can be a great hub and a poor authority). Each half-round is
+    one sparse mat-vec as a join+groupBy, the same shape as
+    ``operators.graph.pagerank`` rounds. Kept EXACT by running the
+    classic power iteration UNNORMALIZED for a fixed 2 rounds — scores
+    stay pure BIGINT sums (magnitude ≤ deg³·SCALE, far inside BIGINT at
+    any tested SF), so no division, no float, no per-round norm
+    broadcast; rankings are normalization-invariant. Top-10 per role
+    with (score DESC, node) ties — deterministic."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a1 = edges.groupBy("s").agg(
+        (F.count("*").cast("long") * F.lit(1000000)).alias("a")
+    )
+    h1 = (
+        edges.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    a2 = (
+        edges.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum("h").cast("long").alias("a"))
+    )
+    h2 = (
+        edges.join(a2, "s")
+        .groupBy("c")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    top_a = (
+        a2.orderBy(F.col("a").desc(), F.col("s").asc())
+        .limit(10)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("s").alias("node"),
+            F.col("a").alias("score"),
+        )
+    )
+    top_h = (
+        h2.orderBy(F.col("h").desc(), F.col("c").asc())
+        .limit(10)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").alias("node"),
+            F.col("h").alias("score"),
+        )
+    )
+    return top_a.unionByName(top_h)

@@ -3937,3 +3937,169 @@ def layout_hilbert_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("od").cast("long").alias("min_day"),
         F.max("od").cast("long").alias("max_day"),
     )
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2),
+    ranked AS (
+      SELECT flag, q, n,
+             row_number() OVER (PARTITION BY flag
+                                ORDER BY n DESC, q ASC) AS rk
+      FROM counts)
+    SELECT flag, q AS mode_q, n AS mode_n FROM ranked WHERE rk = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group MODE with a PINNED tie-break — the most frequent
+    quantity per returnflag, ties resolved to the smallest value. The
+    built-in ``F.mode()`` exists but documents its tie choice as
+    arbitrary (whichever value the final merge happens to see first —
+    partition-order-dependent, so the same data can hash two ways across
+    runs, let alone engines); a curation pipeline that keys decisions on
+    a mode needs the deterministic form: count per (group, value) — one
+    map-side-combined aggregate — then a 1-row-per-group window argmax
+    with the explicit (count DESC, value ASC) order. The value-count
+    frame is the compact domain (|groups|·|distinct values|), so the
+    window is broadcast-scale at any corpus size."""
+    counts = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("flag").orderBy(
+        F.col("n").desc(), F.col("q").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("flag", F.col("q").alias("mode_q"), F.col("n").alias("mode_n"))
+    )
+
+
+@register(
+    "events_changepoint_sse",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE))
+                  AS BIGINT) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s FROM daily),
+    cum AS (
+      SELECT d, cents,
+             CAST(sum(1) OVER w AS BIGINT) AS n_l,
+             CAST(sum(cents) OVER w AS BIGINT) AS s_l
+      FROM daily WINDOW w AS (ORDER BY d)),
+    cand AS (
+      SELECT d AS t, n_l, s_l, tot.n - n_l AS n_r, tot.s - s_l AS s_r
+      FROM cum, tot WHERE n_l > 0 AND tot.n - n_l > 0),
+    scored AS (
+      SELECT t, n_l, s_l, n_r, s_r,
+             CAST(s_l AS HUGEINT) * s_l * n_r
+               + CAST(s_r AS HUGEINT) * s_r * n_l AS num,
+             CAST(n_l AS HUGEINT) * n_r AS den
+      FROM cand)
+    SELECT CAST(a.t AS BIGINT) AS split_day,
+           CAST(a.n_l AS BIGINT) AS n_left,
+           CAST(a.s_l AS BIGINT) AS sum_left,
+           CAST(a.n_r AS BIGINT) AS n_right,
+           CAST(a.s_r AS BIGINT) AS sum_right
+    FROM scored a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM scored b
+      WHERE b.num * a.den > a.num * b.den
+         OR (b.num * a.den = a.num * b.den AND b.t < a.t))
+    """,
+)
+def events_changepoint_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE CHANGEPOINT DETECTION (binary segmentation, first split):
+    the day that best splits the daily-value series into two
+    constant-mean segments by EXACT SSE reduction — the batch complement
+    of `events_cusum_drift` (which alarms online at a threshold; this
+    finds THE optimal split retrospectively). Minimizing split SSE ≡
+    maximizing (S_L²·n_R + S_R²·n_L)/(n_L·n_R) — the same cross-
+    multiplied integer argmin discipline as the regression stumps
+    (`ml_gbt_residual_stumps`), applied to the time axis; ties resolve
+    to the earliest day. Recursing on each side gives full binary
+    segmentation — one pass per level over an O(days) frame, which is
+    the 100 TB shape: raw events collapse to the daily frame once, and
+    everything after is window + broadcast dominance on days."""
+    dec = "decimal(38,0)"
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        daily.withColumn("n_l", F.count("*").over(w).cast("long"))
+        .withColumn("s_l", F.sum("cents").over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+    )
+    cand = cum.filter(
+        (F.col("n_l") > 0) & (F.col("n") - F.col("n_l") > 0)
+    ).select(
+        F.col("d").alias("t"),
+        "n_l",
+        "s_l",
+        (F.col("n") - F.col("n_l")).alias("n_r"),
+        (F.col("s") - F.col("s_l")).alias("s_r"),
+    )
+    scored = cand.select(
+        "t",
+        "n_l",
+        "s_l",
+        "n_r",
+        "s_r",
+        (
+            F.col("s_l").cast(dec) * F.col("s_l") * F.col("n_r")
+            + F.col("s_r").cast(dec) * F.col("s_r") * F.col("n_l")
+        ).alias("num"),
+        (F.col("n_l").cast(dec) * F.col("n_r")).alias("den"),
+    )
+    other = scored.select(
+        F.col("t").alias("b_t"),
+        F.col("num").alias("b_num"),
+        F.col("den").alias("b_den"),
+    )
+    best = scored.join(
+        F.broadcast(other),
+        (F.col("b_num") * F.col("den") > F.col("num") * F.col("b_den"))
+        | (
+            (F.col("b_num") * F.col("den") == F.col("num") * F.col("b_den"))
+            & (F.col("b_t") < F.col("t"))
+        ),
+        "left_anti",
+    )
+    return best.select(
+        F.col("t").cast("long").alias("split_day"),
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("s_l").cast("long").alias("sum_left"),
+        F.col("n_r").cast("long").alias("n_right"),
+        F.col("s_r").cast("long").alias("sum_right"),
+    )
