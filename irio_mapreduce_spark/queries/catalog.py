@@ -137,6 +137,8 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "agg_mode_exact",
     "events_changepoint_sse",
     "graph_hits_hubs_authorities",
+    "stats_mann_whitney_u",
+    "join_null_skew_isolation",
 ]
 
 

@@ -4103,3 +4103,154 @@ def events_changepoint_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_r").cast("long").alias("n_right"),
         F.col("s_r").cast("long").alias("sum_right"),
     )
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle="""
+    WITH pts AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp,
+             CAST(round(l_discount * 100) AS BIGINT) AS v
+      FROM lineitem),
+    ranked AS (
+      -- 2x average tie rank = rank_before_ties + rank_after_ties + 1,
+      -- kept integer by the doubling (classic midrank trick)
+      SELECT grp, v,
+             CAST(rank() OVER (ORDER BY v) AS BIGINT)
+               + CAST(count(*) OVER (PARTITION BY v) AS BIGINT)
+               + CAST(rank() OVER (ORDER BY v) AS BIGINT) - 1 AS r2
+      FROM pts),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN grp = 1 THEN r2 ELSE 0 END) AS BIGINT)
+               AS r2_pos,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0
+      FROM ranked)
+    SELECT n1, n0,
+           CAST(r2_pos - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n0 - (r2_pos - n1 * (n1 + 1)) AS BIGINT) AS u0_x2
+    FROM agg
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (Wilcoxon rank-sum) — the nonparametric two-sample
+    location test that needs no normality assumption, completing the
+    testing family (Welch t = parametric means, KS = distribution shape,
+    this = rank location). Exact via DOUBLED midranks: the tie-averaged
+    rank ``rank + (ties-1)/2`` is a half-integer, so the statistic is
+    computed at 2× scale — ``r2 = 2·rank + ties − 1`` is always integer,
+    and ``U₁×2 = 2·R₁ − n₁(n₁+1)`` stays BIGINT-exact (U₁+U₀ = n₁n₀
+    holds doubled, an in-oracle identity check). One global-order rank
+    window over the cent-compacted value column plus a per-value tie
+    count sharing the same scan; at 100 TB the compact-domain variant
+    (rank from cumulative counts over the 11 distinct cent values)
+    drops even the global sort."""
+    pts = read_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("v"),
+    )
+    w_rank = Window.orderBy("v")
+    w_tie = Window.partitionBy("v")
+    ranked = pts.select(
+        "grp",
+        (
+            2 * F.rank().over(w_rank).cast("long")
+            + F.count("*").over(w_tie).cast("long")
+            - 1
+        ).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("r2_pos"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+    )
+    return agg.select(
+        "n1",
+        "n0",
+        (F.col("r2_pos") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long")
+        .alias("u1_x2"),
+        (
+            2 * F.col("n1") * F.col("n0")
+            - (F.col("r2_pos") - F.col("n1") * (F.col("n1") + 1))
+        )
+        .cast("long")
+        .alias("u0_x2"),
+    )
+
+
+@register(
+    "join_null_skew_isolation",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 7 THEN NULL
+                  ELSE l_orderkey % 97 END AS k,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem),
+    dim AS (
+      SELECT range AS k, 'b' || CAST(range % 7 AS VARCHAR) AS bucket_name
+      FROM range(0, 97))
+    SELECT coalesce(d.bucket_name, '<unmatched>') AS bucket_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(f.qty) AS BIGINT) AS qty_sum
+    FROM fact f LEFT JOIN dim d ON f.k = d.k
+    GROUP BY 1
+    """,
+)
+def join_null_skew_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-KEY SKEW ISOLATION — the third classic skew rewrite (AQE
+    runtime split: `join_skew_aqe_rollup`; hot-VALUE salting:
+    `join_salted_skew`; this: hot NULLS). An outer join's NULL keys can
+    never match, but a naive shuffle still hashes them — all to ONE
+    reducer partition (every NULL hashes alike), the textbook straggler
+    when a sparse foreign key is 70% NULL as manufactured here. The
+    rewrite SPLITS the fact: NULL rows bypass the join entirely (their
+    left-outer result is known — null-padded — so they flow straight to
+    the rollup), and only the 30% non-NULL slice shuffles. Semantically
+    identical to the plain left join (the oracle), and the isolation is
+    also what lets the non-null slice broadcast or salt cleanly. At
+    100 TB this turns a guaranteed single-partition straggler into a
+    map-side filter."""
+    fact = read_table(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.col("l_orderkey") % 10 < 7, F.lit(None).cast("long")
+        )
+        .otherwise(F.col("l_orderkey") % 97)
+        .alias("k"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    dim = spark.range(97).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("b"), (F.col("id") % 7).cast("string")).alias(
+            "bucket_name"
+        ),
+    )
+    nulls = fact.filter(F.col("k").isNull()).select(
+        F.lit("<unmatched>").alias("bucket_name"), "qty"
+    )
+    matched = (
+        fact.filter(F.col("k").isNotNull())
+        .join(dim, "k", "left")
+        .select(
+            F.coalesce(F.col("bucket_name"), F.lit("<unmatched>")).alias(
+                "bucket_name"
+            ),
+            "qty",
+        )
+    )
+    return (
+        nulls.unionByName(matched)
+        .groupBy("bucket_name")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("qty").cast("long").alias("qty_sum"),
+        )
+    )
