@@ -10,6 +10,8 @@ grouped-map schema contracts), not inventing non-relational logic.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -71,3 +73,29 @@ def priority_code_udf(priority: str) -> str:
     trip), present to declare the surface; any real pipeline should write
     this as a built-in expression (substring/split)."""
     return priority.split("-", 1)[0] if priority else None
+
+
+def month_surcharge_iter_udf():
+    """SCALAR_ITER pandas UDF (Iterator[batches] -> Iterator[Series]) —
+    the variant whose POINT is per-executor-task initialization: the
+    function body runs ONCE per Arrow-batch iterator, so expensive state
+    (a model, a tokenizer, a lookup table) loads once per task and every
+    batch streams through it — where a plain SCALAR UDF would re-enter
+    per batch with no place to hold state. Here the "model" is a
+    12-entry integer surcharge table built before the loop — the
+    deterministic stand-in for a real model load. Returned as a factory
+    so importing this module never constructs the UDF for sessions that
+    don't use it."""
+    @pandas_udf("long")
+    def month_surcharge(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        # once-per-iterator "model load"
+        factors = [100 + 3 * m for m in range(1, 13)]
+        for month, qty in batches:
+            yield (
+                qty.astype("int64")
+                * month.astype("int64").map(lambda m: factors[m - 1])
+            )
+
+    return month_surcharge

@@ -139,6 +139,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "graph_hits_hubs_authorities",
     "stats_mann_whitney_u",
     "join_null_skew_isolation",
+    "udf_pandas_scalar_iter",
 ]
 
 

@@ -398,3 +398,44 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "udf_pandas_scalar_iter",
+    oracle="""
+    SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+           CAST(sum(CAST(l_quantity AS BIGINT)
+                    * (100 + 3 * month(l_shipdate))) AS BIGINT)
+             AS surcharge_total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF — the remaining UDF-surface quadrant: an
+    ITERATOR of Arrow batches flows through one function invocation per
+    task, so per-task state (a model, a tokenizer, a codec table)
+    initializes ONCE and every batch reuses it — the exact shape of
+    "load the quality model once per executor, score a billion rows"
+    in an LLM curation pipeline, which a plain SCALAR UDF cannot express
+    (no once-per-task hook). The deterministic stand-in model is a
+    12-entry integer surcharge table (`functions.udfs
+    .month_surcharge_iter_udf`); all-integer output, so the oracle
+    replays the table inline and the rollup hash-matches exactly."""
+    from irio_mapreduce_spark.functions.udfs import month_surcharge_iter_udf
+
+    surcharge = month_surcharge_iter_udf()
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.month("l_shipdate").alias("ship_month"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return (
+        li.withColumn(
+            "s", surcharge(F.col("ship_month"), F.col("qty"))
+        )
+        .groupBy(F.col("ship_month").cast("long").alias("ship_month"))
+        .agg(
+            F.sum("s").cast("long").alias("surcharge_total"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
