@@ -140,6 +140,7 @@ DEFERRED_TO_NEXT_WINDOW: list[str] = [
     "stats_mann_whitney_u",
     "join_null_skew_isolation",
     "udf_pandas_scalar_iter",
+    "stats_permutation_test",
 ]
 
 

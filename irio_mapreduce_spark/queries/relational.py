@@ -4254,3 +4254,118 @@ def join_null_skew_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty").cast("long").alias("qty_sum"),
         )
     )
+
+
+@register(
+    "stats_permutation_test",
+    oracle="""
+    WITH pts AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp,
+             CAST(round(l_discount * 100) AS BIGINT) AS v,
+             l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR AS rid
+      FROM lineitem),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS s,
+                   CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n1_o,
+                   CAST(sum(CASE WHEN grp = 1 THEN v ELSE 0 END) AS BIGINT)
+                     AS s1_o
+            FROM pts),
+    perm AS (
+      SELECT t.range AS b,
+             CAST(sum(CASE WHEN (('0x' || substr(md5(rid || '|perm'
+                                                  || t.range::VARCHAR),
+                                  1, 8))::BIGINT % 2) = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN (('0x' || substr(md5(rid || '|perm'
+                                                  || t.range::VARCHAR),
+                                  1, 8))::BIGINT % 2) = 1
+                           THEN v ELSE 0 END) AS BIGINT) AS s1
+      FROM pts CROSS JOIN range(0, 20) t GROUP BY t.range)
+    SELECT CAST(p.b AS BIGINT) AS b, p.n1, p.s1,
+           CAST(CASE WHEN abs(CAST(p.s1 AS HUGEINT) * (t.n - p.n1)
+                              - CAST(t.s - p.s1 AS HUGEINT) * p.n1)
+                          * (CAST(t.n1_o AS HUGEINT) * (t.n - t.n1_o))
+                     >= abs(CAST(t.s1_o AS HUGEINT) * (t.n - t.n1_o)
+                            - CAST(t.s - t.s1_o AS HUGEINT) * t.n1_o)
+                          * (CAST(p.n1 AS HUGEINT) * (t.n - p.n1))
+                     THEN 1 ELSE 0 END AS BIGINT) AS ge_observed
+    FROM perm p CROSS JOIN tot t
+    """,
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERANDOMIZED PERMUTATION TEST — the assumption-free significance
+    test (is the discount difference between returned and kept lineitems
+    larger than chance relabeling produces?), made cross-engine exact by
+    replacing random permutations with 20 independent md5-bucket
+    relabeling UNIVERSES (salt ``perm<b>`` — the same derandomization the
+    sampling family uses, ``llm.sampling.hash_bucket``). Each universe's
+    |mean difference| compares against the observed one by FULL
+    cross-multiplication (group sizes differ per universe, so scaled
+    stats are not comparable without clearing BOTH denominators) in
+    HUGEINT/DECIMAL(38); ``sum(ge_observed)/20`` is the p-value
+    numerator. Spark computes all 20 universes as CONDITIONAL SUMS in
+    ONE aggregate over one scan — no ×20 row fan-out (the oracle uses
+    the explicit fan-out form; at 100 TB the conditional-sum shape is
+    the difference between 1× and 20× scan volume)."""
+    from irio_mapreduce_spark.llm.sampling import hash_bucket
+
+    dec = "decimal(38,0)"
+    pts = read_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1_o"),
+        F.sum(F.when(F.col("grp") == 1, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("s1_o"),
+    ]
+    for b in range(20):
+        gb = hash_bucket(
+            ["l_orderkey", "l_linenumber"], n_buckets=2, salt=f"perm{b}"
+        )
+        aggs.append(
+            F.sum(F.when(gb == 1, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n1_{b}")
+        )
+        aggs.append(
+            F.sum(F.when(gb == 1, F.col("v")).otherwise(0))
+            .cast("long")
+            .alias(f"s1_{b}")
+        )
+    one = pts.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({b} AS BIGINT), n1_{b}, s1_{b}" for b in range(20)
+    )
+    rows = one.select(
+        F.expr(f"stack(20, {stack_args}) AS (b, n1, s1)"),
+        "n",
+        "s",
+        "n1_o",
+        "s1_o",
+    )
+    perm_stat = F.abs(
+        F.col("s1").cast(dec) * (F.col("n") - F.col("n1"))
+        - (F.col("s") - F.col("s1")).cast(dec) * F.col("n1")
+    ) * (F.col("n1_o").cast(dec) * (F.col("n") - F.col("n1_o")))
+    obs_stat = F.abs(
+        F.col("s1_o").cast(dec) * (F.col("n") - F.col("n1_o"))
+        - (F.col("s") - F.col("s1_o")).cast(dec) * F.col("n1_o")
+    ) * (F.col("n1").cast(dec) * (F.col("n") - F.col("n1")))
+    return rows.select(
+        "b",
+        "n1",
+        "s1",
+        F.when(perm_stat >= obs_stat, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("ge_observed"),
+    )
