@@ -116,14 +116,24 @@ def main() -> int:
     _force(spark.read.parquet(os.path.join(sf_dir, "nation.parquet")))
 
     # A footer read alone leaves whole-stage codegen, the shuffle writer
-    # path, and broadcast-exchange machinery cold, and that cold-start
-    # (~1-2 s on a slow host) lands on whichever entry the rotation put at
-    # the head of the window — r5's rotation made q7 look 4x slower with a
-    # byte-identical plan. Run the head entry once UNMEASURED so every
-    # recorded timing, including the first, is a warm-session number.
+    # path, broadcast-exchange machinery, the pandas-UDF worker pool, the
+    # streaming micro-batch scheduler, and the foreachBatch path cold, and
+    # that cold-start (~1-2 s each on a slow host) lands on whichever
+    # entries the rotation put at the FRONT of the window — r5's rotation
+    # made q7 look 4x slower, and r9's made SIX of its first 14 window
+    # entries measure >1.8x their standing numbers with byte-identical
+    # plans (r9 VERDICT "What's wrong #1": first-use machinery cost, not
+    # regression). Run the first 14 window entries once UNMEASURED so the
+    # freshly-rotated positions — the exact rows a verdict diff scrutinizes
+    # — record warm-session numbers. ~+30 s of unmeasured wall-clock buys
+    # provenance-clean timings.
+    _warmed = 0
     for _name, _fn in qs.items():
         if _name in EXCLUDE:
             continue
+        if _warmed >= 14:
+            break
+        _warmed += 1
         _t0 = time.monotonic()
         try:
             _force(_fn(spark, sf_dir))
@@ -134,7 +144,6 @@ def main() -> int:
             )
         except Exception as e:
             print(f"[bench] warmup {_name}: FAILED {e}", file=sys.stderr)
-        break
 
     # The pure-Python DataSource path (dirtext/dirtail) runs in SEPARATE
     # Python planner/writer worker processes that the head-entry warm-up

@@ -202,6 +202,15 @@ def hilbert_index(
     invariant are property-tested on the full grid in tests/test_io.py."""
     if not 1 <= bits <= 20:
         raise ValueError(f"bits must be in [1, 20], got {bits}")
+    # The fold materializes scratch columns _hx/_hy plus `out`; a caller
+    # column with any of those names would duplicate under select('*',...)
+    # and make every later reference ambiguous (or silently rebind).
+    clash = {out, "_hx", "_hy"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"hilbert_index scratch/output column(s) {sorted(clash)} "
+            "already exist in the input DataFrame — rename them first"
+        )
     n = 1 << bits
     g = df.select(
         "*",

@@ -58,18 +58,44 @@ _ORACLES: dict[str, str] = {}
 # The external correctness driver checks the FIRST 50 entries of
 # ``all_queries()`` per round, so listing order is the scoreboard rotation
 # dial. This list pins the front of the window explicitly; everything else
-# follows in module-registration order. Round-9 rotation (r8 VERDICT.md
-# item 1): the 13 entries that were deferred from the round-7 window
-# (added late in r7, judge-verified exact under adversarial settings in
-# r7 AND r8 but still lacking a driver CORRECTNESS row) form the MANDATORY
-# window head IN THEIR PINNED ORDER, followed by round-9 additions
-# (budgeted at 37 so the head is never displaced). With this window green,
-# the driver-green union reaches every catalog entry. Rotated-out entries
-# keep their standing r1-r8 driver rows and stay fully oracle-tested in
+# follows in module-registration order. Round-10 rotation (r9 VERDICT.md
+# item 1): the 10 entries that overflowed the round-9 window budget
+# (added late in r9, judge-verified exact in the r9 review but still
+# lacking a driver CORRECTNESS row) form the MANDATORY window head IN
+# THEIR PINNED ORDER, followed by round-10 additions (budgeted at 40 so
+# the head is never displaced). With this window green, the driver-green
+# union reaches every catalog entry. Rotated-out entries keep their
+# standing r1-r9 driver rows and stay fully oracle-tested in
 # tests/test_oracle.py. tests/test_conventions.py asserts this list stays
 # consistent with the registry.
 FRONT_WINDOW: list[str] = [
-    # mandatory head: the round-8 DEFERRED_TO_NEXT_WINDOW queue (pinned)
+    # mandatory head: the round-9 DEFERRED_TO_NEXT_WINDOW queue (pinned)
+    "events_sliding_distinct_users",
+    "ml_confusion_threshold_sweep",
+    "text_bpe_apply_tokens",
+    "agg_mode_exact",
+    "events_changepoint_sse",
+    "graph_hits_hubs_authorities",
+    "stats_mann_whitney_u",
+    "join_null_skew_isolation",
+    "udf_pandas_scalar_iter",
+    "stats_permutation_test",
+    # round-10 additions (new entries, never driver-checked; budget 40 so
+    # the mandatory 10-entry head above is never displaced) — appended as
+    # each lands with a green oracle test.
+]
+
+# Entries that did not fit the current 50-slot window and therefore form
+# the MANDATORY head of the NEXT round's window (tests/test_conventions.py
+# asserts the plan). Empty while the round-10 window has free budget;
+# additions beyond the budget append HERE (never displacing the window
+# head) and stay fully oracle-tested per-entry in tests/test_oracle.py
+# meanwhile.
+DEFERRED_TO_NEXT_WINDOW: list[str] = []
+
+# Round-9 window, kept for the audit trail (all 50 driver-green in
+# CORRECTNESS_r09.json; rotated out of the checked window in round 10).
+_R9_WINDOW: list[str] = [
     "graph_pagerank_personalized",
     "sim_ann_lsh_multiprobe",
     "udf_cogrouped_map",
@@ -83,9 +109,6 @@ FRONT_WINDOW: list[str] = [
     "layout_compact_small_files",
     "source_malformed_json",
     "quality_observe_metrics",
-    # round-9 additions (new entries, never driver-checked; budget 37 so
-    # the mandatory 13-entry head above is never displaced) — appended as
-    # each lands with a green oracle test.
     "ml_adaboost_stumps",
     "stream_tws_stateful_totals",
     "stream_dedup_index_maintenance",
@@ -122,25 +145,6 @@ FRONT_WINDOW: list[str] = [
     "quality_id_gap_ranges",
     "layout_hilbert_tiles",
     "events_session_capped",
-]
-
-# Entries that did not fit the current 50-slot window and therefore form
-# the MANDATORY head of the NEXT round's window (tests/test_conventions.py
-# asserts the plan). Round 9 filled its 50 slots (13-entry round-8 queue +
-# 37 additions); additions beyond the budget append HERE (never displacing
-# the window head) and stay fully oracle-tested per-entry in
-# tests/test_oracle.py meanwhile.
-DEFERRED_TO_NEXT_WINDOW: list[str] = [
-    "events_sliding_distinct_users",
-    "ml_confusion_threshold_sweep",
-    "text_bpe_apply_tokens",
-    "agg_mode_exact",
-    "events_changepoint_sse",
-    "graph_hits_hubs_authorities",
-    "stats_mann_whitney_u",
-    "join_null_skew_isolation",
-    "udf_pandas_scalar_iter",
-    "stats_permutation_test",
 ]
 
 

@@ -382,14 +382,18 @@ def pipeline_backfill_incremental(
 
     def run(tag: str, visible) -> int:
         src = visible.select("day").distinct()
-        try:
+        # Only a genuinely-absent target means "first run": any OTHER
+        # read failure (transient IO, corrupt footer) must propagate —
+        # swallowing it would silently re-append every day and break the
+        # exactly-once contract this entry demonstrates.
+        if os.path.isdir(target):
             done = (
                 spark.read.parquet(target)
                 .select(F.col("day").cast("string").alias("day"))
                 .distinct()
             )
             missing = src.join(done, "day", "left_anti")
-        except Exception:
+        else:
             missing = src  # first run: no target yet
         days = [r["day"] for r in missing.collect()]
         if not days:

@@ -1264,8 +1264,23 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    progress = list(q.recentProgress)
+    # recentProgress is a ring capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100); if the
+    # replay ever grows past it, early batches' metrics would silently
+    # vanish and the totals would be wrong. The sink cross-check below
+    # would catch it, but fail loud and NAMED here first.
+    retain = int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    )
+    if len(progress) >= retain:
+        raise RuntimeError(
+            f"{len(progress)} micro-batches reached the recentProgress "
+            f"retention cap ({retain}) — early observedMetrics may have "
+            "been evicted; raise the cap or use a StreamingQueryListener"
+        )
     n_total, cents_total, uid_max = 0, 0, None
-    for pr in q.recentProgress:
+    for pr in progress:
         om = pr["observedMetrics"] if isinstance(pr, dict) else pr.observedMetrics
         m = (om or {}).get("inflight")
         if m is None:

@@ -768,22 +768,29 @@ def tws_session_windows(events: DataFrame, gap_ms: int = 30 * 60_000) -> DataFra
         def handleInputRows(self, key, rows, timerValues):
             state = self._sess.get() if self._sess.exists() else None
             out = []
-            for pdf in rows:
-                for t_us, v in sorted(
-                    zip(pdf["t_us"], pdf["value"]), key=lambda p: p[0]
-                ):
-                    t_us = int(t_us)
-                    if state is not None and t_us - state[1] < gap_us:
-                        state = (
-                            state[0],
-                            max(state[1], t_us),
-                            state[2] + 1,
-                            state[3] + _cents(float(v)),
-                        )
-                    else:
-                        if state is not None:
-                            out.append(self._emit(key[0], state[0], state[2], state[3]))
-                        state = (t_us, t_us, 1, _cents(float(v)))
+            # The `rows` iterator may split one key's micro-batch across
+            # several pandas chunks with no cross-chunk order guarantee;
+            # a per-chunk sort would fold out-of-order events and can
+            # close/split sessions wrongly. Materialize the whole batch
+            # for this key and sort ONCE (bounded: one key's micro-batch,
+            # not the stream).
+            allrows = sorted(
+                (int(t_us), float(v))
+                for pdf in rows
+                for t_us, v in zip(pdf["t_us"], pdf["value"])
+            )
+            for t_us, v in allrows:
+                if state is not None and t_us - state[1] < gap_us:
+                    state = (
+                        state[0],
+                        state[1] if state[1] >= t_us else t_us,
+                        state[2] + 1,
+                        state[3] + _cents(v),
+                    )
+                else:
+                    if state is not None:
+                        out.append(self._emit(key[0], state[0], state[2], state[3]))
+                    state = (t_us, t_us, 1, _cents(v))
             if state is not None:
                 self._sess.update(state)
                 for t in list(self._handle.listTimers()):

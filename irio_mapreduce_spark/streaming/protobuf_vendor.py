@@ -32,6 +32,7 @@ nothing here touches the network.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import sys
@@ -56,15 +57,19 @@ _VERSION_PATCH = '''
 # --- vendored patch (irio_mapreduce_spark.streaming.protobuf_vendor) ---
 # This copy (6.32.0-dev, from the host google-cloud-sdk bundle) predates
 # the 6.33 gencode pyspark 4.1.2 ships. Protobuf's published guarantee is
-# per-MAJOR; relax the runtime>=gencode floor to major-equality so the
-# plain-message StateMessage gencode loads. Major mismatches still fail.
+# per-MAJOR; relax the runtime>=gencode floor to same-major AND
+# gen_minor <= MINOR + 1 — wide enough for the one known-safe case
+# (6.33 plain-message gencode on the 6.32 runtime, exercised end-to-end
+# by the streaming tests) but an unexpected future pyspark bump to a
+# farther-ahead gencode re-raises the original VersionError instead of
+# loading blind.
 _strict_validate = ValidateProtobufRuntimeVersion
 
 
 def ValidateProtobufRuntimeVersion(  # noqa: F811
     gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location
 ):
-    if gen_major != MAJOR:
+    if gen_major != MAJOR or gen_minor > MINOR + 1:
         _strict_validate(
             gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location
         )
@@ -86,6 +91,9 @@ def _build_zip(root: str) -> str:
     """Copy google/protobuf (pure .py only, no blaze-out build junk) into
     a temp tree, patch the runtime-version floor, zip for addPyFile."""
     build = tempfile.mkdtemp(prefix="pb_vendor_")
+    # addPyFile copies the zip into Spark's own tmp; the build tree is
+    # only needed until this function returns — reclaim it at exit.
+    atexit.register(shutil.rmtree, build, ignore_errors=True)
     src = os.path.join(root, "google", "protobuf")
     dst = os.path.join(build, "google", "protobuf")
     shutil.copytree(

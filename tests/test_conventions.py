@@ -74,14 +74,14 @@ def test_front_window_consistent_with_registry():
 
 
 def test_front_window_covers_all_unverified_entries():
-    """Round-9 rotation contract (r8 VERDICT.md item 1): every entry
-    without a driver-green CORRECTNESS row in the union of rounds 1-8
+    """Round-10 rotation contract (r9 VERDICT.md item 1): every entry
+    without a driver-green CORRECTNESS row in the union of rounds 1-9
     sits inside the driver's 50-entry window this round, or is pinned in
-    DEFERRED_TO_NEXT_WINDOW as the mandatory head of the round-10 window.
-    The 13-entry round-8 deferred queue is the MANDATORY window head, in
-    its pinned order; round-9 additions are budgeted at 37 so the head is
-    never displaced. With the window green the driver-green union reaches
-    the full catalog."""
+    DEFERRED_TO_NEXT_WINDOW as the mandatory head of the round-11 window.
+    The 10-entry round-9 deferred queue is the MANDATORY window head, in
+    its pinned order; round-10 additions are budgeted at 40 so the head
+    is never displaced. With the window green the driver-green union
+    reaches the full catalog."""
     import glob
     import json
     import os
@@ -92,8 +92,8 @@ def test_front_window_covers_all_unverified_entries():
     )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    prior = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-8].json")))
-    assert len(prior) >= 8, "missing prior-round driver files"
+    prior = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-9].json")))
+    assert len(prior) >= 9, "missing prior-round driver files"
     green: set[str] = set()
     seen: set[str] = set()
     for p in prior:
@@ -107,25 +107,22 @@ def test_front_window_covers_all_unverified_entries():
         for n in needs_row
         if n not in window and n not in DEFERRED_TO_NEXT_WINDOW
     ]
-    # the round-10 head (if any) must fit one window
+    # the round-11 head (if any) must fit one window
     assert len(DEFERRED_TO_NEXT_WINDOW) <= 50
-    # the 13 round-8 deferred entries stay pinned as the r9 head, in order
-    r9_head = [
-        "graph_pagerank_personalized",
-        "sim_ann_lsh_multiprobe",
-        "udf_cogrouped_map",
-        "join_asof_nearest",
-        "events_cross_correlation_lag",
-        "stream_dedup_within_watermark",
-        "multimodal_real_bmp_rle8",
-        "fn_sql_udf_family",
-        "source_dirtail_partitioned_stream",
-        "ml_tree_predict_rollup",
-        "layout_compact_small_files",
-        "source_malformed_json",
-        "quality_observe_metrics",
+    # the 10 round-9 deferred entries stay pinned as the r10 head, in order
+    r10_head = [
+        "events_sliding_distinct_users",
+        "ml_confusion_threshold_sweep",
+        "text_bpe_apply_tokens",
+        "agg_mode_exact",
+        "events_changepoint_sse",
+        "graph_hits_hubs_authorities",
+        "stats_mann_whitney_u",
+        "join_null_skew_isolation",
+        "udf_pandas_scalar_iter",
+        "stats_permutation_test",
     ]
-    assert FRONT_WINDOW[: len(r9_head)] == r9_head
+    assert FRONT_WINDOW[: len(r10_head)] == r10_head
     assert not missing, (
         f"entries still lacking a driver-green row are outside the "
         f"50-entry window and not declared deferred: {missing}"
