@@ -252,6 +252,7 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 import struct
+import zlib
 
 
 def _bmp_pixel(seed: int, x: int, y: int, c: int) -> int:
@@ -478,8 +479,21 @@ def decode_real_media_features(media: DataFrame) -> DataFrame:
                     base.update(kind="image", **mm.decode_jpeg(payload))
                 elif payload[:2] in (b"P6", b"P5"):
                     base.update(kind="image", **mm.decode_ppm(payload))
+                elif payload[:4] == b"\x00\x00\x01\x00":
+                    base.update(kind="image", **mm.decode_ico(payload))
                 elif payload[:4] == b"RIFF":
-                    base.update(kind="audio", **mm.decode_wav(payload))
+                    # PCM and mu-law share the RIFF magic; the fmt tag
+                    # inside the fmt chunk is the real discriminator
+                    try:
+                        base.update(kind="audio", **mm.decode_wav(payload))
+                    except ValueError:
+                        base.update(
+                            kind="audio", **mm.decode_wav_mulaw(payload)
+                        )
+                elif payload[-18:] == mm._TGA_SIGNATURE:
+                    # TGA has NO leading magic — the 2.0 footer signature
+                    # is the only sniffable identity, checked last
+                    base.update(kind="image", **mm.decode_tga(payload))
                 else:
                     base.update(kind="unknown")
                 rows.append(base)
@@ -1413,24 +1427,32 @@ def encode_tiff(
     pixel,
     byte_order: str = "<",
     rows_per_strip: int = 2,
+    compression: int = 1,
 ) -> bytes:
     """Encode a to-spec baseline TIFF from a ``pixel(x, y, c)`` accessor
-    (c: 0=R, 1=G, 2=B): header, MULTI-STRIP uncompressed RGB data, then
+    (c: 0=R, 1=G, 2=B): header, MULTI-STRIP RGB data, then
     one IFD whose entries are tag-sorted per spec; BitsPerSample and the
     strip arrays live at offsets (exercising the decoder's
     inline-vs-offset logic), small scalars inline. ``byte_order`` is
-    ``'<'`` (II, little-endian) or ``'>'`` (MM, big-endian)."""
+    ``'<'`` (II, little-endian) or ``'>'`` (MM, big-endian).
+    ``compression``: 1 = none, 8 = Deflate/zlib ("Adobe deflate", the
+    variant libtiff writes) — each strip zlib-compressed independently,
+    exactly what the spec requires (strips stay independently seekable,
+    the property that keeps huge TIFFs splittable)."""
     bo = byte_order
     magic = b"II" if bo == "<" else b"MM"
+    if compression not in (1, 8):
+        raise ValueError(f"unsupported TIFF compression: {compression}")
     n_strips = (height + rows_per_strip - 1) // rows_per_strip
     strips = []
     for s in range(n_strips):
         rows = range(
             s * rows_per_strip, min((s + 1) * rows_per_strip, height)
         )
-        strips.append(
-            bytes(pixel(x, y, c) for y in rows for x in range(width) for c in range(3))
+        raw = bytes(
+            pixel(x, y, c) for y in rows for x in range(width) for c in range(3)
         )
+        strips.append(zlib.compress(raw, 6) if compression == 8 else raw)
     # the spec requires value offsets and the IFD to be WORD-ALIGNED
     # ("the Value Offset must be an even number"; IFDs "must begin on a
     # word boundary") — pad after any odd-length strip
@@ -1460,7 +1482,7 @@ def encode_tiff(
         entry(256, 4, 1, width),              # ImageWidth
         entry(257, 4, 1, height),             # ImageLength
         entry(258, 3, 3, bps_off),            # BitsPerSample -> offset
-        entry(259, 3, 1, 1),                  # Compression: none
+        entry(259, 3, 1, compression),        # Compression: none/deflate
         entry(262, 3, 1, 2),                  # Photometric: RGB
         entry(273, 4, n_strips, so_off if n_strips > 1 else strip_offsets[0]),
         entry(277, 3, 1, 3),                  # SamplesPerPixel
@@ -1537,7 +1559,8 @@ def decode_tiff(payload: bytes) -> dict:
         return tags[tag][0]
 
     width, height = one(256), one(257)
-    if one(259, 1) != 1:
+    compression = one(259, 1)
+    if compression not in (1, 8):
         raise ValueError("unsupported TIFF compression")
     if one(262) != 2 or one(277, 1) != 3 or tags.get(258, [8, 8, 8]) != [8, 8, 8]:
         raise ValueError("unsupported TIFF profile (need 8-bit chunky RGB)")
@@ -1548,7 +1571,16 @@ def decode_tiff(payload: bytes) -> dict:
     for off, cnt in zip(offsets, counts):
         if off + cnt > len(payload):
             raise ValueError("truncated TIFF strip")
-        data += payload[off : off + cnt]
+        strip = payload[off : off + cnt]
+        if compression == 8:
+            # Deflate ("Adobe deflate", tag value 8): each strip is an
+            # independent zlib stream — per-strip decompression is what
+            # keeps a huge TIFF strip-parallel
+            try:
+                strip = zlib.decompress(strip)
+            except zlib.error as exc:
+                raise ValueError(f"bad TIFF deflate strip: {exc}") from None
+        data += strip
     if len(data) != width * height * 3:
         raise ValueError("TIFF strip data does not match declared dims")
     sums = [0, 0, 0]
@@ -2401,6 +2433,468 @@ def synthesize_netpbm_media(ids: DataFrame, id_col: str = "media_id") -> DataFra
                         "payload": payload,
                         "meta": {
                             "kind": "image", "mime": mime,
+                            "width": w, "height": h,
+                            "sample_rate": None, "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# TGA (Truevision TARGA) — the magic-less raster format: nothing at byte 0
+# identifies a TGA, so real pipelines sniff the TGA 2.0 FOOTER signature
+# ("TRUEVISION-XFILE.\0" in the file's last 18 bytes). Type 2 is raw
+# bottom/top-origin BGR; type 10 is the RLE variant whose packets must not
+# cross scanlines. Both are covered; the encoder writes the v2 footer so
+# the corpus is sniffable the way decode_real_media_features needs.
+
+_TGA_SIGNATURE = b"TRUEVISION-XFILE.\x00"
+
+
+def encode_tga(width: int, height: int, pixel, rle: bool = False) -> bytes:
+    """Encode a to-spec TGA from a ``pixel(x, y, c)`` accessor
+    (c: 0=B, 1=G, 2=R). ``rle=False`` -> type 2 (uncompressed),
+    ``rle=True`` -> type 10 (run-length, packets per scanline).
+    Top-left origin (descriptor bit 5), 24 bpp, TGA 2.0 footer."""
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB",
+        0, 0, 10 if rle else 2, 0, 0, 0, 0, 0, width, height, 24, 0x20,
+    )
+    body = bytearray()
+    for y in range(height):
+        row = [
+            bytes((pixel(x, y, 0), pixel(x, y, 1), pixel(x, y, 2)))
+            for x in range(width)
+        ]
+        if not rle:
+            body += b"".join(row)
+            continue
+        # RLE packets: runs >= 2 become run packets, singletons batch
+        # into raw packets; both capped at 128 pixels and NEVER crossing
+        # the scanline (the spec's packet rule).
+        x = 0
+        lits: list[bytes] = []
+
+        def flush_lits() -> None:
+            i = 0
+            while i < len(lits):
+                chunk = lits[i : i + 128]
+                body.append(len(chunk) - 1)
+                body.extend(b"".join(chunk))
+                i += 128
+            lits.clear()
+
+        while x < width:
+            run = 1
+            while (
+                x + run < width and run < 128 and row[x + run] == row[x]
+            ):
+                run += 1
+            if run >= 2:
+                flush_lits()
+                body.append(0x80 | (run - 1))
+                body.extend(row[x])
+            else:
+                lits.append(row[x])
+            x += run
+        flush_lits()
+    footer = struct.pack("<II", 0, 0) + _TGA_SIGNATURE
+    return bytes(hdr) + bytes(body) + footer
+
+
+def decode_tga(payload: bytes) -> dict:
+    """Parse a type-2 (raw) or type-10 (RLE) 24-bit TGA to exact
+    per-channel sums. Validates the v2 footer signature (the format has
+    no leading magic — the footer IS the sniffable identity), rejects
+    palettized/16-bit/right-to-left variants by name. Channel sums are
+    row-order-invariant, so both origin bits decode identically."""
+    if len(payload) < 18 + 26 or payload[-18:] != _TGA_SIGNATURE:
+        raise ValueError("not a TGA 2.0 payload (footer signature missing)")
+    (
+        id_len, cmap_type, img_type, _cf, cmap_len, _ce,
+        _x0, _y0, width, height, bpp, desc,
+    ) = struct.unpack_from("<BBBHHBHHHHBB", payload, 0)
+    if cmap_type != 0 or cmap_len != 0:
+        raise ValueError("unsupported TGA variant: color-mapped")
+    if img_type not in (2, 10):
+        raise ValueError(f"unsupported TGA image type {img_type}")
+    if bpp != 24:
+        raise ValueError(f"unsupported TGA depth {bpp}")
+    if desc & 0x10:
+        raise ValueError("unsupported TGA variant: right-to-left")
+    pos = 18 + id_len
+    end = len(payload) - 26
+    need = width * height
+    sums = [0, 0, 0]  # B, G, R
+    if img_type == 2:
+        raster = payload[pos : pos + need * 3]
+        if len(raster) != need * 3 or pos + need * 3 > end:
+            raise ValueError("truncated TGA raster")
+        sums[0] = sum(raster[0::3])
+        sums[1] = sum(raster[1::3])
+        sums[2] = sum(raster[2::3])
+    else:
+        got = 0
+        while got < need:
+            if pos >= end:
+                raise ValueError("truncated TGA RLE stream")
+            head = payload[pos]
+            pos += 1
+            count = (head & 0x7F) + 1
+            if head & 0x80:
+                px = payload[pos : pos + 3]
+                if len(px) < 3:
+                    raise ValueError("truncated TGA RLE packet")
+                pos += 3
+                for c in range(3):
+                    sums[c] += px[c] * count
+            else:
+                chunk = payload[pos : pos + 3 * count]
+                if len(chunk) < 3 * count:
+                    raise ValueError("truncated TGA raw packet")
+                pos += 3 * count
+                for c in range(3):
+                    sums[c] += sum(chunk[c::3])
+            got += count
+        if got != need:
+            raise ValueError("TGA RLE packet crossed the raster end")
+    return {
+        "width": width,
+        "height": height,
+        "sum_r": sums[2],
+        "sum_g": sums[1],
+        "sum_b": sums[0],
+    }
+
+
+def _tga_pixel(seed: int, x: int, y: int, c: int) -> int:
+    """Deterministic TGA pixel (c: 0=B, 1=G, 2=R). Every third row is
+    constant across x so the RLE encoder genuinely emits run packets —
+    the oracle mirrors the CASE."""
+    if y % 3 == 0:
+        return (seed * 19 + y * 7 + c * 11) % 256
+    return (seed * 19 + y * 7 + x * 13 + c * 11) % 256
+
+
+def synth_tga(seed: int, width: int, height: int) -> bytes:
+    """Even seeds: raw type 2; odd seeds: RLE type 10 — one corpus
+    exercises both subformats through the same decode dispatch."""
+    return encode_tga(
+        width,
+        height,
+        lambda x, y, c: _tga_pixel(seed, x, y, c),
+        rle=seed % 2 == 1,
+    )
+
+
+def synthesize_tga_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Materialize a media table of REAL TGAs (dims a function of the id;
+    even ids raw, odd ids RLE). Distributed mapInPandas."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 6 + mid % 10, 5 + mid % 8
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": mm.synth_tga(mid, w, h),
+                        "meta": {
+                            "kind": "image", "mime": "image/x-tga",
+                            "width": w, "height": h,
+                            "sample_rate": None, "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ICO — the CONTAINER format: a directory of images whose payloads are
+# headerless BMP DIBs (BITMAPINFOHEADER with DOUBLED height covering the
+# XOR color plane plus a 1-bpp AND transparency mask). Decoding one is
+# two-thirds of the BMP decoder applied at an offset — the container/codec
+# split every multimodal pipeline deals with.
+
+
+def encode_ico(width: int, height: int, pixel) -> bytes:
+    """Encode a single-image 24-bit ICO from a ``pixel(x, y, c)``
+    accessor (c: 0=B, 1=G, 2=R): ICONDIR + one ICONDIRENTRY + a
+    headerless DIB (doubled-height BITMAPINFOHEADER, bottom-up padded
+    XOR rows, all-opaque AND mask)."""
+    if not (1 <= width <= 256 and 1 <= height <= 256):
+        raise ValueError("ICO dims must be in [1, 256]")
+    xor_stride = (3 * width + 3) & ~3
+    and_stride = ((width + 31) // 32) * 4
+    dib_size = 40 + xor_stride * height + and_stride * height
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height * 2, 1, 24, 0,
+        xor_stride * height + and_stride * height, 0, 0, 0, 0,
+    )
+    body = bytearray(info)
+    for stored_row in range(height):
+        y = height - 1 - stored_row
+        for x in range(width):
+            body += bytes((pixel(x, y, 0), pixel(x, y, 1), pixel(x, y, 2)))
+        body += b"\x00" * (xor_stride - 3 * width)
+    body += b"\x00" * (and_stride * height)  # AND mask: all opaque
+    head = struct.pack("<HHH", 0, 1, 1)
+    entry = struct.pack(
+        "<BBBBHHII",
+        width % 256, height % 256, 0, 0, 1, 24, dib_size, 6 + 16,
+    )
+    return head + entry + bytes(body)
+
+
+def decode_ico(payload: bytes) -> dict:
+    """Parse a single-image 24-bit ICO: directory walk, DIB at the
+    declared offset, doubled-height validation, exact per-channel sums
+    over the XOR plane (the AND mask is transparency, not color).
+    PNG-compressed entries (the modern large-size variant) reject by
+    name."""
+    if len(payload) < 6 or payload[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO payload")
+    (n_images,) = struct.unpack_from("<H", payload, 4)
+    if n_images != 1:
+        raise ValueError(f"unsupported ICO: {n_images} images (need 1)")
+    if len(payload) < 6 + 16:
+        raise ValueError("truncated ICO directory")
+    w8, h8, _pal, _rsv, _planes, _bpp, size, off = struct.unpack_from(
+        "<BBBBHHII", payload, 6
+    )
+    if off + size > len(payload) or size < 40:
+        raise ValueError("truncated ICO image data")
+    if payload[off : off + 8] == b"\x89PNG\r\n\x1a\n":
+        raise ValueError("unsupported ICO variant: PNG-compressed entry")
+    (
+        hdr_size, width, height2, _planes2, bpp, compression,
+    ) = struct.unpack_from("<IiiHHI", payload, off)
+    if hdr_size != 40 or compression != 0:
+        raise ValueError("unsupported ICO DIB")
+    if bpp != 24:
+        raise ValueError(f"unsupported ICO depth {bpp}")
+    if height2 % 2 != 0:
+        raise ValueError("ICO DIB height must be doubled (XOR+AND)")
+    height = height2 // 2
+    if (w8 or 256) != width or (h8 or 256) != height:
+        raise ValueError("ICO directory dims disagree with the DIB")
+    xor_stride = (3 * width + 3) & ~3
+    raster = payload[off + 40 : off + 40 + xor_stride * height]
+    if len(raster) != xor_stride * height:
+        raise ValueError("truncated ICO XOR plane")
+    sums = [0, 0, 0]  # B, G, R
+    for row in range(height):
+        base = row * xor_stride
+        line = raster[base : base + 3 * width]
+        sums[0] += sum(line[0::3])
+        sums[1] += sum(line[1::3])
+        sums[2] += sum(line[2::3])
+    return {
+        "width": width,
+        "height": height,
+        "sum_r": sums[2],
+        "sum_g": sums[1],
+        "sum_b": sums[0],
+    }
+
+
+def _ico_pixel(seed: int, x: int, y: int, c: int) -> int:
+    """Deterministic ICO pixel (c: 0=B, 1=G, 2=R), distinct constants
+    from every other raster generator."""
+    return (seed * 23 + y * 29 + x * 31 + c * 41) % 256
+
+
+def synth_ico(seed: int, width: int, height: int) -> bytes:
+    return encode_ico(
+        width, height, lambda x, y, c: _ico_pixel(seed, x, y, c)
+    )
+
+
+def synthesize_ico_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Materialize a media table of REAL single-image ICOs. Distributed
+    mapInPandas."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 5 + mid % 12, 4 + mid % 9
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": mm.synth_ico(mid, w, h),
+                        "meta": {
+                            "kind": "image",
+                            "mime": "image/vnd.microsoft.icon",
+                            "width": w, "height": h,
+                            "sample_rate": None, "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# G.711 mu-law WAV — telephony audio (WAVE_FORMAT_MULAW, format tag 7):
+# 8-bit logarithmic companding expanded to 14-bit-magnitude PCM by pure
+# integer bit math, so the expansion is exactly expressible in the oracle's
+# SQL (no float tables, no libm).
+
+
+def mulaw_expand(b: int) -> int:
+    """Expand one mu-law byte to a linear PCM sample: complement, split
+    sign/exponent/mantissa, magnitude ((mant*8 + 132) << exp) - 132 —
+    the G.711 decode ladder, all integer."""
+    u = (~b) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant * 8 + 132) << exp) - 132
+    return -mag if sign else mag
+
+
+def encode_wav_mulaw(sample_rate: int, ulaw: bytes) -> bytes:
+    """Encode raw mu-law bytes as a to-spec WAV: format tag 7, 8 bits per
+    sample, plus the ``fact`` chunk that compressed WAV formats require
+    (dwSampleLength = sample count)."""
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sII",
+        b"RIFF", 4 + 8 + 16 + 8 + 4 + 8 + len(ulaw), b"WAVE",
+        b"fmt ", 16, 7, 1, sample_rate, sample_rate, 1, 8,
+        b"fact", 4, len(ulaw),
+    ) + struct.pack("<4sI", b"data", len(ulaw)) + ulaw
+    return hdr
+
+
+def decode_wav_mulaw(payload: bytes) -> dict:
+    """Parse a mu-law WAV (format tag 7) and expand every byte; exact
+    integer amplitude statistics on the EXPANDED samples."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, raw = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        if pos + 8 + csize > len(payload):
+            raise ValueError("truncated WAV chunk")
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt != 7 or channels != 1 or bits != 8:
+                raise ValueError("not a mono mu-law WAV")
+        elif cid == b"data":
+            raw = body
+        pos += 8 + csize + (csize & 1)
+    if sample_rate is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = [mulaw_expand(b) for b in raw]
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": len(samples),
+        "sum_abs": sum(abs(s) for s in samples),
+        "n_nonneg": sum(1 for s in samples if s >= 0),
+    }
+
+
+def synth_wav_mulaw(seed: int, sample_rate: int, n_samples: int) -> bytes:
+    """Deterministic mu-law byte stream: b_i = (seed*7 + i*3) % 256."""
+    return encode_wav_mulaw(
+        sample_rate, bytes((seed * 7 + i * 3) % 256 for i in range(n_samples))
+    )
+
+
+def synthesize_mulaw_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Materialize a media table of REAL mu-law WAVs (8 kHz telephony
+    rate, length a function of the id). Distributed mapInPandas."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 48 + mid % 97
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": mm.synth_wav_mulaw(mid, 8000, n),
+                        "meta": {
+                            "kind": "audio", "mime": "audio/basic",
+                            "width": None, "height": None,
+                            "sample_rate": 8000,
+                            "duration_ms": 1000 * n // 8000,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synth_tiff_deflate(seed: int, width: int, height: int) -> bytes:
+    """A real Deflate-compressed TIFF (compression tag 8, per-strip zlib);
+    odd seeds big-endian like the uncompressed corpus, distinct pixel
+    constants from every other generator."""
+    return encode_tiff(
+        width,
+        height,
+        lambda x, y, c: (seed * 61 + y * 19 + x * 29 + c * 43) % 256,
+        byte_order="<" if seed % 2 == 0 else ">",
+        compression=8,
+    )
+
+
+def synthesize_tiff_deflate_media(
+    ids: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Materialize a media table of REAL Deflate-compressed TIFFs.
+    Distributed mapInPandas."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 6, 3 + mid % 7
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": mm.synth_tiff_deflate(mid, w, h),
+                        "meta": {
+                            "kind": "image", "mime": "image/tiff",
                             "width": w, "height": h,
                             "sample_rate": None, "duration_ms": None,
                         },

@@ -26,6 +26,7 @@ from irio_mapreduce_spark.queries import pipeline_q  # noqa: E402,F401
 from irio_mapreduce_spark.queries import sources_q  # noqa: E402,F401
 from irio_mapreduce_spark.queries import sampling_q  # noqa: E402,F401
 from irio_mapreduce_spark.queries import relational  # noqa: E402,F401
+from irio_mapreduce_spark.queries import stats_q  # noqa: E402,F401
 from irio_mapreduce_spark.queries import graph_q  # noqa: E402,F401
 from irio_mapreduce_spark.queries import ml_q  # noqa: E402,F401
 from irio_mapreduce_spark.queries import slowpath_q  # noqa: E402,F401

@@ -83,6 +83,26 @@ FRONT_WINDOW: list[str] = [
     # round-10 additions (new entries, never driver-checked; budget 40 so
     # the mandatory 10-entry head above is never displaced) — appended as
     # each lands with a green oracle test.
+    "stats_spearman_rank",
+    "stats_anova_oneway",
+    "stats_kendall_tau_grouped",
+    "stats_bootstrap_poisson",
+    "stats_theil_sen_grouped",
+    "events_kaplan_meier",
+    "events_peak_concurrency",
+    "agg_weighted_median",
+    "graph_jaccard_link_prediction",
+    "graph_degree_assortativity",
+    "source_binaryfile_ingest",
+    "source_glob_recursive_lookup",
+    "source_csv_multiline_quoted",
+    "udf_arrow_python_scalar",
+    "stream_stream_right_outer",
+    "stream_windowed_distinct_users",
+    "multimodal_real_tga",
+    "multimodal_real_ico",
+    "multimodal_real_tiff_deflate",
+    "multimodal_wav_mulaw",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

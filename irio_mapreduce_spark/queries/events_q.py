@@ -1659,3 +1659,226 @@ def events_sliding_distinct_users(
     return contrib.groupBy(F.col("target_d").alias("epoch_day")).agg(
         F.countDistinct("user_id").cast("long").alias("wau")
     )
+
+
+@register(
+    "events_kaplan_meier",
+    oracle="""
+    WITH users AS (
+      SELECT user_id % 3 AS cohort,
+             CAST(date_diff('day',
+                    CAST(min(ts) AS DATE),
+                    CAST(coalesce(
+                      min(CASE WHEN event_type = 'purchase' THEN ts END),
+                      max(ts)) AS DATE)) AS BIGINT) AS dur,
+             CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       IS NULL THEN 0 ELSE 1 END AS ev
+      FROM events GROUP BY user_id),
+    pts AS (
+      SELECT cohort, dur,
+             CAST(sum(ev) AS BIGINT) AS e,
+             CAST(sum(1 - ev) AS BIGINT) AS c
+      FROM users GROUP BY 1, 2),
+    risk AS (
+      SELECT cohort, dur, e,
+             CAST(sum(e + c) OVER (PARTITION BY cohort) -
+                  coalesce(sum(e + c) OVER (
+                    PARTITION BY cohort ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM pts),
+    arrs AS (
+      SELECT cohort,
+             list(struct_pack(dur := dur, n_risk := n_risk, e := e)
+                  ORDER BY dur) AS arr,
+             list(CAST(n_risk - e AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                  ORDER BY dur) AS fl
+      FROM risk GROUP BY cohort),
+    survs AS (
+      SELECT cohort,
+             unnest(list_transform(arr, (x, i) -> struct_pack(
+               dur := x.dur, n_risk := x.n_risk, e := x.e,
+               surv := list_reduce(
+                 list_slice(fl, 1, i), (a, b) -> a * b)))) AS s
+      FROM arrs)
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           s.dur AS dur, s.n_risk AS n_risk, s.e AS n_event, s.surv AS surv
+    FROM survs WHERE s.e > 0
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER SURVIVAL — time from a user's first event to first
+    purchase, right-CENSORED at the last observed event for users who
+    never purchase (dropping them instead would bias survival downward —
+    the whole reason KM exists), per user_id%3 cohort. S(d) = prod over
+    event days d_i<=d of (n_risk−e)/n_risk.
+
+    Cross-engine exactness: the cumulative product has no reorder-free
+    form (factors are rationals), so BOTH engines fold the SAME sorted
+    per-cohort array sequentially — Spark ``transform(arr, (x,i) ->
+    aggregate(slice(arr,1,i+1), 1.0, *))``, DuckDB ``list_transform(arr,
+    (x,i) -> list_reduce(list_slice(arr,1,i), *))`` — identical operand
+    order, identical IEEE roundings, so the unrounded DOUBLE
+    hash-matches. n_risk comes from a reverse-cumulative window on exact
+    BIGINTs. Scale: the per-user reduce is the only data-scale shuffle;
+    the fold runs on the (cohort, day)-level frame, bounded by the
+    calendar (<=~800 rows/cohort) — the O(k^2) slice-product is a
+    constant, and ``arr`` is a materialized column so the lambda never
+    recomputes upstream work (catalog nested-lambda rule)."""
+    ev = read_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purch_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    durs = users.select(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.datediff(
+            F.coalesce(F.col("purch_ts"), F.col("last_ts")).cast("date"),
+            F.col("first_ts").cast("date"),
+        )
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("purch_ts").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    pts = durs.groupBy("cohort", "dur").agg(
+        F.sum("ev").cast("long").alias("e"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+    )
+    w_tot = Window.partitionBy("cohort")
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = pts.select(
+        "cohort",
+        "dur",
+        "e",
+        (
+            F.sum(F.col("e") + F.col("c")).over(w_tot)
+            - F.coalesce(
+                F.sum(F.col("e") + F.col("c")).over(w_cum), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    arrs = risk.groupBy("cohort").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("dur"),
+                    F.col("n_risk"),
+                    F.col("e"),
+                    (
+                        (F.col("n_risk") - F.col("e")).cast("double")
+                        / F.col("n_risk").cast("double")
+                    ).alias("factor"),
+                )
+            )
+        ).alias("arr")
+    )
+    survs = arrs.select(
+        "cohort",
+        F.explode(
+            F.expr(
+                "transform(arr, (x, i) -> struct("
+                "x.dur AS dur, x.n_risk AS n_risk, x.e AS e, "
+                "aggregate(slice(arr, 1, i + 1), CAST(1.0 AS DOUBLE), "
+                "(a, y) -> a * y.factor) AS surv))"
+            )
+        ).alias("s"),
+    )
+    return survs.filter(F.col("s.e") > 0).select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("s.dur").alias("dur"),
+        F.col("s.n_risk").alias("n_risk"),
+        F.col("s.e").alias("n_event"),
+        F.col("s.surv").alias("surv"),
+    )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS s,
+             CAST(epoch_us(max(ts)) AS BIGINT) + 1 AS e,
+             strftime(min(ts), '%Y-%m-%d') AS day
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    deltas AS (
+      SELECT day, t, CAST(sum(d) AS BIGINT) AS delta
+      FROM (SELECT day, s AS t, 1 AS d FROM iv
+            UNION ALL SELECT day, e AS t, -1 AS d FROM iv) u
+      GROUP BY 1, 2),
+    sweep AS (
+      SELECT day, t,
+             CAST(sum(delta) OVER (PARTITION BY day ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS active
+      FROM deltas)
+    SELECT day,
+           CAST(max(active) AS BIGINT) AS peak,
+           CAST(min(CASE WHEN active = ranked.mx THEN t END) AS BIGINT)
+             AS first_peak_us
+    FROM (SELECT day, t, active,
+                 max(active) OVER (PARTITION BY day) AS mx
+          FROM sweep) ranked
+    GROUP BY day
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY (interval max-overlap) — the capacity-planning
+    primitive: how many users were simultaneously active at the busiest
+    instant of each day? Each user's daily activity is an inclusive
+    interval [first event, last event]; the classic +1/−1 SWEEP turns
+    max-overlap into a running sum — no interval self-join (the naive
+    O(n²) overlap join melts at scale), just one union, one per-(day,t)
+    pre-aggregation of deltas, and one cumulative window per day. Ties
+    at the same microsecond are pre-summed into one delta row, so the running
+    sum is frame-order-free and deterministic. End boundaries use e+1
+    (end-exclusive sweep == inclusive overlap on integer microseconds;
+    epoch_us/unix_micros sidestep the DuckDB-rounds-vs-Spark-truncates
+    whole-second trap documented at events_type_change_intervals). Peak
+    plus the EARLIEST microsecond achieving it, all exact BIGINTs; ~2.4k
+    output rows regardless of scale, and the sweep parallelizes by day
+    partition at 100 TB."""
+    ev = read_table(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.unix_micros(F.min("ts")).cast("long").alias("s"),
+        (F.unix_micros(F.max("ts")).cast("long") + 1).alias("e"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("day"),
+    )
+    deltas = (
+        iv.select("day", F.col("s").alias("t"), F.lit(1).alias("d"))
+        .unionAll(
+            iv.select("day", F.col("e").alias("t"), F.lit(-1).alias("d"))
+        )
+        .groupBy("day", "t")
+        .agg(F.sum("d").cast("long").alias("delta"))
+    )
+    w_cum = (
+        Window.partitionBy("day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = deltas.select(
+        "day",
+        "t",
+        F.sum("delta").over(w_cum).cast("long").alias("active"),
+    )
+    ranked = sweep.select(
+        "day",
+        "t",
+        "active",
+        F.max("active").over(Window.partitionBy("day")).alias("mx"),
+    )
+    return ranked.groupBy("day").agg(
+        F.max("active").cast("long").alias("peak"),
+        F.min(F.when(F.col("active") == F.col("mx"), F.col("t")))
+        .cast("long")
+        .alias("first_peak_us"),
+    )

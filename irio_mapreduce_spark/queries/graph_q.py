@@ -762,3 +762,221 @@ def graph_hits_hubs_authorities(
         )
     )
     return top_a.unionByName(top_h)
+
+
+_COSUPPLY_EDGES_SQL = """
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_suppkey < b.l_suppkey
+      JOIN orders ON a.l_orderkey = o_orderkey
+      WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-03-31'
+"""
+
+
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct quarterly co-supply edges (s1 < s2) — the shared graph of
+    the triangle/k-core entries (graph_triangle_cosupply docstring has
+    the shuffle budget)."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-03-31")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .join(
+            orders.select("o_orderkey"),
+            F.col("a.l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    oracle=f"""
+    WITH edges AS ({_COSUPPLY_EDGES_SQL}),
+    adj AS (
+      SELECT s1 AS u, s2 AS v FROM edges
+      UNION ALL SELECT s2, s1 FROM edges),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    cand AS (
+      SELECT a.u AS u, b.u AS v, CAST(count(*) AS BIGINT) AS common
+      FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+      GROUP BY 1, 2),
+    nonadj AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN edges e ON c.u = e.s1 AND c.v = e.s2
+      WHERE e.s1 IS NULL),
+    scored AS (
+      SELECT n.u, n.v, n.common,
+             CAST(du.d + dv.d - n.common AS BIGINT) AS un,
+             CAST(n.common * 1000000 // (du.d + dv.d - n.common)
+                  AS BIGINT) AS jaccard_ppm
+      FROM nonadj n
+      JOIN deg du ON n.u = du.u JOIN deg dv ON n.v = dv.u)
+    SELECT u, v, common, un, jaccard_ppm
+    FROM scored
+    ORDER BY jaccard_ppm DESC, u, v LIMIT 20
+    """,
+)
+def graph_jaccard_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JACCARD LINK PREDICTION — score NON-adjacent supplier pairs by
+    neighborhood overlap |N(u)∩N(v)| / |N(u)∪N(v)|: the classic
+    "who should be connected next" primitive (also the graph-side twin
+    of the MinHash document Jaccard in llm/dedup.py). Candidate pairs
+    come from ONE equi-join of the adjacency list with itself on the
+    common neighbor — cost Σ_w deg(w)², the standard wedge budget shared
+    with triangle counting, never an all-pairs product — followed by an
+    anti-join against the edge set (predict only MISSING links) and a
+    broadcast-able degree join. Scores are exact ppm integers
+    (common·10⁶ div union — both engines floor positive operands), so
+    the top-20 cut is deterministic with the (u, v) tie-break. At
+    100 TB: hub-capping the adjacency list bounds the wedge fan-out; the
+    score join stays co-partitioned on u."""
+    edges = _cosupply_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v")
+    ).unionAll(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    a = adj.alias("a")
+    b = adj.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.u") < F.col("b.u")),
+        )
+        .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    nonadj = cand.join(
+        edges,
+        (cand["u"] == edges["s1"]) & (cand["v"] == edges["s2"]),
+        "left_anti",
+    )
+    du = deg.alias("du")
+    dv = deg.alias("dv")
+    scored = (
+        nonadj.join(du, nonadj["u"] == F.col("du.u"))
+        .join(dv, nonadj["v"] == F.col("dv.u"))
+        .select(
+            nonadj["u"],
+            nonadj["v"],
+            "common",
+            (F.col("du.d") + F.col("dv.d") - F.col("common"))
+            .cast("long")
+            .alias("un"),
+            F.expr("common * 1000000 div (du.d + dv.d - common)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard_ppm"), "u", "v"
+    ).limit(20)
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH edges AS ({_COSUPPLY_EDGES_SQL}),
+    adj AS (
+      SELECT s1 AS u, s2 AS v FROM edges
+      UNION ALL SELECT s2, s1 FROM edges),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    ends AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM adj JOIN deg du ON adj.u = du.u JOIN deg dv ON adj.v = dv.u),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM ends)
+    SELECT m,
+           CAST(m * sxy - sx * sy AS BIGINT) AS num,
+           CAST(m * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(m * syy - sy * sy AS BIGINT) AS den_y,
+           CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
+                THEN NULL
+                ELSE CAST(m * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+           END AS r
+    FROM mom
+    """,
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEGREE ASSORTATIVITY — do well-connected suppliers co-supply with
+    other well-connected suppliers (r > 0) or with the periphery
+    (r < 0)? Pearson correlation of endpoint degrees over the DIRECTED
+    doubling of the edge set (each undirected edge contributes both
+    orientations, the standard symmetrization that makes x/y moments
+    equal in expectation). Dataflow: degree count (one groupBy), two
+    broadcast-able degree joins onto the edge list, then exact BIGINT
+    moments and the ``stats_spearman_rank`` finish — a fixed sequence of
+    correctly-rounded IEEE ops, so the unrounded DOUBLE hash-matches.
+    100 TB: degrees are a map-side-combinable count, the joins are
+    co-partitioned on node id, and the moments are one partial-agg scan
+    of the edge list."""
+    edges = _cosupply_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v")
+    ).unionAll(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    du = deg.alias("du")
+    dv = deg.alias("dv")
+    e = adj.alias("e")
+    ends = (
+        e.join(du, F.col("e.u") == F.col("du.u"))
+        .join(dv, F.col("e.v") == F.col("dv.u"))
+        .select(F.col("du.d").alias("x"), F.col("dv.d").alias("y"))
+    )
+    mom = ends.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    den_x = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "long"
+    )
+    den_y = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "long"
+    )
+    return mom.select(
+        "m",
+        num.alias("num"),
+        den_x.alias("den_x"),
+        den_y.alias("den_y"),
+        # a degenerate graph (all degrees equal, e.g. the tiny-sf corpus
+        # collapsing to isolated edges) has zero variance on both axes:
+        # r is undefined — NULL on both engines, never a DIVIDE_BY_ZERO
+        # crash under ANSI mode
+        F.when((den_x == 0) | (den_y == 0), F.lit(None).cast("double"))
+        .otherwise(
+            num.cast("double")
+            / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
+        )
+        .alias("r"),
+    )

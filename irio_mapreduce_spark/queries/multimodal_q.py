@@ -596,3 +596,203 @@ def multimodal_real_netpbm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
     )
+
+
+@register(
+    "multimodal_real_tga",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             6 + doc_id % 10 AS w, 5 + doc_id % 8 AS h
+      FROM documents),
+    ix AS (SELECT media_id, w, h,
+                  unnest(generate_series(0, w * h - 1)) AS p
+           FROM img),
+    ipx AS (SELECT media_id, w, h, p % w AS x, p // w AS y FROM ix)
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum(CASE WHEN y % 3 = 0
+                         THEN (media_id*19 + y*7 + 2*11) % 256
+                         ELSE (media_id*19 + y*7 + x*13 + 2*11) % 256 END)
+                AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN y % 3 = 0
+                         THEN (media_id*19 + y*7 + 11) % 256
+                         ELSE (media_id*19 + y*7 + x*13 + 11) % 256 END)
+                AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN y % 3 = 0
+                         THEN (media_id*19 + y*7) % 256
+                         ELSE (media_id*19 + y*7 + x*13) % 256 END)
+                AS BIGINT) AS sum_b
+    FROM ipx GROUP BY media_id
+    """,
+)
+def multimodal_real_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TGA decode (raw type 2 on even ids, RLE type 10 on odd) —
+    the format with NO leading magic: identity lives in the TGA 2.0
+    FOOTER signature, so the decode dispatch sniffs the payload TAIL —
+    the one container in the corpus that proves magic-byte dispatch
+    alone is not enough. Every third scanline is constant, so the RLE
+    encoder genuinely emits run packets (and the spec's
+    packets-never-cross-scanlines rule is load-bearing in the decoder).
+    Same mapInPandas synthesize/decode shape as every REAL codec entry:
+    payload bytes never visit the driver, never shuffle. See
+    ``llm.multimodal.encode_tga``/``decode_tga``."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        synthesize_tga_media,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = decode_real_media_features(synthesize_tga_media(ids))
+    return feats.select(
+        "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
+    )
+
+
+@register(
+    "multimodal_real_ico",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h
+      FROM documents),
+    ix AS (SELECT media_id, w, h,
+                  unnest(generate_series(0, w * h - 1)) AS p
+           FROM img),
+    ipx AS (SELECT media_id, w, h, p % w AS x, p // w AS y FROM ix)
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum((media_id*23 + y*29 + x*31 + 2*41) % 256) AS BIGINT)
+             AS sum_r,
+           CAST(sum((media_id*23 + y*29 + x*31 + 41) % 256) AS BIGINT)
+             AS sum_g,
+           CAST(sum((media_id*23 + y*29 + x*31) % 256) AS BIGINT)
+             AS sum_b
+    FROM ipx GROUP BY media_id
+    """,
+)
+def multimodal_real_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ICO decode — the CONTAINER format: an icon directory whose
+    payload is a HEADERLESS BMP DIB with doubled height (XOR color plane
+    + 1-bpp AND transparency mask). The decoder walks the directory,
+    validates directory-vs-DIB dimension agreement and the doubled
+    height, sums color from the XOR plane only, and rejects
+    PNG-compressed entries by name — the container/codec split every
+    multimodal ingest pipeline navigates. mapInPandas both ways; see
+    ``llm.multimodal.encode_ico``/``decode_ico``."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        synthesize_ico_media,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = decode_real_media_features(synthesize_ico_media(ids))
+    return feats.select(
+        "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
+    )
+
+
+@register(
+    "multimodal_real_tiff_deflate",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 6 AS w, 3 + doc_id % 7 AS h
+      FROM documents),
+    ix AS (SELECT media_id, w, h,
+                  unnest(generate_series(0, w * h - 1)) AS p
+           FROM img),
+    ipx AS (SELECT media_id, w, h, p % w AS x, p // w AS y FROM ix)
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum((media_id*61 + y*19 + x*29) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((media_id*61 + y*19 + x*29 + 43) % 256) AS BIGINT)
+             AS sum_g,
+           CAST(sum((media_id*61 + y*19 + x*29 + 2*43) % 256) AS BIGINT)
+             AS sum_b
+    FROM ipx GROUP BY media_id
+    """,
+)
+def multimodal_real_tiff_deflate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL Deflate-compressed TIFF decode (compression tag 8, the
+    "Adobe deflate" libtiff writes): each strip is an INDEPENDENT zlib
+    stream — the property that keeps a huge TIFF strip-parallel, and
+    exactly how this entry's 100 TB story differs from the uncompressed
+    twin (`multimodal_real_tiff`): decompression cost rides inside the
+    same mapInPandas stage, per strip, no cross-row state. Mixed byte
+    orders (odd ids big-endian) through the same IFD walker; zlib is
+    stdlib, so the codec is REAL, not stubbed. See
+    ``llm.multimodal.encode_tiff(compression=8)``/``decode_tiff``."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        synthesize_tiff_deflate_media,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = decode_real_media_features(synthesize_tiff_deflate_media(ids))
+    return feats.select(
+        "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
+    )
+
+
+@register(
+    "multimodal_wav_mulaw",
+    oracle="""
+    WITH aud AS (
+      SELECT doc_id AS media_id, 48 + doc_id % 97 AS n
+      FROM documents),
+    ix AS (SELECT media_id, n,
+                  unnest(generate_series(0, n - 1)) AS i
+           FROM aud),
+    dec AS (
+      SELECT media_id, n,
+             255 - ((media_id*7 + i*3) % 256) AS u
+      FROM ix),
+    mag AS (
+      SELECT media_id, n, u,
+             (((u % 128) % 16) * 8 + 132) * (1 << ((u % 128) // 16)) - 132
+               AS m
+      FROM dec)
+    SELECT media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(m) AS BIGINT) AS sum_abs,
+           CAST(sum(CASE WHEN u < 128 OR m = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonneg
+    FROM mag GROUP BY media_id
+    """,
+)
+def multimodal_wav_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law WAV decode (WAVE_FORMAT_MULAW, format tag 7,
+    with the ``fact`` chunk compressed WAV formats require) — telephony
+    audio whose 8-bit logarithmic companding expands to linear PCM by
+    PURE INTEGER bit math (complement, sign/exponent/mantissa split,
+    ((mant·8+132)<<exp)−132), which is why the oracle can replay the
+    expansion exactly in SQL: no float tables, no libm, no rounding
+    convention to disagree on. PCM and mu-law share the RIFF magic; the
+    decode dispatch discriminates on the fmt-chunk tag — the
+    same-container-different-codec case the audio side of a 100 TB
+    corpus hits constantly. See ``llm.multimodal.mulaw_expand``."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        synthesize_mulaw_media,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = decode_real_media_features(synthesize_mulaw_media(ids))
+    return feats.select(
+        "media_id", "sample_rate", "n_samples", "sum_abs", "n_nonneg"
+    )

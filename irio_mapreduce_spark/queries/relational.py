@@ -4369,3 +4369,66 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ge_observed"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_discount * 100) AS BIGINT) AS v,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT flag, v, w,
+             CAST(sum(w) OVER (PARTITION BY flag ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      FROM pts)
+    SELECT flag,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+             AS wmedian
+    FROM cum GROUP BY 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MEDIAN — the 50% point of a weight mass, not a row
+    count: the discount level at which half the shipped QUANTITY sits at
+    or below, per return flag (percentile_approx can't weight; exploding
+    each row w times to fake it multiplies the shuffle by mean(w)).
+    Exact and integer-only: compact to the (flag, discount-cent) domain
+    first (the only data-scale aggregation, 33 rows out), then one
+    cumulative-weight window over the tiny frame and the lower weighted
+    median is the smallest value with 2·cumweight >= totalweight
+    (doubled to dodge the W/2 fraction). The 100 TB cost is one
+    map-side-combinable groupBy; the window never sees the fact table.
+    Reference parity: this is the reduce-side "running total until
+    threshold" fold the reference's reduce binaries express imperatively
+    (ReduceProcessor.java:24-52)."""
+    pts = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("v"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pts.select(
+        "flag",
+        "v",
+        F.sum("w").over(w_cum).cast("long").alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).cast("long").alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        F.max("tw").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
+        .cast("long")
+        .alias("wmedian"),
+    )

@@ -1018,3 +1018,192 @@ def sink_dynamic_partition_overwrite(
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("value_cents"),
     )
+
+
+@register(
+    "source_binaryfile_ingest",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(sum(('0x' || substr(sha256(text), 1, 8))::BIGINT)
+                AS BIGINT) AS sha_head_sum
+    FROM documents WHERE doc_id % 101 = 0
+    """,
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARYFILE SOURCE — the multimodal-ingest front door: opaque blobs
+    on disk become (path, modificationTime, length, content) rows via
+    Spark's built-in ``binaryFile`` format, the same reader a 100 TB
+    image/audio corpus enters through before the mapInPandas codecs
+    (llm/multimodal.py) take over. The entry materializes a 1%-sample of
+    documents as raw UTF-8 ``.bin`` files — written EXECUTOR-SIDE via
+    foreachPartition (idempotent by filename; no driver fan-in) — reads
+    them back as binary, and proves lossless ingest with exact
+    integers: byte count and the sum of 32-bit sha256 prefixes, which
+    the oracle recomputes from the source table (sha256 is
+    engine-identical, the md5 trick's big sibling). binaryFile carries
+    no row-group pruning, so at scale the listing cost IS the scan
+    planner's cost — the docstring-level contract is files >> bytes
+    pathology belongs in compaction (layout_compact_small_files)."""
+    path = _scratch(sf_dir, "docs_binary")
+    os.makedirs(path, exist_ok=True)
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 101 == 0)
+        .select("doc_id", "text")
+    )
+
+    def _write(rows) -> None:
+        import os as _os
+
+        for r in rows:
+            p = _os.path.join(path, f"doc_{r['doc_id']}.bin")
+            with open(p, "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+
+    docs.foreachPartition(_write)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("length").cast("long").alias("total_bytes"),
+        F.sum(
+            F.conv(F.substring(F.sha2(F.col("content"), 256), 1, 8), 16, 10)
+            .cast("long")
+        )
+        .cast("long")
+        .alias("sha_head_sum"),
+    )
+
+
+@register(
+    "source_glob_recursive_lookup",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 5 = 0
+    GROUP BY 1
+    """,
+)
+def source_glob_recursive_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RECURSIVE LISTING + GLOB FILTER — reading a lake layout you do NOT
+    control: files scattered under arbitrary nested directories
+    (year=/month= here, but the point is the reader does not treat them
+    as partition columns) with junk files interleaved.
+    ``recursiveFileLookup`` disables partition discovery and walks
+    everything; ``pathGlobFilter`` drops the non-data files at the
+    LISTING step — pruning before a single byte of file content is read,
+    which at 100 TB is the difference between listing cost and scan
+    cost. A ``_decoys/readme.txt`` planted in the tree must not reach
+    the row count; year comes back from the JSON payload itself (the
+    directory names are invisible to a recursive reader — asserting that
+    is the point). Exact-integer checksum against the source table."""
+    base = _scratch(sf_dir, "orders_nested_json")
+    sub = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.date_format("o_orderdate", "yyyy").cast("long").alias("yr"),
+            F.date_format("o_orderdate", "MM").alias("mo"),
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    (
+        sub.write.mode("overwrite")
+        .partitionBy("yr", "mo")
+        .json(base)
+    )
+    decoy_dir = os.path.join(base, "_decoys")
+    os.makedirs(decoy_dir, exist_ok=True)
+    with open(os.path.join(decoy_dir, "readme.txt"), "w") as fh:
+        fh.write("not data\n")
+    back = (
+        spark.read.format("json")
+        .schema("o_orderkey LONG, cents LONG")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.json")
+        .load(base)
+    )
+    # recursive lookup really did drop the partition columns: the year
+    # must be re-derived from a side lookup, proving directory names
+    # never entered the schema.
+    keys = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy").cast("long").alias("yr"),
+    )
+    return (
+        back.join(keys, "o_orderkey")
+        .groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+
+
+@register(
+    "source_csv_multiline_quoted",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+             AS md5_head_sum
+    FROM documents WHERE doc_id % 11 = 0
+    GROUP BY lang
+    """,
+)
+def source_csv_multiline_quoted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTILINE QUOTED CSV — document text with EMBEDDED NEWLINES
+    round-tripped through RFC-4180 CSV: quoteAll + doubled-quote
+    escaping on write, ``multiLine=true`` + the same escape on read.
+    multiLine is the scale-relevant switch: it disables Spark's
+    line-split parallelism (a record may span lines, so files become
+    the split unit) — the entry documents that trade; at 100 TB you
+    keep multiline payloads in parquet/JSON and reserve this reader for
+    ingest of third-party exports. Byte-exactness is proven with md5
+    prefix sums per language (any quote/newline mangling moves the
+    hash), counted against the source table."""
+    path = _scratch(sf_dir, "docs_multiline_csv")
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id", "lang", "text")
+    )
+    (
+        docs.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.format("csv")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("doc_id LONG, lang STRING, text STRING")
+        .load(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
+            .cast("long")
+        )
+        .cast("long")
+        .alias("md5_head_sum"),
+    )

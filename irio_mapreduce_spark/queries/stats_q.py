@@ -1,0 +1,498 @@
+"""Round-10 statistics entries: rank correlation, ANOVA, Kendall tau,
+Poisson bootstrap, Theil-Sen — the remaining classical-inference surface
+on top of the r1-r9 testing family (Welch t, KS, chi-square,
+Mann-Whitney U, permutation test; see queries/relational.py).
+
+Reference parity: the reference computes all statistics as map/reduce
+batches over text KV files (`mr-bins/map/map.cpp:16-23`,
+`mr-bins/reduce/reduce.cpp:22-29` — per-key integer folds); these entries
+re-express the same "distribute moments, finish with scalar math" shape
+declaratively so Catalyst keeps every scan pushed down and every
+aggregate map-side-partial.
+
+Cross-engine exactness strategy (catalog.py header conventions):
+
+* all data-dependent accumulation is exact BIGINT moments (counts, cent
+  sums, doubled midranks, concordance counts) — commutative, partition-
+  order-free;
+* the FINAL statistic applies a fixed sequence of scalar IEEE ops
+  (+ - * / sqrt are correctly rounded in both JVM and libm; no
+  transcendentals) on those moments — bit-identical across engines;
+* where a sum of per-group RATIONALS is unavoidable (ANOVA's
+  Σ s_g²/n_g), both engines fold a list sorted by group key
+  sequentially (Spark ``F.aggregate`` over ``array_sort``, DuckDB
+  ``list_reduce`` over ``list(.. ORDER BY ..)``) — the same order means
+  the same roundings;
+* randomness is derandomized via md5 buckets (the Poisson bootstrap uses
+  fixed pmf thresholds on a 10^4 hash domain), the trick shared with
+  ``stats_permutation_test`` and the sampling family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from irio_mapreduce_spark.io import read_table
+from irio_mapreduce_spark.queries.catalog import register
+
+
+def _nation_monthly_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(nation, month) order revenue in exact cents — the shared
+    bounded series for the grouped trend statistics (Kendall, Theil-Sen):
+    the calendar bounds the per-group series length (~7 years -> <=84
+    points), so pairwise O(m^2) work inside a group is a constant ~3.5k
+    pairs regardless of data scale, and the only shuffle is the
+    pre-aggregation to (nation, month)."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(
+            "n_name",
+            F.date_format("o_orderdate", "yyyyMM").cast("long").alias("m"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+
+
+_NATION_MONTHLY_SQL = """
+      SELECT n_name,
+             CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS m,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+"""
+
+
+@register(
+    "stats_spearman_rank",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY strftime(o_orderdate, '%Y-%m-%d')),
+    ranked AS (
+      -- doubled midranks (2*avg tie rank stays integer), as in
+      -- stats_mann_whitney_u
+      SELECT CAST(2 * rank() OVER (ORDER BY x)
+                  + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx2,
+             CAST(2 * rank() OVER (ORDER BY y)
+                  + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry2
+      FROM daily),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx2) AS BIGINT) AS sx,
+             CAST(sum(ry2) AS BIGINT) AS sy,
+             CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+             CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+             CAST(sum(ry2 * ry2) AS BIGINT) AS syy
+      FROM ranked)
+    SELECT n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+    FROM mom
+    """,
+)
+def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION — the monotone-association measure
+    (does a day with more orders also gross more?), exact across engines
+    with NO rounding: doubled tie-midranks (``2·rank + ties − 1``, the
+    ``stats_mann_whitney_u`` trick) keep every rank integer, all five
+    moments accumulate as exact BIGINT, and rho is a fixed sequence of
+    correctly-rounded IEEE ops (* − / sqrt) on those moments — so even
+    the unrounded DOUBLE hash-matches, like ``stats_ols_price_vs_qty``.
+    Scale design: ranks are computed AFTER the day-level pre-aggregation
+    (the only wide shuffle; ~2.4k rows out regardless of input scale),
+    so the global rank window sorts a bounded frame, never the fact
+    table; at 100 TB the pre-agg is the same one shuffle and the window
+    cost stays constant."""
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    ranked = daily.select(
+        (
+            2 * F.rank().over(Window.orderBy("x")).cast("long")
+            + F.count("*").over(Window.partitionBy("x")).cast("long")
+            - 1
+        ).alias("rx2"),
+        (
+            2 * F.rank().over(Window.orderBy("y")).cast("long")
+            + F.count("*").over(Window.partitionBy("y")).cast("long")
+            - 1
+        ).alias("ry2"),
+    )
+    mom = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "long"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "long"
+    )
+    return mom.select(
+        "n",
+        num.alias("num"),
+        den_x.alias("den_x"),
+        den_y.alias("den_y"),
+        (
+            num.cast("double")
+            / (
+                F.sqrt(den_x.cast("double"))
+                * F.sqrt(den_y.cast("double"))
+            )
+        ).alias("rho"),
+    )
+
+
+@register(
+    "stats_anova_oneway",
+    oracle="""
+    WITH grp AS (
+      SELECT o_orderpriority AS g,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS s_g,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)
+                      * CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS ss_g
+      FROM orders GROUP BY 1),
+    fold AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS s,
+             CAST(sum(ss_g) AS BIGINT) AS ss,
+             list_reduce(
+               list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                    / CAST(n_g AS DOUBLE) ORDER BY g),
+               (a, b) -> a + b) AS ssb_part
+      FROM grp),
+    dec AS (
+      SELECT k, n,
+             ssb_part - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE) AS ssb,
+             CAST(ss AS DOUBLE) - ssb_part AS ssw
+      FROM fold)
+    SELECT k, n, ssb, ssw,
+           (ssb / CAST(k - 1 AS DOUBLE))
+             / (ssw / CAST(n - k AS DOUBLE)) AS f_stat
+    FROM dec
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA — does mean order value differ across the five
+    order priorities? F = (SSB/(k−1)) / (SSW/(n−k)) from per-group exact
+    BIGINT moments (n_g, Σv, Σv² on whole-dollar values). The one sum
+    that is NOT reorder-free — Σ_g s_g²/n_g, a sum of per-group
+    rationals — is folded over the groups IN GROUP-KEY ORDER on both
+    engines (Spark ``F.aggregate`` over an ``array_sort``-ed
+    collect_list, DuckDB ``list_reduce`` over ``list(.. ORDER BY g)``):
+    identical operand order means identical IEEE roundings, so the
+    unrounded doubles hash-match. Scale: one map-side-partial aggregate
+    to k=5 rows, then k-element driver-free scalar math inside the plan;
+    the collect_list is bounded by the group-key domain, never the data.
+    """
+    v = F.round(F.col("o_totalprice"), 0).cast("long")
+    grp = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("g"))
+        .agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.sum(v).cast("long").alias("s_g"),
+            F.sum(v * v).cast("long").alias("ss_g"),
+        )
+    )
+    fold = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("ss_g").cast("long").alias("ss"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("g"),
+                        (
+                            F.col("s_g").cast("double")
+                            * F.col("s_g").cast("double")
+                            / F.col("n_g").cast("double")
+                        ).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("ssb_part"),
+    )
+    dec = fold.select(
+        "k",
+        "n",
+        (
+            F.col("ssb_part")
+            - F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("ssb"),
+        (F.col("ss").cast("double") - F.col("ssb_part")).alias("ssw"),
+    )
+    return dec.select(
+        "k",
+        "n",
+        "ssb",
+        "ssw",
+        (
+            (F.col("ssb") / (F.col("k") - 1).cast("double"))
+            / (F.col("ssw") / (F.col("n") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "stats_kendall_tau_grouped",
+    oracle=f"""
+    WITH series AS ({_NATION_MONTHLY_SQL}),
+    pairs AS (
+      SELECT a.n_name,
+             CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END AS conc,
+             CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END AS disc
+      FROM series a JOIN series b
+        ON a.n_name = b.n_name AND a.m < b.m),
+    months AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_months
+      FROM series GROUP BY 1),
+    counts AS (
+      SELECT n_name,
+             CAST(sum(conc) AS BIGINT) AS nc,
+             CAST(sum(disc) AS BIGINT) AS nd
+      FROM pairs GROUP BY 1)
+    SELECT m.n_name AS nation, m.n_months, c.nc, c.nd
+    FROM months m JOIN counts c ON m.n_name = c.n_name
+    """,
+)
+def stats_kendall_tau_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL CONCORDANCE PER GROUP — is each nation's monthly revenue
+    trending (tau = (nc−nd)/pairs)? The O(m²) pairwise comparison is
+    done WITHIN a group whose series length is calendar-bounded (≤84
+    months → ≤3.5k pairs per nation, constant in data scale), so the
+    self-join is a per-key bounded blow-up on an already-aggregated
+    frame — the 100 TB cost is the single (nation, month) pre-agg
+    shuffle, and the pair join co-locates both sides on the SAME group
+    key (one equi-join, no cartesian). Outputs exact integer concordant/
+    discordant counts; the oracle divides its fan-out back out rather
+    than joining twice."""
+    series = _nation_monthly_cents(spark, sf_dir)
+    a = series.alias("a")
+    b = series.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b.n_name"))
+        & (F.col("a.m") < F.col("b.m")),
+    ).select(
+        F.col("a.n_name").alias("nation"),
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .otherwise(0)
+        .alias("conc"),
+        F.when(F.col("b.cents") < F.col("a.cents"), 1)
+        .otherwise(0)
+        .alias("disc"),
+    )
+    months = series.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").cast("long").alias("n_months")
+    )
+    counts = pairs.groupBy("nation").agg(
+        F.sum("conc").cast("long").alias("nc"),
+        F.sum("disc").cast("long").alias("nd"),
+    )
+    return months.join(counts, "nation").select(
+        "nation", "n_months", "nc", "nd"
+    )
+
+
+@register(
+    "stats_bootstrap_poisson",
+    oracle="""
+    WITH hashed AS (
+      SELECT t.range AS b, o.cents,
+             ('0x' || substr(md5(o.o_orderkey::VARCHAR || '|boot'
+                                 || t.range::VARCHAR), 1, 8))::BIGINT
+               % 10000 AS h
+      FROM (SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders) o
+      CROSS JOIN range(0, 20) t),
+    w AS (
+      SELECT b,
+             CASE
+               WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1
+               WHEN h < 9197 THEN 2 WHEN h < 9810 THEN 3 ELSE 4
+             END AS w,
+             cents
+      FROM hashed)
+    SELECT CAST(b AS BIGINT) AS b,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+           CAST(sum(w * cents) * 1000 // sum(w) AS BIGINT) AS mean_milli
+    FROM w GROUP BY 1
+    """,
+)
+def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP — the distributed bootstrap (resampling n-of-n
+    WITH replacement needs global coordination; giving each row an
+    independent Poisson(1) multiplicity per replicate does not, and the
+    replicate size concentrates at n). Derandomized: the multiplicity
+    comes from fixed Poisson-pmf thresholds (3679/7358/9197/9810 out of
+    10^4 ≈ the e^{-1} ladder) on an md5 bucket salted per replicate —
+    the ``stats_permutation_test`` universe trick, so both engines draw
+    identical "randomness". Spark computes all 20 replicates as
+    CONDITIONAL SUMS in ONE aggregate over one scan (the oracle uses
+    the explicit ×20 fan-out); outputs exact BIGINT (n_eff, sum_cents)
+    per replicate plus the floor-scaled replicate mean — the spread of
+    ``mean_milli`` across the 20 rows IS the standard-error estimate.
+    All arithmetic integer; positive operands make Spark's truncating
+    div and DuckDB's flooring // agree."""
+    from irio_mapreduce_spark.llm.sampling import hash_bucket
+
+    pts = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    aggs = []
+    for b in range(20):
+        h = hash_bucket(["o_orderkey"], n_buckets=10000, salt=f"boot{b}")
+        w = (
+            F.when(h < 3679, 0)
+            .when(h < 7358, 1)
+            .when(h < 9197, 2)
+            .when(h < 9810, 3)
+            .otherwise(4)
+        )
+        aggs.append(F.sum(w).cast("long").alias(f"n_{b}"))
+        aggs.append(
+            F.sum(w * F.col("cents")).cast("long").alias(f"s_{b}")
+        )
+    one = pts.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({b} AS BIGINT), n_{b}, s_{b}" for b in range(20)
+    )
+    rows = one.select(F.expr(f"stack(20, {stack_args}) AS (b, n_eff, sum_cents)"))
+    return rows.select(
+        "b",
+        "n_eff",
+        "sum_cents",
+        F.expr("sum_cents * 1000 div n_eff").cast("long").alias("mean_milli"),
+    )
+
+
+@register(
+    "stats_theil_sen_grouped",
+    oracle=f"""
+    WITH series AS ({_NATION_MONTHLY_SQL}),
+    slopes AS (
+      SELECT a.n_name AS nation,
+             CAST(floor(CAST((b.cents - a.cents) * 1000 AS DOUBLE)
+                        / CAST(b.m - a.m AS DOUBLE)) AS BIGINT) AS s
+      FROM series a JOIN series b
+        ON a.n_name = b.n_name AND a.m < b.m),
+    ranked AS (
+      SELECT nation, s,
+             row_number() OVER (PARTITION BY nation ORDER BY s) AS rn,
+             count(*) OVER (PARTITION BY nation) AS np
+      FROM slopes)
+    SELECT nation,
+           CAST(max(np) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN rn = (np + 1) // 2 THEN s ELSE 0 END)
+                + sum(CASE WHEN rn = np // 2 + 1 THEN s ELSE 0 END)
+                AS BIGINT) AS median_slope_x2
+    FROM ranked GROUP BY 1
+    """,
+)
+def stats_theil_sen_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN ROBUST SLOPE PER GROUP — the median of all pairwise
+    slopes of each nation's monthly revenue: breakdown point 29%, immune
+    to the outlier months that wreck the OLS entries. Same bounded-pair
+    design as ``stats_kendall_tau_grouped`` (calendar-capped series →
+    ≤3.5k pairs/group, one co-located equi-join). Exactness: slopes are
+    floor-scaled integers (Δmonth ≤ 84 means a non-integer quotient sits
+    ≥ 1/84 from any integer — far beyond double ulp, so ``floor`` of the
+    correctly-rounded division is exact on both engines), and the median
+    is DOUBLED (sum of the two middle order statistics — equal for odd
+    counts) so it stays BIGINT with no .5 loss. Position-based middle
+    selection over a per-group window; values at sorted positions are
+    well-defined under ties regardless of tie order."""
+    series = _nation_monthly_cents(spark, sf_dir)
+    a = series.alias("a")
+    b = series.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.n_name") == F.col("b.n_name"))
+        & (F.col("a.m") < F.col("b.m")),
+    ).select(
+        F.col("a.n_name").alias("nation"),
+        F.floor(
+            ((F.col("b.cents") - F.col("a.cents")) * 1000).cast("double")
+            / (F.col("b.m") - F.col("a.m")).cast("double")
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    w = Window.partitionBy("nation").orderBy("s")
+    ranked = slopes.select(
+        "nation",
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("nation")).alias("np"),
+    )
+    return ranked.groupBy("nation").agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        (
+            F.sum(
+                F.when(
+                    F.col("rn") == F.expr("(np + 1) div 2"),
+                    F.col("s"),
+                ).otherwise(0)
+            )
+            + F.sum(
+                F.when(
+                    F.col("rn") == F.expr("np div 2") + 1, F.col("s")
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("median_slope_x2"),
+    )

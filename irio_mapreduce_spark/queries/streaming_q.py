@@ -1359,3 +1359,130 @@ def stream_stream_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_partitions(spark):
         run_to_completion(joined, name, "append")
     return spark.table(name).filter(F.col("user_id") != sentinel_user)
+
+
+@register(
+    "stream_stream_right_outer",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS buy_id,
+           r.user_id AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click'
+            AND user_id % 3 = 1) l
+    RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase'
+                  AND user_id % 3 = 1) r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+    """,
+)
+def stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join — the last missing
+    orientation in the stream-stream family (inner:
+    `stream_stream_join_attrib`; left/full outer; left semi): a purchase
+    with no click in the preceding 6 h emits null-padded ONCE the
+    min-across-inputs watermark proves no click can still arrive.
+    Right-outer matters distinctly from left-outer here because the
+    interval condition is ASYMMETRIC (r.ts ∈ [l.ts, l.ts+6h]): the
+    right side's eviction threshold is the tight one (a right row is
+    dead once the watermark passes r.ts), so right-outer is the
+    cheapest outer orientation in state — worth demonstrating, not just
+    mirroring. Far-future sentinels on BOTH inputs flush the state; the
+    batch right-outer interval join over the sentinel-free frame is the
+    oracle."""
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="ss_router_") + "/events"
+    replay_time_ordered(spark, sf_dir, d, n_chunks=4)
+    base = spark.read.parquet(d)
+    sentinel_user = 3 * 10**9 + 1
+    sentinel_events(
+        base, sentinel_user, types=[(-1, "click"), (-2, "purchase")]
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = read_events_stream(spark, d, max_files_per_trigger=2).filter(
+        F.col("user_id") % 3 == 1
+    )
+    clicks = stream.filter(F.col("event_type") == "click")
+    buys = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join(
+        clicks,
+        buys,
+        "user_id",
+        "6 hours",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+        how="right_outer",
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("buy_id"),
+        F.col("r.user_id").alias("user_id"),
+    )
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_to_completion(joined, name, "append")
+    return spark.table(name).filter(F.col("user_id") != sentinel_user)
+
+
+@register(
+    "stream_windowed_distinct_users",
+    oracle="""
+    SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400
+                                      AS BIGINT)), '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events WHERE user_id % 2 = 0
+    GROUP BY 1
+    """,
+)
+def stream_windowed_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING DAU — exact count-distinct on a stream, the metric
+    every ingest pipeline wants and the one windowed aggregation can't
+    give directly (count(DISTINCT) is unsupported in streaming aggs):
+    the composition is dropDuplicates on (user_id, day-bucket) — keyed
+    dedup state, evicted once the watermark passes the key's day —
+    CHAINED into a tumbling windowed count of the first-seen rows: two
+    stateful operators in one topology (Spark 4 multiple-stateful-
+    operators, which mandates APPEND mode — complete is rejected for
+    chained state). A far-future sentinel advances the watermark so
+    every real window finalizes; its own window is cut by the
+    max-real-day filter. This is the streaming twin of the batch
+    `events_sliding_distinct_users` (there: fan-out + dedup'd frame;
+    here: dedup state + count), and exactly how 100 TB pipelines do
+    exact DAU before falling back to HLL sketches
+    (`agg_hll_sketch_union`) when per-window key cardinality outgrows
+    state. The batch count(DISTINCT) per day is the oracle."""
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="ss_dau_") + "/events"
+    replay_time_ordered(spark, sf_dir, d, n_chunks=4)
+    base = spark.read.parquet(d)
+    max_day = base.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("d")
+    ).collect()[0]["d"]
+    sentinel_user = 2 * 10**9  # even: passes the entry's user filter
+    sentinel_events(base, sentinel_user).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = read_events_stream(spark, d, max_files_per_trigger=2).filter(
+        F.col("user_id") % 2 == 0
+    )
+    firsts = (
+        stream.withWatermark("ts", "1 hour")
+        .withColumn("day", F.window("ts", "1 day").getField("start"))
+        .dropDuplicates(["user_id", "day"])
+    )
+    counted = firsts.groupBy(F.window("ts", "1 day")).agg(
+        F.count("*").cast("long").alias("dau")
+    )
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_to_completion(counted, name, "append")
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+            "dau",
+        )
+        .filter(F.col("day") <= max_day)
+    )

@@ -439,3 +439,50 @@ def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
         )
     )
+
+
+@register(
+    "udf_arrow_python_scalar",
+    oracle="""
+    WITH scored AS (
+      SELECT list_sum(list_transform(
+               regexp_extract_all(o_orderkey::VARCHAR, '\\d'),
+               x -> x::BIGINT)) AS digit_sum,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 13 = 0)
+    SELECT CAST(digit_sum AS BIGINT) AS digit_sum,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM scored GROUP BY 1
+    """,
+)
+def udf_arrow_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-OPTIMIZED PYTHON UDF (``useArrow=True``) — the missing
+    quadrant between the row-at-a-time pickle UDF (udf_row_at_a_time,
+    the declared slow path: per-row Python call, pickle transport) and
+    the pandas UDF (vectorized Series semantics): row-at-a-time CALL
+    semantics kept, but ARROW batch transport replaces pickle — Spark
+    4's recommended drop-in upgrade when row logic can't vectorize.
+    The function is a digit-sum (needs per-value iteration, the honest
+    shape for this quadrant); grouping its output and hash-matching
+    exact cent sums proves value fidelity through the Arrow boundary.
+    At 100 TB the ranking is builtin >> pandas UDF >= arrow UDF >>
+    pickle UDF; this entry exists so the catalog demonstrates (and
+    times) the third rung explicitly."""
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def digit_sum(k: int) -> int:
+        return sum(int(c) for c in str(k))
+
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 13 == 0
+    )
+    scored = orders.select(
+        digit_sum(F.col("o_orderkey")).alias("digit_sum"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    return scored.groupBy("digit_sum").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

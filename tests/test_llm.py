@@ -2144,3 +2144,86 @@ def test_netpbm_codec_roundtrip_and_header_grammar():
         mm.decode_ppm(b"P4\n1 1\n\x00")  # bitmap subformat: unsupported
     with _pt.raises(ValueError):
         mm.decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))  # 16-bit maxval
+
+
+def test_tga_codec_roundtrip_raw_and_rle():
+    """TGA type 2 and type 10 must decode to identical channel sums (RLE
+    is lossless), across dims that exercise run and literal packets."""
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    for seed in (2, 3, 7, 12):
+        w, h = 6 + seed % 10, 5 + seed % 8
+        px = lambda x, y, c: mm._tga_pixel(seed, x, y, c)  # noqa: E731
+        raw = mm.decode_tga(mm.encode_tga(w, h, px, rle=False))
+        rle = mm.decode_tga(mm.encode_tga(w, h, px, rle=True))
+        assert raw == rle
+        assert raw["width"] == w and raw["height"] == h
+        exp_b = sum(px(x, y, 0) for x in range(w) for y in range(h))
+        assert raw["sum_b"] == exp_b
+
+
+def test_tga_decoder_rejects_corruption():
+    from irio_mapreduce_spark.llm import multimodal as mm
+    import pytest
+
+    good = mm.synth_tga(5, 8, 6)  # odd seed -> RLE
+    with pytest.raises(ValueError):  # footer signature gone
+        mm.decode_tga(good[:-18] + b"\x00" * 18)
+    with pytest.raises(ValueError):  # truncated RLE stream
+        mm.decode_tga(good[:30] + good[-26:])
+    bad = bytearray(mm.synth_tga(4, 6, 5))
+    bad[16] = 16  # bpp 16
+    with pytest.raises(ValueError):
+        mm.decode_tga(bytes(bad))
+
+
+def test_ico_codec_roundtrip_and_validation():
+    from irio_mapreduce_spark.llm import multimodal as mm
+    import pytest
+
+    for seed in (1, 4, 9):
+        w, h = 5 + seed % 12, 4 + seed % 9
+        d = mm.decode_ico(mm.synth_ico(seed, w, h))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["sum_r"] == sum(
+            mm._ico_pixel(seed, x, y, 2) for x in range(w) for y in range(h)
+        )
+    good = bytearray(mm.synth_ico(3, 6, 5))
+    with pytest.raises(ValueError):  # directory/DIB dim disagreement
+        bad = bytearray(good)
+        bad[6] = 99
+        mm.decode_ico(bytes(bad))
+    with pytest.raises(ValueError):  # PNG-compressed entry, by name
+        head = bytes(good[: 6 + 16])
+        mm.decode_ico(head + b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_tiff_deflate_roundtrip_matches_uncompressed():
+    """Compression tag 8 must decode to the same sums as tag 1 for the
+    same pixel function — per-strip zlib is lossless."""
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    for seed in (2, 5):
+        w, h = 4 + seed % 6, 3 + seed % 7
+        px = lambda x, y, c: (seed * 61 + y * 19 + x * 29 + c * 43) % 256  # noqa: E731
+        bo = "<" if seed % 2 == 0 else ">"
+        plain = mm.decode_tiff(mm.encode_tiff(w, h, px, byte_order=bo))
+        defl = mm.decode_tiff(
+            mm.encode_tiff(w, h, px, byte_order=bo, compression=8)
+        )
+        assert plain == defl
+
+
+def test_mulaw_expand_properties():
+    """G.711 expansion: odd symmetry on complements, full int16-safe
+    range, zero maps where the ladder says it should."""
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    vals = [mm.mulaw_expand(b) for b in range(256)]
+    assert min(vals) == -32124 and max(vals) == 32124
+    # bytes b and b^0x80 differ only in sign bit of the complement:
+    # expansions are exact negatives
+    for b in range(128):
+        assert mm.mulaw_expand(b) == -mm.mulaw_expand(b ^ 0x80)
+    d = mm.decode_wav_mulaw(mm.synth_wav_mulaw(9, 8000, 100))
+    assert d["n_samples"] == 100 and d["sample_rate"] == 8000
