@@ -103,6 +103,10 @@ FRONT_WINDOW: list[str] = [
     "multimodal_real_ico",
     "multimodal_real_tiff_deflate",
     "multimodal_wav_mulaw",
+    "window_count_distinct_running",
+    "agg_multi_bucket_single_scan",
+    "events_acf_multilag",
+    "ml_perceptron_batch_rounds",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

@@ -1882,3 +1882,111 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_peak_us"),
     )
+
+
+@register(
+    "events_acf_multilag",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(floor(CAST(sum(CASE WHEN value >= 0
+                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           ELSE -CAST(floor(-value * 100 + 0.5) AS BIGINT)
+                      END) AS DOUBLE) / 100.0) AS BIGINT) AS v
+      FROM events GROUP BY 1),
+    pairs AS (
+      SELECT t.range AS lag, a.v AS x, b.v AS y
+      FROM range(1, 8) t
+      JOIN daily a ON true
+      JOIN daily b ON b.d = a.d + t.range),
+    mom AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1)
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS r
+    FROM mom
+    """,
+)
+def events_acf_multilag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION FUNCTION at lags 1..7 — the weekly-seasonality
+    detector (lag-7 spikes on weekly cycles) and the first diagnostic
+    anyone runs before fitting a forecaster: Pearson correlation of the
+    daily series against itself shifted by each lag. One pre-aggregation
+    to the day level (the only data-scale shuffle; cents summed exactly
+    then divided back to whole units so BIGINT moments survive ×100
+    scale), then a 7-way lag join on the BOUNDED daily frame — at 100 TB
+    this frame is ~3k rows whatever the input, so the fan-out costs
+    nothing; moments in exact BIGINT and the r finish is the
+    ``stats_spearman_rank`` correctly-rounded IEEE sequence, NULL on
+    degenerate variance. Sibling of ``events_cross_correlation_lag``
+    (two series there, one series at multiple lags here)."""
+    cents = F.when(
+        F.col("value") >= 0, F.floor(F.col("value") * 100 + 0.5)
+    ).otherwise(-F.floor(-F.col("value") * 100 + 0.5))
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.sum(cents.cast("long")).cast("long").alias("cents_sum"))
+        # floor-division (matches DuckDB //, which floors; Spark's `div`
+        # truncates toward zero and would disagree on a negative daily
+        # total); |cents_sum| << 2^53 so the double quotient's floor is
+        # exact off-boundary and exactly representable on-boundary
+        .select(
+            "d",
+            F.floor(F.col("cents_sum") / F.lit(100.0))
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.d") == F.col("a.d") + F.col("lag"))
+        .select(
+            "lag", F.col("a.v").alias("x"), F.col("b.v").alias("y")
+        )
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return mom.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        num.alias("num"),
+        F.when((den_x == 0) | (den_y == 0), F.lit(None).cast("double"))
+        .otherwise(
+            num.cast("double")
+            / (
+                F.sqrt(den_x.cast("double"))
+                * F.sqrt(den_y.cast("double"))
+            )
+        )
+        .alias("r"),
+    )

@@ -1924,3 +1924,113 @@ def ml_confusion_threshold_sweep(
             .alias("tn"),
         )
     )
+
+
+@register(
+    "ml_perceptron_batch_rounds",
+    oracle="""
+    WITH pts AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+             CAST(1 AS BIGINT) AS x0,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2
+      FROM lineitem),
+    r1 AS (
+      SELECT CAST(sum(y * x0) AS BIGINT) AS w0,
+             CAST(sum(y * x1) AS BIGINT) AS w1,
+             CAST(sum(y * x2) AS BIGINT) AS w2
+      FROM pts),
+    r2 AS (
+      SELECT CAST(r1.w0 + sum(CASE WHEN p.y * (r1.w0*p.x0 + r1.w1*p.x1
+                                              + r1.w2*p.x2) <= 0
+                                   THEN p.y * p.x0 ELSE 0 END) AS BIGINT)
+               AS w0,
+             CAST(r1.w1 + sum(CASE WHEN p.y * (r1.w0*p.x0 + r1.w1*p.x1
+                                              + r1.w2*p.x2) <= 0
+                                   THEN p.y * p.x1 ELSE 0 END) AS BIGINT)
+               AS w1,
+             CAST(r1.w2 + sum(CASE WHEN p.y * (r1.w0*p.x0 + r1.w1*p.x1
+                                              + r1.w2*p.x2) <= 0
+                                   THEN p.y * p.x2 ELSE 0 END) AS BIGINT)
+               AS w2
+      FROM pts p CROSS JOIN r1 GROUP BY r1.w0, r1.w1, r1.w2),
+    r3 AS (
+      SELECT CAST(r2.w0 + sum(CASE WHEN p.y * (r2.w0*p.x0 + r2.w1*p.x1
+                                              + r2.w2*p.x2) <= 0
+                                   THEN p.y * p.x0 ELSE 0 END) AS BIGINT)
+               AS w0,
+             CAST(r2.w1 + sum(CASE WHEN p.y * (r2.w0*p.x0 + r2.w1*p.x1
+                                              + r2.w2*p.x2) <= 0
+                                   THEN p.y * p.x1 ELSE 0 END) AS BIGINT)
+               AS w1,
+             CAST(r2.w2 + sum(CASE WHEN p.y * (r2.w0*p.x0 + r2.w1*p.x1
+                                              + r2.w2*p.x2) <= 0
+                                   THEN p.y * p.x2 ELSE 0 END) AS BIGINT)
+               AS w2
+      FROM pts p CROSS JOIN r2 GROUP BY r2.w0, r2.w1, r2.w2)
+    SELECT r3.w0, r3.w1, r3.w2,
+           CAST(sum(CASE WHEN p.y * (r3.w0*p.x0 + r3.w1*p.x1
+                                     + r3.w2*p.x2) <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_misclassified
+    FROM pts p CROSS JOIN r3 GROUP BY r3.w0, r3.w1, r3.w2
+    """,
+)
+def ml_perceptron_batch_rounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH PERCEPTRON, 3 unrolled rounds — the simplest online linear
+    learner in its DISTRIBUTED form: each round adds the SUM of y·x over
+    currently-misclassified rows to the weights (the batch/"parallel"
+    perceptron update, which is what a data-parallel engine can do —
+    per-row sequential updates cannot be expressed as a dataflow). All
+    arithmetic is exact BIGINT on integer features (bias, quantity,
+    discount cents); the margin test y·(w·x) <= 0 is integer too, so
+    both engines agree on exactly which rows vote in each round. Plan
+    shape: each round is ONE map-side-partial aggregate of the fact
+    table joined to the previous round's 1-ROW weight frame (a broadcast
+    by size) — three chained scans, no iteration driver-side, no
+    collect; the oracle unrolls the same three rounds as chained CTEs.
+    Completes the boosting family's missing linear member (AdaBoost and
+    GBT stumps exist; this is the mistake-driven additive update)."""
+    pts = read_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(-1).alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+    )
+
+    def one_round(weights: DataFrame) -> DataFrame:
+        p = pts.crossJoin(F.broadcast(weights))
+        margin = F.col("y") * (
+            F.col("w0") * F.col("x0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+        )
+        mis = F.when(margin <= 0, 1).otherwise(0)
+        return p.groupBy("w0", "w1", "w2").agg(
+            F.sum(mis * F.col("y") * F.col("x0")).cast("long").alias("d0"),
+            F.sum(mis * F.col("y") * F.col("x1")).cast("long").alias("d1"),
+            F.sum(mis * F.col("y") * F.col("x2")).cast("long").alias("d2"),
+        ).select(
+            (F.col("w0") + F.col("d0")).cast("long").alias("w0"),
+            (F.col("w1") + F.col("d1")).cast("long").alias("w1"),
+            (F.col("w2") + F.col("d2")).cast("long").alias("w2"),
+        )
+
+    w1 = pts.agg(
+        F.sum(F.col("y") * F.col("x0")).cast("long").alias("w0"),
+        F.sum(F.col("y") * F.col("x1")).cast("long").alias("w1"),
+        F.sum(F.col("y") * F.col("x2")).cast("long").alias("w2"),
+    )
+    w3 = one_round(one_round(w1))
+    scored = pts.crossJoin(F.broadcast(w3))
+    margin = F.col("y") * (
+        F.col("w0") * F.col("x0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+    )
+    return scored.groupBy("w0", "w1", "w2").agg(
+        F.sum(F.when(margin <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_misclassified")
+    )

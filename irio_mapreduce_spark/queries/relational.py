@@ -4432,3 +4432,151 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wmedian"),
     )
+
+
+@register(
+    "window_count_distinct_running",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, ts
+      FROM events WHERE user_id % 997 = 0),
+    marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_f
+      FROM ev)
+    SELECT user_id, event_id,
+           CAST(sum(first_f) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_types_so_far
+    FROM marked
+    """,
+)
+def window_count_distinct_running(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RUNNING COUNT-DISTINCT OVER A WINDOW — the window shape SQL
+    engines refuse directly (``count(DISTINCT) OVER`` is unsupported in
+    Spark, and where supported it re-scans the frame per row): how many
+    DISTINCT event types has this user produced up to each event? The
+    scalable rewrite is the FIRST-OCCURRENCE MARKER: one window marks
+    each (user, type)'s first event, a second window running-sums the
+    markers — two sorts on the same (user-partitioned) key, each O(n
+    log n) within partition, versus the naive per-row set rebuild.
+    Both windows share a DETERMINISTIC total order (ts, event_id
+    tie-break), so the per-row snapshot is engine-independent. At
+    100 TB both windows ride ONE hash-partition by user — no second
+    shuffle (the marker window's key is a refinement)."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 997 == 0
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0)
+        .alias("first_f"),
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        F.sum("first_f").over(w_run).cast("long").alias("n_types_so_far"),
+    )
+
+
+@register(
+    "agg_multi_bucket_single_scan",
+    oracle="""
+    WITH one AS (
+      SELECT
+        CAST(sum(CASE WHEN l_quantity < 7 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN l_quantity < 7
+                 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS c0,
+        CAST(sum(CASE WHEN l_quantity >= 7 AND l_quantity < 13 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN l_quantity >= 7 AND l_quantity < 13
+                 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(sum(CASE WHEN l_quantity >= 13 AND l_quantity < 19 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN l_quantity >= 13 AND l_quantity < 19
+                 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS c2,
+        CAST(sum(CASE WHEN l_quantity >= 19 AND l_quantity < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        CAST(sum(CASE WHEN l_quantity >= 19 AND l_quantity < 25
+                 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS c3,
+        CAST(sum(CASE WHEN l_quantity >= 25 AND l_quantity < 31 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        CAST(sum(CASE WHEN l_quantity >= 25 AND l_quantity < 31
+                 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS c4,
+        CAST(sum(CASE WHEN l_quantity >= 31 AND l_quantity < 37 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+        CAST(sum(CASE WHEN l_quantity >= 31 AND l_quantity < 37
+                 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS c5,
+        CAST(sum(CASE WHEN l_quantity >= 37 AND l_quantity < 43 THEN 1 ELSE 0 END) AS BIGINT) AS n6,
+        CAST(sum(CASE WHEN l_quantity >= 37 AND l_quantity < 43
+                 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS c6,
+        CAST(sum(CASE WHEN l_quantity >= 43 THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+        CAST(sum(CASE WHEN l_quantity >= 43
+                 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS c7
+      FROM lineitem)
+    SELECT CAST(0 AS BIGINT) AS band, n0 AS n, c0 AS cents FROM one
+    UNION ALL SELECT 1, n1, c1 FROM one
+    UNION ALL SELECT 2, n2, c2 FROM one
+    UNION ALL SELECT 3, n3, c3 FROM one
+    UNION ALL SELECT 4, n4, c4 FROM one
+    UNION ALL SELECT 5, n5, c5 FROM one
+    UNION ALL SELECT 6, n6, c6 FROM one
+    UNION ALL SELECT 7, n7, c7 FROM one
+    """,
+)
+def agg_multi_bucket_single_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-BUCKET SINGLE SCAN — the TPC-DS q88 shape: eight disjoint
+    quantity bands, each wanting a count and a revenue sum. The naive
+    form is eight filtered subqueries UNIONed together — EIGHT scans of
+    the fact table, which at 100 TB is the whole cost. The right form is
+    ONE aggregate carrying eight conditional sums (map-side partial, one
+    scan, zero shuffles beyond the final 1-row reduce), then a stack()
+    unpivot of the single result row back to band rows.
+    tests/test_plans.py asserts the plan really contains exactly ONE
+    lineitem scan — the property the entry exists to pin. All integer
+    cents, exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    bands = [(0, 7), (7, 13), (13, 19), (19, 25), (25, 31), (31, 37),
+             (37, 43), (43, None)]
+    aggs = []
+    for i, (lo, hi) in enumerate(bands):
+        cond = F.col("l_quantity") >= lo
+        if hi is not None:
+            cond = cond & (F.col("l_quantity") < hi)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{i}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, cents).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+        )
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), n{i}, c{i}" for i in range(8)
+    )
+    return one.select(
+        F.expr(f"stack(8, {stack_args}) AS (band, n, cents)")
+    )

@@ -602,3 +602,27 @@ def test_secondary_sort_one_exchange_one_sort_no_window(spark, qs):
     assert "Window" not in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
     assert p.count("Sort ") == 1, p
+
+
+def test_multi_bucket_entry_scans_lineitem_once(spark, qs):
+    """agg_multi_bucket_single_scan's whole point: eight band aggregates
+    must cost ONE scan of the fact table (the naive 8-subquery UNION
+    costs eight). Count parquet scans of lineitem in the physical plan."""
+    p = plan(spark, qs, "agg_multi_bucket_single_scan")
+    # formatted mode puts the scan node and its Location detail on
+    # separate lines — count the per-scan Location lines
+    scans = [
+        l
+        for l in p.splitlines()
+        if "Location:" in l and "lineitem" in l
+    ]
+    assert len(scans) == 1, p
+
+
+def test_perceptron_broadcasts_weight_rows(spark, qs):
+    """ml_perceptron_batch_rounds chains three rounds by joining the fact
+    table to the previous round's ONE-ROW weight frame — that join must
+    be a broadcast nested loop/hash, never a shuffled cross product."""
+    p = plan(spark, qs, "ml_perceptron_batch_rounds")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
