@@ -99,3 +99,14 @@ def month_surcharge_iter_udf():
             )
 
     return month_surcharge
+
+
+@pandas_udf(DoubleType())
+def running_wavg_milli(cents: pd.Series, qty: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF used OVER A WINDOW FRAME
+    (queries/udf_q.py:udf_pandas_agg_over_window): running quantity-
+    weighted average price in exact fixed-point — int64 sums inside the
+    UDF, floor-scaled x1000, so the DOUBLE return value is an exactly
+    representable integer and the driver hash matches DuckDB's integer
+    window form bit-for-bit."""
+    return float(int((cents * qty).sum()) * 1000 // int(qty.sum()))

@@ -107,6 +107,9 @@ FRONT_WINDOW: list[str] = [
     "agg_multi_bucket_single_scan",
     "events_acf_multilag",
     "ml_perceptron_batch_rounds",
+    "text_hashing_trick_features",
+    "udf_pandas_agg_over_window",
+    "join_manual_bloom_semireduction",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

@@ -4580,3 +4580,112 @@ def agg_multi_bucket_single_scan(
     return one.select(
         F.expr(f"stack(8, {stack_args}) AS (band, n, cents)")
     )
+
+
+@register(
+    "join_manual_bloom_semireduction",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem
+    WHERE l_suppkey IN (
+      SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+    GROUP BY 1
+    """,
+)
+def join_manual_bloom_semireduction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HAND-BUILT BLOOM SEMI-JOIN REDUCTION — the classic distributed
+    trick when the dim side is too big to broadcast whole but its
+    MEMBERSHIP fits in a few KB: build a 4032-bit Bloom filter over the
+    dim keys IN THE PLAN (3 md5 positions per key → per-word bit_or
+    aggregate → one 64-long array row), broadcast the array, prefilter
+    the fact scan with pure bit arithmetic, and only then run the exact
+    semi-join on the survivors. False positives only ADD candidates —
+    the exact join removes them, so the result is IDENTICAL to the
+    plain semi-join (the oracle) while the shuffle carries ~|σ(fact)|
+    rows instead of |fact|. Spark's own runtime bloom
+    (`join_runtime_bloom_filter`) does this automatically when stats
+    line up; the manual form is what you reach for when it doesn't (or
+    when the "join" crosses systems). 63 usable bits per word — both
+    engines reject 1<<63."""
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 0)
+        .select("s_suppkey")
+    )
+
+    def positions(key):
+        for i in range(3):
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(key.cast("string"), F.lit(f"|bl{i}"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long") % 4032
+            yield h
+
+    # build: 3 positions/key -> (word, bitmask) -> bit_or per word -> a
+    # word->value MAP in a single row (bounded by the filter SIZE — at
+    # most 64 entries — never by the data)
+    bits = supp.select(
+        F.explode(F.array(*positions(F.col("s_suppkey")))).alias("pos")
+    ).select(
+        F.expr("pos div 63").alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
+        ).alias("mask"),
+    )
+    words = bits.groupBy("word").agg(
+        F.bit_or("mask").cast("long").alias("val")
+    )
+    bloom = words.agg(
+        F.map_from_arrays(
+            F.collect_list("word"), F.collect_list("val")
+        ).alias("wm")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    # probe: all three bits must be set; a missing word means bit unset
+    probed = li.crossJoin(F.broadcast(bloom)).select(
+        "l_suppkey",
+        "l_returnflag",
+        "cents",
+        "wm",
+        *[
+            h.alias(f"h{i}")
+            for i, h in enumerate(positions(F.col("l_suppkey")))
+        ],
+    )
+    cond = None
+    for i in range(3):
+        hit = F.expr(
+            f"(coalesce(element_at(wm, CAST(h{i} div 63 AS BIGINT)),"
+            f" CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(h{i} % 63 AS INT)))"
+            f" != 0"
+        )
+        cond = hit if cond is None else (cond & hit)
+    candidates = probed.filter(cond).select(
+        "l_suppkey", "l_returnflag", "cents"
+    )
+    exact = candidates.join(
+        F.broadcast(supp),
+        candidates["l_suppkey"] == supp["s_suppkey"],
+        "left_semi",
+    )
+    return exact.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

@@ -1211,3 +1211,74 @@ def text_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_hashing_trick_features",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+               AS tok
+      FROM documents WHERE doc_id % 19 = 0),
+    good AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS dim,
+             CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM good),
+    per_dim AS (
+      SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v
+      FROM hashed GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(abs(v)) AS BIGINT) AS l1,
+           CAST(sum(v * v) AS BIGINT) AS l2_sq
+    FROM per_dim GROUP BY doc_id
+    """,
+)
+def text_hashing_trick_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FEATURE HASHING (the "hashing trick", Weinberger et al. ICML'09) —
+    the fixed-width featurizer every scale pipeline uses when a learned
+    vocabulary is too big or too slow to broadcast: token → md5 → one of
+    64 dimensions, with a second hash bit supplying the ±1 sign whose
+    cancellation makes the estimator unbiased. No vocabulary state, no
+    fit step, no shuffle beyond the (doc, dim) partial aggregate — the
+    property that lets 100 TB featurization run as a single pass. Output
+    pins the whole vector exactly without emitting an array column
+    (driver canon bans them): occupied-dimension count, L1 and squared
+    L2 norms per document, all exact integers; md5 is the shared
+    cross-engine hash (the `hash_bucket` trick)."""
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 19 == 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    hashed = toks.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 64)
+        .alias("dim"),
+        F.when(
+            F.conv(F.substring(F.md5("tok"), 9, 1), 16, 10).cast("long") % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    per_dim = hashed.groupBy("doc_id", "dim").agg(
+        F.sum("sgn").cast("long").alias("v")
+    )
+    return per_dim.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.sum(F.abs(F.col("v"))).cast("long").alias("l1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("l2_sq"),
+    )

@@ -486,3 +486,66 @@ def udf_arrow_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@register(
+    "udf_pandas_agg_over_window",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem WHERE l_orderkey % 61 = 0)
+    SELECT l_orderkey, l_linenumber,
+           CAST(sum(cents * qty) OVER w * 1000 // sum(qty) OVER w
+                AS BIGINT) AS run_wavg_milli
+    FROM li
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def udf_pandas_agg_over_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PANDAS UDAF AS A WINDOW FUNCTION — the UDF-surface quadrant the
+    catalog was missing: a GROUPED_AGG pandas UDF evaluated ``.over()``
+    a BOUNDED running frame (SPARK-24561), so custom aggregation logic
+    gets frame semantics without a grouped-map rewrite. Spark feeds the
+    UDF each row's frame as pandas Series — the running quantity-
+    weighted average price per order, in exact fixed-point (cents·qty
+    summed in int64 inside the UDF, floor-scaled ×1000; positive
+    operands make pandas ``//``, Spark div and DuckDB ``//`` agree), so
+    the driver hash is exact despite the DOUBLE transport type. Frame
+    order is total (linenumber is unique per order). At 100 TB the cost
+    model is the caution: a bounded pandas window re-sends each frame —
+    prefer built-in window aggs (the oracle's form) unless the logic
+    genuinely needs Python."""
+    from pyspark.sql.window import Window as W
+
+    from irio_mapreduce_spark.functions.udfs import running_wavg_milli
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 61 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        running_wavg_milli(F.col("cents"), F.col("qty"))
+        .over(w)
+        .cast("long")
+        .alias("run_wavg_milli"),
+    )
