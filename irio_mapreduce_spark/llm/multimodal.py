@@ -2903,3 +2903,134 @@ def synthesize_tiff_deflate_media(
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
 
     return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Stereo PCM16 WAV — channels=2, frames interleaved L,R. The mono parser
+# deliberately rejects stereo (its single-amplitude feature row would
+# silently average channels); the stereo decoder is its own feature stage
+# with per-channel statistics plus the L*R dot (the stereo-correlation
+# signal audio curation filters on: ~mono-ness).
+
+
+def encode_wav_stereo(sample_rate: int, left, right) -> bytes:
+    """Encode interleaved PCM16 stereo from two equal-length sample
+    sequences."""
+    if len(left) != len(right):
+        raise ValueError("stereo channels must be equal length")
+    inter = [s for lr in zip(left, right) for s in lr]
+    data = struct.pack(f"<{len(inter)}h", *inter)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 2,
+        sample_rate, sample_rate * 4, 4, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav_stereo(payload: bytes) -> dict:
+    """Parse a PCM16 STEREO WAV; exact per-channel integer statistics
+    plus the inter-channel dot product."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, raw = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        if pos + 8 + csize > len(payload):
+            raise ValueError("truncated WAV chunk")
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt != 1 or channels != 2 or bits != 16:
+                raise ValueError("not a stereo PCM16 WAV")
+        elif cid == b"data":
+            raw = body
+        pos += 8 + csize + (csize & 1)
+    if sample_rate is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(raw) // 4
+    inter = struct.unpack(f"<{n * 2}h", raw[: n * 4])
+    left, right = inter[0::2], inter[1::2]
+    return {
+        "sample_rate": sample_rate,
+        "n_frames": n,
+        "l_sum_abs": sum(abs(s) for s in left),
+        "r_sum_abs": sum(abs(s) for s in right),
+        "lr_dot": sum(a * b for a, b in zip(left, right)),
+    }
+
+
+def synth_wav_stereo(seed: int, sample_rate: int, n_frames: int) -> bytes:
+    left = [((seed * 11 + i * 5) % 4001) - 2000 for i in range(n_frames)]
+    right = [((seed * 13 + i * 7) % 4001) - 2000 for i in range(n_frames)]
+    return encode_wav_stereo(sample_rate, left, right)
+
+
+STEREO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("l_sum_abs", T.LongType()),
+        T.StructField("r_sum_abs", T.LongType()),
+        T.StructField("lr_dot", T.LongType()),
+    ]
+)
+
+
+def decode_stereo_media_features(media: DataFrame) -> DataFrame:
+    """Stereo-WAV feature stage (mapInPandas, Arrow-batched) — payload
+    bytes never visit the driver."""
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                d = mm.decode_wav_stereo(bytes(r["payload"]))
+                rows.append({"media_id": int(r["media_id"]), **d})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in STEREO_FEATURES_SCHEMA]
+            )
+
+    return media.mapInPandas(run, schema=STEREO_FEATURES_SCHEMA)
+
+
+def synthesize_stereo_media(
+    ids: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """Materialize a media table of REAL stereo PCM16 WAVs. Distributed
+    mapInPandas."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 40 + mid % 77
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": mm.synth_wav_stereo(mid, 16000, n),
+                        "meta": {
+                            "kind": "audio", "mime": "audio/wav",
+                            "width": None, "height": None,
+                            "sample_rate": 16000,
+                            "duration_ms": 1000 * n // 16000,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -110,6 +110,9 @@ FRONT_WINDOW: list[str] = [
     "text_hashing_trick_features",
     "udf_pandas_agg_over_window",
     "join_manual_bloom_semireduction",
+    "join_asof_tolerance",
+    "stats_two_proportion_z",
+    "multimodal_real_wav_stereo",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

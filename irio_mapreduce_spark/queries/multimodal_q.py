@@ -796,3 +796,53 @@ def multimodal_wav_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "sample_rate", "n_samples", "sum_abs", "n_nonneg"
     )
+
+
+@register(
+    "multimodal_real_wav_stereo",
+    oracle="""
+    WITH aud AS (
+      SELECT doc_id AS media_id, 40 + doc_id % 77 AS n
+      FROM documents),
+    ix AS (SELECT media_id, n,
+                  unnest(generate_series(0, n - 1)) AS i
+           FROM aud),
+    ch AS (
+      SELECT media_id, n,
+             ((media_id*11 + i*5) % 4001) - 2000 AS l,
+             ((media_id*13 + i*7) % 4001) - 2000 AS r
+      FROM ix)
+    SELECT media_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_frames,
+           CAST(sum(abs(l)) AS BIGINT) AS l_sum_abs,
+           CAST(sum(abs(r)) AS BIGINT) AS r_sum_abs,
+           CAST(sum(l * r) AS BIGINT) AS lr_dot
+    FROM ch GROUP BY media_id
+    """,
+)
+def multimodal_real_wav_stereo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL STEREO PCM16 WAV decode — channels=2 with L/R interleaving:
+    the mono parser rightly REJECTS stereo (one amplitude row would
+    silently blend channels), so stereo is its own feature stage
+    emitting per-channel statistics plus the inter-channel dot product —
+    the stereo-correlation signal audio curation filters on (a near-mono
+    file wastes half its bytes; an out-of-phase one breaks downmixing).
+    All-integer features; the de-interleave (every other int16) is the
+    entire decode beyond the shared RIFF walk. mapInPandas both ways;
+    see ``llm.multimodal.encode_wav_stereo``/``decode_wav_stereo``."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_stereo_media_features,
+        synthesize_stereo_media,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = decode_stereo_media_features(synthesize_stereo_media(ids))
+    return feats.select(
+        "media_id", "sample_rate", "n_frames",
+        "l_sum_abs", "r_sum_abs", "lr_dot",
+    )

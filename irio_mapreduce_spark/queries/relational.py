@@ -4689,3 +4689,69 @@ def join_manual_bloom_semireduction(
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      CAST(o_orderdate AS TIMESTAMP) AS ots
+               FROM orders WHERE o_orderkey % 97 = 0),
+    e AS (SELECT user_id, ts, max(event_id) AS event_id,
+                 max_by(event_type, event_id) AS event_type
+          FROM events GROUP BY user_id, ts),
+    m AS (SELECT o.o_orderkey, o.ots, e.ts AS mts,
+                 e.event_id AS mid, e.event_type AS mtyp
+          FROM o ASOF LEFT JOIN e
+            ON o.o_custkey = e.user_id AND e.ts <= o.ots)
+    SELECT o_orderkey,
+           CASE WHEN mts IS NOT NULL
+                 AND epoch_us(ots) - epoch_us(mts) <= 259200000000
+                THEN mid END AS event_id,
+           CASE WHEN mts IS NOT NULL
+                 AND epoch_us(ots) - epoch_us(mts) <= 259200000000
+                THEN mtyp END AS event_type
+    FROM m
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN WITH TOLERANCE — pandas ``merge_asof(tolerance=...)``:
+    the nearest PRIOR event, but only if it is fresh enough (3 days
+    here); staler matches are NULLed, not substituted — the
+    staleness-bound semantics every feature-store point-in-time lookup
+    needs (a price from last month must not silently stand in for
+    yesterday's). Exercises the ``tolerance`` branch of
+    ``operators.joins.asof_join`` (union + carry-forward window, one
+    shuffle + one sort — the staleness test is a post-window projection,
+    costing nothing extra). The oracle is DuckDB's native ASOF join with
+    the same cutoff applied outside, so the hash pins the null-out
+    boundary exactly (integer microsecond comparison, end-inclusive on
+    both engines)."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    events = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("event_type", "event_id").alias("event_type"),
+        )
+        .withColumnRenamed("user_id", "o_custkey")
+    )
+    from irio_mapreduce_spark.operators.joins import asof_join
+
+    joined = asof_join(
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("timestamp").alias("ots"),
+        ),
+        events.withColumnRenamed("ts", "ets"),
+        on="o_custkey",
+        left_ts="ots",
+        right_ts="ets",
+        value_cols=["event_id", "event_type"],
+        tolerance="3 days",
+    )
+    return joined.select("o_orderkey", "event_id", "event_type")

@@ -496,3 +496,93 @@ def stats_theil_sen_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("median_slope_x2"),
     )
+
+
+@register(
+    "stats_two_proportion_z",
+    oracle="""
+    WITH users AS (
+      SELECT user_id % 2 AS g,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) > 0
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id),
+    counts AS (
+      SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS k1,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN g = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS k2
+      FROM users)
+    SELECT n1, k1, n2, k2,
+           CAST(k1 * n2 - k2 * n1 AS BIGINT) AS d,
+           CASE WHEN k1 + k2 = 0 OR k1 + k2 = n1 + n2 THEN NULL
+                ELSE (CAST(k1 * n2 - k2 * n1 AS DOUBLE)
+                      * CAST(k1 * n2 - k2 * n1 AS DOUBLE)
+                      * CAST(n1 + n2 AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * CAST(k1 + k2 AS DOUBLE)
+                        * CAST(n1 + n2 - k1 - k2 AS DOUBLE))
+           END AS z_sq
+    FROM counts
+    """,
+)
+def stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION Z-TEST (pooled) — the A/B-test workhorse: do even-
+    and odd-id user cohorts convert (>=1 purchase) at different rates?
+    The squared statistic is a pure RATIONAL in the four counts —
+    z² = (k₁n₂−k₂n₁)²·N / (n₁n₂K(N−K)) — so no variance estimate ever
+    touches a float until the final fixed-order product of exactly-cast
+    BIGINTs (each < 2^53): the unrounded DOUBLE hash-matches, the
+    ``stats_spearman_rank`` discipline. NULL when conversions are
+    all-or-none (pooled variance 0). One distinct-user reduce, one
+    4-counter aggregate — nothing at data scale but the per-user
+    groupBy."""
+    users = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select((F.col("user_id") % 2).alias("g"), "converted")
+    )
+    counts = users.agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("g") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("k1"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("g") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("k2"),
+    )
+    d = (F.col("k1") * F.col("n2") - F.col("k2") * F.col("n1")).cast("long")
+    big_n = F.col("n1") + F.col("n2")
+    big_k = F.col("k1") + F.col("k2")
+    return counts.select(
+        "n1",
+        "k1",
+        "n2",
+        "k2",
+        d.alias("d"),
+        F.when(
+            (big_k == 0) | (big_k == big_n), F.lit(None).cast("double")
+        )
+        .otherwise(
+            (d.cast("double") * d.cast("double") * big_n.cast("double"))
+            / (
+                F.col("n1").cast("double")
+                * F.col("n2").cast("double")
+                * big_k.cast("double")
+                * (big_n - big_k).cast("double")
+            )
+        )
+        .alias("z_sq"),
+    )

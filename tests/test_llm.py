@@ -2227,3 +2227,21 @@ def test_mulaw_expand_properties():
         assert mm.mulaw_expand(b) == -mm.mulaw_expand(b ^ 0x80)
     d = mm.decode_wav_mulaw(mm.synth_wav_mulaw(9, 8000, 100))
     assert d["n_samples"] == 100 and d["sample_rate"] == 8000
+
+
+def test_wav_stereo_codec_roundtrip_and_mono_rejection():
+    from irio_mapreduce_spark.llm import multimodal as mm
+    import pytest
+
+    d = mm.decode_wav_stereo(mm.synth_wav_stereo(7, 16000, 50))
+    L = [((7 * 11 + i * 5) % 4001) - 2000 for i in range(50)]
+    R = [((7 * 13 + i * 7) % 4001) - 2000 for i in range(50)]
+    assert d["n_frames"] == 50
+    assert d["l_sum_abs"] == sum(abs(x) for x in L)
+    assert d["lr_dot"] == sum(a * b for a, b in zip(L, R))
+    # the stereo parser rejects mono, the mono parser rejects stereo —
+    # neither silently blends channels
+    with pytest.raises(ValueError):
+        mm.decode_wav_stereo(mm.synth_wav(3, 8000, 64))
+    with pytest.raises(ValueError):
+        mm.decode_wav(mm.synth_wav_stereo(3, 16000, 64))
