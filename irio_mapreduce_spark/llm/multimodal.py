@@ -2545,16 +2545,19 @@ def decode_tga(payload: bytes) -> dict:
             pos += 1
             count = (head & 0x7F) + 1
             if head & 0x80:
-                px = payload[pos : pos + 3]
-                if len(px) < 3:
+                # bound against the RASTER end, not the payload end — a
+                # packet spilling into the 26-byte footer must raise, not
+                # silently decode signature bytes as pixels
+                if pos + 3 > end:
                     raise ValueError("truncated TGA RLE packet")
+                px = payload[pos : pos + 3]
                 pos += 3
                 for c in range(3):
                     sums[c] += px[c] * count
             else:
-                chunk = payload[pos : pos + 3 * count]
-                if len(chunk) < 3 * count:
+                if pos + 3 * count > end:
                     raise ValueError("truncated TGA raw packet")
+                chunk = payload[pos : pos + 3 * count]
                 pos += 3 * count
                 for c in range(3):
                     sums[c] += sum(chunk[c::3])

@@ -1965,28 +1965,8 @@ def events_acf_multilag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag", F.col("a.v").alias("x"), F.col("b.v").alias("y")
         )
     )
-    mom = pairs.groupBy("lag").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
-    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    return mom.select(
-        F.col("lag").cast("long").alias("lag"),
-        "n",
-        num.alias("num"),
-        F.when((den_x == 0) | (den_y == 0), F.lit(None).cast("double"))
-        .otherwise(
-            num.cast("double")
-            / (
-                F.sqrt(den_x.cast("double"))
-                * F.sqrt(den_y.cast("double"))
-            )
-        )
-        .alias("r"),
+    from irio_mapreduce_spark.operators.stats import pearson_exact
+
+    return pearson_exact(pairs, group_cols=("lag",)).select(
+        F.col("lag").cast("long").alias("lag"), "n", "num", "r"
     )

@@ -949,34 +949,11 @@ def graph_degree_assortativity(
         .join(dv, F.col("e.v") == F.col("dv.u"))
         .select(F.col("du.d").alias("x"), F.col("dv.d").alias("y"))
     )
-    mom = ends.agg(
-        F.count("*").cast("long").alias("m"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-    )
-    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
-    den_x = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "long"
-    )
-    den_y = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-        "long"
-    )
-    return mom.select(
-        "m",
-        num.alias("num"),
-        den_x.alias("den_x"),
-        den_y.alias("den_y"),
-        # a degenerate graph (all degrees equal, e.g. the tiny-sf corpus
-        # collapsing to isolated edges) has zero variance on both axes:
-        # r is undefined — NULL on both engines, never a DIVIDE_BY_ZERO
-        # crash under ANSI mode
-        F.when((den_x == 0) | (den_y == 0), F.lit(None).cast("double"))
-        .otherwise(
-            num.cast("double")
-            / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
-        )
-        .alias("r"),
+    from irio_mapreduce_spark.operators.stats import pearson_exact
+
+    # a degenerate graph (all degrees equal, e.g. the tiny-sf corpus
+    # collapsing to isolated edges) has zero variance on both axes: the
+    # helper yields NULL r, never an ANSI DIVIDE_BY_ZERO
+    return pearson_exact(ends).select(
+        F.col("n").alias("m"), "num", "den_x", "den_y", "r"
     )

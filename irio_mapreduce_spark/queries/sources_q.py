@@ -23,6 +23,7 @@ reference's exactly-R contract lives in io.write_exact_files).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1046,6 +1047,11 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     planner's cost — the docstring-level contract is files >> bytes
     pathology belongs in compaction (layout_compact_small_files)."""
     path = _scratch(sf_dir, "docs_binary")
+    # _scratch paths are deterministic and survive across runs; stale
+    # .bin files from a previous corpus would be counted by the
+    # read-back (the parquet-writing siblings get this for free from
+    # mode('overwrite'))
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     docs = (
         read_table(spark, sf_dir, "documents")

@@ -59,7 +59,13 @@ def _nation_monthly_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(
             "n_name",
-            F.date_format("o_orderdate", "yyyyMM").cast("long").alias("m"),
+            # LINEAR month index (year*12 + month), not yyyyMM: slope
+            # denominators must step 1 across December->January, or every
+            # cross-year pair's Δmonth jumps to 89 and the Theil-Sen
+            # median mixes incommensurate slopes (review finding r10)
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("m"),
         )
         .agg(
             F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
@@ -71,7 +77,8 @@ def _nation_monthly_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NATION_MONTHLY_SQL = """
       SELECT n_name,
-             CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS m,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS m,
              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS cents
       FROM orders
@@ -109,9 +116,12 @@ _NATION_MONTHLY_SQL = """
            CAST(n * sxy - sx * sy AS BIGINT) AS num,
            CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
            CAST(n * syy - sy * sy AS BIGINT) AS den_y,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS rho
     FROM mom
     """,
 )
@@ -150,34 +160,11 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1
         ).alias("ry2"),
     )
-    mom = ranked.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("rx2").cast("long").alias("sx"),
-        F.sum("ry2").cast("long").alias("sy"),
-        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
-        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
-        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
-    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "long"
-    )
-    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-        "long"
-    )
-    return mom.select(
-        "n",
-        num.alias("num"),
-        den_x.alias("den_x"),
-        den_y.alias("den_y"),
-        (
-            num.cast("double")
-            / (
-                F.sqrt(den_x.cast("double"))
-                * F.sqrt(den_y.cast("double"))
-            )
-        ).alias("rho"),
-    )
+    from irio_mapreduce_spark.operators.stats import pearson_exact
+
+    return pearson_exact(
+        ranked.select(F.col("rx2").alias("x"), F.col("ry2").alias("y"))
+    ).select("n", "num", "den_x", "den_y", F.col("r").alias("rho"))
 
 
 @register(

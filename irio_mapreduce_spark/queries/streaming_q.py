@@ -1267,18 +1267,24 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     progress = list(q.recentProgress)
     # recentProgress is a ring capped at
     # spark.sql.streaming.numRecentProgressUpdates (default 100); if the
-    # replay ever grows past it, early batches' metrics would silently
-    # vanish and the totals would be wrong. The sink cross-check below
-    # would catch it, but fail loud and NAMED here first.
-    retain = int(
-        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
-    )
-    if len(progress) >= retain:
-        raise RuntimeError(
-            f"{len(progress)} micro-batches reached the recentProgress "
-            f"retention cap ({retain}) — early observedMetrics may have "
-            "been evicted; raise the cap or use a StreamingQueryListener"
+    # replay ever grows past it, early batches' metrics silently vanish
+    # and the totals would be wrong. The sink cross-check below would
+    # catch it, but fail loud and NAMED here first. Detect ACTUAL
+    # eviction (last batchId + 1 != retained count), not ring fullness —
+    # a run of exactly `retain` batches with nothing dropped is legal.
+    if progress:
+        last = progress[-1]
+        last_bid = int(
+            last["batchId"] if isinstance(last, dict) else last.batchId
         )
+        if last_bid + 1 != len(progress):
+            raise RuntimeError(
+                f"recentProgress retained {len(progress)} entries but the "
+                f"last batchId is {last_bid} — early observedMetrics were "
+                "evicted past the retention cap; raise "
+                "spark.sql.streaming.numRecentProgressUpdates or use a "
+                "StreamingQueryListener"
+            )
     n_total, cents_total, uid_max = 0, 0, None
     for pr in progress:
         om = pr["observedMetrics"] if isinstance(pr, dict) else pr.observedMetrics
