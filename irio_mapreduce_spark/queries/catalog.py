@@ -113,6 +113,9 @@ FRONT_WINDOW: list[str] = [
     "join_asof_tolerance",
     "stats_two_proportion_z",
     "multimodal_real_wav_stereo",
+    "ml_cohens_kappa",
+    "quality_distribution_drift_l1",
+    "sample_negative_pairs",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

@@ -2034,3 +2034,70 @@ def ml_perceptron_batch_rounds(
         .cast("long")
         .alias("n_misclassified")
     )
+
+
+@register(
+    "ml_cohens_kappa",
+    oracle="""
+    WITH conf AS (
+      SELECT CAST(sum(CASE WHEN l_quantity >= 25 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN l_quantity >= 25 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN l_quantity < 25 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN l_quantity < 25 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM lineitem)
+    SELECT a, b, c, d,
+           CAST((a + b + c + d) * (a + d)
+                - ((a + b) * (a + c) + (c + d) * (b + d)) AS BIGINT)
+             AS kappa_num,
+           CAST((a + b + c + d) * (a + b + c + d)
+                - ((a + b) * (a + c) + (c + d) * (b + d)) AS BIGINT)
+             AS kappa_den,
+           CAST((a + b + c + d) * (a + d)
+                - ((a + b) * (a + c) + (c + d) * (b + d)) AS DOUBLE)
+             / CAST((a + b + c + d) * (a + b + c + d)
+                    - ((a + b) * (a + c) + (c + d) * (b + d)) AS DOUBLE)
+             AS kappa
+    FROM conf
+    """,
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA — chance-corrected agreement between a fixed
+    quantity-threshold classifier and the actual return flag: accuracy
+    alone flatters any predictor on an imbalanced label (predict-never-R
+    scores ~75%); kappa subtracts the agreement the marginals produce by
+    chance. Clearing denominators turns (po−pe)/(1−pe) into a pure
+    rational in the four confusion counts — κ = (N(a+d) − Σmarg) /
+    (N² − Σmarg) — so exact BIGINT numerator/denominator come out of ONE
+    conditional aggregate over one scan (N² ≤ 3.6e11 at sf0.1, far
+    inside BIGINT), and the unrounded DOUBLE quotient hash-matches.
+    Complements the threshold-sweep entry (`ml_confusion_threshold_
+    sweep` gives the operating curve; this gives the skill-vs-chance
+    scalar)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pred = F.col("l_quantity") >= 25
+    actual = F.col("l_returnflag") == "R"
+    conf = li.agg(
+        F.sum(F.when(pred & actual, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(pred & ~actual, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~pred & actual, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~pred & ~actual, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    marg = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
+        F.col("c") + F.col("d")
+    ) * (F.col("b") + F.col("d"))
+    num = (n * (F.col("a") + F.col("d")) - marg).cast("long")
+    den = (n * n - marg).cast("long")
+    return conf.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        num.alias("kappa_num"),
+        den.alias("kappa_den"),
+        (num.cast("double") / den.cast("double")).alias("kappa"),
+    )

@@ -4755,3 +4755,77 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance="3 days",
     )
     return joined.select("o_orderkey", "event_id", "event_type")
+
+
+@register(
+    "quality_distribution_drift_l1",
+    oracle="""
+    WITH halves AS (
+      SELECT event_type,
+             CASE WHEN CAST(strftime(ts, '%d') AS BIGINT) <= 15
+                  THEN 0 ELSE 1 END AS h
+      FROM events),
+    hist AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM halves GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2
+      FROM hist)
+    SELECT CAST(count(*) AS BIGINT) AS n_categories,
+           CAST(max(t.t1) AS BIGINT) AS n_first_half,
+           CAST(max(t.t2) AS BIGINT) AS n_second_half,
+           CAST(sum(abs(h.n1 * t.t2 - h.n2 * t.t1)) AS BIGINT) AS l1_num,
+           CAST(sum(abs(h.n1 * t.t2 - h.n2 * t.t1)) AS DOUBLE)
+             / (CAST(max(t.t1) AS DOUBLE) * CAST(max(t.t2) AS DOUBLE) * 2.0)
+             AS total_variation
+    FROM hist h CROSS JOIN tot t
+    """,
+)
+def quality_distribution_drift_l1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CATEGORICAL DISTRIBUTION DRIFT (total-variation distance) — the
+    data-quality monitor that answers "did the event-type MIX shift
+    between the first and second half of the month?", distinct from
+    `stats_chisq_contingency` (independence test) and
+    `quality_rowcount_drift` (volume): TV = ½·Σ|p1_i − p2_i| compares
+    SHAPES regardless of volume. Cross-multiplying clears both
+    denominators — Σ|n1_i·N2 − n2_i·N1| is an exact BIGINT (≤5·10¹⁰ at
+    sf0.1) and TV = that / (2·N1·N2) is one correctly-rounded division,
+    so the unrounded DOUBLE hash-matches. One conditional-histogram
+    aggregate over one scan + a broadcast 1-row totals join; the
+    category domain (5 event types) bounds everything downstream."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("h"),
+    )
+    hist = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("h") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    tot = hist.agg(
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n2").cast("long").alias("t2"),
+    )
+    joined = hist.crossJoin(F.broadcast(tot))
+    cross = F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1"))
+    return joined.agg(
+        F.count("*").cast("long").alias("n_categories"),
+        F.max("t1").cast("long").alias("n_first_half"),
+        F.max("t2").cast("long").alias("n_second_half"),
+        F.sum(cross).cast("long").alias("l1_num"),
+        (
+            F.sum(cross).cast("double")
+            / (
+                F.max("t1").cast("double")
+                * F.max("t2").cast("double")
+                * F.lit(2.0)
+            )
+        ).alias("total_variation"),
+    )

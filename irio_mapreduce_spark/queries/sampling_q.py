@@ -281,3 +281,119 @@ def sample_stratified_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= F.col("k_s"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "sample_negative_pairs",
+    oracle="""
+    WITH pos AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderkey % 101 = 0),
+    nsupp AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM supplier),
+    raw AS (
+      SELECT p.c,
+             ('0x' || substr(md5(p.c::VARCHAR || '|' || p.s::VARCHAR
+                                 || '|neg' || t.range::VARCHAR), 1, 8))
+               ::BIGINT % n.ns + 1 AS neg_s
+      FROM pos p CROSS JOIN range(0, 2) t CROSS JOIN nsupp n),
+    kept AS (
+      SELECT r.c, r.neg_s FROM raw r
+      LEFT JOIN pos p ON r.c = p.c AND r.neg_s = p.s
+      WHERE p.c IS NULL)
+    SELECT pos.c AS custkey,
+           CAST(count(DISTINCT pos.s) AS BIGINT) AS n_pos,
+           CAST(coalesce(max(k.n_neg), 0) AS BIGINT) AS n_neg,
+           CAST(coalesce(max(k.neg_sum), 0) AS BIGINT) AS neg_key_sum
+    FROM pos
+    LEFT JOIN (SELECT c, CAST(count(*) AS BIGINT) AS n_neg,
+                      CAST(sum(neg_s) AS BIGINT) AS neg_sum
+               FROM kept GROUP BY c) k ON pos.c = k.c
+    GROUP BY 1
+    """,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC NEGATIVE SAMPLING — the contrastive-training
+    primitive (word2vec/SGNS, two-tower retrieval, embedding dedup
+    training): every observed (customer, supplier) positive pair draws
+    k=2 uniform "negative" suppliers, ACCIDENTAL HITS REMOVED — a drawn
+    negative that happens to be one of the customer's true positives is
+    dropped by an anti-join, the standard false-negative filter.
+    Derandomized via md5 of (pair, draw-index) — the `hash_bucket`
+    universe trick — so both engines (and any retry, any partitioning)
+    draw the identical negatives: reproducible epochs at 100 TB without
+    storing a single sampled row. Dataflow: one distinct-pair reduce,
+    ×2 literal fan-out, one broadcast scalar (supplier count), one
+    anti-join back to the positives on the SAME key — co-partitioned,
+    no second shuffle. Output pins the draw exactly: per customer, the
+    kept-negative count and key sum."""
+    pos = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .join(
+            read_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_suppkey"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    nsupp = read_table(spark, sf_dir, "supplier").agg(
+        F.count("*").cast("long").alias("ns")
+    )
+    draws = spark.range(2).select(F.col("id").alias("i"))
+    raw = (
+        pos.crossJoin(F.broadcast(draws))
+        .crossJoin(F.broadcast(nsupp))
+        .select(
+            "c",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col("c").cast("string"),
+                                F.col("s").cast("string"),
+                                F.concat(
+                                    F.lit("neg"), F.col("i").cast("string")
+                                ),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("ns")
+                + 1
+            ).alias("neg_s"),
+        )
+    )
+    kept = raw.join(
+        pos.select(F.col("c").alias("pc"), F.col("s").alias("ps")),
+        (raw["c"] == F.col("pc")) & (raw["neg_s"] == F.col("ps")),
+        "left_anti",
+    )
+    neg_agg = kept.groupBy("c").agg(
+        F.count("*").cast("long").alias("n_neg"),
+        F.sum("neg_s").cast("long").alias("neg_sum"),
+    )
+    pos_agg = pos.groupBy("c").agg(
+        F.countDistinct("s").cast("long").alias("n_pos")
+    )
+    return (
+        pos_agg.join(neg_agg, pos_agg["c"] == neg_agg["c"], "left")
+        .select(
+            pos_agg["c"].alias("custkey"),
+            "n_pos",
+            F.coalesce(F.col("n_neg"), F.lit(0)).cast("long").alias("n_neg"),
+            F.coalesce(F.col("neg_sum"), F.lit(0))
+            .cast("long")
+            .alias("neg_key_sum"),
+        )
+    )

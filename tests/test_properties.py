@@ -64,7 +64,16 @@ def test_pipeline_wordcount_matches_python(spark, corpus):
     n=st.integers(min_value=2, max_value=4),
     corpus=st.lists(docs, min_size=2, max_size=6),
 )
-@SETTINGS
+# 5 examples, not the suite-wide 15: each example costs two full Spark
+# jobs (one a crossJoin) + fresh codegen ≈ 18 s — this single test was
+# 272 s (12% of the whole suite) at 15 examples, and the same
+# shingling/Jaccard path is independently pinned at corpus scale by the
+# dedup catalog oracles (r9 verdict wall-clock item).
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 def test_shingle_jaccard_matches_python(spark, n, corpus):
     """JVM-side shingling + Jaccard equals the set-based Python reference
     for every document pair."""
