@@ -116,6 +116,8 @@ FRONT_WINDOW: list[str] = [
     "ml_cohens_kappa",
     "quality_distribution_drift_l1",
     "sample_negative_pairs",
+    "graph_modularity_components",
+    "multimodal_real_png_adam7",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

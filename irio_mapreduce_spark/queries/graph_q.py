@@ -957,3 +957,81 @@ def graph_degree_assortativity(
     return pearson_exact(ends).select(
         F.col("n").alias("m"), "num", "den_x", "den_y", "r"
     )
+
+
+@register(
+    "graph_modularity_components",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_COSUPPLY_EDGES_SQL}),
+    sym AS (SELECT s1 AS u, s2 AS v FROM edges
+            UNION SELECT s2, s1 FROM edges),
+    nodes AS (SELECT DISTINCT u AS n FROM sym),
+    reach(id, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.id),
+    comp AS (SELECT id, CAST(min(r) AS BIGINT) AS c FROM reach GROUP BY id),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+    ec AS (
+      SELECT cu.c, CAST(count(*) AS BIGINT) AS e_c
+      FROM edges JOIN comp cu ON edges.s1 = cu.id GROUP BY 1),
+    dc AS (
+      SELECT comp.c, CAST(count(*) AS BIGINT) AS d_c,
+             CAST(count(DISTINCT sym.u) AS BIGINT) AS n_nodes
+      FROM sym JOIN comp ON sym.u = comp.id GROUP BY 1)
+    SELECT dc.c AS component, dc.n_nodes, ec.e_c, dc.d_c,
+           CAST(4 * m.m * ec.e_c - dc.d_c * dc.d_c AS BIGINT) AS q_term
+    FROM dc JOIN ec ON dc.c = ec.c CROSS JOIN m
+    """,
+)
+def graph_modularity_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MODULARITY OF A PARTITION — the community-quality score every
+    clustering pipeline reports: Q = Σ_c (e_c/m − (d_c/2m)²), here for
+    the connected-component partition of the quarterly co-supply graph
+    (an upper-bound partition: every edge is intra-community, so Q
+    measures how far the degree distribution is from one giant hub).
+    Scaling by 4m² clears every denominator — q_term = 4m·e_c − d_c² is
+    an exact BIGINT per component and Q = Σ q_term / 4m² — so the score
+    is integer-exact, the fixed-point discipline of the PageRank family.
+    Components come from ``llm.dedup.connected_components`` (min-label
+    propagation, per-round localCheckpoint); per-component edge and
+    degree masses are two co-partitioned joins against the label table.
+    The oracle recomputes components with a recursive-CTE reachability
+    closure — a genuinely different algorithm, so the hash match pins
+    the partition itself, not the implementation."""
+    from irio_mapreduce_spark.llm.dedup import connected_components
+
+    edges = _cosupply_edges(spark, sf_dir)
+    cc = connected_components(edges, "s1", "s2")
+    sym = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v")
+    ).unionAll(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+    m = edges.agg(F.count("*").cast("long").alias("m"))
+    ec = (
+        edges.join(cc, edges["s1"] == cc["id"])
+        .groupBy(F.col("component").alias("c"))
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    dc = (
+        sym.join(cc, sym["u"] == cc["id"])
+        .groupBy(F.col("component").alias("c"))
+        .agg(
+            F.count("*").cast("long").alias("d_c"),
+            F.countDistinct("u").cast("long").alias("n_nodes"),
+        )
+    )
+    return (
+        dc.join(ec, "c")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("c").alias("component"),
+            "n_nodes",
+            "e_c",
+            "d_c",
+            (4 * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c"))
+            .cast("long")
+            .alias("q_term"),
+        )
+    )

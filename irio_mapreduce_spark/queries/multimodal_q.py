@@ -846,3 +846,54 @@ def multimodal_real_wav_stereo(
         "media_id", "sample_rate", "n_frames",
         "l_sum_abs", "r_sum_abs", "lr_dot",
     )
+
+
+@register(
+    "multimodal_real_png_adam7",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             3 + doc_id % 14 AS w, 2 + doc_id % 13 AS h
+      FROM documents),
+    ix AS (SELECT media_id, w, h,
+                  unnest(generate_series(0, w * h - 1)) AS p
+           FROM img),
+    ipx AS (SELECT media_id, w, h, p % w AS x, p // w AS y FROM ix)
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum((media_id*67 + y*31 + x*37) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((media_id*67 + y*31 + x*37 + 53) % 256) AS BIGINT)
+             AS sum_g,
+           CAST(sum((media_id*67 + y*31 + x*37 + 2*53) % 256) AS BIGINT)
+             AS sum_b
+    FROM ipx GROUP BY media_id
+    """,
+)
+def multimodal_real_png_adam7(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL ADAM7-INTERLACED PNG decode — the progressive-raster variant
+    the r6 PNG entry rejected by name, now a first-class path: seven
+    independently-filtered sub-images in one zlib stream, each pass
+    unfiltered with predictors reset at its own top row (the property
+    that makes passes independently decodable), then deinterlace-
+    scattered to (x0+i·dx, y0+j·dy). The corpus dims deliberately span
+    the degenerate shapes (width/height below 8 leaves whole passes
+    EMPTY — zero scanlines, not zero-width rows — the classic interlace
+    decoder bug), 1-pixel axes, and >=2 full 8x8 tiles; the pass table's
+    partition property is pytest-pinned. Same mapInPandas plumbing as
+    every REAL codec entry. See ``llm.multimodal.encode_png_adam7``/
+    ``_png_unfilter_at``."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        synthesize_png_adam7_media,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = decode_real_media_features(synthesize_png_adam7_media(ids))
+    return feats.select(
+        "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
+    )

@@ -2245,3 +2245,29 @@ def test_wav_stereo_codec_roundtrip_and_mono_rejection():
         mm.decode_wav_stereo(mm.synth_wav(3, 8000, 64))
     with pytest.raises(ValueError):
         mm.decode_wav(mm.synth_wav_stereo(3, 16000, 64))
+
+
+def test_png_adam7_roundtrip_and_partition():
+    """Adam7: the seven passes partition the grid exactly once for any
+    dims, and encode->decode reproduces every pixel — including the
+    degenerate shapes (empty passes, 1-pixel axes) and the >=2-tile
+    case where every pass is non-trivial."""
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    for (w, h) in [(1, 1), (3, 5), (8, 8), (9, 9), (16, 2), (17, 19)]:
+        cov = [[0] * w for _ in range(h)]
+        for x0, y0, dx, dy in mm._ADAM7_PASSES:
+            for y in range(y0, h, dy):
+                for x in range(x0, w, dx):
+                    cov[y][x] += 1
+        assert all(
+            cov[y][x] == 1 for y in range(h) for x in range(w)
+        ), (w, h)
+        wi, he, rows = mm.decode_png_pixels(mm.synth_png_adam7(5, w, h))
+        assert (wi, he) == (w, h)
+        assert all(
+            rows[y][3 * x + c] == mm._png7_pixel(5, x, y, c)
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        ), (w, h)
