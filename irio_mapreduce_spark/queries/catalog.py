@@ -118,6 +118,7 @@ FRONT_WINDOW: list[str] = [
     "sample_negative_pairs",
     "graph_modularity_components",
     "multimodal_real_png_adam7",
+    "stream_tws_map_state",
 ]
 
 # Entries that did not fit the current 50-slot window and therefore form

@@ -1492,3 +1492,73 @@ def stream_windowed_distinct_users(
         )
         .filter(F.col("day") <= max_day)
     )
+
+
+@register(
+    "stream_tws_map_state",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events WHERE user_id % 13 = 0
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_tws_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with **MapState** — the third state
+    handle demonstrated on the new API (ValueState:
+    `stream_tws_stateful_totals`; event-time timers:
+    `stream_tws_session_timers`; now the keyed sub-map): per-user
+    per-event-type running totals where each micro-batch point-updates
+    ONLY the types it saw under the user's single grouping key — the
+    shape that keeps a per-dimension profile store from multiplying the
+    grouping-key space by the dimension domain
+    (``streaming.ops.tws_per_type_totals``). Exact integer cents in
+    state; each (user, type)'s FINAL emission (highest monotonically-
+    growing n, window-ranked) must equal the batch aggregate. RocksDB
+    provider scoped set/restore as the API requires."""
+    from pyspark.sql.window import Window
+
+    from irio_mapreduce_spark.streaming.ops import tws_per_type_totals
+    from irio_mapreduce_spark.streaming.protobuf_vendor import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "no protobuf runtime available to vendor — "
+            "transformWithStateInPandas cannot run in this environment"
+        )
+    stream = _replayed_stream(spark, sf_dir).filter(
+        F.col("user_id") % 13 == 0
+    )
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        with _stream_partitions(spark):
+            run_to_completion(tws_per_type_totals(stream), name, "update")
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n"))
+    return (
+        spark.table(name)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "n",
+            F.round("total", 2).alias("total"),
+        )
+    )

@@ -31,6 +31,7 @@ from irio_mapreduce_spark.streaming.ops import (  # noqa: F401
     stream_static_enrich,
     stream_stream_interval_join,
     tumbling_value_rollup,
+    tws_per_type_totals,
     tws_user_stats,
     write_stream_parquet_exactly_once,
 )

@@ -817,3 +817,79 @@ def tws_session_windows(events: DataFrame, gap_ms: int = 30 * 60_000) -> DataFra
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+def tws_per_type_totals(events: DataFrame) -> DataFrame:
+    """Per-user PER-EVENT-TYPE running totals on
+    ``transformWithStateInPandas`` with **MapState** — the state handle
+    the ValueState entries can't demonstrate: a keyed sub-map INSIDE
+    each grouping key's state, point-readable (``getValue``) and
+    point-writable (``updateValue``) per user key without rewriting the
+    rest — exactly how a 100 TB profile store keeps per-dimension
+    counters under one entity key (the alternative, one Value tuple per
+    (user, type) group, multiplies the grouping-key space by the
+    dimension domain and shuffles it every batch). Each micro-batch
+    updates only the types it saw, then emits the FULL map (bounded by
+    the event-type domain, 5 here) so the latest emission per
+    (user, type) is the running total. Exact integer cents in state;
+    presentation divide is one correctly-rounded IEEE op. Same protobuf
+    + RocksDB requirements as every transformWithState operator."""
+    from irio_mapreduce_spark.streaming.protobuf_vendor import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf(events.sparkSession):
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package; "
+            "no local runtime to vendor in this environment."
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PerTypeTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState(
+                "per_type", "event_type string", "n long, cents long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for et, v in zip(pdf["event_type"], pdf["value"]):
+                    et = str(et)
+                    cur = (
+                        self._m.getValue((et,))
+                        if self._m.containsKey((et,))
+                        else (0, 0)
+                    )
+                    v = float(v)
+                    cents = int(abs(v) * 100 + 0.5) * (1 if v >= 0 else -1)
+                    self._m.updateValue(
+                        (et,), (cur[0] + 1, cur[1] + cents)
+                    )
+            out = [
+                {
+                    "user_id": key[0],
+                    "event_type": k[0],
+                    "n": val[0],
+                    "total": val[1] / 100.0,
+                }
+                for k, val in self._m.iterator()
+            ]
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_type", "n", "total"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=PerTypeTotals(),
+        outputStructType=(
+            "user_id long, event_type string, n long, total double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
