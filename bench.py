@@ -123,15 +123,19 @@ def main() -> int:
     # made q7 look 4x slower, and r9's made SIX of its first 14 window
     # entries measure >1.8x their standing numbers with byte-identical
     # plans (r9 VERDICT "What's wrong #1": first-use machinery cost, not
-    # regression). Run the first 14 window entries once UNMEASURED so the
-    # freshly-rotated positions — the exact rows a verdict diff scrutinizes
-    # — record warm-session numbers. ~+30 s of unmeasured wall-clock buys
+    # regression). Run the freshly-rotated head of the window once
+    # UNMEASURED — the count comes from the rotation metadata itself
+    # (catalog.WINDOW_WARMUP_COUNT, maintained next to FRONT_WINDOW) so
+    # a rotation can never silently warm the wrong number of entries
+    # (r10 ADVICE.md). ~+30 s of unmeasured wall-clock buys
     # provenance-clean timings.
+    from irio_mapreduce_spark.queries.catalog import WINDOW_WARMUP_COUNT
+
     _warmed = 0
     for _name, _fn in qs.items():
         if _name in EXCLUDE:
             continue
-        if _warmed >= 14:
+        if _warmed >= WINDOW_WARMUP_COUNT:
             break
         _warmed += 1
         _t0 = time.monotonic()

@@ -364,6 +364,27 @@ def synth_wav(seed: int, sample_rate: int, n_samples: int) -> bytes:
     return _wav_bytes(sample_rate, [_wav_sample(seed, i) for i in range(n_samples)])
 
 
+def _riff_format_tag(payload: bytes) -> int | None:
+    """Return the fmt chunk's 2-byte format tag (1 = PCM, 7 = mu-law),
+    or None when no intact fmt chunk exists. Used by the media dispatch
+    to pick the decoder UP FRONT instead of try/except-chaining, so a
+    corrupt PCM WAV surfaces the PCM decoder's own error rather than a
+    misleading 'not a mu-law WAV' from the fallback (r10 ADVICE.md)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        if pos + 8 + csize > len(payload):
+            return None
+        if cid == b"fmt ":
+            if csize < 2:
+                return None
+            return struct.unpack_from("<H", payload, pos + 8)[0]
+        pos += 8 + csize + (csize & 1)
+    return None
+
+
 def decode_wav(payload: bytes) -> dict:
     """Parse a PCM16 mono WAV; exact integer amplitude statistics."""
     sample_rate, samples = _wav_parse(payload)
@@ -482,14 +503,16 @@ def decode_real_media_features(media: DataFrame) -> DataFrame:
                 elif payload[:4] == b"\x00\x00\x01\x00":
                     base.update(kind="image", **mm.decode_ico(payload))
                 elif payload[:4] == b"RIFF":
-                    # PCM and mu-law share the RIFF magic; the fmt tag
-                    # inside the fmt chunk is the real discriminator
-                    try:
-                        base.update(kind="audio", **mm.decode_wav(payload))
-                    except ValueError:
+                    # PCM and mu-law share the RIFF magic; the fmt
+                    # chunk's format tag is the real discriminator —
+                    # parsed once so each decoder's own error surfaces
+                    # for its own corrupt inputs
+                    if mm._riff_format_tag(payload) == 7:
                         base.update(
                             kind="audio", **mm.decode_wav_mulaw(payload)
                         )
+                    else:
+                        base.update(kind="audio", **mm.decode_wav(payload))
                 elif payload[-18:] == mm._TGA_SIGNATURE:
                     # TGA has NO leading magic — the 2.0 footer signature
                     # is the only sniffable identity, checked last

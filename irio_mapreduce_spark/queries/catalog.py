@@ -121,6 +121,15 @@ FRONT_WINDOW: list[str] = [
     "stream_tws_map_state",
 ]
 
+# How many entries at the HEAD of FRONT_WINDOW are fresh this round
+# (newly added or freshly rotated in) — bench.py runs exactly this many
+# unmeasured warm-up passes so first-use machinery cost (JVM codegen,
+# pandas-worker spawn, streaming scheduler) never lands on the rows a
+# verdict diff scrutinizes. MUST be updated together with FRONT_WINDOW
+# at each rotation (r10 ADVICE.md: a hard-coded literal in bench.py
+# silently warmed the wrong count after rotation).
+WINDOW_WARMUP_COUNT: int = 14
+
 # Entries that did not fit the current 50-slot window and therefore form
 # the MANDATORY head of the NEXT round's window (tests/test_conventions.py
 # asserts the plan). Empty while the round-10 window has free budget;

@@ -1107,7 +1107,9 @@ def source_glob_recursive_lookup(
     everything; ``pathGlobFilter`` drops the non-data files at the
     LISTING step — pruning before a single byte of file content is read,
     which at 100 TB is the difference between listing cost and scan
-    cost. A ``_decoys/readme.txt`` planted in the tree must not reach
+    cost. Decoy files planted in the tree (``decoys/readme.txt`` and a
+    top-level ``notes.txt`` — deliberately NOT underscore-prefixed,
+    which Spark would hide before the glob ever ran) must not reach
     the row count; year comes back from the JSON payload itself (the
     directory names are invisible to a recursive reader — asserting that
     is the point). Exact-integer checksum against the source table."""
@@ -1129,10 +1131,17 @@ def source_glob_recursive_lookup(
         .partitionBy("yr", "mo")
         .json(base)
     )
-    decoy_dir = os.path.join(base, "_decoys")
+    # The decoy directory must NOT start with '_' or '.': Spark's file
+    # index hides such paths unconditionally, BEFORE pathGlobFilter is
+    # consulted, and the point here is that the GLOB is what excludes
+    # the junk (r10 ADVICE.md finding). One decoy in a plain nested dir,
+    # one beside the data files themselves.
+    decoy_dir = os.path.join(base, "decoys")
     os.makedirs(decoy_dir, exist_ok=True)
     with open(os.path.join(decoy_dir, "readme.txt"), "w") as fh:
         fh.write("not data\n")
+    with open(os.path.join(base, "notes.txt"), "w") as fh:
+        fh.write("also not data\n")
     back = (
         spark.read.format("json")
         .schema("o_orderkey LONG, cents LONG")

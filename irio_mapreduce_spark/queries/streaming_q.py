@@ -1444,8 +1444,11 @@ def stream_windowed_distinct_users(
     """STREAMING DAU — exact count-distinct on a stream, the metric
     every ingest pipeline wants and the one windowed aggregation can't
     give directly (count(DISTINCT) is unsupported in streaming aggs):
-    the composition is dropDuplicates on (user_id, day-bucket) — keyed
-    dedup state, evicted once the watermark passes the key's day —
+    the composition is dropDuplicates on (user_id, day-window) — the
+    dedup key keeps the EVENT-TIME WINDOW STRUCT itself (not a derived
+    scalar, which would strip the event-time metadata and leave dedup
+    state immortal — r10 ADVICE.md), so state evicts once the watermark
+    passes each key's window end —
     CHAINED into a tumbling windowed count of the first-seen rows: two
     stateful operators in one topology (Spark 4 multiple-stateful-
     operators, which mandates APPEND mode — complete is rejected for
@@ -1475,10 +1478,10 @@ def stream_windowed_distinct_users(
     )
     firsts = (
         stream.withWatermark("ts", "1 hour")
-        .withColumn("day", F.window("ts", "1 day").getField("start"))
-        .dropDuplicates(["user_id", "day"])
+        .withColumn("win", F.window("ts", "1 day"))
+        .dropDuplicates(["user_id", "win"])
     )
-    counted = firsts.groupBy(F.window("ts", "1 day")).agg(
+    counted = firsts.groupBy("win").agg(
         F.count("*").cast("long").alias("dau")
     )
     name = f"t_sq_{uuid.uuid4().hex[:8]}"
@@ -1487,7 +1490,7 @@ def stream_windowed_distinct_users(
     return (
         spark.table(name)
         .select(
-            F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
             "dau",
         )
         .filter(F.col("day") <= max_day)
