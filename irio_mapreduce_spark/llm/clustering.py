@@ -65,6 +65,108 @@ def _assign_expr(centroids: list[list[int]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def kmeans_init(sv: DataFrame, k: int) -> list[list[int]]:
+    """Deterministic centroid init: the ``k`` lowest-``_id`` rows' scaled
+    vectors, in id order. Bounded collect (k × dims ints)."""
+    init = sv.orderBy("_id").limit(k).orderBy("_id").select("_sv").collect()
+    if len(init) < k:
+        raise ValueError(f"k={k} but only {len(init)} rows")
+    return [list(r._sv) for r in init]
+
+
+def kmeans_round(
+    sv: DataFrame, centroids: list[list[int]]
+) -> tuple[DataFrame, list[list[int]]]:
+    """ONE Lloyd's round over a scaled corpus ``(_id, _sv)``: map-only
+    assignment against the plan-literal centroid list, then exact-integer
+    re-centering (sum div count per (cluster, dim); empty clusters carry
+    their previous centroid forward). Returns the assignment frame
+    ``(_id, _sv, _c)`` (clusters as of the INPUT centroids) and the
+    updated centroid list — the unit both the batch iterator
+    (:func:`kmeans_fixed_point`) and the streaming model-maintenance
+    handler (:func:`kmeans_stream_round_handler`) chain, so the two
+    surfaces share one arithmetic definition and hash-match each other.
+
+    Scale shape: assignment shuffles nothing (centroids ride the plan as
+    a k×dims literal); re-centering is one posexplode + groupBy(cluster,
+    dim) shuffle of (int, int, long) triples — k×dims groups regardless
+    of corpus size — and one bounded k×dims collect."""
+    assigned = sv.select("_id", "_sv", _assign_expr(centroids).alias("_c"))
+    new_rows = (
+        assigned.select("_c", F.posexplode("_sv").alias("_pos", "_x"))
+        .groupBy("_c", "_pos")
+        .agg(F.expr("sum(_x) div count(*)").alias("_m"))
+        .groupBy("_c")
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_ms"))
+        .select("_c", F.transform("_ms", lambda s: s["_m"]).alias("_cent"))
+        .collect()
+    )
+    updated = [list(c) for c in centroids]
+    for r in new_rows:
+        updated[r._c] = list(r._cent)
+    return assigned, updated
+
+
+def kmeans_stream_round_handler(model_dir: str, k: int):
+    """``foreachBatch`` handler that maintains a PERSISTED k-means model:
+    each micro-batch carries the (scaled) corpus and executes exactly ONE
+    Lloyd's round against the newest persisted centroid generation, then
+    writes generation ``batch_id``'s centroids and assignment — the
+    streaming twin of the reference's only loop construct, chaining
+    batches through ``final_dest_dir_id`` (common/common.proto:19): round
+    i's output directory is round i+1's model input.
+
+    Replay idempotence (the retry/first-wins contract of
+    TaskManagerImpl.java:42-43 on the streaming engine): a re-run of
+    micro-batch i reads only generations BELOW i and overwrites only
+    generation i, so a crash-restart between triggers converges to the
+    same artifacts — pinned by tests/test_streaming.py alongside the
+    dedup index-maintenance twin (llm.dedup.index_maintenance_handler).
+
+    Batch 0 initializes from the k lowest-id rows (the batch IS the
+    corpus), so the final generation equals ``kmeans_fixed_point(...,
+    iterations=n_batches)`` bit-for-bit — the catalog entry pins that
+    with the batch entry's own DuckDB oracle."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        import glob as _glob
+        import os as _os
+
+        spark = batch_df.sparkSession
+        sv = batch_df.select("_id", "_sv")
+        gens = sorted(
+            g
+            for g in (
+                int(_os.path.basename(p)[1:])
+                for p in _glob.glob(_os.path.join(model_dir, "cent", "r*"))
+            )
+            if g < batch_id
+        )
+        if gens:
+            rows = spark.read.parquet(
+                _os.path.join(model_dir, "cent", f"r{gens[-1]}")
+            ).collect()
+            centroids: list[list[int]] = [[] for _ in range(k)]
+            for r in rows:
+                centroids[r.cid] = list(r.c)
+        else:
+            centroids = kmeans_init(sv, k)
+        assigned, updated = kmeans_round(sv, centroids)
+        # assignment first: it must exist whenever its centroid
+        # generation does (the entry reads asg of the LAST round)
+        assigned.select("_id", "_c").write.mode("overwrite").parquet(
+            _os.path.join(model_dir, "asg", f"r{batch_id}")
+        )
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(updated)],
+            "cid int, c array<bigint>",
+        ).write.mode("overwrite").parquet(
+            _os.path.join(model_dir, "cent", f"r{batch_id}")
+        )
+
+    return handle
+
+
 def kmeans_fixed_point(
     df: DataFrame,
     vec_col: str,
@@ -106,28 +208,10 @@ def kmeans_fixed_point(
     sv = df.select(
         F.col(id_col).alias("_id"), scaled_vec(F.col(vec_col)).alias("_sv")
     ).persist()
-    init = (
-        sv.orderBy("_id").limit(k).orderBy("_id").select("_sv").collect()
-    )
-    if len(init) < k:
-        raise ValueError(f"k={k} but only {len(init)} rows")
-    centroids: list[list[int]] = [list(r._sv) for r in init]
+    centroids = kmeans_init(sv, k)
     assigned = None
     for _ in range(iterations):
-        assigned = sv.select(
-            "_id", "_sv", _assign_expr(centroids).alias("_c")
-        )
-        new_rows = (
-            assigned.select("_c", F.posexplode("_sv").alias("_pos", "_x"))
-            .groupBy("_c", "_pos")
-            .agg(F.expr("sum(_x) div count(*)").alias("_m"))
-            .groupBy("_c")
-            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_ms"))
-            .select("_c", F.transform("_ms", lambda s: s["_m"]).alias("_cent"))
-            .collect()
-        )
-        for r in new_rows:
-            centroids[r._c] = list(r._cent)
+        assigned, centroids = kmeans_round(sv, centroids)
     return assigned.select(
         F.col("_id").alias("id"), F.col("_c").alias("cluster")
     )

@@ -58,18 +58,77 @@ _ORACLES: dict[str, str] = {}
 # The external correctness driver checks the FIRST 50 entries of
 # ``all_queries()`` per round, so listing order is the scoreboard rotation
 # dial. This list pins the front of the window explicitly; everything else
-# follows in module-registration order. Round-10 rotation (r9 VERDICT.md
-# item 1): the 10 entries that overflowed the round-9 window budget
-# (added late in r9, judge-verified exact in the r9 review but still
-# lacking a driver CORRECTNESS row) form the MANDATORY window head IN
-# THEIR PINNED ORDER, followed by round-10 additions (budgeted at 40 so
-# the head is never displaced). With this window green, the driver-green
-# union reaches every catalog entry. Rotated-out entries keep their
-# standing r1-r9 driver rows and stay fully oracle-tested in
-# tests/test_oracle.py. tests/test_conventions.py asserts this list stays
-# consistent with the registry.
+# follows in module-registration order. Round-11 rotation (r10 VERDICT.md
+# item 9): with the r1-r10 driver-green union covering the ENTIRE catalog,
+# rotation becomes a REFRESH cycle — new round-11 entries lead (never
+# driver-checked), and the remaining slots go to the entries whose latest
+# driver-green row is OLDEST (the r3/r4 vintage), so attestation
+# freshness stays bounded. Rotated-out entries keep their standing driver
+# rows and stay fully oracle-tested in tests/test_oracle.py.
+# tests/test_conventions.py asserts both the registry consistency and the
+# refresh discipline (window refresh slots = globally oldest-attested).
 FRONT_WINDOW: list[str] = [
-    # mandatory head: the round-9 DEFERRED_TO_NEXT_WINDOW queue (pinned)
+    # round-11 additions (fresh, never driver-checked) — appended as each
+    # lands with a green oracle test; every addition evicts refresh
+    # entries from the TAIL (the least-stale ones) to keep 50.
+    "stream_kmeans_model_rounds",
+    "layout_bucketed_agg",
+    "agg_aqe_coalesce_partitions",
+    "stream_checkpoint_kill_resume",
+    # refresh cycle: the 46 catalog entries with the oldest driver-green
+    # rows (41 last attested in r3, then the alphabetically-first r4)
+    "agg_grouping_sets",
+    "dedup_cluster_components",
+    "dedup_embedding_cosine",
+    "dedup_exact_sha",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "events_json_props",
+    "events_session_window",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "filter_in_like_between",
+    "fn_array_higher_order",
+    "fn_datetime_family",
+    "fn_hash_family",
+    "fn_map_family",
+    "fn_math_conditional",
+    "fn_string_family",
+    "global_stats",
+    "mr_wordcount",
+    "multimodal_payload_stats",
+    "pipeline_curation_end_to_end",
+    "q10_returned_items",
+    "sample_hash_mod",
+    "sample_per_source_quota",
+    "sim_centroid_per_label",
+    "sim_cosine_topk",
+    "sort_global_total_order",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "stats_skew_kurtosis",
+    "stream_stateful_dedup",
+    "stream_static_join_rollup",
+    "stream_stream_join_attrib",
+    "stream_tumbling_rollup",
+    "text_decontamination",
+    "text_quality_filter",
+    "text_token_stats",
+    "udf_grouped_agg",
+    "udf_grouped_map",
+    "udf_pandas_scalar",
+    "udf_python_udtf",
+    "agg_approx_distinct",
+    "agg_collect_list_orders",
+    "agg_cube_flag_status",
+    "agg_percentiles_approx",
+    "agg_percentiles_collect",
+]
+
+# Round-10 window, kept for the audit trail (all 50 driver-green in
+# CORRECTNESS_r10.json — completing the full-catalog driver-green union;
+# rotated out of the checked window in round 11).
+_R10_WINDOW: list[str] = [
     "events_sliding_distinct_users",
     "ml_confusion_threshold_sweep",
     "text_bpe_apply_tokens",
@@ -80,9 +139,6 @@ FRONT_WINDOW: list[str] = [
     "join_null_skew_isolation",
     "udf_pandas_scalar_iter",
     "stats_permutation_test",
-    # round-10 additions (new entries, never driver-checked; budget 40 so
-    # the mandatory 10-entry head above is never displaced) — appended as
-    # each lands with a green oracle test.
     "stats_spearman_rank",
     "stats_anova_oneway",
     "stats_kendall_tau_grouped",

@@ -62,9 +62,12 @@ _KM_ROUND = f"""
 """
 
 
-@register(
-    "ml_kmeans_embeddings",
-    oracle=f"""
+# Two full Lloyd's rounds replayed as chained CTEs over raw embeddings —
+# shared verbatim by the batch entry and its streaming twin
+# (stream_kmeans_model_rounds), whose WHOLE claim is bit-identical final
+# assignments. The oracle derives everything (scaling, distances,
+# re-centering) independently of either Spark implementation.
+_KMEANS_2ROUND_ORACLE = f"""
     WITH {_SV},
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
@@ -76,8 +79,10 @@ _KM_ROUND = f"""
            CAST(min(vec_id) AS BIGINT) AS min_vec_id,
            CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
     FROM a2 GROUP BY cid
-    """,
-)
+    """
+
+
+@register("ml_kmeans_embeddings", oracle=_KMEANS_2ROUND_ORACLE)
 def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd's k-means rounds (k=8) over the embedding corpus in exact
     fixed-point arithmetic, deterministically seeded from the 8 lowest
@@ -97,6 +102,82 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.min("id").cast("long").alias("min_vec_id"),
         F.sum("id").cast("long").alias("sum_vec_id"),
+    )
+
+
+@register("stream_kmeans_model_rounds", oracle=_KMEANS_2ROUND_ORACLE)
+def stream_kmeans_model_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING k-MEANS MODEL MAINTENANCE — the steady-state *model*
+    loop on the real streaming engine (r9/r10 verdict task): the scaled
+    corpus replays as TWO time-ordered micro-batches
+    (maxFilesPerTrigger=1), and a ``foreachBatch`` handler
+    (``llm.clustering.kmeans_stream_round_handler``) executes exactly ONE
+    Lloyd's round per micro-batch against a persisted centroid artifact,
+    writing generation ``batch_id``'s centroids + assignment — rounds
+    chained through the model store exactly the way the reference chains
+    MapReduce batches through ``final_dest_dir_id``
+    (common/common.proto:19; ClientMain.java submits the next batch on
+    the previous one's output dir). Restart-idempotence (re-run of a
+    micro-batch reads generations below it, overwrites only its own) is
+    the streaming twin of the reference's first-wins commit
+    (DistrStorage.java:213-233), pinned by tests/test_streaming.py.
+
+    The promise is EXACTNESS, not approximation: batch 0 initializes
+    from the k lowest vec_ids, so after the 2-batch replay the final
+    assignment is bit-identical to the batch 2-iteration
+    ``ml_kmeans_embeddings`` — both entries share one DuckDB oracle that
+    replays Lloyd's independently from raw embeddings. At 100 TB the
+    per-round scan is the honest cost of a Lloyd's iteration anywhere;
+    the streaming form adds none (assignment stays map-only against the
+    plan-literal centroids, re-centering stays a k×dims-group shuffle)
+    and buys crash-resumable rounds with the model store as the only
+    cross-round state."""
+    import os
+    import tempfile
+
+    from irio_mapreduce_spark.llm.clustering import (
+        kmeans_stream_round_handler,
+    )
+    from irio_mapreduce_spark.streaming.ops import _write_replay_sequenced
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sv = emb.select(
+        F.col("vec_id").alias("_id"),
+        scaled_vec(F.col("embedding")).alias("_sv"),
+    )
+    run_dir = tempfile.mkdtemp(prefix="stream_kmeans_")
+    replay = os.path.join(run_dir, "replay")
+    _write_replay_sequenced(
+        sv.withColumn("_round", F.lit(0)).unionAll(
+            sv.withColumn("_round", F.lit(1))
+        ),
+        "_round",
+        2,
+        replay,
+    )
+    stream = (
+        spark.readStream.schema("_id long, _sv array<bigint>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    model_dir = os.path.join(run_dir, "model")
+    q = (
+        stream.writeStream.foreachBatch(
+            kmeans_stream_round_handler(model_dir, _K)
+        )
+        .option("checkpointLocation", os.path.join(run_dir, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(model_dir, "asg", "r1"))
+        .groupBy(F.col("_c").alias("cluster"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("_id").cast("long").alias("min_vec_id"),
+            F.sum("_id").cast("long").alias("sum_vec_id"),
+        )
     )
 
 

@@ -2187,6 +2187,69 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_table_key(sf_dir: str, base: str, *inputs: str) -> tuple[str, str]:
+    """(table name, warehouse path) for a bucketed artifact keyed by scale
+    factor + an input stat-stamp, so regenerated inputs never silently
+    reuse a stale layout."""
+    import os
+
+    from irio_mapreduce_spark.llm.artifacts import input_stamp
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    sf_key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    stamp = input_stamp(*(os.path.join(sf_dir, p) for p in inputs))
+    name = f"{base}_{sf_key}_{stamp}"
+    return name, os.path.join(root, "spark-warehouse", name)
+
+
+def _bucketed_orders_cents(spark: SparkSession, sf_dir: str) -> str:
+    """Orders written ONCE as bucketBy(16, o_custkey).sortBy — the shared
+    layout artifact behind both the shuffle-free co-located join
+    (layout_bucketed_join) and the shuffle-free keyed aggregation
+    (layout_bucketed_agg): pay the partitioning shuffle at write time,
+    every later join AND groupBy on the key reads it back satisfied."""
+    from irio_mapreduce_spark.operators.layout import ensure_bucketed_table
+
+    name, path = _bucketed_table_key(sf_dir, "bkt_orders", "orders.parquet")
+    ensure_bucketed_table(
+        spark,
+        name,
+        path,
+        "o_custkey BIGINT, cents BIGINT",
+        "o_custkey",
+        16,
+        build_df=read_table(spark, sf_dir, "orders").select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        ),
+    )
+    return name
+
+
+def _bucketed_customer(spark: SparkSession, sf_dir: str) -> str:
+    from irio_mapreduce_spark.operators.layout import ensure_bucketed_table
+
+    name, path = _bucketed_table_key(
+        sf_dir, "bkt_customer", "customer.parquet"
+    )
+    ensure_bucketed_table(
+        spark,
+        name,
+        path,
+        "c_custkey BIGINT, c_nationkey BIGINT",
+        "c_custkey",
+        16,
+        build_df=read_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_nationkey").cast("long").alias("c_nationkey")
+        ),
+    )
+    return name
+
+
 @register(
     "layout_bucketed_join",
     oracle="""
@@ -2222,49 +2285,8 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators.layout.ensure_bucketed_table``). The ``merge`` hint pins
     the SMJ strategy so the demonstrated plan is broadcast-threshold-
     independent."""
-    import os
-
-    from irio_mapreduce_spark.llm.artifacts import input_stamp
-    from irio_mapreduce_spark.operators.layout import ensure_bucketed_table
-
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    sf_key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    stamp = input_stamp(
-        os.path.join(sf_dir, "orders.parquet"),
-        os.path.join(sf_dir, "customer.parquet"),
-    )
-    wh = os.path.join(root, "spark-warehouse")
-    t_orders = f"bkt_orders_{sf_key}_{stamp}"
-    t_cust = f"bkt_customer_{sf_key}_{stamp}"
-    ensure_bucketed_table(
-        spark,
-        t_orders,
-        os.path.join(wh, t_orders),
-        "o_custkey BIGINT, cents BIGINT",
-        "o_custkey",
-        16,
-        build_df=read_table(spark, sf_dir, "orders").select(
-            "o_custkey",
-            F.floor(F.col("o_totalprice") * 100 + 0.5)
-            .cast("long")
-            .alias("cents"),
-        ),
-    )
-    ensure_bucketed_table(
-        spark,
-        t_cust,
-        os.path.join(wh, t_cust),
-        "c_custkey BIGINT, c_nationkey BIGINT",
-        "c_custkey",
-        16,
-        build_df=read_table(spark, sf_dir, "customer").select(
-            "c_custkey", F.col("c_nationkey").cast("long").alias("c_nationkey")
-        ),
-    )
-    o = spark.table(t_orders)
-    c = spark.table(t_cust)
+    o = spark.table(_bucketed_orders_cents(spark, sf_dir))
+    c = spark.table(_bucketed_customer(spark, sf_dir))
     return (
         o.hint("merge")
         .join(c, o["o_custkey"] == c["c_custkey"])
@@ -2273,6 +2295,54 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_orders"),
             F.sum("cents").cast("long").alias("cents"),
         )
+    )
+
+
+@register(
+    "layout_bucketed_agg",
+    oracle="""
+    SELECT CAST(o_custkey % 25 AS BIGINT) AS cust_band,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n_orders) AS BIGINT) AS max_orders,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM (
+      SELECT o_custkey, count(*) AS n_orders,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey)
+    GROUP BY 1
+    """,
+)
+def layout_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-FREE keyed AGGREGATION off a persisted bucketed table —
+    the other half of the layout dividend `layout_bucketed_join` proves
+    for joins (r10 verdict task #2): ``groupBy(o_custkey)`` over the
+    ``bucketBy(16, o_custkey)`` orders table plans with ZERO Exchange
+    upstream — the bucketed scan's hash partitioning already satisfies
+    the aggregation's required distribution, so the per-key rollup is
+    partition-local (plan-asserted by tests/test_plans.py: exactly ONE
+    Exchange in the whole query, and it belongs to the tiny 25-band
+    second-level rollup, not the per-key pass). At 100 TB this is THE
+    reason to bucket a fact table by its dominant grouping key: every
+    daily per-customer/per-document rollup stops paying a full-fact
+    shuffle and becomes a scan-local pass.
+
+    The per-key layer computes count + exact cents per customer; the
+    band layer (custkey mod 25) exists only to keep the driver-compared
+    output bounded — its input is one row per key, so its Exchange
+    moves ~|keys| rows, not |orders|. Shares the bucketed artifact (and
+    its stat-stamp key) with layout_bucketed_join via
+    ``_bucketed_orders_cents``."""
+    o = spark.table(_bucketed_orders_cents(spark, sf_dir))
+    per_key = o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    return per_key.groupBy(
+        (F.col("o_custkey") % 25).cast("long").alias("cust_band")
+    ).agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n_orders").cast("long").alias("max_orders"),
+        F.sum("cents").cast("long").alias("cents"),
     )
 
 
@@ -3028,6 +3098,87 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, val)
+    return spark.createDataFrame(rows, out.schema)
+
+
+# Executed plan of the most recent agg_aqe_coalesce_partitions run, recorded
+# so tests/test_plans.py can assert the AQEShuffleRead really coalesced.
+AQE_COALESCE_EXECUTED_PLAN: str | None = None
+
+
+@register(
+    "agg_aqe_coalesce_partitions",
+    oracle="""
+    SELECT CAST(l_partkey % 500 AS BIGINT) AS part_band,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_aqe_coalesce_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AQE PARTITION COALESCING — the third adaptive-execution pillar
+    next to the skew split (`join_skew_aqe_rollup`) and dynamic
+    partition pruning (`join_dynamic_partition_pruning`), attested on
+    its EXECUTED plan (r10 verdict task #3): the aggregation shuffle is
+    deliberately over-partitioned (shuffle.partitions=200 inside the
+    set/restore window — the static tuning a 1000-executor cluster
+    ships with so its BIG shuffles parallelize), and AQE's runtime size
+    statistics merge the resulting sliver partitions back into a few
+    advisory-sized reducers: the executed plan's ``AQEShuffleRead`` node
+    reads ``coalesced`` (recorded in ``AQE_COALESCE_EXECUTED_PLAN``,
+    asserted both here and in tests/test_plans.py). This is what makes
+    one global ``shuffle.partitions`` livable at 100 TB — small
+    shuffles stop paying 200 reducer tasks' scheduling + tiny-file
+    output for kilobytes of data, with zero per-query tuning.
+
+    ``parallelismFirst`` is disabled inside the window so the merge
+    targets the advisory byte size (the documented production setting —
+    Spark's own conf doc recommends false) rather than padding out to
+    core count; correctness never depends on the merge — the oracle is
+    the plain aggregation either way."""
+    global AQE_COALESCE_EXECUTED_PLAN
+    out = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy((F.col("l_partkey") % 500).cast("long").alias("part_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("qty_sum"),
+        )
+    )
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+        "spark.sql.shuffle.partitions": "200",
+    }
+    saved: dict[str, str | None] = {}
+    for key, val in confs.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, val)
+    try:
+        rows = out.collect()
+        AQE_COALESCE_EXECUTED_PLAN = (
+            out._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    if "coalesced" not in AQE_COALESCE_EXECUTED_PLAN:
+        raise RuntimeError(
+            "AQE did not coalesce the over-partitioned shuffle:\n"
+            + AQE_COALESCE_EXECUTED_PLAN
+        )
     return spark.createDataFrame(rows, out.schema)
 
 

@@ -1565,3 +1565,97 @@ def stream_tws_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total", 2).alias("total"),
         )
     )
+
+
+@register(
+    "stream_checkpoint_kill_resume",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE event_id % 3 = 0
+    GROUP BY event_type
+    """,
+)
+def stream_checkpoint_kill_resume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECKPOINT KILL-AND-RESUME, exactly-once — the streaming twin of
+    the reference's retry / first-wins commit surface
+    (TaskManagerImpl.java:42-43,333-351; DistrStorage.java:213-233),
+    which tests/test_chaos.py pins for batch (r10 verdict task #7): the
+    SAME logical query runs as THREE SEPARATE query incarnations against
+    ONE checkpoint + ONE parquet sink, each incarnation draining one new
+    file then terminating with more data still to come — a stop between
+    triggers. Each later file deliberately RE-SENDS the previous file's
+    rows, so the final sink is correct only if BOTH restart guarantees
+    hold: (1) the dropDuplicates STATE recovered from the checkpoint
+    drops the cross-incarnation duplicates (lost state → doubled rows),
+    and (2) the file-source offset log + parquet sink metadata commit
+    log never re-admit an already-committed batch (reprocessing →
+    doubled rows). Either failure flips the driver hash — the oracle is
+    the plain batch DISTINCT aggregate.
+
+    At 100 TB this is THE operational contract that makes streaming
+    ingest restartable after executor loss, code deploys, or spot
+    reclaim without a backfill: state, offsets, and sink commits all
+    fence through the checkpoint. Unwatermarked dedup state is the
+    right shape for a finite replay; the eviction-bearing variant is
+    `stream_dedup_within_watermark` / `stream_windowed_distinct_users`."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from irio_mapreduce_spark.io import read_table
+    from irio_mapreduce_spark.streaming.ops import _write_replay_sequenced
+
+    base = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select("event_id", "ts", "event_type", "value")
+    )
+    g = F.expr("(event_id div 3) % 3").cast("int")
+    chunked = base.withColumn("_chunk", g).unionAll(
+        # chunk 1 re-sends chunk 0's rows, chunk 2 re-sends chunk 1's —
+        # the duplicates only a RECOVERED dedup state can drop
+        base.withColumn("_chunk", g + 1).filter(F.col("_chunk") <= 2)
+    )
+    run_dir = tempfile.mkdtemp(prefix="stream_ckpt_")
+    staging = os.path.join(run_dir, "staging")
+    _write_replay_sequenced(chunked, "_chunk", 3, staging)
+    live = os.path.join(run_dir, "live")
+    sink = os.path.join(run_dir, "sink")
+    ck = os.path.join(run_dir, "ck")
+    os.makedirs(live, exist_ok=True)
+    schema = spark.read.parquet(staging).schema
+    with _stream_partitions(spark):
+        for i in range(3):
+            # one new file appears, then a NEW query incarnation resumes
+            # from the shared checkpoint and drains it
+            for f in sorted(_glob.glob(os.path.join(staging, f"chunk{i:03d}_*"))):
+                shutil.move(f, os.path.join(live, os.path.basename(f)))
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(live)
+                .dropDuplicates(["event_id"])
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+    )

@@ -74,14 +74,15 @@ def test_front_window_consistent_with_registry():
 
 
 def test_front_window_covers_all_unverified_entries():
-    """Round-10 rotation contract (r9 VERDICT.md item 1): every entry
-    without a driver-green CORRECTNESS row in the union of rounds 1-9
-    sits inside the driver's 50-entry window this round, or is pinned in
-    DEFERRED_TO_NEXT_WINDOW as the mandatory head of the round-11 window.
-    The 10-entry round-9 deferred queue is the MANDATORY window head, in
-    its pinned order; round-10 additions are budgeted at 40 so the head
-    is never displaced. With the window green the driver-green union
-    reaches the full catalog."""
+    """Round-11 rotation contract (r10 VERDICT.md item 9): the r1-r10
+    driver-green union covers the whole catalog, so the window becomes a
+    REFRESH cycle. Three obligations: (1) every entry WITHOUT a
+    driver-green row (i.e. new round-11 additions) sits inside the
+    50-entry window or is pinned in DEFERRED_TO_NEXT_WINDOW; (2) the
+    window's remaining slots go to the entries whose LATEST green row is
+    globally oldest — no already-attested entry outside the window may
+    be staler than one inside it (attestation freshness stays bounded);
+    (3) deferral stays window-overflow-only."""
     import glob
     import json
     import os
@@ -92,41 +93,38 @@ def test_front_window_covers_all_unverified_entries():
     )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    prior = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-9].json")))
-    assert len(prior) >= 9, "missing prior-round driver files"
-    green: set[str] = set()
+    prior = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r[0-9]*.json")))
+    assert len(prior) >= 10, "missing prior-round driver files"
+    latest: dict[str, int] = {}
     seen: set[str] = set()
     for p in prior:
+        rnd = int(os.path.basename(p).split("_r")[1].split(".")[0])
         rows = json.load(open(p))
         seen |= set(rows)
-        green |= {k for k, v in rows.items() if v.get("hash_match")}
-    needs_row = [n for n in _QUERIES if n not in green]
+        for k, v in rows.items():
+            if v.get("hash_match"):
+                latest[k] = max(latest.get(k, 0), rnd)
+    needs_row = [n for n in _QUERIES if n not in latest]
     window = set(list(_QUERIES)[:50])
     missing = [
         n
         for n in needs_row
         if n not in window and n not in DEFERRED_TO_NEXT_WINDOW
     ]
-    # the round-11 head (if any) must fit one window
-    assert len(DEFERRED_TO_NEXT_WINDOW) <= 50
-    # the 10 round-9 deferred entries stay pinned as the r10 head, in order
-    r10_head = [
-        "events_sliding_distinct_users",
-        "ml_confusion_threshold_sweep",
-        "text_bpe_apply_tokens",
-        "agg_mode_exact",
-        "events_changepoint_sse",
-        "graph_hits_hubs_authorities",
-        "stats_mann_whitney_u",
-        "join_null_skew_isolation",
-        "udf_pandas_scalar_iter",
-        "stats_permutation_test",
-    ]
-    assert FRONT_WINDOW[: len(r10_head)] == r10_head
     assert not missing, (
         f"entries still lacking a driver-green row are outside the "
         f"50-entry window and not declared deferred: {missing}"
     )
+    # refresh discipline: window refresh slots = globally oldest-attested
+    in_window_attested = [latest[n] for n in window if n in latest]
+    out_attested = [latest[n] for n in latest if n not in window]
+    if in_window_attested and out_attested:
+        assert max(in_window_attested) <= min(out_attested), (
+            "an already-attested entry outside the window is staler than "
+            "a refresh entry inside it — rotate the stalest entries in"
+        )
+    # the round-12 head (if any) must fit one window
+    assert len(DEFERRED_TO_NEXT_WINDOW) <= 50
     # deferral is for genuine window overflow only, never for displacing
     # rotation debt: every deferred entry must be registered, absent from
     # ALL prior driver files, and the window must be full.

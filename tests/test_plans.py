@@ -619,6 +619,38 @@ def test_multi_bucket_entry_scans_lineitem_once(spark, qs):
     assert len(scans) == 1, p
 
 
+def test_bucketed_agg_zero_exchange_per_key(spark, qs):
+    """layout_bucketed_agg's claim (r10 verdict task #2): groupBy on the
+    bucket key over the bucketBy(16) table plans WITHOUT an Exchange —
+    the whole query contains exactly ONE Exchange and it belongs to the
+    tiny 25-band rollup (keyed on custkey%25, an expression the bucket
+    layout cannot satisfy), while the scan is a real bucketed read."""
+    p = plan(spark, qs, "layout_bucketed_agg")
+    assert "SelectedBucketsCount: 16 out of 16" in p, p
+    # formatted mode names each node twice (tree + detail); count the
+    # detail headers "(N) Exchange"
+    assert p.count(") Exchange") == 1, p
+    # the one Exchange keys on the band expression, not o_custkey
+    ex = [l for l in p.splitlines() if "hashpartitioning" in l]
+    assert len(ex) == 1 and "_groupingexpression" in ex[0], p
+
+
+def test_aqe_coalesce_executed_plan(spark, qs):
+    """agg_aqe_coalesce_partitions (r10 verdict task #3): the EXECUTED
+    adaptive plan of the deliberately over-partitioned (200) aggregation
+    shuffle must read back through an AQEShuffleRead marked coalesced —
+    the third AQE pillar next to skew-split and DPP. The exact result is
+    the driver-gated oracle; this pins the runtime re-plan itself."""
+    import irio_mapreduce_spark.queries.relational as rel
+
+    rel.AQE_COALESCE_EXECUTED_PLAN = None
+    out = rel.agg_aqe_coalesce_partitions(spark, SF_DIR)
+    assert out.count() == 500
+    p = rel.AQE_COALESCE_EXECUTED_PLAN
+    assert p is not None
+    assert "AQEShuffleRead coalesced" in p, p
+
+
 def test_perceptron_broadcasts_weight_rows(spark, qs):
     """ml_perceptron_batch_rounds chains three rounds by joining the fact
     table to the previous round's ONE-ROW weight frame — that join must

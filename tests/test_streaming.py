@@ -749,6 +749,52 @@ def test_index_maintenance_replay_idempotent(spark, tmp_path):
     assert seg_ids("b1") == {21}
 
 
+def test_kmeans_stream_handler_replay_idempotent(spark, tmp_path):
+    """The streaming k-means model loop's restart contract: a replayed
+    micro-batch id reads only centroid generations BELOW itself and
+    overwrites only its own generation, so a crash-restart between
+    triggers converges to identical artifacts; and chaining two rounds
+    through the model store equals the batch 2-iteration result."""
+    from irio_mapreduce_spark.llm.clustering import (
+        kmeans_fixed_point,
+        kmeans_stream_round_handler,
+        scaled_vec,
+    )
+
+    vecs = [
+        (i, [float(((i * 7 + d * 3) % 13) - 6) / 4.0 for d in range(4)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    sv = df.select(
+        F.col("vec_id").alias("_id"), scaled_vec(F.col("embedding")).alias("_sv")
+    )
+    model = str(tmp_path / "model")
+    handler = kmeans_stream_round_handler(model, 3)
+
+    def asg(gen):
+        return {
+            (r._id, r._c)
+            for r in spark.read.parquet(f"{model}/asg/r{gen}").collect()
+        }
+
+    handler(sv, 0)
+    first = asg(0)
+    handler(sv, 0)  # replay of batch 0: identical effect
+    assert asg(0) == first
+    handler(sv, 1)
+    final = asg(1)
+    handler(sv, 1)  # replay of batch 1 reads gen 0, rewrites gen 1
+    assert asg(1) == final
+    batch = {
+        (r.id, r.cluster)
+        for r in kmeans_fixed_point(
+            df, "embedding", "vec_id", k=3, iterations=2
+        ).collect()
+    }
+    assert final == batch
+
+
 def test_protobuf_vendor_zip_contents(spark, tmp_path):
     """The vendored protobuf zip must contain the namespace-extending
     google/__init__.py, the runtime package, and the guarded
