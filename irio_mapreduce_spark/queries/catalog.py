@@ -37,6 +37,20 @@ comparison meaningful:
   fixed sequence of scalar IEEE ops on integer moments can even
   hash-match UNROUNDED doubles (``stats_ols_price_vs_qty``).
 
+* INDEPENDENT DERIVATION (the r10 month-encoding lesson): the oracle
+  must not share data-shaping fragments (axis encodings, bucketing
+  formulas, series construction) with the query under test — a shared
+  fragment makes the hash blind to same-wrong-value bugs (the yyyyMM
+  month axis deflated every cross-year Theil-Sen slope ~89x ON BOTH
+  ENGINES and would have hash-matched). Where sharing a fragment is the
+  point (the Welch / OLS-2 Cramer templates, formatted into both engines
+  so the IEEE op trees are structurally identical and unrounded doubles
+  hash-match), the shared formula itself must be pinned against FIRST
+  PRINCIPLES by a property test (an independent implementation or
+  invariant — tests/test_properties.py, "Shared-fragment oracle sweep"
+  section); mirrored-but-independently-written formulas with zero
+  rounding slack get the same treatment.
+
 These conventions are enforced by tests/test_conventions.py.
 
 Queries whose semantics are intentionally approximate or non-SQL (HLL counts,

@@ -829,3 +829,329 @@ def test_adaboost_stumps_matches_python_reference(spark, tmp_path_factory, pts):
         for r in ml_adaboost_stumps(spark, str(tmp)).collect()
     ]
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Shared-fragment oracle sweep (r10 VERDICT "What's wrong #1" / Next #5):
+# wherever the oracle shares a formula with the query under test — either
+# literally (the Welch / OLS-2 Cramer templates formatted into BOTH
+# engines for IEEE identity) or structurally (the nation-monthly series
+# helper, the k-means CTE replay) — the driver hash can certify a
+# same-wrong-value bug (both engines computed the same wrong thing; the
+# r10 yyyyMM month axis deflated cross-year slopes ~89x and matched).
+# These tests pin each shared fragment against FIRST PRINCIPLES: an
+# independent implementation (pure Python / numpy) or an independently
+# meaningful invariant, so the shared formula itself is checked, not just
+# engine agreement.
+# ---------------------------------------------------------------------------
+
+
+def _trunc_div(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def test_month_axis_is_linear_across_year_boundary(spark, tmp_path):
+    """The grouped-trend month index (Spark _nation_monthly_cents AND the
+    oracle _NATION_MONTHLY_SQL) must step by exactly 1 from December to
+    January — the invariant the r10 yyyyMM encoding violated. Checked on
+    a hand-built two-order corpus through BOTH real implementations."""
+    import duckdb
+
+    from irio_mapreduce_spark.queries.stats_q import (
+        _NATION_MONTHLY_SQL,
+        _nation_monthly_cents,
+    )
+
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_custkey": [10, 10],
+            "o_orderdate": pd.to_datetime(["1995-12-15", "1996-01-15"]),
+            "o_totalprice": [100.0, 200.0],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({"c_custkey": [10], "c_nationkey": [3]}).to_parquet(
+        tmp_path / "customer.parquet"
+    )
+    pd.DataFrame({"n_nationkey": [3], "n_name": ["NATION_3"]}).to_parquet(
+        tmp_path / "nation.parquet"
+    )
+    ms = sorted(
+        r.m for r in _nation_monthly_cents(spark, str(tmp_path)).collect()
+    )
+    assert len(ms) == 2 and ms[1] - ms[0] == 1, ms
+    con = duckdb.connect()
+    for t in ["orders", "customer", "nation"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path / (t + '.parquet')}')"
+        )
+    oms = [
+        r[0]
+        for r in con.execute(
+            f"WITH nm AS ({_NATION_MONTHLY_SQL}) SELECT m FROM nm ORDER BY m"
+        ).fetchall()
+    ]
+    assert oms == ms
+
+
+def test_welch_templates_match_first_principles():
+    """The Welch t / dof expression templates (formatted into BOTH the
+    Spark plan and the DuckDB oracle — deliberate IEEE-identity sharing)
+    must equal the textbook Welch statistic computed independently from
+    the raw samples (sample variance via statistics.variance, not via
+    the template's own moment algebra)."""
+    import math
+    import statistics
+
+    import duckdb
+
+    from irio_mapreduce_spark.queries.relational import (
+        _WELCH_DF,
+        _WELCH_MD,
+        _WELCH_T,
+    )
+
+    a = [3, 7, 11, 13, 19, 24]
+    b = [2, 4, 9, 16]
+    moments = (
+        f"SELECT {len(a)} AS n1, {sum(a)} AS s1, "
+        f"{sum(x * x for x in a)} AS ss1, {len(b)} AS n2, "
+        f"{sum(b)} AS s2, {sum(x * x for x in b)} AS ss2"
+    )
+    md, t, dof = duckdb.connect().execute(
+        f"SELECT {_WELCH_MD} AS md, {_WELCH_T} AS t, {_WELCH_DF} AS dof "
+        f"FROM ({moments})"
+    ).fetchone()
+    ma, mb = statistics.mean(a), statistics.mean(b)
+    va, vb = statistics.variance(a), statistics.variance(b)
+    se2 = va / len(a) + vb / len(b)
+    t_ref = (ma - mb) / math.sqrt(se2)
+    dof_ref = se2 * se2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert math.isclose(md, ma - mb, rel_tol=1e-12)
+    assert math.isclose(t, t_ref, rel_tol=1e-12)
+    assert math.isclose(dof, dof_ref, rel_tol=1e-12)
+
+
+def test_ols2_cramer_templates_match_first_principles():
+    """The Cramer-rule determinant templates shared by stats_ols_multi's
+    Spark expression and oracle SQL must solve the 2-feature normal
+    equations — checked against numpy's LU solver (an independent
+    algorithm) on hand-built integer data."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from irio_mapreduce_spark.queries.relational import (
+        _DET,
+        _DET0,
+        _DET1,
+        _DET2,
+        _OLS2_VARS,
+    )
+
+    x1 = [1, 2, 3, 4, 5, 6, 7, 8]
+    x2 = [(i * 3) % 5 for i in x1]
+    y = [2 + 3 * a - 2 * b + ((a * 7 + b) % 3) for a, b in zip(x1, x2)]
+    n = len(x1)
+    m = {
+        "n": n,
+        "sx1": sum(x1),
+        "sx2": sum(x2),
+        "sy": sum(y),
+        "s11": sum(a * a for a in x1),
+        "s12": sum(a * b for a, b in zip(x1, x2)),
+        "s22": sum(b * b for b in x2),
+        "s1y": sum(a * c for a, c in zip(x1, y)),
+        "s2y": sum(b * c for b, c in zip(x2, y)),
+    }
+    moments = "SELECT " + ", ".join(f"{v} AS {k}" for k, v in m.items())
+    b0, b1, b2 = duckdb.connect().execute(
+        f"SELECT {_DET0.format(**_OLS2_VARS)} / {_DET.format(**_OLS2_VARS)},"
+        f" {_DET1.format(**_OLS2_VARS)} / {_DET.format(**_OLS2_VARS)},"
+        f" {_DET2.format(**_OLS2_VARS)} / {_DET.format(**_OLS2_VARS)} "
+        f"FROM ({moments})"
+    ).fetchone()
+    a_mat = np.array(
+        [
+            [m["n"], m["sx1"], m["sx2"]],
+            [m["sx1"], m["s11"], m["s12"]],
+            [m["sx2"], m["s12"], m["s22"]],
+        ],
+        dtype=float,
+    )
+    ref = np.linalg.solve(a_mat, np.array([m["sy"], m["s1y"], m["s2y"]], float))
+    assert math.isclose(b0, ref[0], rel_tol=1e-9)
+    assert math.isclose(b1, ref[1], rel_tol=1e-9)
+    assert math.isclose(b2, ref[2], rel_tol=1e-9)
+
+
+def test_kmeans_oracle_matches_pure_python_lloyds():
+    """The k-means CTE oracle (shared by ml_kmeans_embeddings and
+    stream_kmeans_model_rounds) replayed on a hand-built 12x64 corpus
+    must equal a from-scratch pure-Python Lloyd's (floor-scaling,
+    exact integer distances, lowest-cid argmin ties, trunc-div
+    re-centering, empty clusters carried) — pinning the ORACLE's
+    algebra itself, independent of any engine."""
+    import math
+
+    import duckdb
+
+    from irio_mapreduce_spark.queries.ml_q import (
+        _DIMS,
+        _K,
+        _KMEANS_2ROUND_ORACLE,
+    )
+
+    vecs = [
+        [(((i * 13 + d * 7) % 11) - 5) / 7.0 for d in range(_DIMS)]
+        for i in range(12)
+    ]
+    s = [[math.floor(x * 10**6) for x in v] for v in vecs]
+    cent = [list(s[i]) for i in range(_K)]
+    asg: list[int] = []
+    for _ in range(2):
+        asg = [
+            min(
+                range(_K),
+                key=lambda c: (
+                    sum((a - b) ** 2 for a, b in zip(v, cent[c])),
+                    c,
+                ),
+            )
+            for v in s
+        ]
+        new = []
+        for c in range(_K):
+            members = [s[i] for i in range(len(s)) if asg[i] == c]
+            if members:
+                new.append(
+                    [
+                        _trunc_div(sum(col), len(members))
+                        for col in zip(*members)
+                    ]
+                )
+            else:
+                new.append(cent[c])
+        cent = new
+    expect = {}
+    for c in sorted(set(asg)):
+        ids = [i for i in range(len(s)) if asg[i] == c]
+        expect[c] = (len(ids), min(ids), sum(ids))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {vecs[i]!r})" for i in range(12)).replace(
+            "'", ""
+        )
+        + ") AS t(vec_id, embedding)"
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_KMEANS_2ROUND_ORACLE).fetchall()
+    }
+    assert got == expect
+
+
+def test_unrounded_double_formulas_match_first_principles():
+    """Each remaining unrounded-double entry's moment-algebra formula
+    (mirrored, not literally shared, between its Spark plan and oracle)
+    rechecked against a naive definitional computation on hand data —
+    the defense against the same-wrong-formula class on the entries
+    with zero rounding slack."""
+    import math
+
+    import numpy as np
+
+    # stats_ols_price_vs_qty: slope/intercept from integer moments
+    x = [1, 2, 3, 5, 8, 9]
+    y = [3, 5, 6, 11, 18, 19]
+    n, sx, sy = len(x), sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx = sum(a * a for a in x)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = sy / n - slope * (sx / n)
+    ref_slope, ref_intercept = np.polyfit(x, y, 1)
+    assert math.isclose(slope, ref_slope, rel_tol=1e-9)
+    assert math.isclose(intercept, ref_intercept, rel_tol=1e-9)
+
+    # stats_spearman_rank / graph_degree_assortativity: Pearson over
+    # DOUBLED midranks (2*min_rank + ties - 1) equals Pearson over
+    # textbook average ranks (affine invariance), with ties
+    xs = [3, 1, 3, 7, 5, 3, 1]
+    ys = [2, 2, 9, 4, 4, 1, 8]
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            for k2 in range(i, j):
+                r[order[k2]] = (i + j + 1) / 2  # 1-based average rank
+            i = j
+        return r
+
+    def doubled(vals):
+        sv = sorted(vals)
+        return [2 * (sv.index(v) + 1) + sv.count(v) - 1 for v in vals]
+
+    def pearson(a, b):
+        n2, sa, sb = len(a), sum(a), sum(b)
+        sab = sum(p * q for p, q in zip(a, b))
+        saa = sum(p * p for p in a)
+        sbb = sum(q * q for q in b)
+        return (n2 * sab - sa * sb) / (
+            math.sqrt(n2 * saa - sa * sa) * math.sqrt(n2 * sbb - sb * sb)
+        )
+
+    assert math.isclose(
+        pearson(doubled(xs), doubled(ys)),
+        pearson(midranks(xs), midranks(ys)),
+        rel_tol=1e-12,
+    )
+
+    # stats_anova_oneway: F from (n_g, sum, sumsq) moments vs the
+    # definitional sum-of-squared-deviations form
+    groups = [[3, 7, 11], [2, 4, 4, 9], [10, 12]]
+    k = len(groups)
+    n_tot = sum(len(g) for g in groups)
+    s_tot = sum(sum(g) for g in groups)
+    ss_tot = sum(v * v for g in groups for v in g)
+    part = sum(sum(g) ** 2 / len(g) for g in groups)
+    ssb = part - s_tot**2 / n_tot
+    ssw = ss_tot - part
+    f_stat = (ssb / (k - 1)) / (ssw / (n_tot - k))
+    gm = s_tot / n_tot
+    ssb_ref = sum(len(g) * (sum(g) / len(g) - gm) ** 2 for g in groups)
+    ssw_ref = sum((v - sum(g) / len(g)) ** 2 for g in groups for v in g)
+    f_ref = (ssb_ref / (k - 1)) / (ssw_ref / (n_tot - k))
+    assert math.isclose(f_stat, f_ref, rel_tol=1e-12)
+
+    # ml_cohens_kappa: cleared-denominator rational vs (po-pe)/(1-pe)
+    a, b, c, d = 37, 11, 5, 19  # confusion counts
+    n2 = a + b + c + d
+    marg = (a + b) * (a + c) + (c + d) * (b + d)
+    kappa = (n2 * (a + d) - marg) / (n2 * n2 - marg)
+    po = (a + d) / n2
+    pe = marg / (n2 * n2)
+    assert math.isclose(kappa, (po - pe) / (1 - pe), rel_tol=1e-12)
+
+    # quality_distribution_drift_l1: cross-multiplied TV vs definitional
+    h1 = {"a": 5, "b": 9, "c": 2}
+    h2 = {"a": 7, "b": 3, "c": 4, "d": 1}
+    n1, n2b = sum(h1.values()), sum(h2.values())
+    keys = set(h1) | set(h2)
+    tv_int = sum(
+        abs(h1.get(k2, 0) * n2b - h2.get(k2, 0) * n1) for k2 in keys
+    ) / (2 * n1 * n2b)
+    tv_ref = 0.5 * sum(
+        abs(h1.get(k2, 0) / n1 - h2.get(k2, 0) / n2b) for k2 in keys
+    )
+    assert math.isclose(tv_int, tv_ref, rel_tol=1e-12)
