@@ -74,6 +74,25 @@ def _close(a, b) -> bool:
     return a == b
 
 
+# Physical-plan strings captured as a by-product of the oracle tests
+# (which already build every catalog entry at SF_DIR): the full-catalog
+# plan sweep in tests/test_plans.py reuses them instead of re-running
+# every entry — streaming entries DRAIN during construction, so the
+# rebuild cost was ~290 s of the suite (r10 VERDICT wall-clock item).
+# Keyed by entry name; only populated when the oracle tests ran first
+# (pytest's alphabetical file order guarantees that in a full run).
+RECORDED_PLANS: dict[str, str] = {}
+
+
+def record_plan(name: str, spark_df) -> None:
+    """Capture the entry's physical-plan string (what explain('simple')
+    prints). Planning is lazily cached on the QueryExecution, so this is
+    free next to the collect the caller is about to do."""
+    RECORDED_PLANS[name] = (
+        spark_df._jdf.queryExecution().simpleString()
+    )
+
+
 def compare_with_oracle(spark_df, duck_con, sql: str, name: str = "query") -> None:
     """Assert the Spark result matches the DuckDB oracle (driver t2 semantics)."""
     spark_cols = sorted(spark_df.columns)

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from irio_mapreduce_spark import queries as catalog
-from tests.conftest import SF_DIR, compare_with_oracle
+from tests.conftest import SF_DIR, compare_with_oracle, record_plan
 
 _QUERIES = catalog.all_queries()
 _ORACLES = catalog.all_oracles()
@@ -15,6 +15,9 @@ _ORACLES = catalog.all_oracles()
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_query_matches_oracle(name, spark, duck):
     df = _QUERIES[name](spark, SF_DIR)
+    # by-product for the full-catalog plan sweep (tests/test_plans.py):
+    # the entry is built here anyway, so its plan is captured for free
+    record_plan(name, df)
     compare_with_oracle(df, duck, _ORACLES[name], name=name)
 
 

@@ -461,19 +461,40 @@ def test_every_catalog_plan_is_cartesian_free(spark, qs):
     ``sim_pairs_bruteforce`` bounds its pair generation to broadcast
     nested loops, never a cartesian). Plans build at SF_DIR (sf0.01, the
     driver-protocol scale) — a smaller SF would let broadcast thresholds
-    hide exactly the degradation this asserts."""
+    hide exactly the degradation this asserts.
+
+    Coverage is unchanged from the rebuild-everything form, but plans
+    captured by the oracle tests (which construct every entry anyway;
+    tests/conftest.py RECORDED_PLANS) are REUSED — streaming entries
+    drain during construction, so rebuilding all 340+ cost ~290 s of
+    suite wall-clock (r10 VERDICT item 8). Entries without a recorded
+    plan (e.g. a filtered run of this file alone) still build live."""
+    from tests.conftest import RECORDED_PLANS
+
     failures = []
+    rebuilt = 0
     for name, fn in qs.items():
-        buf = io.StringIO()
-        try:
-            with contextlib.redirect_stdout(buf):
-                fn(spark, SF_DIR).explain("simple")
-        except Exception as e:  # noqa: BLE001 — collect, report all at once
-            failures.append(f"{name}: explain failed: {type(e).__name__}: {e}")
-            continue
-        if "CartesianProduct" in buf.getvalue():
+        p = RECORDED_PLANS.get(name)
+        if p is None:
+            rebuilt += 1
+            buf = io.StringIO()
+            try:
+                with contextlib.redirect_stdout(buf):
+                    fn(spark, SF_DIR).explain("simple")
+            except Exception as e:  # noqa: BLE001 — collect, report all
+                failures.append(
+                    f"{name}: explain failed: {type(e).__name__}: {e}"
+                )
+                continue
+            p = buf.getvalue()
+        if "CartesianProduct" in p:
             failures.append(f"{name}: plan contains CartesianProduct")
     assert not failures, "\n".join(failures)
+    print(
+        f"\n[plan-sweep] {len(qs)} entries checked, "
+        f"{len(qs) - rebuilt} reused from oracle-test capture, "
+        f"{rebuilt} rebuilt"
+    )
 
 
 def test_lateral_topk_decorrelates_to_ranked_join(spark, qs):
