@@ -89,6 +89,8 @@ FRONT_WINDOW: list[str] = [
     "layout_bucketed_agg",
     "agg_aqe_coalesce_partitions",
     "stream_checkpoint_kill_resume",
+    "stream_tws_list_state",
+    "source_xml_attributes_escaping",
     # refresh cycle: the 46 catalog entries with the oldest driver-green
     # rows (41 last attested in r3, then the alphabetically-first r4)
     "agg_grouping_sets",
@@ -135,8 +137,6 @@ FRONT_WINDOW: list[str] = [
     "agg_approx_distinct",
     "agg_collect_list_orders",
     "agg_cube_flag_status",
-    "agg_percentiles_approx",
-    "agg_percentiles_collect",
 ]
 
 # Round-10 window, kept for the audit trail (all 50 driver-green in

@@ -1167,6 +1167,71 @@ def source_glob_recursive_lookup(
 
 
 @register(
+    "source_xml_attributes_escaping",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(doc_id % 97) AS BIGINT) AS score_sum,
+           CAST(sum(('0x' || substr(
+                md5('<p a="&"> ''q'' ' || text), 1, 8))::BIGINT)
+                AS BIGINT) AS md5_head_sum
+    FROM documents WHERE doc_id % 13 = 0
+    GROUP BY lang
+    """,
+)
+def source_xml_attributes_escaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML SOURCE/SINK — Spark 4's built-in XML datasource (the
+    spark-xml package folded into core), round-tripping document rows
+    through ``rowTag`` records with BOTH node kinds: ``_score`` maps to
+    an ATTRIBUTE (``attributePrefix`` contract, ``<doc score="...">``)
+    and the rest to child elements. The body text is salted with raw
+    markup characters (``< > & ' "``) BEFORE writing, so the checksum
+    only survives if the writer entity-escapes and the reader
+    un-escapes losslessly — the failure mode that silently corrupts
+    third-party feed ingest. Scale note: like multiline CSV, XML
+    records span lines, so files are the split unit and a 100 TB feed
+    must arrive as many files; explicit schema on read (inference would
+    be a second full pass). md5 prefix sums per language prove
+    byte-exactness against the source table; the score attribute is
+    checksummed separately to pin the attribute path."""
+    path = _scratch(sf_dir, "docs_xml")
+    marked = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.concat(F.lit("<p a=\"&\"> 'q' "), F.col("text")).alias(
+                "body"
+            ),
+            (F.col("doc_id") % 97).cast("long").alias("_score"),
+        )
+    )
+    marked.write.format("xml").option("rowTag", "doc").mode(
+        "overwrite"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id LONG, lang STRING, body STRING, _score LONG")
+        .load(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("_score").cast("long").alias("score_sum"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("body")), 1, 8), 16, 10).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("md5_head_sum"),
+    )
+
+
+@register(
     "source_csv_multiline_quoted",
     oracle="""
     SELECT lang,

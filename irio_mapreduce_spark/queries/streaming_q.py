@@ -1568,6 +1568,91 @@ def stream_tws_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_tws_list_state",
+    oracle="""
+    WITH f AS (SELECT * FROM events WHERE user_id % 17 = 0),
+    tot AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM f GROUP BY user_id),
+    ranked AS (
+      SELECT user_id, event_id,
+             CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
+               * (CASE WHEN value >= 0 THEN 1 ELSE -1 END) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM f),
+    top AS (SELECT user_id,
+                   CAST(sum(cents) AS BIGINT) AS recent_cents,
+                   CAST(sum(event_id) AS BIGINT) AS recent_ids
+            FROM ranked WHERE rn <= 3 GROUP BY user_id)
+    SELECT user_id, n, recent_cents, recent_ids
+    FROM tot JOIN top USING (user_id)
+    """,
+)
+def stream_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with **ListState** — completes the
+    state-handle surface (ValueState: `stream_tws_stateful_totals`;
+    event-time timers: `stream_tws_session_timers`; MapState:
+    `stream_tws_map_state`; now the bounded ordered list): each user's
+    THREE most-recent events by EVENT time, maintained against a
+    deliberately out-of-time-order replay, so the list is merged and
+    re-trimmed (``get()``/``put()``) on every touch — the 'last-N
+    interactions' feature store whose state is O(k) per user at any
+    stream length (``streaming.ops.tws_topk_recent``). Timestamps are
+    pre-projected to epoch micros so the worker never parses time. The
+    final emission per user (max monotone n, window-ranked like the
+    MapState twin) must equal the batch top-3-by-recency aggregate.
+    RocksDB provider scoped set/restore as the API requires."""
+    from pyspark.sql.window import Window
+
+    from irio_mapreduce_spark.streaming.ops import tws_topk_recent
+    from irio_mapreduce_spark.streaming.protobuf_vendor import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "no protobuf runtime available to vendor — "
+            "transformWithStateInPandas cannot run in this environment"
+        )
+    stream = (
+        _replayed_stream(spark, sf_dir)
+        .filter(F.col("user_id") % 17 == 0)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "value",
+        )
+    )
+    name = f"t_sq_{uuid.uuid4().hex[:8]}"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        with _stream_partitions(spark):
+            run_to_completion(tws_topk_recent(stream), name, "update")
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        spark.table(name)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "n", "recent_cents", "recent_ids")
+    )
+
+
+@register(
     "stream_checkpoint_kill_resume",
     oracle="""
     SELECT event_type,

@@ -893,3 +893,86 @@ def tws_per_type_totals(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def tws_topk_recent(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user K MOST-RECENT events on ``transformWithStateInPandas``
+    with **ListState** — the fourth and final state handle next to
+    ValueState (`stream_tws_stateful_totals`), event-time timers
+    (`stream_tws_session_timers`) and MapState (`stream_tws_map_state`):
+    a bounded ORDERED collection inside each grouping key, read with
+    ``get()`` and replaced wholesale with ``put()`` after the per-batch
+    merge-and-trim. This is the 'last-N interactions' feature-store
+    shape at 100 TB: state stays O(k) per user no matter how many events
+    stream through, and arrival order is irrelevant because the list is
+    re-ranked by EVENT time on every touch (the replay is deliberately
+    NOT time-ordered). A ValueState counter rides along so each
+    emission carries the monotone events-seen count — the caller picks
+    each user's final emission by max n, exactly like the MapState
+    entry.
+
+    Expects a pre-projected batch-friendly frame: ``user_id long,
+    ts_us long, event_id long, value double`` (epoch micros — the
+    processor never parses timestamps). Cents are exact integers,
+    half-away-from-zero like the MapState twin."""
+    from irio_mapreduce_spark.streaming.protobuf_vendor import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf(events.sparkSession):
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package; "
+            "no local runtime to vendor in this environment."
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopKRecent(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._l = handle.getListState(
+                "recent", "ts_us long, event_id long, cents long"
+            )
+            self._n = handle.getValueState("n_seen", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = [tuple(r) for r in self._l.get()]
+            got = self._n.get()
+            n = int(got[0]) if got is not None else 0
+            for pdf in rows:
+                for ts_us, eid, v in zip(
+                    pdf["ts_us"], pdf["event_id"], pdf["value"]
+                ):
+                    n += 1
+                    v = float(v)
+                    cents = int(abs(v) * 100 + 0.5) * (1 if v >= 0 else -1)
+                    cur.append((int(ts_us), int(eid), cents))
+            cur.sort(key=lambda t: (t[0], t[1]), reverse=True)
+            cur = cur[:k]
+            self._l.put(cur)
+            self._n.update((n,))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n": n,
+                        "recent_cents": sum(t[2] for t in cur),
+                        "recent_ids": sum(t[1] for t in cur),
+                    }
+                ],
+                columns=["user_id", "n", "recent_cents", "recent_ids"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TopKRecent(),
+        outputStructType=(
+            "user_id long, n long, recent_cents long, recent_ids long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
