@@ -414,6 +414,58 @@ def bfs_hops(
     )
 
 
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str,
+    dst_col: str,
+    seed_col: str,
+    max_hops: int,
+) -> DataFrame:
+    """Per-seed bounded-hop BFS: minimum hop distance from EACH seed to
+    every node reachable within ``max_hops`` — :func:`bfs_hops` with the
+    distance map keyed by (seed, node) instead of node, the primitive
+    under closeness/ego-network statistics. Returns
+    ``(seed, node, hops)``, integers, cross-engine exact.
+
+    Shape per round is bfs_hops' exactly (frontier ⋈ edges, then an
+    anti-join against the accumulated map); the seed label rides the
+    frontier rows, so k seeds cost one traversal with k-wide frontiers,
+    NOT k traversals — state is O(k · reached). ``max_hops`` is a small
+    fixed constant by contract (the catalog entry unrolls 4), keeping
+    lineage shallow without checkpoint barriers."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).localCheckpoint(eager=True)
+    dist = seeds.select(
+        F.col(seed_col).alias("_seed"),
+        F.col(seed_col).alias("_node"),
+        F.lit(0).alias("_hops"),
+    ).distinct()
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["_node"] == e["_src"])
+            .select(
+                "_seed",
+                F.col("_dst").alias("_node"),
+                F.lit(h).alias("_hops"),
+            )
+            .distinct()
+        )
+        frontier = reached.join(dist, ["_seed", "_node"], "left_anti")
+        dist = dist.unionByName(frontier)
+    return dist.groupBy("_seed", "_node").agg(
+        F.min("_hops").alias("_h")
+    ).select(
+        F.col("_seed").alias("seed"),
+        F.col("_node").alias("node"),
+        F.col("_h").cast("int").alias("hops"),
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src_col: str,

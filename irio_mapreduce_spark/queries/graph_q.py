@@ -20,6 +20,7 @@ from irio_mapreduce_spark.operators.graph import (
     bfs_hops,
     kcore_peel,
     label_propagation,
+    multi_source_bfs,
     pagerank,
     pagerank_personalized,
     triangle_count,
@@ -1034,4 +1035,70 @@ def graph_modularity_components(
             .cast("long")
             .alias("q_term"),
         )
+    )
+
+
+@register(
+    "graph_closeness_centrality",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_COSUPPLY_EDGES_SQL}),
+    sym AS (SELECT s1 AS src, s2 AS dst FROM edges
+            UNION SELECT s2, s1 FROM edges),
+    seeds AS (SELECT DISTINCT src AS seed FROM sym
+              ORDER BY seed LIMIT 8),
+    walk(seed, node, d) AS (
+      SELECT seed, seed, 0 FROM seeds
+      UNION
+      SELECT w.seed, s.dst, w.d + 1
+      FROM walk w JOIN sym s ON w.node = s.src
+      WHERE w.d < 4),
+    best AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
+    SELECT seed,
+           CAST(count(*) - 1 AS BIGINT) AS n_reached,
+           CAST(sum(d) AS BIGINT) AS dist_sum,
+           CAST(CASE WHEN sum(d) = 0 THEN NULL
+                     ELSE ((count(*) - 1) * 1000000) // sum(d)
+                END AS BIGINT) AS closeness_ppm
+    FROM best GROUP BY seed
+    """,
+)
+def graph_closeness_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLOSENESS CENTRALITY (4-hop-bounded) for the 8 lowest-id supplier
+    nodes of the quarterly co-supply graph: C(s) = (reached−1)/Σd over
+    the nodes within the hop bound — the "how central is this hub"
+    score, here in exact parts-per-million fixed point (BIGINT div, the
+    PageRank-family discipline; NULL for an isolated seed). Built on
+    ``operators.graph.multi_source_bfs``: the seed label rides the
+    frontier, so 8 seeds cost ONE traversal with 8-wide frontiers — at
+    100 TB the per-round cost is the frontier⋈edges join on a
+    pre-partitioned edge list, never k separate sweeps. The bounded-hop
+    variant IS the production form (unbounded closeness on a
+    small-world graph reads the whole component per seed); the bound is
+    a semantic parameter, identical on both sides. Oracle: recursive-CTE
+    walk with the same cap, min-distance per (seed, node)."""
+    edges = _cosupply_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionByName(
+        edges.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    seeds = (
+        sym.select(F.col("src").alias("seed"))
+        .distinct()
+        .orderBy("seed")
+        .limit(8)
+    )
+    dist = multi_source_bfs(sym, seeds, "src", "dst", "seed", max_hops=4)
+    return dist.groupBy("seed").agg(
+        (F.count("*") - 1).cast("long").alias("n_reached"),
+        F.sum("hops").cast("long").alias("dist_sum"),
+        F.when(
+            F.sum("hops") == 0, F.lit(None).cast("long")
+        )
+        .otherwise(
+            F.expr("((count(*) - 1) * 1000000) div sum(hops)")
+        )
+        .alias("closeness_ppm"),
     )

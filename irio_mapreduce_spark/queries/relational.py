@@ -4980,3 +4980,76 @@ def quality_distribution_drift_l1(
             )
         ).alias("total_variation"),
     )
+
+
+@register(
+    "join_range_bucket_expansion",
+    oracle="""
+    SELECT campaign_id,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM (SELECT o_orderkey AS campaign_id,
+                 date_diff('day', DATE '1970-01-01', o_orderdate) AS sd
+          FROM orders WHERE o_orderkey % 997 = 0) c
+    JOIN (SELECT date_diff('day', DATE '1970-01-01', l_shipdate) AS pd,
+                 l_quantity
+          FROM lineitem WHERE l_partkey % 5 = 0) p
+      ON p.pd BETWEEN c.sd AND c.sd + 13
+    GROUP BY campaign_id
+    """,
+)
+def join_range_bucket_expansion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POINT-IN-INTERVAL RANGE JOIN as a BUCKET-EXPANDED EQUI-JOIN — the
+    scale answer to the join Spark can only plan as a nested loop: a
+    pure range predicate (ship date inside a 14-day campaign window,
+    NO shared key) plans as BroadcastNestedLoopJoin when one side fits
+    memory and degenerates to an O(n·m) cartesian when neither does.
+    The rewrite quantizes time into buckets the width of the interval
+    (14 days): each interval is EXPLODED into the ≤2 buckets it covers
+    (fan-out is ceil(len/width)+1, a constant chosen by sizing the
+    bucket to the interval), each point maps to exactly ONE bucket, and
+    the join becomes equi on the bucket key with the BETWEEN as a
+    residual condition — a shuffled/sort-merge join both of whose sides
+    can be arbitrarily large. A (point, interval) pair can only meet in
+    the point's own bucket, so no post-join dedup is needed. Plan
+    assertion pins SortMergeJoin-on-bucket with zero BNLJ/cartesian;
+    the oracle is the plain BETWEEN join. Same family as
+    `join_asof_nearest` (inequality made shuffle-friendly by
+    quantization) and the events interval-union entry; at 100 TB this
+    plus AQE skew handling is how point-in-window attribution runs."""
+    camp = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 997 == 0)
+        .select(
+            F.col("o_orderkey").alias("campaign_id"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias(
+                "sd"
+            ),
+        )
+    )
+    exploded = camp.withColumn(
+        "bkt",
+        F.explode(F.sequence(F.expr("sd div 14"), F.expr("(sd + 13) div 14"))),
+    )
+    pts = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 5 == 0)
+        .select(
+            F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")).alias(
+                "pd"
+            ),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .withColumn("bkt", F.expr("pd div 14"))
+    )
+    joined = exploded.hint("merge").join(
+        pts,
+        (exploded["bkt"] == pts["bkt"])
+        & pts["pd"].between(exploded["sd"], exploded["sd"] + 13),
+    )
+    return joined.groupBy("campaign_id").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("qty").cast("long").alias("qty_sum"),
+    )

@@ -672,6 +672,17 @@ def test_aqe_coalesce_executed_plan(spark, qs):
     assert "AQEShuffleRead coalesced" in p, p
 
 
+def test_range_join_bucket_expansion_is_equi(spark, qs):
+    """join_range_bucket_expansion's claim: the pure range predicate
+    plans as a sort-merge EQUI join on the bucket key (BETWEEN demoted
+    to a residual condition) — never a BroadcastNestedLoopJoin or
+    CartesianProduct, the shapes a raw range join would take."""
+    p = plan(spark, qs, "join_range_bucket_expansion", mode="simple")
+    assert "SortMergeJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_perceptron_broadcasts_weight_rows(spark, qs):
     """ml_perceptron_batch_rounds chains three rounds by joining the fact
     table to the previous round's ONE-ROW weight frame — that join must
