@@ -513,6 +513,10 @@ def decode_real_media_features(media: DataFrame) -> DataFrame:
                         )
                     else:
                         base.update(kind="audio", **mm.decode_wav(payload))
+                elif (
+                    payload[:4] == b"FORM" and payload[8:12] == b"AIFF"
+                ):
+                    base.update(kind="audio", **mm.decode_aiff(payload))
                 elif payload[-18:] == mm._TGA_SIGNATURE:
                     # TGA has NO leading magic — the 2.0 footer signature
                     # is the only sniffable identity, checked last
@@ -3209,6 +3213,137 @@ def synthesize_png_adam7_media(
                             "kind": "image", "mime": "image/png",
                             "width": w, "height": h,
                             "sample_rate": None, "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# AIFF (Audio Interchange File Format) — big-endian PCM16 in IFF chunks.
+# The parsing challenge unique to AIFF is the COMM chunk's sample rate:
+# an 80-bit IEEE 754 EXTENDED float (1 sign + 15 exponent + 64 explicit
+# mantissa bits). Real-world rates are integers, so both directions are
+# pure integer bit math — no float rounding anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _extended_from_int(value: int) -> bytes:
+    """Encode a positive integer as an 80-bit IEEE extended float."""
+    if value <= 0:
+        raise ValueError("sample rate must be positive")
+    bits = value.bit_length()
+    exponent = 16383 + bits - 1
+    mantissa = value << (64 - bits)  # explicit leading 1, no hidden bit
+    return struct.pack(">HQ", exponent, mantissa)
+
+
+def _extended_to_int(raw: bytes) -> int:
+    """Decode an 80-bit IEEE extended float known to hold a positive
+    integer (every real sample rate). Exact integer shifts only."""
+    exponent, mantissa = struct.unpack(">HQ", raw)
+    if exponent & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    shift = 63 - (exponent - 16383)
+    if not 0 <= shift < 64:
+        raise ValueError("non-integer AIFF sample rate")
+    if mantissa & ((1 << shift) - 1):
+        raise ValueError("non-integer AIFF sample rate")
+    return mantissa >> shift
+
+
+def encode_aiff(sample_rate: int, samples) -> bytes:
+    """A real, to-spec mono PCM16 AIFF: FORM/AIFF container, COMM with
+    the 80-bit extended sample rate, an odd-length ANNO chunk (so the
+    IFF odd-size pad byte rule is exercised on every payload), SSND
+    with big-endian samples."""
+    data = b"".join(struct.pack(">h", s) for s in samples)
+    comm = b"COMM" + struct.pack(
+        ">IHIH", 18, 1, len(samples), 16
+    ) + _extended_from_int(sample_rate)
+    anno = b"anno!"  # 5 bytes — odd on purpose
+    anno_chunk = b"ANNO" + struct.pack(">I", len(anno)) + anno + b"\x00"
+    ssnd = b"SSND" + struct.pack(">III", 8 + len(data), 0, 0) + data
+    body = b"AIFF" + comm + anno_chunk + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> dict:
+    """Parse a mono PCM16 AIFF; exact integer amplitude statistics (the
+    same feature shape as :func:`decode_wav` — AIFF is WAV's big-endian
+    IFF sibling, and the decode dispatch discriminates on the FORM/AIFF
+    magic). Walks chunks with the IFF odd-size pad rule; validates
+    chunk sizes against the payload so truncation rejects cleanly."""
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    pos, sample_rate, n_frames, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from(">4sI", payload, pos)
+        if pos + 8 + csize > len(payload):
+            raise ValueError("truncated AIFF chunk")
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"COMM":
+            if csize < 18:
+                raise ValueError("truncated COMM chunk")
+            channels, n_frames, bits = struct.unpack_from(">HIH", body, 0)
+            if channels != 1 or bits != 16:
+                raise ValueError("unsupported AIFF variant")
+            sample_rate = _extended_to_int(body[8:18])
+        elif cid == b"SSND":
+            if csize < 8:
+                raise ValueError("truncated SSND chunk")
+            offset, _block = struct.unpack_from(">II", body, 0)
+            data = body[8 + offset :]
+        pos += 8 + csize + (csize & 1)
+    if sample_rate is None or n_frames is None or data is None:
+        raise ValueError("missing COMM/SSND chunk")
+    if len(data) < 2 * n_frames:
+        raise ValueError("SSND shorter than COMM frame count")
+    samples = struct.unpack(f">{n_frames}h", data[: 2 * n_frames])
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": len(samples),
+        "sum_abs": sum(abs(s) for s in samples),
+        "n_nonneg": sum(1 for s in samples if s >= 0),
+    }
+
+
+def synth_aiff(seed: int, sample_rate: int, n_samples: int) -> bytes:
+    """Deterministic AIFF: s_i = ((seed*17 + i*9) % 4001) - 2000."""
+    return encode_aiff(
+        sample_rate,
+        [((seed * 17 + i * 9) % 4001) - 2000 for i in range(n_samples)],
+    )
+
+
+def synthesize_aiff_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Materialize a media table of REAL mono PCM16 AIFFs (rate one of
+    11025/22050/33075 by id — three distinct 80-bit extended encodings).
+    Distributed mapInPandas."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 52 + mid % 83
+                sr = 11025 * (1 + mid % 3)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": mm.synth_aiff(mid, sr, n),
+                        "meta": {
+                            "kind": "audio", "mime": "audio/aiff",
+                            "width": None, "height": None,
+                            "sample_rate": sr,
+                            "duration_ms": 1000 * n // sr,
                         },
                     }
                 )

@@ -93,6 +93,8 @@ FRONT_WINDOW: list[str] = [
     "source_xml_attributes_escaping",
     "graph_closeness_centrality",
     "join_range_bucket_expansion",
+    "multimodal_real_aiff",
+    "agg_unpivot_metrics",
     # refresh cycle: the 46 catalog entries with the oldest driver-green
     # rows (41 last attested in r3, then the alphabetically-first r4)
     "agg_grouping_sets",
@@ -135,8 +137,6 @@ FRONT_WINDOW: list[str] = [
     "udf_grouped_agg",
     "udf_grouped_map",
     "udf_pandas_scalar",
-    "udf_python_udtf",
-    "agg_approx_distinct",
 ]
 
 # Round-10 window, kept for the audit trail (all 50 driver-green in

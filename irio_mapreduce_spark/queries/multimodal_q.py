@@ -897,3 +897,53 @@ def multimodal_real_png_adam7(
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
     )
+
+
+@register(
+    "multimodal_real_aiff",
+    oracle="""
+    WITH aud AS (
+      SELECT doc_id AS media_id, 52 + doc_id % 83 AS n,
+             11025 * (1 + doc_id % 3) AS sr
+      FROM documents),
+    ix AS (SELECT media_id, n, sr,
+                  unnest(generate_series(0, n - 1)) AS i
+           FROM aud),
+    s AS (
+      SELECT media_id, n, sr,
+             ((media_id*17 + i*9) % 4001) - 2000 AS s
+      FROM ix)
+    SELECT media_id,
+           CAST(max(sr) AS BIGINT) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(sum(CASE WHEN s >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonneg
+    FROM s GROUP BY media_id
+    """,
+)
+def multimodal_real_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AIFF decode — WAV's big-endian IFF sibling, the second audio
+    CONTAINER in the corpus (mu-law was a second codec in the SAME
+    container; this is the same codec in a DIFFERENT container, the
+    other axis a 100 TB audio crawl varies on). The parsing challenge
+    unique to AIFF is the COMM chunk's 80-bit IEEE EXTENDED-float sample
+    rate — decoded by pure integer bit math (sign/exponent/64-bit
+    explicit mantissa), exact for every real rate, three distinct
+    encodings in-corpus (11025/22050/33075). The chunk walk exercises
+    the IFF odd-size pad rule via a deliberately odd ANNO chunk in every
+    payload. Dispatch sniffs FORM..AIFF magic; features are the mono-WAV
+    shape, so the oracle replays the synth formula in closed form
+    (``llm.multimodal.decode_aiff``)."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        synthesize_aiff_media,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = decode_real_media_features(synthesize_aiff_media(ids))
+    return feats.select(
+        "media_id", "sample_rate", "n_samples", "sum_abs", "n_nonneg"
+    )

@@ -5053,3 +5053,51 @@ def join_range_bucket_expansion(
         F.count("*").cast("long").alias("n_items"),
         F.sum("qty").cast("long").alias("qty_sum"),
     )
+
+
+@register(
+    "agg_unpivot_metrics",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS v FROM w
+    UNION ALL
+    SELECT o_orderpriority, 'cents', cents FROM w
+    UNION ALL
+    SELECT o_orderpriority, 'n_custs', n_custs FROM w
+    """,
+)
+def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long, the inverse of `agg_pivot_status_by_flag`):
+    a 3-metric-per-priority summary melted into (key, metric, value)
+    rows with the native ``DataFrame.unpivot`` — the Spark 4 operator
+    backing ad-hoc metric tables, long-format exports, and
+    one-column-per-sensor flattening. Planner-wise unpivot is an
+    Expand node: each input row fans out to |metrics| rows in the SAME
+    task — no shuffle, no self-join (the naive UNION-of-selects the
+    oracle deliberately uses costs |metrics| scans of the wide frame
+    when the optimizer can't collapse them; at 100 TB Expand's one-scan
+    fan-out is the difference). Metrics are all BIGINT so the single
+    value column needs no lossy unification cast."""
+    wide = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "cents", "n_custs"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )

@@ -2271,3 +2271,51 @@ def test_png_adam7_roundtrip_and_partition():
             for x in range(w)
             for c in range(3)
         ), (w, h)
+
+
+def test_aiff_codec_roundtrip_and_corruption():
+    """AIFF: the 80-bit extended sample rate must round-trip exactly for
+    every real rate class (incl. non-powers-of-two and odd values), the
+    odd-ANNO pad rule must not derail the chunk walk, and structural
+    corruption must reject with ValueError, not struct.error."""
+    import pytest
+
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    for rate in [8000, 11025, 22050, 33075, 44100, 48000, 96001]:
+        assert mm._extended_to_int(mm._extended_from_int(rate)) == rate
+    samples = [0, 1, -1, 2000, -2000, 32767, -32768]
+    payload = mm.encode_aiff(22050, samples)
+    got = mm.decode_aiff(payload)
+    assert got == {
+        "sample_rate": 22050,
+        "n_samples": len(samples),
+        "sum_abs": sum(abs(s) for s in samples),
+        "n_nonneg": sum(1 for s in samples if s >= 0),
+    }
+    # synth formula matches the oracle's closed form
+    seed, n = 7, 13
+    synth = mm.decode_aiff(mm.synth_aiff(seed, 11025, n))
+    ref = [((seed * 17 + i * 9) % 4001) - 2000 for i in range(n)]
+    assert synth["sum_abs"] == sum(abs(s) for s in ref)
+    assert synth["n_nonneg"] == sum(1 for s in ref if s >= 0)
+    # corruption: truncated chunk, wrong magic, stereo, bad rate
+    with pytest.raises(ValueError):
+        mm.decode_aiff(payload[:-3])
+    with pytest.raises(ValueError):
+        mm.decode_aiff(b"RIFF" + payload[4:])
+    bad = bytearray(payload)
+    comm = payload.index(b"COMM")
+    bad[comm + 8 : comm + 10] = (2).to_bytes(2, "big")  # channels=2
+    with pytest.raises(ValueError):
+        mm.decode_aiff(bytes(bad))
+    with pytest.raises(ValueError):
+        mm._extended_to_int(struct_pack_bad_rate())
+
+
+def struct_pack_bad_rate() -> bytes:
+    """An 80-bit extended value that is NOT an integer (mantissa has
+    fraction bits below the exponent's shift)."""
+    import struct
+
+    return struct.pack(">HQ", 16383, (1 << 63) | 1)
