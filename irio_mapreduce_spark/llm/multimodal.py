@@ -3350,3 +3350,150 @@ def synthesize_aiff_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
 
     return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ZIP archive (stored members) — ARCHIVE ingest: one payload explodes to
+# many member rows, the container shape of crawl dumps and dataset drops.
+# Members use method 0 (stored), so both directions are pure byte layout:
+# local file headers, central directory, end-of-central-directory, with
+# CRC-32 integrity checked on extract (zlib.crc32, stdlib).
+# ---------------------------------------------------------------------------
+
+
+def encode_zip_stored(members: list[tuple[str, bytes]]) -> bytes:
+    """A real, to-spec ZIP with stored (uncompressed) members — local
+    headers, central directory, EOCD. Fixed DOS timestamp (1980-01-01)
+    keeps payloads bit-deterministic."""
+    import zlib
+
+    out = bytearray()
+    central = bytearray()
+    for name, data in members:
+        nb = name.encode("utf-8")
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        offset = len(out)
+        out += struct.pack(
+            "<4sHHHHHIIIHH",
+            b"PK\x03\x04", 20, 0, 0, 0, 0x21, crc,
+            len(data), len(data), len(nb), 0,
+        ) + nb + data
+        central += struct.pack(
+            "<4sHHHHHHIIIHHHHHII",
+            b"PK\x01\x02", 20, 20, 0, 0, 0, 0x21, crc,
+            len(data), len(data), len(nb), 0, 0, 0, 0, 0, offset,
+        ) + nb
+    cd_off = len(out)
+    out += central
+    out += struct.pack(
+        "<4sHHHHIIH",
+        b"PK\x05\x06", 0, 0, len(members), len(members),
+        len(central), cd_off, 0,
+    )
+    return bytes(out)
+
+
+def decode_zip_stored(payload: bytes) -> list[dict]:
+    """Parse a stored-member ZIP via its central directory (the ONLY
+    authoritative member list — appended/garbage local entries are
+    invisible, exactly the property that makes ZIP ingest safe against
+    concatenation junk) and extract each member through its local
+    header, verifying the CRC-32. Returns one dict per member."""
+    import zlib
+
+    eocd = payload.rfind(b"PK\x05\x06")
+    if eocd < 0 or eocd + 22 > len(payload):
+        raise ValueError("no ZIP end-of-central-directory")
+    (_, _, _, n_here, n_total, cd_size, cd_off, _clen) = struct.unpack_from(
+        "<4sHHHHIIH", payload, eocd
+    )
+    if n_here != n_total:
+        raise ValueError("multi-disk ZIP unsupported")
+    members = []
+    pos = cd_off
+    for _ in range(n_total):
+        if payload[pos : pos + 4] != b"PK\x01\x02":
+            raise ValueError("corrupt central directory")
+        (
+            _sig, _vm, _vn, _flags, method, _t, _d, crc,
+            csize, usize, nlen, xlen, clen2, _dn, _ia, _ea, offset,
+        ) = struct.unpack_from("<4sHHHHHHIIIHHHHHII", payload, pos)
+        if method != 0 or csize != usize:
+            raise ValueError("unsupported ZIP compression method")
+        name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        pos += 46 + nlen + xlen + clen2
+        if payload[offset : offset + 4] != b"PK\x03\x04":
+            raise ValueError("corrupt local header")
+        lnlen, lxlen = struct.unpack_from("<HH", payload, offset + 26)
+        start = offset + 30 + lnlen + lxlen
+        data = payload[start : start + usize]
+        if len(data) != usize:
+            raise ValueError("truncated ZIP member")
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in member {name!r}")
+        members.append(
+            {
+                "name": name,
+                "n_bytes": usize,
+                "byte_sum": sum(data),
+            }
+        )
+    return members
+
+
+def synth_zip(seed: int) -> bytes:
+    """Deterministic archive: 2 + seed%3 members; member i carries
+    16 + (seed+i)%23 bytes b_j = (seed*5 + i*11 + j*3) % 256."""
+    members = []
+    for i in range(2 + seed % 3):
+        n = 16 + (seed + i) % 23
+        members.append(
+            (
+                f"m{i}.bin",
+                bytes((seed * 5 + i * 11 + j * 3) % 256 for j in range(n)),
+            )
+        )
+    return encode_zip_stored(members)
+
+
+def zip_archive_members(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Synthesize real ZIP payloads per id and EXPLODE each archive into
+    member rows with integrity-checked byte statistics — the mapInPandas
+    archive-ingest stage (crawl dumps arrive as containers; row count is
+    member count, not payload count). Output: (media_id, member_idx,
+    n_bytes, byte_sum)."""
+    ensure_package_shipped(ids.sparkSession)
+    import pyspark.sql.types as _T
+
+    schema = _T.StructType(
+        [
+            _T.StructField("media_id", _T.LongType()),
+            _T.StructField("member_idx", _T.LongType()),
+            _T.StructField("n_bytes", _T.LongType()),
+            _T.StructField("byte_sum", _T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                for i, m in enumerate(mm.decode_zip_stored(mm.synth_zip(mid))):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "member_idx": i,
+                            "n_bytes": m["n_bytes"],
+                            "byte_sum": m["byte_sum"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "member_idx", "n_bytes", "byte_sum"]
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=schema)

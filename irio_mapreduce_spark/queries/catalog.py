@@ -95,6 +95,8 @@ FRONT_WINDOW: list[str] = [
     "join_range_bucket_expansion",
     "multimodal_real_aiff",
     "agg_unpivot_metrics",
+    "multimodal_zip_archive",
+    "stats_mad_robust",
     # refresh cycle: the 46 catalog entries with the oldest driver-green
     # rows (41 last attested in r3, then the alphabetically-first r4)
     "agg_grouping_sets",
@@ -135,8 +137,6 @@ FRONT_WINDOW: list[str] = [
     "text_quality_filter",
     "text_token_stats",
     "udf_grouped_agg",
-    "udf_grouped_map",
-    "udf_pandas_scalar",
 ]
 
 # Round-10 window, kept for the audit trail (all 50 driver-green in

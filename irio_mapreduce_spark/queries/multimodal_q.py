@@ -947,3 +947,43 @@ def multimodal_real_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "sample_rate", "n_samples", "sum_abs", "n_nonneg"
     )
+
+
+@register(
+    "multimodal_zip_archive",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             unnest(generate_series(0, 1 + doc_id % 3)) AS mi
+      FROM documents),
+    b AS (SELECT media_id, mi, 16 + (media_id + mi) % 23 AS n FROM m),
+    j AS (SELECT media_id, mi, n,
+                 unnest(generate_series(0, n - 1)) AS jj
+          FROM b)
+    SELECT media_id,
+           CAST(mi AS BIGINT) AS member_idx,
+           CAST(max(n) AS BIGINT) AS n_bytes,
+           CAST(sum((media_id*5 + mi*11 + jj*3) % 256) AS BIGINT)
+             AS byte_sum
+    FROM j GROUP BY media_id, mi
+    """,
+)
+def multimodal_zip_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARCHIVE INGEST — real ZIP containers (to-spec local headers,
+    central directory, EOCD; stored members) EXPLODED into one row per
+    member with CRC-32 verified on extract: the container shape crawl
+    dumps and dataset drops actually arrive in, where row count is
+    member count, not file count. The reader walks the CENTRAL directory
+    (the only authoritative member list — junk between members or
+    appended garbage is invisible by construction), the property that
+    makes archive ingest robust to concatenated uploads. Byte-level
+    mapInPandas both ways, scan-linear, payloads never visit the driver;
+    a corrupt member CRC fails the row loudly rather than shipping
+    silent corruption downstream (``llm.multimodal.decode_zip_stored``).
+    The oracle replays the member-content formula in closed form."""
+    from irio_mapreduce_spark.llm.multimodal import zip_archive_members
+
+    ids = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return zip_archive_members(ids)

@@ -5101,3 +5101,128 @@ def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="v",
     )
+
+
+@register(
+    "stats_mad_robust",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS w
+      FROM orders GROUP BY 1, 2),
+    cum AS (
+      SELECT grp, v, w,
+             CAST(sum(w) OVER (PARTITION BY grp ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS tw
+      FROM pts),
+    med AS (
+      SELECT grp, CAST(max(tw) AS BIGINT) AS n,
+             CAST(min(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+               AS median_cents
+      FROM cum GROUP BY 1),
+    dev AS (
+      SELECT p.grp, abs(p.v - m.median_cents) AS d,
+             CAST(sum(p.w) AS BIGINT) AS w
+      FROM pts p JOIN med m ON p.grp = m.grp
+      GROUP BY 1, 2),
+    cum2 AS (
+      SELECT grp, d, w,
+             CAST(sum(w) OVER (PARTITION BY grp ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS tw
+      FROM dev),
+    mad AS (
+      SELECT grp,
+             CAST(min(CASE WHEN 2 * cw >= tw THEN d END) AS BIGINT)
+               AS mad_cents
+      FROM cum2 GROUP BY 1),
+    outl AS (
+      SELECT dv.grp,
+             CAST(sum(CASE WHEN dv.d > 3 * mad.mad_cents
+                           THEN dv.w ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev dv JOIN mad ON dv.grp = mad.grp GROUP BY 1)
+    SELECT med.grp, med.n, med.median_cents, mad.mad_cents, outl.n_outliers
+    FROM med JOIN mad ON med.grp = mad.grp JOIN outl ON med.grp = outl.grp
+    """,
+)
+def stats_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST OUTLIER DETECTION via MAD (median absolute deviation) —
+    the heavy-tail-safe twin of the 3-sigma entry: mean/stddev are
+    dragged by the very outliers they hunt, while median and MAD have a
+    50% breakdown point. Per order priority: exact LOWER median of the
+    cents domain, exact lower median of |v − med| (both via the
+    agg_weighted_median doubled-threshold fold — no fractional ranks),
+    and the count of rows with deviation > 3·MAD, all integers so the
+    driver hash is exact. ONE fact scan: everything after the first
+    (grp, cents)→count compaction runs on the compacted domain — the
+    deviation domain derives from the SAME compacted frame by a
+    broadcastable median join, never a second pass over orders; the
+    windows see domain-sized frames only. The classic 1.4826 normal
+    consistency constant is presentation-side scaling and deliberately
+    omitted — the 3·MAD rule is stated directly on the raw MAD."""
+    pts = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("v"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+
+    def lower_median(df, val, out):
+        w_cum = (
+            Window.partitionBy("grp")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = df.select(
+            "grp",
+            F.col(val),
+            F.sum("w").over(w_cum).cast("long").alias("cw"),
+            F.sum("w")
+            .over(Window.partitionBy("grp"))
+            .cast("long")
+            .alias("tw"),
+        )
+        return cum.groupBy("grp").agg(
+            F.max("tw").cast("long").alias(f"_n_{out}"),
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col(val)))
+            .cast("long")
+            .alias(out),
+        )
+
+    med = lower_median(pts, "v", "median_cents").withColumnRenamed(
+        "_n_median_cents", "n"
+    )
+    dev = (
+        pts.join(F.broadcast(med.select("grp", "median_cents")), "grp")
+        .groupBy(
+            "grp",
+            F.abs(F.col("v") - F.col("median_cents")).alias("d"),
+        )
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    mad = lower_median(dev, "d", "mad_cents").drop("_n_mad_cents")
+    outl = (
+        dev.join(F.broadcast(mad), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad_cents"), F.col("w"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, "grp")
+        .join(outl, "grp")
+        .select("grp", "n", "median_cents", "mad_cents", "n_outliers")
+    )

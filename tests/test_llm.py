@@ -2319,3 +2319,47 @@ def struct_pack_bad_rate() -> bytes:
     import struct
 
     return struct.pack(">HQ", 16383, (1 << 63) | 1)
+
+
+def test_zip_codec_roundtrip_stdlib_crosscheck_and_corruption():
+    """ZIP: the hand-rolled writer must be readable by the stdlib
+    zipfile module (independent implementation cross-check) and vice
+    versa; the reader must reject CRC corruption, truncation, and
+    compressed members it does not support."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    members = [("a.txt", b"hello world"), ("b/c.bin", bytes(range(50)))]
+    payload = mm.encode_zip_stored(members)
+    # stdlib reads ours
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        assert z.namelist() == ["a.txt", "b/c.bin"]
+        assert z.read("a.txt") == b"hello world"
+        assert z.read("b/c.bin") == bytes(range(50))
+    # we read stdlib's (stored members)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_STORED) as z:
+        for name, data in members:
+            z.writestr(name, data)
+    got = mm.decode_zip_stored(buf.getvalue())
+    assert [(m["name"], m["n_bytes"]) for m in got] == [
+        ("a.txt", 11),
+        ("b/c.bin", 50),
+    ]
+    # corruption: flip a data byte -> CRC mismatch
+    bad = bytearray(payload)
+    bad[payload.index(b"hello world") + 1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_zip_stored(bytes(bad))
+    with pytest.raises(ValueError):
+        mm.decode_zip_stored(payload[: len(payload) - 4])
+    # compressed member rejected by name
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w", compression=zipfile.ZIP_DEFLATED) as z:
+        z.writestr("d.txt", b"x" * 1000)
+    with pytest.raises(ValueError, match="compression"):
+        mm.decode_zip_stored(buf2.getvalue())
