@@ -97,6 +97,8 @@ FRONT_WINDOW: list[str] = [
     "agg_unpivot_metrics",
     "multimodal_zip_archive",
     "stats_mad_robust",
+    "ml_matthews_corrcoef",
+    "source_fixed_width",
     # refresh cycle: the 46 catalog entries with the oldest driver-green
     # rows (41 last attested in r3, then the alphabetically-first r4)
     "agg_grouping_sets",
@@ -135,8 +137,6 @@ FRONT_WINDOW: list[str] = [
     "stream_tumbling_rollup",
     "text_decontamination",
     "text_quality_filter",
-    "text_token_stats",
-    "udf_grouped_agg",
 ]
 
 # Round-10 window, kept for the audit trail (all 50 driver-green in

@@ -2182,3 +2182,61 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("kappa_den"),
         (num.cast("double") / den.cast("double")).alias("kappa"),
     )
+
+
+@register(
+    "ml_matthews_corrcoef",
+    oracle="""
+    WITH conf AS (
+      SELECT CAST(sum(CASE WHEN l_quantity >= 25 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN l_quantity >= 25 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN l_quantity < 25 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN l_quantity < 25 AND l_returnflag <> 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM lineitem)
+    SELECT a, b, c, d,
+           CAST(a * d - b * c AS BIGINT) AS mcc_num,
+           CAST(a * d - b * c AS DOUBLE)
+             / sqrt(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                    * CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
+             AS mcc
+    FROM conf
+    """,
+)
+def ml_matthews_corrcoef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTHEWS CORRELATION COEFFICIENT — the third skill scalar over
+    the same one-scan confusion counts as `ml_cohens_kappa` (kappa:
+    chance-corrected agreement; threshold sweep: the operating curve;
+    MCC: the Pearson correlation of the two binary vectors, the metric
+    that stays honest when BOTH classes are rare). Numerator ad−bc is
+    exact BIGINT (≤ ~1.3e13 at sf0.1); the denominator's four marginal
+    products would overflow BIGINT multiplied out, so each factor casts
+    to double FIRST and the fixed multiply/sqrt/divide sequence is
+    IEEE-identical across engines — the unrounded DOUBLE hash-matches
+    (stats_ols discipline). The MCC≡Pearson identity is pinned against
+    numpy in tests/test_properties.py (shared-fragment sweep section)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pred = F.col("l_quantity") >= 25
+    actual = F.col("l_returnflag") == "R"
+    conf = li.agg(
+        F.sum(F.when(pred & actual, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(pred & ~actual, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~pred & actual, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~pred & ~actual, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    num = (a * d - b * c).cast("long")
+    den = F.sqrt(
+        (a + b).cast("double")
+        * (a + c).cast("double")
+        * (c + d).cast("double")
+        * (b + d).cast("double")
+    )
+    return conf.select(
+        "a", "b", "c", "d",
+        num.alias("mcc_num"),
+        (num.cast("double") / den).alias("mcc"),
+    )

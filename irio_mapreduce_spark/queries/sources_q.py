@@ -1287,3 +1287,60 @@ def source_csv_multiline_quoted(
         .cast("long")
         .alias("md5_head_sum"),
     )
+
+
+@register(
+    "source_fixed_width",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 17 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH TEXT ingest — the mainframe/legacy-export format with
+    no delimiters at all: fields live at byte OFFSETS (orderkey 12,
+    priority 15, cents 14 — cents as zero-padded integer text, the
+    COBOL-style money encoding that dodges float formatting entirely).
+    Spark has no fixed-width reader, and the right answer is not a UDF:
+    write as ONE concatenated line via rpad/lpad, read back with
+    ``spark.read.text`` + ``substr``/``trim``/``cast`` projections —
+    all JVM-side whole-stage-codegen expressions, and unlike multiline
+    CSV/XML the format stays LINE-SPLITTABLE, so a 100 TB feed
+    parallelizes at newline granularity with no record-spanning risk.
+    The oracle aggregates the source table; a hash match proves both
+    the padding writer and the offset parser are lossless (a one-byte
+    offset error moves every checksum)."""
+    path = _scratch(sf_dir, "orders_fixed_width")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 17 == 0)
+        .select(
+            F.concat(
+                F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+                F.rpad(F.col("o_orderpriority"), 15, " "),
+                F.lpad(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5)
+                    .cast("long")
+                    .cast("string"),
+                    14,
+                    "0",
+                ),
+            ).alias("value")
+        )
+    )
+    o.write.mode("overwrite").text(path)
+    back = spark.read.text(path).select(
+        F.substring("value", 1, 12).cast("long").alias("o_orderkey"),
+        F.trim(F.substring("value", 13, 15)).alias("o_orderpriority"),
+        F.substring("value", 28, 14).cast("long").alias("cents"),
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

@@ -1155,3 +1155,24 @@ def test_unrounded_double_formulas_match_first_principles():
         abs(h1.get(k2, 0) / n1 - h2.get(k2, 0) / n2b) for k2 in keys
     )
     assert math.isclose(tv_int, tv_ref, rel_tol=1e-12)
+
+
+def test_mcc_formula_is_pearson_of_binary_vectors():
+    """ml_matthews_corrcoef's confusion-count formula must equal the
+    Pearson correlation of the raw binary (pred, actual) vectors —
+    the definitional identity, checked via numpy on hand data."""
+    import math
+
+    import numpy as np
+
+    pred = [1, 1, 1, 0, 0, 1, 0, 0, 1, 0, 1, 0]
+    act = [1, 0, 1, 0, 1, 1, 0, 0, 0, 0, 1, 1]
+    a = sum(1 for p, q in zip(pred, act) if p and q)
+    b = sum(1 for p, q in zip(pred, act) if p and not q)
+    c = sum(1 for p, q in zip(pred, act) if not p and q)
+    d = sum(1 for p, q in zip(pred, act) if not p and not q)
+    mcc = (a * d - b * c) / math.sqrt(
+        float(a + b) * (a + c) * (c + d) * (b + d)
+    )
+    ref = np.corrcoef(pred, act)[0, 1]
+    assert math.isclose(mcc, ref, rel_tol=1e-12)
