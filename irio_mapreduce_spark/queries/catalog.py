@@ -99,6 +99,7 @@ FRONT_WINDOW: list[str] = [
     "stats_mad_robust",
     "ml_matthews_corrcoef",
     "source_fixed_width",
+    "multimodal_gif_frame_sample",
     # refresh cycle: the 46 catalog entries with the oldest driver-green
     # rows (41 last attested in r3, then the alphabetically-first r4)
     "agg_grouping_sets",
@@ -136,7 +137,6 @@ FRONT_WINDOW: list[str] = [
     "stream_stream_join_attrib",
     "stream_tumbling_rollup",
     "text_decontamination",
-    "text_quality_filter",
 ]
 
 # Round-10 window, kept for the audit trail (all 50 driver-green in

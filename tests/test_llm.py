@@ -2363,3 +2363,43 @@ def test_zip_codec_roundtrip_stdlib_crosscheck_and_corruption():
         z.writestr("d.txt", b"x" * 1000)
     with pytest.raises(ValueError, match="compression"):
         mm.decode_zip_stored(buf2.getvalue())
+
+
+def test_animated_gif_roundtrip_sampling_and_rejects():
+    """Animated GIF: frame sampling keeps exactly every k-th frame with
+    per-frame sums matching a direct palette computation; single-frame
+    animations still decode; partial-canvas frames reject."""
+    import pytest
+
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    seed, w, h, nf = 9, 6, 5, 5
+    payload = mm.synth_gif_animated(seed, w, h, nf)
+    pal = mm._gif_palette()
+    all_frames = mm.decode_gif_frames(payload, sample_every=1)
+    assert [fr["frame_idx"] for fr in all_frames] == list(range(nf))
+    sampled = mm.decode_gif_frames(payload, sample_every=2)
+    assert [fr["frame_idx"] for fr in sampled] == [0, 2, 4]
+    for fr in sampled:
+        f = fr["frame_idx"]
+        exp = [0, 0, 0]
+        for y in range(h):
+            for x in range(w):
+                r, g, b = pal[mm._gif_anim_index(seed, f, x, y)]
+                exp[0] += r
+                exp[1] += g
+                exp[2] += b
+        assert (fr["sum_r"], fr["sum_g"], fr["sum_b"]) == tuple(exp)
+    # the single-frame GIF87a corpus still decodes through the frame API
+    single = mm.decode_gif_frames(mm.synth_gif(3, 8, 6), sample_every=1)
+    assert len(single) == 1 and single[0]["width"] == 8
+    # partial-canvas frame rejects: patch the first image descriptor
+    # (located by its full prefix — a bare 0x2c byte also occurs inside
+    # the palette/LZW data)
+    import struct
+
+    bad = bytearray(payload)
+    desc = payload.index(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h))
+    bad[desc + 5 : desc + 7] = (w - 1).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="partial-canvas"):
+        mm.decode_gif_frames(bytes(bad))
