@@ -197,8 +197,9 @@ _R10_WINDOW: list[str] = [
 # pandas-worker spawn, streaming scheduler) never lands on the rows a
 # verdict diff scrutinizes. MUST be updated together with FRONT_WINDOW
 # at each rotation (r10 ADVICE.md: a hard-coded literal in bench.py
-# silently warmed the wrong count after rotation).
-WINDOW_WARMUP_COUNT: int = 14
+# silently warmed the wrong count after rotation). Round 11: the 15
+# fresh head entries.
+WINDOW_WARMUP_COUNT: int = 15
 
 # Entries that did not fit the current 50-slot window and therefore form
 # the MANDATORY head of the NEXT round's window (tests/test_conventions.py
