@@ -133,7 +133,11 @@ def kmeans_stream_round_handler(model_dir: str, k: int):
         import os as _os
 
         spark = batch_df.sparkSession
-        sv = batch_df.select("_id", "_sv")
+        # Two jobs read the batch (re-centering collect inside
+        # kmeans_round, then the assignment write) — persist so the
+        # micro-batch source and the k x dims distance arithmetic are
+        # paid once, mirroring kmeans_fixed_point's persisted corpus.
+        sv = batch_df.select("_id", "_sv").persist()
         gens = sorted(
             g
             for g in (
@@ -151,18 +155,21 @@ def kmeans_stream_round_handler(model_dir: str, k: int):
                 centroids[r.cid] = list(r.c)
         else:
             centroids = kmeans_init(sv, k)
-        assigned, updated = kmeans_round(sv, centroids)
-        # assignment first: it must exist whenever its centroid
-        # generation does (the entry reads asg of the LAST round)
-        assigned.select("_id", "_c").write.mode("overwrite").parquet(
-            _os.path.join(model_dir, "asg", f"r{batch_id}")
-        )
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(updated)],
-            "cid int, c array<bigint>",
-        ).write.mode("overwrite").parquet(
-            _os.path.join(model_dir, "cent", f"r{batch_id}")
-        )
+        try:
+            assigned, updated = kmeans_round(sv, centroids)
+            # assignment first: it must exist whenever its centroid
+            # generation does (the entry reads asg of the LAST round)
+            assigned.select("_id", "_c").write.mode("overwrite").parquet(
+                _os.path.join(model_dir, "asg", f"r{batch_id}")
+            )
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(updated)],
+                "cid int, c array<bigint>",
+            ).write.mode("overwrite").parquet(
+                _os.path.join(model_dir, "cent", f"r{batch_id}")
+            )
+        finally:
+            sv.unpersist()
 
     return handle
 

@@ -3567,7 +3567,16 @@ def decode_gif_frames(payload: bytes, sample_every: int = 1) -> list[dict]:
         b0 = payload[pos]
         if b0 == 0x3B:  # trailer
             break
-        if b0 == 0x21:  # extension: skip sub-blocks
+        if b0 == 0x21:  # extension
+            label = payload[pos + 1] if pos + 1 < len(payload) else 0
+            if (
+                label == 0xF9
+                and pos + 3 < len(payload)
+                and payload[pos + 3] & 0x01
+            ):
+                # GCE transparency flag: transparent-index pixels would
+                # need background compositing — reject, never mis-sum
+                raise ValueError("unsupported GIF: transparent frame")
             pos += 2
             while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]

@@ -100,8 +100,12 @@ FRONT_WINDOW: list[str] = [
     "ml_matthews_corrcoef",
     "source_fixed_width",
     "multimodal_gif_frame_sample",
-    # refresh cycle: the 46 catalog entries with the oldest driver-green
-    # rows (41 last attested in r3, then the alphabetically-first r4)
+    # refresh cycle: the remaining slots hold the catalog entries with
+    # the oldest driver-green rows (all last attested in r3; started the
+    # round as 41 r3 + 5 r4 entries, with the tail evicted — always
+    # newest-vintage, then alphabetically-last — as each fresh entry
+    # above landed). tests/test_conventions.py enforces the resulting
+    # staleness invariant, so this prose never has to be trusted.
     "agg_grouping_sets",
     "dedup_cluster_components",
     "dedup_embedding_cosine",

@@ -2403,3 +2403,10 @@ def test_animated_gif_roundtrip_sampling_and_rejects():
     bad[desc + 5 : desc + 7] = (w - 1).to_bytes(2, "little")
     with pytest.raises(ValueError, match="partial-canvas"):
         mm.decode_gif_frames(bytes(bad))
+    # transparency flag in the GCE needs background compositing — must
+    # reject rather than mis-sum transparent pixels as palette RGB
+    trans = bytearray(payload)
+    gce = payload.index(b"\x21\xf9\x04")
+    trans[gce + 3] |= 0x01
+    with pytest.raises(ValueError, match="transparent"):
+        mm.decode_gif_frames(bytes(trans))

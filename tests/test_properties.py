@@ -1176,3 +1176,139 @@ def test_mcc_formula_is_pearson_of_binary_vectors():
     )
     ref = np.corrcoef(pred, act)[0, 1]
     assert math.isclose(mcc, ref, rel_tol=1e-12)
+
+
+def test_zero_slack_oracles_match_first_principles_on_hand_tables():
+    """The REAL oracle SQL of the mirrored zero-rounding-slack entries
+    (OLS slope, Spearman, ANOVA, kappa, MCC, TV drift) evaluated by
+    DuckDB on hand-built tiny tables must match definitional
+    computations (numpy / statistics) from the RAW rows — unlike the
+    inline-formula pins above, this evaluates the committed oracle text
+    itself, so a same-wrong-formula transcription shared by both engine
+    sides cannot hide (the Spark side is pinned to the oracle by the
+    driver hash, completing the chain)."""
+    import math
+    import statistics
+    from collections import Counter, defaultdict
+
+    import duckdb
+    import numpy as np
+
+    from irio_mapreduce_spark.queries.catalog import all_oracles
+
+    oracles = all_oracles()
+    con = duckdb.connect()
+
+    # --- lineitem: quantity/price/returnflag (OLS, kappa, MCC) ---
+    qty = [1, 2, 3, 5, 8, 9, 4, 7, 6, 2]
+    price = [3.25, 5.5, 6.75, 11.0, 18.25, 19.5, 9.0, 14.75, 12.5, 4.0]
+    flag = ["R", "N", "R", "N", "R", "R", "N", "N", "R", "N"]
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({q}, {p}, '{f}')" for q, p, f in zip(qty, price, flag)
+        )
+        + ") AS t(l_quantity, l_extendedprice, l_returnflag)"
+    )
+    row = con.execute(oracles["stats_ols_price_vs_qty"]).fetchone()
+    slope_ref, icept_ref = np.polyfit(qty, price, 1)
+    assert math.isclose(row[1], slope_ref, rel_tol=1e-9)
+    assert math.isclose(row[2], icept_ref, rel_tol=1e-9)
+
+    pred = [q >= 25 for q in qty]  # all False -> degenerate; use >= 5
+    # kappa/MCC oracles hard-code the >= 25 threshold; shift quantities
+    # up so both predicted classes are populated
+    con.execute("DROP VIEW lineitem")
+    qty2 = [q * 5 for q in qty]  # 5..45 straddles 25
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({q}, {p}, '{f}')" for q, p, f in zip(qty2, price, flag)
+        )
+        + ") AS t(l_quantity, l_extendedprice, l_returnflag)"
+    )
+    pred = [q >= 25 for q in qty2]
+    act = [f == "R" for f in flag]
+    po = sum(1 for p, a in zip(pred, act) if p == a) / len(pred)
+    p1, a1 = sum(pred) / len(pred), sum(act) / len(act)
+    pe = p1 * a1 + (1 - p1) * (1 - a1)
+    kappa_ref = (po - pe) / (1 - pe)
+    krow = con.execute(oracles["ml_cohens_kappa"]).fetchone()
+    assert math.isclose(krow[-1], kappa_ref, rel_tol=1e-12)
+    mrow = con.execute(oracles["ml_matthews_corrcoef"]).fetchone()
+    mcc_ref = np.corrcoef(
+        [int(p) for p in pred], [int(a) for a in act]
+    )[0, 1]
+    assert math.isclose(mrow[-1], mcc_ref, rel_tol=1e-12)
+
+    # --- orders: date/price/priority (Spearman, ANOVA) ---
+    dates = [
+        "1995-01-01", "1995-01-01", "1995-01-02", "1995-01-03",
+        "1995-01-03", "1995-01-03", "1995-01-04", "1995-01-05",
+        "1995-01-05", "1995-01-06",
+    ]
+    tp = [10.0, 20.0, 35.0, 5.0, 5.0, 12.0, 41.0, 8.0, 30.0, 17.0]
+    prio = ["1-A", "2-B", "1-A", "3-C", "2-B", "1-A", "3-C", "2-B",
+            "1-A", "3-C"]
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"(DATE '{d}', {v}, '{g}')"
+            for d, v, g in zip(dates, tp, prio)
+        )
+        + ") AS t(o_orderdate, o_totalprice, o_orderpriority)"
+    )
+    daily = defaultdict(lambda: [0, 0])
+    for d, v in zip(dates, tp):
+        daily[d][0] += 1
+        daily[d][1] += round(v * 100)
+    xs = [daily[d][0] for d in sorted(daily)]
+    ys = [daily[d][1] for d in sorted(daily)]
+
+    def midranks(vals):
+        out = []
+        sv = sorted(vals)
+        for v in vals:
+            lo = sv.index(v) + 1
+            out.append(lo + (sv.count(v) - 1) / 2)
+        return out
+
+    rho_ref = np.corrcoef(midranks(xs), midranks(ys))[0, 1]
+    srow = con.execute(oracles["stats_spearman_rank"]).fetchone()
+    assert math.isclose(srow[-1], rho_ref, rel_tol=1e-12)
+
+    groups = defaultdict(list)
+    for g, v in zip(prio, tp):
+        groups[g].append(round(v))
+    k = len(groups)
+    n = len(tp)
+    gm = sum(sum(g) for g in groups.values()) / n
+    ssb = sum(len(g) * (statistics.mean(g) - gm) ** 2 for g in groups.values())
+    ssw = sum(
+        (v - statistics.mean(g)) ** 2 for g in groups.values() for v in g
+    )
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    arow = con.execute(oracles["stats_anova_oneway"]).fetchone()
+    assert math.isclose(arow[-1], f_ref, rel_tol=1e-9)
+
+    # --- events: type/ts (TV drift) ---
+    ev = [
+        ("click", "1995-03-02 10:00:00"), ("click", "1995-03-10 10:00:00"),
+        ("view", "1995-03-05 10:00:00"), ("view", "1995-03-20 10:00:00"),
+        ("view", "1995-03-25 10:00:00"), ("buy", "1995-03-28 10:00:00"),
+        ("click", "1995-03-17 10:00:00"), ("buy", "1995-03-14 10:00:00"),
+    ]
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{t}', TIMESTAMP '{s}')" for t, s in ev)
+        + ") AS t(event_type, ts)"
+    )
+    h1 = Counter(t for t, s in ev if int(s[8:10]) <= 15)
+    h2 = Counter(t for t, s in ev if int(s[8:10]) > 15)
+    t1, t2 = sum(h1.values()), sum(h2.values())
+    tv_ref = 0.5 * sum(
+        abs(h1.get(c, 0) / t1 - h2.get(c, 0) / t2)
+        for c in set(h1) | set(h2)
+    )
+    drow = con.execute(oracles["quality_distribution_drift_l1"]).fetchone()
+    assert math.isclose(drow[-1], tv_ref, rel_tol=1e-12)
