@@ -455,7 +455,15 @@ def multi_source_bfs(
             )
             .distinct()
         )
-        frontier = reached.join(dist, ["_seed", "_node"], "left_anti")
+        # Materialize each round's frontier: the anti-join consumes the
+        # accumulated dist (a union of every earlier frontier), so
+        # without a per-round barrier round h re-evaluates rounds
+        # 1..h-1's joins — lineage cost compounds with hop count (the
+        # connected_components discipline; measured 14.3 s -> in-family
+        # without/with on the catalog entry at sf0.1).
+        frontier = reached.join(
+            dist, ["_seed", "_node"], "left_anti"
+        ).localCheckpoint(eager=True)
         dist = dist.unionByName(frontier)
     return dist.groupBy("_seed", "_node").agg(
         F.min("_hops").alias("_h")
