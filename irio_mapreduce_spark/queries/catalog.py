@@ -100,6 +100,8 @@ FRONT_WINDOW: list[str] = [
     "ml_matthews_corrcoef",
     "source_fixed_width",
     "multimodal_gif_frame_sample",
+    "fn_group_by_all",
+    "sample_neyman_allocation",
     # refresh cycle: the remaining slots hold the catalog entries with
     # the oldest driver-green rows (all last attested in r3; started the
     # round as 41 r3 + 5 r4 entries, with the tail evicted — always
@@ -139,8 +141,6 @@ FRONT_WINDOW: list[str] = [
     "stream_stateful_dedup",
     "stream_static_join_rollup",
     "stream_stream_join_attrib",
-    "stream_tumbling_rollup",
-    "text_decontamination",
 ]
 
 # Round-10 window, kept for the audit trail (all 50 driver-green in
@@ -201,9 +201,9 @@ _R10_WINDOW: list[str] = [
 # pandas-worker spawn, streaming scheduler) never lands on the rows a
 # verdict diff scrutinizes. MUST be updated together with FRONT_WINDOW
 # at each rotation (r10 ADVICE.md: a hard-coded literal in bench.py
-# silently warmed the wrong count after rotation). Round 11: the 15
+# silently warmed the wrong count after rotation). Round 11: the 17
 # fresh head entries.
-WINDOW_WARMUP_COUNT: int = 15
+WINDOW_WARMUP_COUNT: int = 17
 
 # Entries that did not fit the current 50-slot window and therefore form
 # the MANDATORY head of the NEXT round's window (tests/test_conventions.py

@@ -1057,3 +1057,39 @@ def fn_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "EXECUTE IMMEDIATE fn_ei_stmt USING 'fn_ei_part_v', 10"
     ).withColumn("total_all", F.expr("fn_ei_total"))
+
+
+@register(
+    "fn_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem GROUP BY ALL
+    """,
+)
+def fn_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — Spark 4's infer-the-keys grouping (every
+    non-aggregate select item becomes a key): the analyst-SQL surface
+    item that kills the classic copy-the-select-list-into-GROUP-BY
+    drift bug (add a column, forget the GROUP BY, silently change the
+    grain). Catalyst resolves it at ANALYSIS time into the ordinary
+    grouping — the physical plan is identical to the explicit form, so
+    there is no scale cost to the sugar. DuckDB implements the same
+    clause, so the oracle uses it verbatim — both engines must infer
+    the SAME key set, which is itself the contract under test."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gba_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem_gba_v GROUP BY ALL
+        """
+    )

@@ -397,3 +397,108 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("neg_key_sum"),
         )
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len) AS BIGINT) AS sx,
+             CAST(sum(len * len) AS BIGINT) AS sxx
+      FROM (SELECT lang, CAST(length(text) AS BIGINT) AS len
+            FROM documents)
+      GROUP BY lang),
+    w AS (
+      SELECT lang, n,
+             CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)))
+                  AS BIGINT) AS w
+      FROM s),
+    t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+    q AS (
+      SELECT lang, n, w,
+             CAST(CASE WHEN t.tw = 0 THEN 0
+                       ELSE (1000 * w) // t.tw END AS BIGINT) AS base,
+             CAST(CASE WHEN t.tw = 0 THEN 0
+                       ELSE (1000 * w) % t.tw END AS BIGINT) AS rem
+      FROM w CROSS JOIN t),
+    lv AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM q),
+    r AS (
+      SELECT lang, n, w, base, rem,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM q)
+    SELECT lang, n AS n_docs, w AS weight,
+           CAST(base + CASE WHEN rk <= lv.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM r CROSS JOIN lv
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN SAMPLING-BUDGET ALLOCATION — split a fixed 1000-doc label/
+    eval budget across language strata proportional to N_h·S_h (stratum
+    size × dispersion, here of document length), the optimal-variance
+    allocation every curation team approximates by hand. Exactness
+    discipline: N_h·S_h = √(N·Σx²−(Σx)²) — the variance NUMERATOR is an
+    exact BIGINT (< 2⁵³, so its double image is exact and the
+    correctly-rounded sqrt+floor is ENGINE-IDENTICAL), giving integer
+    weights; the split is then pure integer largest-remainder
+    apportionment (base = B·w div W, +1 to the largest B·w mod W,
+    lang-ordered ties), so Σalloc = B exactly and the driver hash is
+    exact — no double ratio ever ranks anything. One map-side-combinable
+    moment scan; everything downstream runs on the k-strata frame.
+    Integer-sqrt caveat: floor(sqrt(double)) can sit one off true
+    isqrt at perfect-square boundaries — identically on both engines,
+    which is the contract; allocation weights don't need number-theoretic
+    isqrt."""
+    from pyspark.sql.window import Window
+
+    s = (
+        read_table(spark, sf_dir, "documents")
+        .select("lang", F.length("text").cast("long").alias("len"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("len").cast("long").alias("sx"),
+            F.sum(F.col("len") * F.col("len")).cast("long").alias("sxx"),
+        )
+    )
+    w = s.select(
+        "lang",
+        "n",
+        F.floor(
+            F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                   .cast("double"))
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    tw = w.agg(F.sum("w").cast("long").alias("tw"))
+    q = w.crossJoin(F.broadcast(tw)).select(
+        "lang",
+        "n",
+        "w",
+        F.when(F.col("tw") == 0, F.lit(0))
+        .otherwise(F.expr("(1000 * w) div tw"))
+        .cast("long")
+        .alias("base"),
+        F.when(F.col("tw") == 0, F.lit(0))
+        .otherwise(F.expr("(1000 * w) % tw"))
+        .cast("long")
+        .alias("rem"),
+    )
+    lv = q.agg((F.lit(1000) - F.sum("base")).cast("long").alias("leftover"))
+    r = q.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("lang"))),
+    )
+    return r.crossJoin(F.broadcast(lv)).select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.col("w").alias("weight"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
