@@ -102,6 +102,8 @@ FRONT_WINDOW: list[str] = [
     "multimodal_gif_frame_sample",
     "fn_group_by_all",
     "sample_neyman_allocation",
+    "stream_foreachbatch_dual_sink",
+    "join_interval_overlap_pairs",
     # refresh cycle: the remaining slots hold the catalog entries with
     # the oldest driver-green rows (all last attested in r3; started the
     # round as 41 r3 + 5 r4 entries, with the tail evicted — always
@@ -139,8 +141,6 @@ FRONT_WINDOW: list[str] = [
     "source_json_roundtrip",
     "stats_skew_kurtosis",
     "stream_stateful_dedup",
-    "stream_static_join_rollup",
-    "stream_stream_join_attrib",
 ]
 
 # Round-10 window, kept for the audit trail (all 50 driver-green in
@@ -201,9 +201,9 @@ _R10_WINDOW: list[str] = [
 # pandas-worker spawn, streaming scheduler) never lands on the rows a
 # verdict diff scrutinizes. MUST be updated together with FRONT_WINDOW
 # at each rotation (r10 ADVICE.md: a hard-coded literal in bench.py
-# silently warmed the wrong count after rotation). Round 11: the 17
+# silently warmed the wrong count after rotation). Round 11: the 19
 # fresh head entries.
-WINDOW_WARMUP_COUNT: int = 17
+WINDOW_WARMUP_COUNT: int = 19
 
 # Entries that did not fit the current 50-slot window and therefore form
 # the MANDATORY head of the NEXT round's window (tests/test_conventions.py

@@ -5226,3 +5226,88 @@ def stats_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(outl, "grp")
         .select("grp", "n", "median_cents", "mad_cents", "n_outliers")
     )
+
+
+@register(
+    "join_interval_overlap_pairs",
+    oracle="""
+    SELECT a.o_orderkey AS a_id, b.o_orderkey AS b_id,
+           CAST(least(
+                  date_diff('day', DATE '1970-01-01', a.o_orderdate) + 9,
+                  date_diff('day', DATE '1970-01-01', b.o_orderdate) + 14)
+                - greatest(
+                  date_diff('day', DATE '1970-01-01', a.o_orderdate),
+                  date_diff('day', DATE '1970-01-01', b.o_orderdate))
+                + 1 AS BIGINT) AS overlap_days
+    FROM (SELECT o_orderkey, o_orderdate FROM orders
+          WHERE o_orderkey % 251 = 0) a
+    JOIN (SELECT o_orderkey, o_orderdate FROM orders
+          WHERE o_orderkey % 509 = 0) b
+      ON date_diff('day', DATE '1970-01-01', a.o_orderdate)
+           <= date_diff('day', DATE '1970-01-01', b.o_orderdate) + 14
+     AND date_diff('day', DATE '1970-01-01', b.o_orderdate)
+           <= date_diff('day', DATE '1970-01-01', a.o_orderdate) + 9
+    """,
+)
+def join_interval_overlap_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERVAL-OVERLAP join (interval × interval, no shared key) —
+    the harder sibling of `join_range_bucket_expansion`'s
+    point-in-interval: overlapping pairs of 10-day and 15-day campaign
+    windows, with overlap length. Bucket rewrite: width = 16 ≥ both
+    interval lengths, each interval explodes into the ≤2 buckets it
+    covers — but unlike the point case a PAIR can now co-occur in two
+    buckets, so dedup comes from an OWNERSHIP rule instead of a
+    distinct: a pair is counted only in the bucket containing
+    ``greatest(a.start, b.start)`` (the overlap's start, which lies in
+    BOTH intervals by definition, so both sides are guaranteed present
+    there) — the equi-join stays duplicate-free with zero extra
+    shuffle. Plan-asserted SortMergeJoin on the bucket key; the oracle
+    is the plain quadratic overlap join. At 100 TB this is
+    conflict/booking-overlap detection with both sides unbounded."""
+    def days(col):
+        return F.datediff(F.col(col), F.lit("1970-01-01"))
+
+    a = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 251 == 0)
+        .select(
+            F.col("o_orderkey").alias("a_id"), days("o_orderdate").alias("a_s")
+        )
+        .withColumn("a_e", F.col("a_s") + 9)
+    )
+    b = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 509 == 0)
+        .select(
+            F.col("o_orderkey").alias("b_id"), days("o_orderdate").alias("b_s")
+        )
+        .withColumn("b_e", F.col("b_s") + 14)
+    )
+    ea = a.withColumn(
+        "bkt", F.explode(F.sequence(F.expr("a_s div 16"), F.expr("a_e div 16")))
+    )
+    eb = b.withColumn(
+        "bkt", F.explode(F.sequence(F.expr("b_s div 16"), F.expr("b_e div 16")))
+    )
+    joined = ea.hint("merge").join(
+        eb,
+        (ea["bkt"] == eb["bkt"])
+        & (F.col("a_s") <= F.col("b_e"))
+        & (F.col("b_s") <= F.col("a_e"))
+        & (
+            F.expr("greatest(a_s, b_s) div 16") == ea["bkt"]
+        ),
+    )
+    return joined.select(
+        "a_id",
+        "b_id",
+        (
+            F.least(F.col("a_e"), F.col("b_e"))
+            - F.greatest(F.col("a_s"), F.col("b_s"))
+            + 1
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )

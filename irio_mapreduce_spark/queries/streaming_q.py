@@ -1744,3 +1744,112 @@ def stream_checkpoint_kill_resume(
             F.sum("event_id").cast("long").alias("id_sum"),
         )
     )
+
+
+@register(
+    "stream_foreachbatch_dual_sink",
+    oracle="""
+    WITH f AS (SELECT event_type,
+                      CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
+                        * (CASE WHEN value >= 0 THEN 1 ELSE -1 END) AS cents
+               FROM events WHERE event_id % 7 = 0),
+    agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM f GROUP BY event_type)
+    SELECT event_type, n AS n_main, cents AS cents_main,
+           n AS n_audit, cents AS cents_audit
+    FROM agg
+    """,
+)
+def stream_foreachbatch_dual_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """foreachBatch EPOCH-CONSISTENT FAN-OUT to two stores — the
+    operational pattern behind 'write the table AND the audit ledger':
+    the sink-side transaction log only covers ONE sink, so multi-sink
+    exactly-once must be built from batchId-keyed idempotent writes —
+    each micro-batch overwrites generation ``seg=b<id>`` in BOTH stores
+    (raw rows in the main store, a per-type rollup in the audit store),
+    so a replayed batch converges instead of double-counting, the same
+    first-wins contract as the kmeans/dedup model handlers. The entry's
+    output puts the two stores SIDE BY SIDE per event type (full join,
+    zero-filled); the oracle asserts both equal the batch truth — a
+    divergence (half-applied batch, double-applied replay) flips the
+    hash. Per-batch cost: one pass over the micro-batch + a
+    domain-bounded rollup; generations partition-prune on seg."""
+    import glob as _glob
+    import os
+
+    from irio_mapreduce_spark.io import read_table
+    from irio_mapreduce_spark.streaming.ops import _write_replay_sequenced
+
+    base = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            (
+                F.floor(F.abs(F.col("value")) * 100 + 0.5).cast("long")
+                * F.when(F.col("value") >= 0, 1).otherwise(-1)
+            ).alias("cents"),
+        )
+    )
+    run_dir = tempfile.mkdtemp(prefix="stream_dual_")
+    replay = os.path.join(run_dir, "replay")
+    _write_replay_sequenced(
+        base.withColumn("_chunk", (F.col("event_id") % 3).cast("int")),
+        "_chunk",
+        3,
+        replay,
+    )
+    main_dir = os.path.join(run_dir, "main")
+    audit_dir = os.path.join(run_dir, "audit")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.persist()
+        try:
+            b.write.mode("overwrite").parquet(
+                os.path.join(main_dir, f"b{batch_id}")
+            )
+            (
+                b.groupBy("event_type")
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("cents").cast("long").alias("cents"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(audit_dir, f"b{batch_id}"))
+            )
+        finally:
+            b.unpersist()
+
+    q = (
+        spark.readStream.schema("event_id long, event_type string, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(run_dir, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    main = (
+        spark.read.parquet(*_glob.glob(os.path.join(main_dir, "b*")))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_main"),
+            F.sum("cents").cast("long").alias("cents_main"),
+        )
+    )
+    audit = (
+        spark.read.parquet(*_glob.glob(os.path.join(audit_dir, "b*")))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_audit"),
+            F.sum("cents").cast("long").alias("cents_audit"),
+        )
+    )
+    return main.join(audit, "event_type", "full").select(
+        "event_type", "n_main", "cents_main", "n_audit", "cents_audit"
+    )

@@ -683,6 +683,16 @@ def test_range_join_bucket_expansion_is_equi(spark, qs):
     assert "CartesianProduct" not in p, p
 
 
+def test_interval_overlap_join_is_equi(spark, qs):
+    """join_interval_overlap_pairs: the interval-x-interval overlap must
+    plan as a sort-merge EQUI join on the bucket key with the ownership
+    rule as a residual — never BNLJ/cartesian."""
+    p = plan(spark, qs, "join_interval_overlap_pairs", mode="simple")
+    assert "SortMergeJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_perceptron_broadcasts_weight_rows(spark, qs):
     """ml_perceptron_batch_rounds chains three rounds by joining the fact
     table to the previous round's ONE-ROW weight frame — that join must
