@@ -211,7 +211,10 @@ WINDOW_WARMUP_COUNT: int = 19
 # additions beyond the budget append HERE (never displacing the window
 # head) and stay fully oracle-tested per-entry in tests/test_oracle.py
 # meanwhile.
-DEFERRED_TO_NEXT_WINDOW: list[str] = []
+DEFERRED_TO_NEXT_WINDOW: list[str] = [
+    "window_range_frame_trailing",
+    "fn_selective_agg_family",
+]
 
 # Round-9 window, kept for the audit trail (all 50 driver-green in
 # CORRECTNESS_r09.json; rotated out of the checked window in round 10).

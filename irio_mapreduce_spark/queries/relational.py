@@ -5311,3 +5311,120 @@ def join_interval_overlap_pairs(
         .cast("long")
         .alias("overlap_days"),
     )
+
+
+@register(
+    "window_range_frame_trailing",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey % 301 = 0),
+    daily AS (
+      SELECT o_custkey, d, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM o GROUP BY 1, 2)
+    SELECT o_custkey, CAST(d AS BIGINT) AS day_num,
+           CAST(sum(n) OVER w AS BIGINT) AS trailing_n,
+           CAST(sum(cents) OVER w AS BIGINT) AS trailing_cents
+    FROM daily
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame_trailing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RANGE-framed window — the VALUE-distance frame the ROWS form
+    cannot express: trailing-7-day order count/revenue per customer,
+    where the frame is "all rows whose day is within 6 of mine", not
+    "the previous 6 rows" (a customer with gaps would silently reach
+    back weeks under ROWS — the classic trailing-metric bug). Ordered
+    on an exact integer day number so the range predicate is
+    integer-exact on both engines; pre-aggregated to (customer, day)
+    first so the window sorts a bounded frame and ties can't make the
+    frame ambiguous. Completes the frame-type surface next to the ROWS
+    running windows and the `F.window` tumbling/sliding buckets; at
+    100 TB the one shuffle is the customer hash partition the window
+    needs anyway."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 301 == 0)
+        .select(
+            "o_custkey",
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("d"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey", "d")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_custkey",
+        F.col("d").cast("long").alias("day_num"),
+        F.sum("n").over(w).cast("long").alias("trailing_n"),
+        F.sum("cents").over(w).cast("long").alias("trailing_cents"),
+    )
+
+
+@register(
+    "fn_selective_agg_family",
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_orderkey,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+                    + o_orderkey) AS biggest_order,
+           min_by(o_orderkey,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+                    + o_orderkey) AS smallest_order,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_finished,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderkey % 1000 = 0) AS any_millennial
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def fn_selective_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECTIVE/CONDITIONAL aggregate family — `max_by`/`min_by`
+    (argmax/argmin without the self-join-on-max anti-pattern),
+    `count_if`, `bool_and`/`bool_or`: the aggregates that fold a
+    filter-then-aggregate or join-back-to-find-the-row pattern into ONE
+    map-side-combinable pass. Determinism: max_by ties are
+    engine-arbitrary, so the ordering value is a composite BIGINT
+    (cents·10⁷ + orderkey — keyspaces verified disjoint at sf0.1) that
+    is UNIQUE by construction: the argmax row is pinned, not lucky —
+    the deterministic-tie-break discipline every argmax entry follows.
+    DuckDB shares max_by/min_by/bool_and/bool_or natively; count_if is
+    spelled as its definitional conditional sum in the oracle."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            * 10000000
+            + F.col("o_orderkey"),
+        ).alias("biggest_order"),
+        F.min_by(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            * 10000000
+            + F.col("o_orderkey"),
+        ).alias("smallest_order"),
+        F.count_if(F.col("o_orderstatus") == "F")
+        .cast("long")
+        .alias("n_finished"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderkey") % 1000 == 0).alias("any_millennial"),
+    )
