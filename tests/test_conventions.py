@@ -116,13 +116,14 @@ def test_front_window_covers_all_unverified_entries():
         f"50-entry window and not declared deferred: {missing}"
     )
     # refresh discipline: window refresh slots = globally oldest-attested.
-    # Enforced only while the window holds FRESH (never-attested) entries,
-    # i.e. after this round's rotation: at the NEXT round's start the
-    # previous window is fully driver-attested and trivially the newest
-    # vintage — the obligation then falls on that round's rotation, not
-    # on the inherited list (a finished window must not turn the suite
-    # red before the next rotation commit).
-    if needs_row:
+    # Enforced only while the WINDOW ITSELF holds fresh (never-attested)
+    # entries, i.e. after this round's rotation: at the NEXT round's
+    # start the previous window is fully driver-attested and trivially
+    # the newest vintage, and any fresh entries live in the DEFERRED
+    # queue — the obligation then falls on that round's rotation, not on
+    # the inherited list (a finished window must not turn the suite red
+    # before the next rotation commit).
+    if any(n in window for n in needs_row):
         in_window_attested = [latest[n] for n in window if n in latest]
         out_attested = [latest[n] for n in latest if n not in window]
         if in_window_attested and out_attested:
