@@ -53,6 +53,22 @@ if _REPO not in sys.path:
 # correctness catalog).
 EXCLUDE = {"sim_pairs_bruteforce"}
 
+# Idle-host gate (r11 VERDICT "What's wrong #1": five bench runs burned on
+# external VM contention that was only detected AFTER each ~10-minute run;
+# the check-uptime-first discipline lived in prose). A run whose START
+# 1-minute load average is at or above this threshold is stamped
+# ``record_eligible: false`` in BENCH_DETAIL.json and prints a loud
+# warning — BASELINE.md record admission requires ``record_eligible:
+# true`` (rule cited there next to the standing record).
+RECORD_LOAD_THRESHOLD = 0.5
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 3) for x in os.getloadavg()]
+    except OSError:
+        return [-1.0, -1.0, -1.0]
+
 
 def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -105,6 +121,15 @@ def main() -> int:
     os.dup2(2, 1)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_start = _loadavg()
+    record_eligible = 0.0 <= load_start[0] < RECORD_LOAD_THRESHOLD
+    if not record_eligible:
+        print(
+            f"[bench] WARNING: start load average {load_start} is not idle "
+            f"(1-min >= {RECORD_LOAD_THRESHOLD}) — this run is NOT "
+            "record-eligible; timings will carry contention noise",
+            file=sys.stderr,
+        )
     from irio_mapreduce_spark.session import get_spark
     from irio_mapreduce_spark import queries as catalog
 
@@ -227,9 +252,25 @@ def main() -> int:
             print(f"[bench] {name}: FAILED {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    load_end = _loadavg()
+    if not record_eligible:
+        print(
+            f"[bench] WARNING: run started at load {load_start} (end "
+            f"{load_end}) — NOT record-eligible, do not admit to "
+            "BASELINE.md as a record",
+            file=sys.stderr,
+        )
     result = compact_result(timings, total, _sf_of(sf_dir))
     detail = dict(
-        result, queries=timings, excluded=skipped, sf_dir=sf_dir, n_queries=len(timings)
+        result,
+        queries=timings,
+        excluded=skipped,
+        sf_dir=sf_dir,
+        n_queries=len(timings),
+        load_avg_start=load_start,
+        load_avg_end=load_end,
+        record_load_threshold=RECORD_LOAD_THRESHOLD,
+        record_eligible=record_eligible,
     )
     try:
         with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:

@@ -3426,6 +3426,15 @@ def decode_zip_stored(payload: bytes) -> list[dict]:
             raise ValueError("corrupt local header")
         lnlen, lxlen = struct.unpack_from("<HH", payload, offset + 26)
         start = offset + 30 + lnlen + lxlen
+        # member data must live strictly BEFORE the central directory —
+        # a range extending into [cd_off, eocd) is structurally malformed
+        # (r11 ADVICE.md: reject it cleanly as structure, the same
+        # discipline as the truncated-AIFF-chunk check, instead of
+        # letting the CRC flag bytes read out of the directory region)
+        if start + usize > cd_off:
+            raise ValueError(
+                "ZIP member data range extends into the central directory"
+            )
         data = payload[start : start + usize]
         if len(data) != usize:
             raise ValueError("truncated ZIP member")

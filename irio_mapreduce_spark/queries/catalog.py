@@ -72,19 +72,83 @@ _ORACLES: dict[str, str] = {}
 # The external correctness driver checks the FIRST 50 entries of
 # ``all_queries()`` per round, so listing order is the scoreboard rotation
 # dial. This list pins the front of the window explicitly; everything else
-# follows in module-registration order. Round-11 rotation (r10 VERDICT.md
-# item 9): with the r1-r10 driver-green union covering the ENTIRE catalog,
-# rotation becomes a REFRESH cycle — new round-11 entries lead (never
-# driver-checked), and the remaining slots go to the entries whose latest
+# follows in module-registration order. Since round 11 (the r1-r10
+# driver-green union covers the ENTIRE catalog), rotation is a REFRESH
+# cycle — this round's fresh entries lead (never driver-checked, the r11
+# deferred pair first per the overflow valve), and the remaining slots go
+# to the entries whose latest
 # driver-green row is OLDEST (the r3/r4 vintage), so attestation
 # freshness stays bounded. Rotated-out entries keep their standing driver
 # rows and stay fully oracle-tested in tests/test_oracle.py.
 # tests/test_conventions.py asserts both the registry consistency and the
 # refresh discipline (window refresh slots = globally oldest-attested).
 FRONT_WINDOW: list[str] = [
-    # round-11 additions (fresh, never driver-checked) — appended as each
-    # lands with a green oracle test; every addition evicts refresh
-    # entries from the TAIL (the least-stale ones) to keep 50.
+    # round-12 head: the two entries that landed after the r11 window
+    # filled (DEFERRED_TO_NEXT_WINDOW last round — the mandatory head per
+    # the overflow valve), then round-12 additions appended as each lands
+    # with a green oracle test; every addition evicts refresh entries
+    # from the TAIL (newest-vintage, then alphabetically-last) to keep 50.
+    "window_range_frame_trailing",
+    "fn_selective_agg_family",
+    # refresh cycle: the remaining slots hold the catalog entries with
+    # the oldest driver-green rows — the 10 r3-vintage entries, then the
+    # alphabetically-first r4-vintage block. tests/test_conventions.py
+    # enforces the staleness invariant (no attested entry outside the
+    # window is staler than one inside), so this prose never has to be
+    # trusted.
+    "stream_static_join_rollup",
+    "stream_stream_join_attrib",
+    "stream_tumbling_rollup",
+    "text_decontamination",
+    "text_quality_filter",
+    "text_token_stats",
+    "udf_grouped_agg",
+    "udf_grouped_map",
+    "udf_pandas_scalar",
+    "udf_python_udtf",
+    "agg_approx_distinct",
+    "agg_collect_list_orders",
+    "agg_cube_flag_status",
+    "agg_percentiles_approx",
+    "agg_percentiles_collect",
+    "agg_pivot_status_by_flag",
+    "agg_rollup_flag_status",
+    "agg_salted_skew_sum",
+    "agg_sketch_suite",
+    "agg_unpivot_part_metrics",
+    "dedup_exact_prefix",
+    "dedup_incremental_batch",
+    "dedup_simhash",
+    "distinct_part_brand_type",
+    "events_multires_rollup",
+    "fn_generator_family",
+    "join_anti_customers_without_orders",
+    "join_asof_bucketed",
+    "join_asof_order_events",
+    "join_cross_theta_acctbal",
+    "join_full_outer_nation_activity",
+    "join_left_outer_nation_customers",
+    "join_range_price_bands",
+    "join_right_outer_orders_customers",
+    "join_semi_customers_with_orders",
+    "mr_batch_json_wordcount",
+    "mr_wordcount_top20",
+    "multimodal_decode_features",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q4_priority_exists",
+    "sample_token_budget_batches",
+    "sample_train_val_split",
+    "setops_customer_keys",
+    "setops_multiset_priorities",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_pairs_bruteforce",
+]
+
+# Round-11 window, kept for the audit trail (all 50 driver-green in
+# CORRECTNESS_r11.json; rotated out of the checked window in round 12).
+_R11_WINDOW: list[str] = [
     "stream_kmeans_model_rounds",
     "layout_bucketed_agg",
     "agg_aqe_coalesce_partitions",
@@ -104,12 +168,6 @@ FRONT_WINDOW: list[str] = [
     "sample_neyman_allocation",
     "stream_foreachbatch_dual_sink",
     "join_interval_overlap_pairs",
-    # refresh cycle: the remaining slots hold the catalog entries with
-    # the oldest driver-green rows (all last attested in r3; started the
-    # round as 41 r3 + 5 r4 entries, with the tail evicted — always
-    # newest-vintage, then alphabetically-last — as each fresh entry
-    # above landed). tests/test_conventions.py enforces the resulting
-    # staleness invariant, so this prose never has to be trusted.
     "agg_grouping_sets",
     "dedup_cluster_components",
     "dedup_embedding_cosine",
@@ -201,20 +259,17 @@ _R10_WINDOW: list[str] = [
 # pandas-worker spawn, streaming scheduler) never lands on the rows a
 # verdict diff scrutinizes. MUST be updated together with FRONT_WINDOW
 # at each rotation (r10 ADVICE.md: a hard-coded literal in bench.py
-# silently warmed the wrong count after rotation). Round 11: the 19
-# fresh head entries.
-WINDOW_WARMUP_COUNT: int = 19
+# silently warmed the wrong count after rotation). Round 12: the 2
+# deferred-head entries (grows as fresh round-12 entries land).
+WINDOW_WARMUP_COUNT: int = 2
 
 # Entries that did not fit the current 50-slot window and therefore form
 # the MANDATORY head of the NEXT round's window (tests/test_conventions.py
-# asserts the plan). Empty while the round-10 window has free budget;
-# additions beyond the budget append HERE (never displacing the window
-# head) and stay fully oracle-tested per-entry in tests/test_oracle.py
-# meanwhile.
-DEFERRED_TO_NEXT_WINDOW: list[str] = [
-    "window_range_frame_trailing",
-    "fn_selective_agg_family",
-]
+# asserts the plan). Empty while the round-12 window has free budget
+# (the r11 deferred pair now leads FRONT_WINDOW); additions beyond the
+# budget append HERE (never displacing the window head) and stay fully
+# oracle-tested per-entry in tests/test_oracle.py meanwhile.
+DEFERRED_TO_NEXT_WINDOW: list[str] = []
 
 # Round-9 window, kept for the audit trail (all 50 driver-green in
 # CORRECTNESS_r09.json; rotated out of the checked window in round 10).

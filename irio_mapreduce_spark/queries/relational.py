@@ -3128,7 +3128,8 @@ def agg_aqe_coalesce_partitions(
     statistics merge the resulting sliver partitions back into a few
     advisory-sized reducers: the executed plan's ``AQEShuffleRead`` node
     reads ``coalesced`` (recorded in ``AQE_COALESCE_EXECUTED_PLAN``,
-    asserted both here and in tests/test_plans.py). This is what makes
+    asserted in tests/test_plans.py — not here, so the correctness
+    entry can never fail on the perf property). This is what makes
     one global ``shuffle.partitions`` livable at 100 TB — small
     shuffles stop paying 200 reducer tasks' scheduling + tiny-file
     output for kilobytes of data, with zero per-query tuning.
@@ -3174,11 +3175,13 @@ def agg_aqe_coalesce_partitions(
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, val)
-    if "coalesced" not in AQE_COALESCE_EXECUTED_PLAN:
-        raise RuntimeError(
-            "AQE did not coalesce the over-partitioned shuffle:\n"
-            + AQE_COALESCE_EXECUTED_PLAN
-        )
+    # The rows are returned UNCONDITIONALLY (r11 ADVICE.md): coalescing
+    # is environment- and scale-dependent (if every reducer partition
+    # already exceeds the 64MB advisory size, AQE legitimately skips the
+    # merge), so a correctness entry must never hard-fail on the perf
+    # property. The plan assertion lives in
+    # tests/test_plans.py::test_aqe_coalesce_executed_plan, which reads
+    # AQE_COALESCE_EXECUTED_PLAN recorded above.
     return spark.createDataFrame(rows, out.schema)
 
 

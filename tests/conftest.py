@@ -79,8 +79,13 @@ def _close(a, b) -> bool:
 # plan sweep in tests/test_plans.py reuses them instead of re-running
 # every entry — streaming entries DRAIN during construction, so the
 # rebuild cost was ~290 s of the suite (r10 VERDICT wall-clock item).
-# Keyed by entry name; only populated when the oracle tests ran first
-# (pytest's alphabetical file order guarantees that in a full run).
+# Keyed by entry name; only populated when the oracle tests ran first.
+# SERIAL-RUN ASSUMPTION (r11 ADVICE.md): the reuse relies on pytest's
+# default alphabetical file order (test_oracle.py < test_plans.py) AND
+# a single process — under pytest-xdist or randomized ordering each
+# worker sees a partial dict and the sweep falls back to rebuilding the
+# missing entries itself (correctness unaffected, wall-clock cost
+# returns). Do not run the suite with -p xdist expecting the fast path.
 RECORDED_PLANS: dict[str, str] = {}
 
 

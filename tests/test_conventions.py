@@ -164,6 +164,29 @@ def test_front_window_covers_all_unverified_entries():
     )
 
 
+def test_bench_exclude_outside_warmup_head():
+    """bench.py's warm-up loop counts only non-EXCLUDE entries toward
+    WINDOW_WARMUP_COUNT, while the freshness assertion above validates
+    fresh-entry positions against raw FRONT_WINDOW indices. The two
+    agree only while EXCLUDE never intersects the warmed head — pin
+    that (r11 ADVICE.md: latent silent disagreement otherwise)."""
+    import bench
+
+    from irio_mapreduce_spark.queries.catalog import (
+        FRONT_WINDOW,
+        WINDOW_WARMUP_COUNT,
+    )
+
+    head = set(FRONT_WINDOW[:WINDOW_WARMUP_COUNT])
+    overlap = head & bench.EXCLUDE
+    assert not overlap, (
+        f"bench EXCLUDE entries {overlap} sit inside the warmed head — "
+        "warm-up indexing and the conventions freshness check would "
+        "silently disagree; move them out of the head or rework the "
+        "warm-up counting"
+    )
+
+
 def test_bench_line_fits_recorder_tail():
     """BENCH_r01..r03 all recorded ``parsed: null``: the recording harness
     keeps only the last ~2000 bytes of stdout, and the full 100+-entry

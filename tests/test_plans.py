@@ -648,12 +648,15 @@ def test_bucketed_agg_zero_exchange_per_key(spark, qs):
     layout cannot satisfy), while the scan is a real bucketed read."""
     p = plan(spark, qs, "layout_bucketed_agg")
     assert "SelectedBucketsCount: 16 out of 16" in p, p
-    # formatted mode names each node twice (tree + detail); count the
-    # detail headers "(N) Exchange"
-    assert p.count(") Exchange") == 1, p
-    # the one Exchange keys on the band expression, not o_custkey
-    ex = [l for l in p.splitlines() if "hashpartitioning" in l]
-    assert len(ex) == 1 and "_groupingexpression" in ex[0], p
+    # Anchor on node PRESENCE and partitioning keys, not codegen-internal
+    # alias names or detail-header counting (r11 ADVICE.md: the former
+    # '_groupingexpression' / '") Exchange"' anchors were not stable plan
+    # contracts across Spark minors). In formatted mode each Exchange
+    # contributes exactly one Arguments line carrying hashpartitioning —
+    # there must be ONE, and it must not key on the bucket column.
+    ex = [l for l in p.splitlines() if "hashpartitioning(" in l]
+    assert len(ex) == 1, p
+    assert "o_custkey" not in ex[0], p
 
 
 def test_aqe_coalesce_executed_plan(spark, qs):
