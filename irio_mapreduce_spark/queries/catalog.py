@@ -90,6 +90,9 @@ FRONT_WINDOW: list[str] = [
     # from the TAIL (newest-vintage, then alphabetically-last) to keep 50.
     "window_range_frame_trailing",
     "fn_selective_agg_family",
+    "join_cbo_stats_broadcast",
+    "layout_cached_multi_consumer",
+    "stream_rocksdb_changelog_resume",
     # refresh cycle: the remaining slots hold the catalog entries with
     # the oldest driver-green rows — the 10 r3-vintage entries, then the
     # alphabetically-first r4-vintage block. tests/test_conventions.py
@@ -141,9 +144,6 @@ FRONT_WINDOW: list[str] = [
     "sample_train_val_split",
     "setops_customer_keys",
     "setops_multiset_priorities",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "sim_pairs_bruteforce",
 ]
 
 # Round-11 window, kept for the audit trail (all 50 driver-green in
@@ -260,8 +260,8 @@ _R10_WINDOW: list[str] = [
 # verdict diff scrutinizes. MUST be updated together with FRONT_WINDOW
 # at each rotation (r10 ADVICE.md: a hard-coded literal in bench.py
 # silently warmed the wrong count after rotation). Round 12: the 2
-# deferred-head entries (grows as fresh round-12 entries land).
-WINDOW_WARMUP_COUNT: int = 2
+# deferred-head entries + fresh round-12 entries (grows as each lands).
+WINDOW_WARMUP_COUNT: int = 5
 
 # Entries that did not fit the current 50-slot window and therefore form
 # the MANDATORY head of the NEXT round's window (tests/test_conventions.py

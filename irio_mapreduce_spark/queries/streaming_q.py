@@ -1853,3 +1853,126 @@ def stream_foreachbatch_dual_sink(
     return main.join(audit, "event_type", "full").select(
         "event_type", "n_main", "cents_main", "n_audit", "cents_audit"
     )
+
+
+@register(
+    "stream_rocksdb_changelog_resume",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE event_id % 5 = 0
+    GROUP BY event_type
+    """,
+)
+def stream_rocksdb_changelog_resume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROCKSDB CHANGELOG CHECKPOINTING under kill-and-resume (r11 verdict
+    task #4): the recovery path that matters at 100 TB state. With
+    ``stateStore.rocksdb.changelogCheckpointing.enabled=true`` each
+    micro-batch commit uploads a per-version CHANGELOG (the delta of
+    state puts/deletes) instead of a full SST snapshot, so commit cost
+    is O(batch's state churn), not O(total state) — the difference
+    between constant-time and ever-growing trigger commits as keyed
+    state accumulates. Recovery replays snapshot + changelog chain; this
+    entry certifies that chain end-to-end by composing the
+    ``stream_checkpoint_kill_resume`` topology (3 query INCARNATIONS over
+    one checkpoint, each later chunk re-sending the previous chunk's
+    rows) with the RocksDB provider: only a correctly-rebuilt dedup
+    state drops the cross-incarnation duplicates, so a broken changelog
+    replay (lost state → doubled rows) or a re-admitted batch flips the
+    driver hash. The entry raises unless ``*.changelog`` files actually
+    landed in the state checkpoint — a silently-ignored conf is a red,
+    the same artifact discipline as ``stream_rocksdb_state_totals``
+    (SSTs), and deterministic: with the provider engaged, every commit
+    under changelog mode writes one. Oracle: the plain batch aggregate
+    (event_id is unique, so the recovered dedup restores exactly the
+    base rows)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from irio_mapreduce_spark.io import read_table
+    from irio_mapreduce_spark.streaming.ops import _write_replay_sequenced
+
+    base = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "ts", "event_type", "value")
+    )
+    g = F.expr("(event_id div 5) % 3").cast("int")
+    chunked = base.withColumn("_chunk", g).unionAll(
+        # chunk i+1 re-sends chunk i's rows — duplicates only a RECOVERED
+        # dedup state (snapshot + changelog replay) can drop
+        base.withColumn("_chunk", g + 1).filter(F.col("_chunk") <= 2)
+    )
+    run_dir = tempfile.mkdtemp(prefix="stream_rocks_changelog_")
+    staging = os.path.join(run_dir, "staging")
+    _write_replay_sequenced(chunked, "_chunk", 3, staging)
+    live = os.path.join(run_dir, "live")
+    sink = os.path.join(run_dir, "sink")
+    ck = os.path.join(run_dir, "ck")
+    os.makedirs(live, exist_ok=True)
+    schema = spark.read.parquet(staging).schema
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+    saved: dict[str, str | None] = {}
+    for key, val in confs.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, val)
+    try:
+        with _stream_partitions(spark):
+            for i in range(3):
+                for f in sorted(
+                    _glob.glob(os.path.join(staging, f"chunk{i:03d}_*"))
+                ):
+                    shutil.move(f, os.path.join(live, os.path.basename(f)))
+                q = (
+                    spark.readStream.schema(schema)
+                    .parquet(live)
+                    .dropDuplicates(["event_id"])
+                    .writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ck)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    changelogs = _glob.glob(
+        os.path.join(ck, "state", "**", "*.changelog"), recursive=True
+    )
+    if not changelogs:
+        raise RuntimeError(
+            "changelog checkpointing enabled but no *.changelog files in "
+            "the state checkpoint"
+        )
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+    )

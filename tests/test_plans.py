@@ -703,3 +703,65 @@ def test_perceptron_broadcasts_weight_rows(spark, qs):
     p = plan(spark, qs, "ml_perceptron_batch_rounds")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_cbo_stats_flip_join_to_broadcast(spark, qs):
+    """join_cbo_stats_broadcast (r11 verdict task #3): catalog statistics
+    alone — no hint — must flip the static plan of the same bounded-
+    threshold join from sort-merge (no stats: dimension estimated at its
+    on-disk size, filter not shrinking it) to broadcast-hash (ANALYZE
+    row count + o_custkey min/max make the filtered estimate drop under
+    the threshold). The exact result is the driver-gated oracle; this
+    pins the planner decision itself."""
+    import irio_mapreduce_spark.queries.relational as rel
+
+    rel.CBO_STATS_PLANS.clear()
+    out = rel.join_cbo_stats_broadcast(spark, SF_DIR)
+    assert out.count() > 0
+    before = rel.CBO_STATS_PLANS["before"]
+    after = rel.CBO_STATS_PLANS["after"]
+    assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before, (
+        before
+    )
+    assert "BroadcastHashJoin" in after and "SortMergeJoin" not in after, (
+        after
+    )
+
+
+def test_cached_multi_consumer_scans_memory_and_drains(spark, qs):
+    """layout_cached_multi_consumer (r11 verdict task #5): both consumers
+    of the persisted per-customer rollup must read it via
+    InMemoryTableScan (the second must NOT re-run the orders
+    aggregation), and the entry must leave the cache manager EMPTY —
+    the eager unpersist discipline the iterative persist sites follow,
+    pinned here instead of promised in prose."""
+    import irio_mapreduce_spark.queries.relational as rel
+
+    spark.catalog.clearCache()
+    rel.CACHED_CONSUMER_PLANS.clear()
+    out = rel.layout_cached_multi_consumer(spark, SF_DIR)
+    assert out.count() > 0
+    for which in ("bands", "nations"):
+        p = rel.CACHED_CONSUMER_PLANS[which]
+        # InMemoryTableScan proves the consumer reads the cache; the
+        # InMemoryRelation node legitimately PRINTS the cached child
+        # (the orders aggregation) inside it, so absence-of-scan cannot
+        # be asserted on the plan string — scan-count is covered by the
+        # single-scan sweep elsewhere.
+        assert "InMemoryTableScan" in p, (which, p)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "entry returned with live cache entries — unpersist discipline broken"
+    )
+
+
+def test_rocksdb_changelog_files_land(spark, qs):
+    """stream_rocksdb_changelog_resume (r11 verdict task #4): the entry
+    itself raises when no *.changelog files land in the state
+    checkpoint; this test pins that the RED path is reachable (the glob
+    is not vacuously satisfied) by running the entry and checking it
+    completes — the artifact assertion lives in the entry, the oracle
+    equality in test_oracle.py. Kept as a plain smoke so a Spark upgrade
+    that renames the artifact fails HERE with the entry's message, not
+    silently in a driver round."""
+    out = qs["stream_rocksdb_changelog_resume"](spark, SF_DIR)
+    assert out.count() > 0
