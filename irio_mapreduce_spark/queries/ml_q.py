@@ -2240,3 +2240,185 @@ def ml_matthews_corrcoef(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.alias("mcc_num"),
         (num.cast("double") / den).alias("mcc"),
     )
+
+
+@register(
+    "ml_isotonic_pav",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS prio,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS month_idx,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS w
+      FROM orders GROUP BY 1, 2),
+    p AS (
+      SELECT prio, month_idx,
+             sum(s) OVER (PARTITION BY prio ORDER BY month_idx) AS cs,
+             sum(w) OVER (PARTITION BY prio ORDER BY month_idx) AS cw,
+             row_number() OVER (PARTITION BY prio ORDER BY month_idx) AS r
+      FROM m),
+    p0 AS (
+      SELECT prio, 0 AS r, CAST(0 AS HUGEINT) AS cs,
+             CAST(0 AS HUGEINT) AS cw
+      FROM (SELECT DISTINCT prio FROM m)
+      UNION ALL SELECT prio, r, cs, cw FROM p),
+    seg AS (
+      SELECT t.prio, sp.r + 1 AS si, t.r AS ti, t.month_idx AS tmi,
+             ((t.cs - sp.cs) * 1000000) // (t.cw - sp.cw) AS a_fp
+      FROM p t JOIN p0 sp ON t.prio = sp.prio AND sp.r < t.r),
+    rmin AS (
+      SELECT prio, si, ti, tmi,
+             min(a_fp) OVER (PARTITION BY prio, si ORDER BY ti DESC) AS m_fp
+      FROM seg)
+    SELECT prio, tmi AS month_idx, CAST(max(m_fp) AS BIGINT) AS fit_fp
+    FROM rmin GROUP BY prio, tmi
+    """,
+)
+def ml_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION via pool-adjacent-violators (PAV) — the
+    principled monotone fit behind isotonic score calibration (the
+    binned cousin is ``ml_calibration_bins``): per order priority, fit
+    the best non-decreasing approximation (least squares, weighted) to
+    the monthly mean order value. The heavy pass is a distributed
+    group-by (per priority × month integer moments: cents sum + count);
+    PAV itself runs per group in ``applyInPandas`` over the AGGREGATED
+    series — bounded by the time axis (~80 months), not row count, so
+    the sequential step never sees fact-table scale (the production
+    calibration shape: bucket scores into k bins first, PAV over k).
+    Pool merging compares block means as cross-multiplied integer
+    rationals (sum_a·w_b > sum_b·w_a) — no float ever enters — and the
+    emitted fit is exact fixed-point ``(block_sum·10⁶) // block_w``.
+
+    Oracle: the textbook minimax characterization, fit[i] =
+    max_{s≤i} min_{t≥i} avg(y[s..t]), computed exactly over all O(n²)
+    prefix-difference segments (n = months, so trivially bounded) with
+    the same fixed-point floor — floor is monotone, so it commutes with
+    the min/max lattice and the truncated minimax equals the truncated
+    PAV fit. The equivalence PAV ≡ minimax (and the committed oracle
+    SQL itself) is pinned from first principles against a from-scratch
+    ``fractions.Fraction`` PAV in tests/test_properties.py."""
+    import pandas as pd
+
+    o = read_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("month_idx"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("s"),
+            F.count("*").cast("long").alias("w"),
+        )
+    )
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month_idx").reset_index(drop=True)
+        # blocks of pooled [sum, weight, n_points]; merge while the
+        # previous block's mean EXCEEDS the current one (violator):
+        # exact integer cross-multiplication, never a float division
+        blocks: list[list[int]] = []
+        for s, w in zip(pdf["s"], pdf["w"]):
+            blocks.append([int(s), int(w), 1])
+            while (
+                len(blocks) >= 2
+                and blocks[-2][0] * blocks[-1][1]
+                > blocks[-1][0] * blocks[-2][1]
+            ):
+                top = blocks.pop()
+                blocks[-1][0] += top[0]
+                blocks[-1][1] += top[1]
+                blocks[-1][2] += top[2]
+        fits: list[int] = []
+        for s, w, c in blocks:
+            fits.extend([(s * 1000000) // w] * c)
+        out = pdf[["prio", "month_idx"]].copy()
+        out["fit_fp"] = fits
+        return out
+
+    return m.groupBy("prio").applyInPandas(
+        pav, schema="prio string, month_idx long, fit_fp long"
+    )
+
+
+@register(
+    "ml_target_encoding_loo",
+    oracle="""
+    WITH rows_y AS (
+      SELECT o_custkey % 97 AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    cat_stats AS (
+      SELECT cat, CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum(y) AS BIGINT) AS cs
+      FROM rows_y GROUP BY cat),
+    gstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS gn, CAST(sum(y) AS BIGINT) AS gs
+      FROM rows_y),
+    cells AS (
+      SELECT cat, y, CAST(count(*) AS BIGINT) AS n
+      FROM rows_y GROUP BY cat, y)
+    SELECT c.cat AS cat, c.y AS y, c.n AS n,
+           CAST(CASE WHEN s.cn > 1
+                THEN ((s.cs - c.y) * 1000000) // (s.cn - 1)
+                ELSE NULL END AS BIGINT) AS loo_fp,
+           CAST((((s.cs - c.y) * g.gn + 10 * g.gs) * 1000000)
+                // ((s.cn - 1 + 10) * g.gn) AS BIGINT) AS smooth_fp
+    FROM cells c JOIN cat_stats s ON c.cat = s.cat CROSS JOIN gstats g
+    """,
+)
+def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT TARGET ENCODING — the feature-engineering operator
+    that replaces a high-cardinality categorical with the target mean of
+    its category EXCLUDING the row itself (plain target-mean encoding
+    leaks the label; LOO is the standard fix), plus the m-estimate
+    smoothed variant that shrinks rare categories toward the global
+    prior: enc = (S_cat − y + m·ȳ_global) / (N_cat − 1 + m), m = 10.
+    Both are exact fixed-point BIGINT rationals (cross-multiplied by the
+    global count so no division happens before the final floored 10⁶
+    scaling). Within a category every row with the same label gets the
+    same encoding, so the per-row operator is VERIFIED at (category,
+    label) granularity — the output is the distinct encoding table the
+    join-back would broadcast.
+
+    Shape at 100 TB: two tiny aggregates (per-category counts — 97
+    rows — and one global row) + a broadcast join back; the fact table
+    never shuffles. The encoding table is exactly the model artifact a
+    training pipeline persists between runs."""
+    o = read_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 97).alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    cat_stats = o.groupBy("cat").agg(
+        F.count("*").cast("long").alias("cn"),
+        F.sum("y").cast("long").alias("cs"),
+    )
+    glob = o.agg(
+        F.count("*").cast("long").alias("gn"),
+        F.sum("y").cast("long").alias("gs"),
+    )
+    cells = o.groupBy("cat", "y").agg(F.count("*").cast("long").alias("n"))
+    j = cells.join(F.broadcast(cat_stats), "cat").crossJoin(
+        F.broadcast(glob)
+    )
+    return j.select(
+        "cat",
+        F.col("y").cast("int").alias("y"),
+        "n",
+        F.when(
+            F.col("cn") > 1,
+            F.expr("((cs - y) * 1000000) div (cn - 1)"),
+        )
+        .cast("long")
+        .alias("loo_fp"),
+        F.expr(
+            "(((cs - y) * gn + 10 * gs) * 1000000) div ((cn - 1 + 10) * gn)"
+        )
+        .cast("long")
+        .alias("smooth_fp"),
+    )

@@ -1344,3 +1344,59 @@ def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@register(
+    "source_jsonl_gzip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def source_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-COMPRESSED JSON-LINES ingest — the wire format crawl dumps
+    and API exports actually arrive in. The entry writes an orders
+    subset as ``.json.gz`` shards (codec declared at write), reads it
+    back through Spark's transparent-decompression text path with an
+    explicit schema, and aggregates against the parquet truth. Money is
+    converted to integer CENTS before serialization so the roundtrip is
+    bit-exact by construction, never a float-formatting question.
+
+    The 100 TB point is the codec's SPLITTABILITY: gzip is a stream
+    cipher-style codec with no sync points, so ONE .gz file = ONE task
+    regardless of size — parallelism equals shard count, and a single
+    500 GB .json.gz is a single-core day. The write side therefore
+    repartitions to a shard count sized to the cluster (here 4), which
+    is exactly the operational fix (or: land bzip2/zstd-seekable, or
+    convert to parquet at the edge). Spark's file scan handles the
+    non-splittability automatically — isSplitable=false per codec —
+    so correctness never depends on it; only parallelism does."""
+    path = _scratch(sf_dir, "orders_jsonl_gz")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    (
+        o.repartition(4)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(path)
+    )
+    back = spark.read.schema(
+        "o_orderkey long, o_orderpriority string, cents long"
+    ).json(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

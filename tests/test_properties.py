@@ -1312,3 +1312,84 @@ def test_zero_slack_oracles_match_first_principles_on_hand_tables():
     )
     drow = con.execute(oracles["quality_distribution_drift_l1"]).fetchone()
     assert math.isclose(drow[-1], tv_ref, rel_tol=1e-12)
+
+
+def test_isotonic_pav_oracle_matches_fraction_pav(tmp_path):
+    """ml_isotonic_pav pin (first-principles, per the shared-fragment
+    rule): the COMMITTED minimax oracle SQL, evaluated on a hand-built
+    adversarial corpus (violators, ties, equal means, a long decreasing
+    run that must pool into one block), must equal a from-scratch
+    ``fractions.Fraction`` pool-adjacent-violators fit — an independent
+    algorithm AND an independent arithmetic (exact rationals, floored to
+    fixed point only at the end). This checks the minimax formula itself
+    and the floor/min/max commutation the oracle relies on, not just
+    Spark/DuckDB agreement."""
+    from fractions import Fraction
+
+    import duckdb
+    import pandas as pd
+
+    from irio_mapreduce_spark.queries import catalog
+
+    # two priorities; priority A has a strictly decreasing tail (pools to
+    # one block), B mixes ties and equal cross-multiplied means
+    rows = []
+    a_prices = [10.0, 30.0, 20.0, 19.99, 19.98, 5.0]
+    for i, v in enumerate(a_prices):
+        rows.append(("A", f"1995-{i + 1:02d}-10", v))
+        rows.append(("A", f"1995-{i + 1:02d}-20", v + (i % 2)))
+    b_prices = [7.0, 7.0, 3.0, 11.0, 11.0, 2.0, 2.0]
+    for i, v in enumerate(b_prices):
+        rows.append(("B", f"1995-{i + 1:02d}-15", v))
+    pd.DataFrame(
+        {
+            "o_orderpriority": [r[0] for r in rows],
+            "o_orderdate": pd.to_datetime([r[1] for r in rows]),
+            "o_totalprice": [r[2] for r in rows],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'orders.parquet'}')"
+    )
+    got = {
+        (r[0], int(r[1])): int(r[2])
+        for r in con.execute(
+            catalog.all_oracles()["ml_isotonic_pav"]
+        ).fetchall()
+    }
+
+    # independent PAV: exact Fractions, pooled greedily
+    agg: dict[tuple[str, int], list[int]] = {}
+    for prio, d, price in rows:
+        y, m = int(d[:4]), int(d[5:7])
+        cents = int(price * 100 + 0.5)
+        k = (prio, y * 12 + m)
+        agg.setdefault(k, [0, 0])
+        agg[k][0] += cents
+        agg[k][1] += 1
+    expect = {}
+    for prio in {r[0] for r in rows}:
+        series = sorted(
+            (mi, s, w) for (p, mi), (s, w) in agg.items() if p == prio
+        )
+        blocks: list[list] = []  # [mean Fraction, sum, w, months]
+        for mi, s, w in series:
+            blocks.append([Fraction(s, w), s, w, [mi]])
+            while len(blocks) >= 2 and blocks[-2][0] > blocks[-1][0]:
+                top = blocks.pop()
+                blocks[-1][1] += top[1]
+                blocks[-1][2] += top[2]
+                blocks[-1][3] += top[3]
+                blocks[-1][0] = Fraction(blocks[-1][1], blocks[-1][2])
+        for mean, s, w, months in blocks:
+            fp = (s * 1000000) // w
+            for mi in months:
+                expect[(prio, mi)] = fp
+    assert got == expect
+    # sanity: the fit is non-decreasing within each priority
+    for prio in {r[0] for r in rows}:
+        seq = [v for (p, mi), v in sorted(got.items()) if p == prio]
+        assert seq == sorted(seq), seq
