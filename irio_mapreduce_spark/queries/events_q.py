@@ -1970,3 +1970,120 @@ def events_acf_multilag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pearson_exact(pairs, group_cols=("lag",)).select(
         F.col("lag").cast("long").alias("lag"), "n", "num", "r"
     )
+
+
+@register(
+    "events_allen_interval_relations",
+    oracle="""
+    WITH iv0 AS (
+      SELECT user_id, event_type,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS s0,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS e0
+      FROM events
+      GROUP BY user_id, event_type, date_trunc('week', ts)),
+    iv AS (
+      SELECT user_id, event_type,
+             (s0 // 3600000000) * 3600000000 AS s,
+             ((e0 // 3600000000) + 1) * 3600000000 AS e
+      FROM iv0),
+    pair AS (
+      SELECT user_id, s AS s1, e AS e1,
+             lead(s) OVER w AS s2, lead(e) OVER w AS e2
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_type)),
+    rel AS (
+      SELECT CASE
+               WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+               WHEN s1 = s2 THEN 'starts'
+               WHEN e1 < s2 THEN 'precedes'
+               WHEN e1 = s2 THEN 'meets'
+               WHEN e1 = e2 THEN 'finished_by'
+               WHEN e1 > e2 THEN 'contains'
+               ELSE 'overlaps'
+             END AS relation
+      FROM pair WHERE s2 IS NOT NULL)
+    SELECT relation, CAST(count(*) AS BIGINT) AS n
+    FROM rel GROUP BY relation
+    """,
+)
+def events_allen_interval_relations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALLEN'S INTERVAL ALGEBRA — classify each pair of CONSECUTIVE
+    per-user activity intervals (one interval per user × event type ×
+    week, spanning first to last occurrence ROUNDED OUT to the enclosing
+    hour grid — integer floor/ceil on epoch microseconds, the
+    quantization that makes boundary relations like *meets* and *equals*
+    reachable on jittered real timestamps instead of measure-zero) into
+    Allen's temporal relations. Ordering pairs by (start, end) makes 7
+    of the 13 relations reachable (the other 6 are inverses of these
+    under pair swap): precedes, meets, overlaps, starts, finished_by,
+    contains, equals — the exhaustive, mutually-exclusive case split on
+    integer endpoint comparisons, the temporal-reasoning primitive
+    behind conflict detection, downtime attribution, and entity-timeline
+    alignment. Pairing is CONSECUTIVE-ONLY via one lead() window (the
+    all-pairs variant is quadratic per user; consecutive pairs carry the
+    same relation census for bounded per-user interval counts — here ≤
+    one per event type), so the whole operator is one groupBy + one
+    windowed pass: two shuffles on user co-location, no join.
+
+    The Spark and oracle CASE cascades are ordered DIFFERENTLY (Spark
+    tests each relation's full definition; the oracle relies on
+    condition fall-through) so a mis-encoded boundary cannot cancel out;
+    the shared relation semantics are additionally pinned on a hand-built
+    corpus covering all 7 relations in tests/test_properties.py."""
+    hour_us = 3600000000
+    iv = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type", F.date_trunc("week", "ts"))
+        .agg(
+            F.min(F.unix_micros("ts")).cast("long").alias("s0"),
+            F.max(F.unix_micros("ts")).cast("long").alias("e0"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.expr(f"(s0 div {hour_us}) * {hour_us}").alias("s"),
+            F.expr(f"((e0 div {hour_us}) + 1) * {hour_us}").alias("e"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_type")
+    pair = iv.select(
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+        F.lead("s").over(w).alias("s2"),
+        F.lead("e").over(w).alias("e2"),
+    ).filter(F.col("s2").isNotNull())
+    # full-definition tests, mutually exclusive by construction given
+    # the (s1,e1) <= (s2,e2) lexicographic pair ordering
+    relation = (
+        F.when((F.col("e1") < F.col("s2")), "precedes")
+        .when((F.col("s1") < F.col("s2")) & (F.col("e1") == F.col("s2")), "meets")
+        .when(
+            (F.col("s1") < F.col("s2"))
+            & (F.col("s2") < F.col("e1"))
+            & (F.col("e1") < F.col("e2")),
+            "overlaps",
+        )
+        .when(
+            (F.col("s1") < F.col("s2")) & (F.col("e1") == F.col("e2")),
+            "finished_by",
+        )
+        .when(
+            (F.col("s1") < F.col("s2")) & (F.col("e2") < F.col("e1")),
+            "contains",
+        )
+        .when(
+            (F.col("s1") == F.col("s2")) & (F.col("e1") < F.col("e2")),
+            "starts",
+        )
+        .when(
+            (F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2")),
+            "equals",
+        )
+    )
+    return (
+        pair.select(relation.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -573,3 +573,152 @@ def stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("z_sq"),
     )
+
+
+@register(
+    "stats_benjamini_hochberg",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             event_id::VARCHAR AS rid
+      FROM events),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1_o,
+             CAST(sum(CASE WHEN grp = 1 THEN v ELSE 0 END) AS BIGINT)
+               AS s1_o
+      FROM pts GROUP BY event_type),
+    perm AS (
+      SELECT event_type, t.range AS b,
+             CAST(sum(CASE WHEN (('0x' || substr(md5(rid || '|bh'
+                                                  || t.range::VARCHAR),
+                                  1, 8))::BIGINT % 2) = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN (('0x' || substr(md5(rid || '|bh'
+                                                  || t.range::VARCHAR),
+                                  1, 8))::BIGINT % 2) = 1
+                           THEN v ELSE 0 END) AS BIGINT) AS s1
+      FROM pts CROSS JOIN range(0, 24) t GROUP BY event_type, t.range),
+    ge AS (
+      SELECT p.event_type,
+             CASE WHEN abs(CAST(p.s1 AS HUGEINT) * (t.n - p.n1)
+                           - CAST(t.s - p.s1 AS HUGEINT) * p.n1)
+                       * (CAST(t.n1_o AS HUGEINT) * (t.n - t.n1_o))
+                  >= abs(CAST(t.s1_o AS HUGEINT) * (t.n - t.n1_o)
+                         - CAST(t.s - t.s1_o AS HUGEINT) * t.n1_o)
+                       * (CAST(p.n1 AS HUGEINT) * (t.n - p.n1))
+                  THEN 1 ELSE 0 END AS ge1
+      FROM perm p JOIN tot t USING (event_type)),
+    pv AS (
+      SELECT event_type, CAST(1 + sum(ge1) AS BIGINT) AS k
+      FROM ge GROUP BY event_type),
+    ranked AS (
+      SELECT event_type, k,
+             row_number() OVER (ORDER BY k, event_type) AS r,
+             count(*) OVER () AS m
+      FROM pv),
+    cut AS (
+      SELECT COALESCE(max(CASE WHEN 4 * m * k <= 25 * r THEN r END), 0)
+               AS rmax
+      FROM ranked)
+    SELECT event_type, k, CAST(r AS BIGINT) AS r,
+           (r <= rmax) AS rejected
+    FROM ranked CROSS JOIN cut
+    """,
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR control over a FAMILY of derandomized
+    permutation tests — the multiple-testing operator every metric
+    platform needs once it runs one test per segment: m per-event-type
+    tests (does mean value differ between the user-parity cohorts?) each
+    produce an EXACT RATIONAL p-value k/25 (1 + count of 24 md5-relabeled
+    universes whose cross-multiplied |mean difference| ≥ observed — the
+    ``stats_permutation_test`` machinery, here grouped), then the BH
+    step-up rule at α = 1/4 rejects ranks 1..r* where r* = max{r :
+    p₍ᵣ₎ ≤ αr/m} — evaluated WITHOUT EVER FORMING A QUOTIENT:
+    p₍ᵣ₎ ≤ αr/m ⇔ 4·m·k ≤ 25·r in integers, so the rejection set is
+    bit-reproducible (a float BH threshold can flip a boundary rank
+    between engines). Rank ties break on event_type on both sides; the
+    rejection SET is tie-invariant, the printed ranks deterministic.
+
+    Scale shape: ONE scan of the fact table computing 2 + 2·24
+    conditional aggregates per group (never a ×24 row fan-out — the
+    oracle uses the explicit fan-out form), then the BH step runs on the
+    m-row p-value frame — window functions over a bounded frame. At
+    100 TB with thousands of segments this is exactly the dashboard
+    'which segments really moved' gate."""
+    from irio_mapreduce_spark.llm.sampling import hash_bucket
+
+    dec = "decimal(38,0)"
+    pts = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+        "event_id",
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1_o"),
+        F.sum(F.when(F.col("grp") == 1, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("s1_o"),
+    ]
+    for b in range(24):
+        gb = hash_bucket(["event_id"], n_buckets=2, salt=f"bh{b}")
+        aggs.append(
+            F.sum(F.when(gb == 1, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n1_{b}")
+        )
+        aggs.append(
+            F.sum(F.when(gb == 1, F.col("v")).otherwise(0))
+            .cast("long")
+            .alias(f"s1_{b}")
+        )
+    t = pts.groupBy("event_type").agg(*aggs)
+    # k = 1 + Σ_b [ |Δ_b| ≥ |Δ_obs| ], compared by FULL cross-
+    # multiplication in DECIMAL(38,0) (group sizes differ per universe)
+    obs = F.abs(
+        F.col("s1_o").cast(dec) * (F.col("n") - F.col("n1_o")).cast(dec)
+        - (F.col("s") - F.col("s1_o")).cast(dec) * F.col("n1_o").cast(dec)
+    )
+    obs_w = F.col("n1_o").cast(dec) * (F.col("n") - F.col("n1_o")).cast(dec)
+    k_expr = F.lit(1).cast("long")
+    for b in range(24):
+        d_b = F.abs(
+            F.col(f"s1_{b}").cast(dec)
+            * (F.col("n") - F.col(f"n1_{b}")).cast(dec)
+            - (F.col("s") - F.col(f"s1_{b}")).cast(dec)
+            * F.col(f"n1_{b}").cast(dec)
+        )
+        w_b = F.col(f"n1_{b}").cast(dec) * (
+            F.col("n") - F.col(f"n1_{b}")
+        ).cast(dec)
+        k_expr = k_expr + F.when(d_b * obs_w >= obs * w_b, 1).otherwise(0)
+    pv = t.select("event_type", k_expr.cast("long").alias("k"))
+    w_rank = Window.orderBy("k", "event_type")
+    ranked = pv.select(
+        "event_type",
+        "k",
+        F.row_number().over(w_rank).cast("long").alias("r"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(F.when(4 * F.col("m") * F.col("k") <= 25 * F.col("r"), F.col("r"))),
+            F.lit(0).cast("long"),
+        ).alias("rmax")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .select(
+            "event_type", "k", "r", (F.col("r") <= F.col("rmax")).alias("rejected")
+        )
+    )

@@ -1393,3 +1393,74 @@ def test_isotonic_pav_oracle_matches_fraction_pav(tmp_path):
     for prio in {r[0] for r in rows}:
         seq = [v for (p, mi), v in sorted(got.items()) if p == prio]
         assert seq == sorted(seq), seq
+
+
+def test_allen_relations_pin_all_seven(spark, tmp_path):
+    """events_allen_interval_relations pin: a hand-built corpus with one
+    user per relation (endpoints chosen from the textbook definitions)
+    must classify to exactly one count of each of the 7 reachable Allen
+    relations — through the COMMITTED oracle SQL on DuckDB views AND
+    through the Spark entry, against the hand-derived truth (not just
+    engine agreement, per the shared-fragment rule: both sides encode
+    the relation semantics, so a shared mis-encoding needs an external
+    pin to surface)."""
+    import duckdb
+    import pandas as pd
+
+    from irio_mapreduce_spark.queries import catalog
+
+    # per user: two target intervals (A, B) as [start_h, end_h) on the
+    # entry's hour grid; events placed at hours start_h and end_h - 1 so
+    # the hour-floor/+1 quantization reconstructs exactly [start, end).
+    # All within one calendar week so the week grain never splits them.
+    cases = {
+        1: (("A", 0, 10), ("B", 20, 30)),  # precedes
+        2: (("A", 0, 10), ("B", 10, 30)),  # meets
+        3: (("A", 0, 20), ("B", 10, 30)),  # overlaps
+        4: (("A", 0, 30), ("B", 10, 30)),  # finished_by
+        5: (("A", 0, 40), ("B", 10, 30)),  # contains
+        6: (("A", 0, 10), ("B", 0, 30)),   # starts
+        7: (("A", 0, 30), ("B", 0, 30)),   # equals
+    }
+    rows = []
+    eid = 0
+    for uid, (i1, i2) in cases.items():
+        for typ, s, e in (i1, i2):
+            for t in (s, e - 1):
+                rows.append((eid, uid, typ, t * 3600))
+                eid += 1
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "ts": pd.to_datetime([r[3] for r in rows], unit="s"),
+            "value": [1.0] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    expect = {
+        "precedes": 1, "meets": 1, "overlaps": 1, "finished_by": 1,
+        "contains": 1, "starts": 1, "equals": 1,
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    got_oracle = dict(
+        con.execute(
+            catalog.all_oracles()["events_allen_interval_relations"]
+        ).fetchall()
+    )
+    assert got_oracle == expect, got_oracle
+
+    from irio_mapreduce_spark.queries.events_q import (
+        events_allen_interval_relations,
+    )
+
+    got_spark = {
+        r.relation: r.n
+        for r in events_allen_interval_relations(spark, str(tmp_path)).collect()
+    }
+    assert got_spark == expect, got_spark
