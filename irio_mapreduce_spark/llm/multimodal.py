@@ -517,6 +517,8 @@ def decode_real_media_features(media: DataFrame) -> DataFrame:
                     payload[:4] == b"FORM" and payload[8:12] == b"AIFF"
                 ):
                     base.update(kind="audio", **mm.decode_aiff(payload))
+                elif payload[:4] == mm._QOI_MAGIC:
+                    base.update(kind="image", **mm.decode_qoi(payload))
                 elif payload[-18:] == mm._TGA_SIGNATURE:
                     # TGA has NO leading magic — the 2.0 footer signature
                     # is the only sniffable identity, checked last
@@ -3694,3 +3696,203 @@ def gif_frame_samples(
             )
 
     return ids.select(F.col(id_col)).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# QOI ("Quite OK Image", qoiformat.org) — the 2022 public one-page spec:
+# byte-aligned ops over a running 64-slot color index. A REAL modern
+# format whose whole point is that a complete to-spec codec fits in a
+# page — ideal for proving the op-level machinery (hash index, wrapping
+# deltas, run packing) without a compression library.
+# ---------------------------------------------------------------------------
+
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int = 255) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(width: int, height: int, pixel) -> bytes:
+    """To-spec QOI encoder (RGB, channels=3) from a ``pixel(x, y, c)``
+    accessor (c: 0=R, 1=G, 2=B). Greedy per the reference encoder: run,
+    then index hit, then 2-bit DIFF, then LUMA, else full RGB — all
+    deltas wrap mod 256 per spec."""
+    out = bytearray(
+        _QOI_MAGIC + struct.pack(">IIBB", width, height, 3, 0)
+    )
+    index = [(0, 0, 0)] * 64
+    prev = (0, 0, 0)
+    run = 0
+    for p in range(width * height):
+        x, y = p % width, p // width
+        px = (pixel(x, y, 0), pixel(x, y, 1), pixel(x, y, 2))
+        if px == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        h = _qoi_hash(*px)
+        if index[h] == px:
+            out.append(h)
+        else:
+            index[h] = px
+            dr = (px[0] - prev[0] + 128) % 256 - 128
+            dg = (px[1] - prev[1] + 128) % 256 - 128
+            db = (px[2] - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (
+                -32 <= dg <= 31
+                and -8 <= dr - dg <= 7
+                and -8 <= db - dg <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, px[0], px[1], px[2]))
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def decode_qoi(payload: bytes) -> dict:
+    """Parse a channels=3 QOI to exact per-channel sums: full op
+    coverage (RGB, RGBA rejected by channel count at the header, INDEX,
+    DIFF, LUMA, RUN), 64-slot index maintained per spec, wrapping
+    arithmetic mod 256, end-marker and pixel-count both validated (a
+    stream ending early OR a run overshooting w*h raises — structure,
+    not silence)."""
+    if payload[:4] != _QOI_MAGIC or len(payload) < 14 + 8:
+        raise ValueError("not a QOI payload")
+    width, height, channels, colorspace = struct.unpack_from(
+        ">IIBB", payload, 4
+    )
+    if channels != 3:
+        raise ValueError(f"unsupported QOI channel count {channels}")
+    if colorspace not in (0, 1):
+        raise ValueError(f"invalid QOI colorspace {colorspace}")
+    if payload[-8:] != _QOI_END:
+        raise ValueError("QOI end marker missing")
+    end = len(payload) - 8
+    pos = 14
+    need = width * height
+    index = [(0, 0, 0)] * 64
+    r, g, b = 0, 0, 0
+    got = 0
+    sums = [0, 0, 0]
+    while got < need:
+        if pos >= end:
+            raise ValueError("truncated QOI stream")
+        op = payload[pos]
+        pos += 1
+        if op == 0xFE:  # QOI_OP_RGB
+            if pos + 3 > end:
+                raise ValueError("truncated QOI_OP_RGB")
+            r, g, b = payload[pos], payload[pos + 1], payload[pos + 2]
+            pos += 3
+            reps = 1
+        elif op == 0xFF:
+            raise ValueError("QOI_OP_RGBA in a channels=3 stream")
+        elif op >> 6 == 0b00:  # QOI_OP_INDEX
+            r, g, b = index[op & 0x3F]
+            reps = 1
+        elif op >> 6 == 0b01:  # QOI_OP_DIFF
+            r = (r + ((op >> 4) & 0x3) - 2) % 256
+            g = (g + ((op >> 2) & 0x3) - 2) % 256
+            b = (b + (op & 0x3) - 2) % 256
+            reps = 1
+        elif op >> 6 == 0b10:  # QOI_OP_LUMA
+            if pos >= end:
+                raise ValueError("truncated QOI_OP_LUMA")
+            dg = (op & 0x3F) - 32
+            second = payload[pos]
+            pos += 1
+            r = (r + dg + ((second >> 4) & 0xF) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (second & 0xF) - 8) % 256
+            reps = 1
+        else:  # QOI_OP_RUN
+            reps = (op & 0x3F) + 1
+        if got + reps > need:
+            raise ValueError("QOI run overshoots the pixel count")
+        index[_qoi_hash(r, g, b)] = (r, g, b)
+        sums[0] += r * reps
+        sums[1] += g * reps
+        sums[2] += b * reps
+        got += reps
+    if pos != end:
+        raise ValueError("trailing bytes after the final QOI pixel")
+    return {
+        "width": width,
+        "height": height,
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
+    }
+
+
+def qoi_component(mid: int, p: int, c: int) -> int:
+    """Channel c (0=R,1=G,2=B) of linear pixel p for media ``mid`` —
+    a closed-form pattern that exercises EVERY QOI op in 7-pixel blocks:
+    a block-constant head (RUN), a ±1 step (DIFF), a medium correlated
+    step (LUMA), a revisit of the block base (INDEX while the slot
+    survives), and a fresh base per block (RGB). Single source the
+    encoder accessor wraps and the oracle SQL mirrors."""
+    s, j = p // 7, p % 7
+    r0 = (mid * 31 + s * 97) % 256
+    g0 = (mid * 17 + s * 57) % 256
+    b0 = (mid * 7 + s * 23) % 256
+    if j <= 3 or j == 6:
+        base = (r0, g0, b0)
+    elif j == 4:
+        base = ((r0 + 1) % 256, g0, (b0 + 255) % 256)
+    else:  # j == 5
+        base = ((r0 + 11) % 256, (g0 + 12) % 256, (b0 + 8) % 256)
+    return base[c]
+
+
+def synth_qoi(mid: int, width: int, height: int) -> bytes:
+    return encode_qoi(
+        width,
+        height,
+        lambda x, y, c, _m=mid, _w=width: qoi_component(_m, y * _w + x, c),
+    )
+
+
+def synthesize_qoi_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Materialize a media table of REAL QOI payloads (dims a function of
+    the id). Distributed mapInPandas; bytes never visit the driver."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 7 + mid % 9, 4 + mid % 7
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": mm.synth_qoi(mid, w, h),
+                        "meta": {
+                            "kind": "image", "mime": "image/qoi",
+                            "width": w, "height": h,
+                            "sample_rate": None, "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)

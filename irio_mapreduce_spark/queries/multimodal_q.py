@@ -1038,3 +1038,59 @@ def multimodal_gif_frame_sample(
         F.col("doc_id").alias("media_id")
     )
     return gif_frame_samples(ids, sample_every=2)
+
+
+@register(
+    "multimodal_real_qoi",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             7 + doc_id % 9 AS w, 4 + doc_id % 7 AS h
+      FROM documents),
+    ix AS (SELECT media_id, w, h,
+                  unnest(generate_series(0, w * h - 1)) AS p
+           FROM img),
+    base AS (SELECT media_id, w, h, p % 7 AS j,
+                    (media_id * 31 + (p // 7) * 97) % 256 AS r0,
+                    (media_id * 17 + (p // 7) * 57) % 256 AS g0,
+                    (media_id * 7 + (p // 7) * 23) % 256 AS b0
+             FROM ix)
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum(CASE WHEN j = 4 THEN (r0 + 1) % 256
+                         WHEN j = 5 THEN (r0 + 11) % 256
+                         ELSE r0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN j = 5 THEN (g0 + 12) % 256
+                         ELSE g0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN j = 4 THEN (b0 + 255) % 256
+                         WHEN j = 5 THEN (b0 + 8) % 256
+                         ELSE b0 END) AS BIGINT) AS sum_b
+    FROM base GROUP BY media_id
+    """,
+)
+def multimodal_real_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI decode ("Quite OK Image", the 2022 one-page public spec)
+    — the op-machinery codec: a byte-aligned stream over a running
+    64-slot hash index with wrapping-delta ops. The synthetic pattern is
+    built so the encoder GENUINELY emits all five ops per image (7-pixel
+    blocks: constant head → RUN, ±1 step → DIFF, correlated medium step
+    → LUMA, base revisit → INDEX, fresh base per block → RGB), so the
+    decoder's every branch — including the index maintenance that INDEX
+    hits depend on — is load-bearing for the driver hash. End marker,
+    pixel-count overshoot, and trailing bytes are all structural raises.
+    Same mapInPandas synthesize/decode shape as every REAL codec entry:
+    payload bytes never visit the driver, never shuffle. See
+    ``llm.multimodal.encode_qoi``/``decode_qoi``."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        synthesize_qoi_media,
+    )
+
+    ids = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = decode_real_media_features(synthesize_qoi_media(ids))
+    return feats.select(
+        "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
+    )

@@ -2410,3 +2410,78 @@ def test_animated_gif_roundtrip_sampling_and_rejects():
     trans[gce + 3] |= 0x01
     with pytest.raises(ValueError, match="transparent"):
         mm.decode_gif_frames(bytes(trans))
+
+
+def test_qoi_roundtrip_and_op_coverage():
+    """encode_qoi/decode_qoi invert each other on the synthetic pattern,
+    and the encoded corpus exercises ALL FIVE ops (a pattern drift that
+    stopped emitting e.g. INDEX would silently shrink decoder coverage —
+    asserted here, not assumed)."""
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    ops = set()
+    for mid in range(40):
+        w, h = 7 + mid % 9, 4 + mid % 7
+        pay = mm.synth_qoi(mid, w, h)
+        d = mm.decode_qoi(pay)
+        assert (d["width"], d["height"]) == (w, h)
+        exp = [
+            sum(mm.qoi_component(mid, p, c) for p in range(w * h))
+            for c in range(3)
+        ]
+        assert [d["sum_r"], d["sum_g"], d["sum_b"]] == exp
+        pos, end = 14, len(pay) - 8
+        while pos < end:
+            op = pay[pos]
+            pos += 1
+            if op == 0xFE:
+                ops.add("RGB")
+                pos += 3
+            elif op >> 6 == 0:
+                ops.add("INDEX")
+            elif op >> 6 == 1:
+                ops.add("DIFF")
+            elif op >> 6 == 2:
+                ops.add("LUMA")
+                pos += 1
+            else:
+                ops.add("RUN")
+    assert ops == {"RGB", "INDEX", "DIFF", "LUMA", "RUN"}
+
+
+def test_qoi_structural_rejects():
+    """Corrupt QOI payloads raise by NAME: bad magic, missing end marker,
+    truncated stream, RGBA op in a channels=3 stream, run overshooting
+    the declared pixel count, trailing bytes."""
+    import struct as _s
+
+    import pytest
+
+    from irio_mapreduce_spark.llm import multimodal as mm
+
+    good = mm.synth_qoi(3, 9, 5)
+    with pytest.raises(ValueError, match="not a QOI"):
+        mm.decode_qoi(b"junk" + good[4:])
+    with pytest.raises(ValueError, match="end marker"):
+        mm.decode_qoi(good[:-1])
+    with pytest.raises(ValueError, match="truncated QOI"):
+        mm.decode_qoi(good[:20] + mm._QOI_END)
+    hdr = mm._QOI_MAGIC + _s.pack(">IIBB", 1, 1, 3, 0)
+    with pytest.raises(ValueError, match="RGBA"):
+        mm.decode_qoi(hdr + bytes([0xFF, 1, 2, 3, 4]) + mm._QOI_END)
+    # 1x1 image but a run of 2 pixels: RGB then RUN(1 more)
+    with pytest.raises(ValueError, match="overshoots"):
+        mm.decode_qoi(
+            mm._QOI_MAGIC
+            + _s.pack(">IIBB", 1, 2, 3, 0)
+            + bytes([0xFE, 9, 9, 9, 0xC0 | 2])
+            + mm._QOI_END
+        )
+    with pytest.raises(ValueError, match="trailing"):
+        mm.decode_qoi(
+            hdr + bytes([0xFE, 9, 9, 9, 0x00]) + mm._QOI_END
+        )
+    with pytest.raises(ValueError, match="channel count"):
+        mm.decode_qoi(
+            mm._QOI_MAGIC + _s.pack(">IIBB", 1, 1, 4, 0) + mm._QOI_END
+        )
