@@ -2422,3 +2422,238 @@ def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("smooth_fp"),
     )
+
+
+@register(
+    "ml_random_forest_stumps",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos,
+             l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR AS rid
+      FROM lineitem),
+    hashed AS (
+      SELECT t2.range AS b, q, d, pos,
+             ('0x' || substr(md5(rid || '|rf' || t2.range::VARCHAR),
+                             1, 8))::BIGINT % 10000 AS h
+      FROM pts CROSS JOIN range(0, 9) t2),
+    bagged AS (
+      SELECT b, q, d, pos,
+             CASE
+               WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1
+               WHEN h < 9197 THEN 2 WHEN h < 9810 THEN 3 ELSE 4
+             END AS m
+      FROM hashed),
+    dom AS (
+      SELECT b, q, d, pos, CAST(sum(m) AS BIGINT) AS cnt
+      FROM bagged GROUP BY b, q, d, pos),
+    per_t AS (
+      SELECT b, 'q' AS feat, q AS t,
+             CAST(sum(cnt * pos) AS BIGINT) AS wpos,
+             CAST(sum(cnt * (1 - pos)) AS BIGINT) AS wneg
+      FROM dom GROUP BY b, q
+      UNION ALL
+      SELECT b, 'd' AS feat, d AS t,
+             CAST(sum(cnt * pos) AS BIGINT) AS wpos,
+             CAST(sum(cnt * (1 - pos)) AS BIGINT) AS wneg
+      FROM dom GROUP BY b, d),
+    cum AS (
+      SELECT b, feat, t,
+             CAST(sum(wpos) OVER (PARTITION BY b, feat ORDER BY t)
+                  AS BIGINT) AS wpos_l,
+             CAST(sum(wneg) OVER (PARTITION BY b, feat ORDER BY t)
+                  AS BIGINT) AS wneg_l,
+             CAST(sum(wpos) OVER (PARTITION BY b, feat) AS BIGINT)
+               AS wpos_tot,
+             CAST(sum(wneg) OVER (PARTITION BY b, feat) AS BIGINT)
+               AS wneg_tot
+      FROM per_t),
+    cands AS (
+      SELECT b, feat, t, 1 AS pol,
+             wneg_l + (wpos_tot - wpos_l) AS mis
+      FROM cum
+      WHERE (wpos_tot + wneg_tot) - (wpos_l + wneg_l) > 0
+      UNION ALL
+      SELECT b, feat, t, 0 AS pol,
+             wpos_l + (wneg_tot - wneg_l) AS mis
+      FROM cum
+      WHERE (wpos_tot + wneg_tot) - (wpos_l + wneg_l) > 0),
+    best AS (
+      SELECT b, feat, t, pol
+      FROM (SELECT b, feat, t, pol,
+                   row_number() OVER (PARTITION BY b
+                                      ORDER BY mis, feat, t, pol) AS rn
+            FROM cands)
+      WHERE rn = 1),
+    cells AS (
+      SELECT q, d,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM pts GROUP BY q, d),
+    votes AS (
+      SELECT c.q, c.d,
+             CAST(sum(CASE WHEN (CASE WHEN bs.feat = 'q' THEN c.q
+                                      ELSE c.d END) <= bs.t
+                           THEN bs.pol ELSE 1 - bs.pol END) AS BIGINT)
+               AS votes
+      FROM cells c CROSS JOIN best bs GROUP BY c.q, c.d)
+    SELECT c.q, c.d, v.votes,
+           CAST(2 * v.votes > 9 AS BOOLEAN) AS pred,
+           c.n_rows, c.n_pos
+    FROM cells c JOIN votes v ON c.q = v.q AND c.d = v.d
+    """,
+)
+def ml_random_forest_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM FOREST of decision stumps — the BAGGING ensemble that
+    completes the family next to boosting (``ml_adaboost_stumps``) and
+    single trees: 9 bootstrap replicates, each a derandomized Poisson(1)
+    resample (the ``stats_bootstrap_poisson`` e^{-1}-ladder on md5
+    buckets, salt ``rf<b>``), each training its own best stump over
+    both features and polarities by exact integer weighted 0-1 loss
+    (total-order argmin on (mis, feat, t, pol) — deterministic), with
+    final prediction by MAJORITY VOTE (9 odd → no ties). Output is the
+    per-(q,d)-cell vote count + verdict + true class counts, so the
+    driver hash pins every bag's learned stump through its votes, not
+    just the final confusion totals.
+
+    Everything runs LOOP-FREE on both engines: Spark explodes the
+    compacted (q,d,pos) domain ×9 bags (domain ≤ ~1.1k rows — the
+    explode is over the AGGREGATE, never the fact table; the fact scan
+    computes the 9 bag counts as conditional sums in ONE pass) and the
+    per-bag argmin is a window row_number — no driver-side model
+    artifact at all, the whole forest lives in a 9-row frame. At 100 TB
+    the single fan-out-free scan is the entire data-proportional cost."""
+    from irio_mapreduce_spark.llm.sampling import hash_bucket
+
+    pts = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+    def pois(b: int):
+        h = hash_bucket(
+            ["l_orderkey", "l_linenumber"], n_buckets=10000, salt=f"rf{b}"
+        )
+        return (
+            F.when(h < 3679, 0)
+            .when(h < 7358, 1)
+            .when(h < 9197, 2)
+            .when(h < 9810, 3)
+            .otherwise(4)
+        )
+
+    dom_wide = pts.groupBy("q", "d", "pos").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[
+            F.sum(pois(b)).cast("long").alias(f"cnt_{b}")
+            for b in range(9)
+        ],
+    )
+    dom = dom_wide.select(
+        "q",
+        "d",
+        "pos",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"), F.col(f"cnt_{b}").alias("cnt")
+                    )
+                    for b in range(9)
+                ]
+            )
+        ).alias("bc"),
+    ).select("q", "d", "pos", F.col("bc.b").alias("b"), F.col("bc.cnt").alias("cnt"))
+    per_t = (
+        dom.groupBy("b", F.col("q").alias("t"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("pos")).cast("long").alias("wpos"),
+            F.sum(F.col("cnt") * (1 - F.col("pos")))
+            .cast("long")
+            .alias("wneg"),
+        )
+        .select("b", F.lit("q").alias("feat"), "t", "wpos", "wneg")
+        .unionAll(
+            dom.groupBy("b", F.col("d").alias("t"))
+            .agg(
+                F.sum(F.col("cnt") * F.col("pos")).cast("long").alias("wpos"),
+                F.sum(F.col("cnt") * (1 - F.col("pos")))
+                .cast("long")
+                .alias("wneg"),
+            )
+            .select("b", F.lit("d").alias("feat"), "t", "wpos", "wneg")
+        )
+    )
+    wc = (
+        Window.partitionBy("b", "feat")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("b", "feat")
+    cum = per_t.select(
+        "b",
+        "feat",
+        "t",
+        F.sum("wpos").over(wc).cast("long").alias("wpos_l"),
+        F.sum("wneg").over(wc).cast("long").alias("wneg_l"),
+        F.sum("wpos").over(wt).cast("long").alias("wpos_tot"),
+        F.sum("wneg").over(wt).cast("long").alias("wneg_tot"),
+    ).filter(
+        (F.col("wpos_tot") + F.col("wneg_tot"))
+        - (F.col("wpos_l") + F.col("wneg_l"))
+        > 0
+    )
+    cands = cum.select(
+        "b",
+        "feat",
+        "t",
+        F.lit(1).alias("pol"),
+        (F.col("wneg_l") + (F.col("wpos_tot") - F.col("wpos_l"))).alias(
+            "mis"
+        ),
+    ).unionAll(
+        cum.select(
+            "b",
+            "feat",
+            "t",
+            F.lit(0).alias("pol"),
+            (F.col("wpos_l") + (F.col("wneg_tot") - F.col("wneg_l"))).alias(
+                "mis"
+            ),
+        )
+    )
+    wbest = Window.partitionBy("b").orderBy("mis", "feat", "t", "pol")
+    best = (
+        cands.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("b", "feat", "t", "pol")
+    )
+    cells = pts.groupBy("q", "d").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    feat_val = F.when(F.col("feat") == "q", F.col("q")).otherwise(F.col("d"))
+    votes = (
+        cells.crossJoin(F.broadcast(best))
+        .select(
+            "q",
+            "d",
+            F.when(feat_val <= F.col("t"), F.col("pol"))
+            .otherwise(1 - F.col("pol"))
+            .alias("vote"),
+        )
+        .groupBy("q", "d")
+        .agg(F.sum("vote").cast("long").alias("votes"))
+    )
+    return cells.join(votes, ["q", "d"]).select(
+        "q",
+        "d",
+        "votes",
+        (2 * F.col("votes") > 9).alias("pred"),
+        "n_rows",
+        "n_pos",
+    )

@@ -722,3 +722,151 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "k", "r", (F.col("r") <= F.col("rmax")).alias("rejected")
         )
     )
+
+
+@register(
+    "stats_brown_forsythe",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS w
+      FROM orders GROUP BY 1, 2),
+    cum AS (
+      SELECT g, v, w,
+             CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tw
+      FROM pts),
+    med AS (
+      SELECT g,
+             CAST(min(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+               AS med_v
+      FROM cum GROUP BY 1),
+    grp AS (
+      SELECT p.g,
+             CAST(sum(p.w) AS BIGINT) AS n_g,
+             CAST(sum(abs(p.v - m.med_v) * p.w) AS BIGINT) AS s_g,
+             CAST(sum(abs(p.v - m.med_v) * abs(p.v - m.med_v) * p.w)
+                  AS BIGINT) AS ss_g
+      FROM pts p JOIN med m ON p.g = m.g GROUP BY 1),
+    fold AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS s,
+             CAST(sum(ss_g) AS BIGINT) AS ss,
+             list_reduce(
+               list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                    / CAST(n_g AS DOUBLE) ORDER BY g),
+               (a, b) -> a + b) AS ssb_part
+      FROM grp),
+    dec AS (
+      SELECT k, n,
+             ssb_part - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE) AS ssb,
+             CAST(ss AS DOUBLE) - ssb_part AS ssw
+      FROM fold)
+    SELECT k, n, ssb, ssw,
+           (ssb / CAST(k - 1 AS DOUBLE))
+             / (ssw / CAST(n - k AS DOUBLE)) AS f_stat
+    FROM dec
+    """,
+)
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE VARIANCE-HOMOGENEITY TEST — Levene's test with the
+    group MEDIAN as center (the robust form): does the SPREAD of order
+    value differ across priorities? The transform z = |x − med_g| uses
+    the repo's deterministic LOWER median (min v with 2·cum_w ≥ total_w
+    over the weighted distinct-value distribution — the `stats_mad_*`
+    device, integer dollars so z² sums stay in BIGINT at sf0.1), then
+    the statistic is exactly the one-way ANOVA F on z — the fold reuses
+    the `stats_anova_oneway` template verbatim: BIGINT moments, the one
+    per-group-rational sum Σ s_g²/n_g folded IN GROUP-KEY ORDER on both
+    engines, a fixed scalar IEEE tail — so the UNROUNDED doubles
+    hash-match. That shared fold template is pinned from first
+    principles in tests/test_properties.py (a from-scratch numpy
+    Brown-Forsythe on a hand-built corpus evaluated through the
+    committed oracle SQL).
+
+    Scale: two passes — a weighted distinct-value median (shuffle on
+    group, cumulative window) and one map-side-partial moment aggregate
+    — then k-row scalar math; the variance-gate companion to the mean
+    tests (ANOVA/Welch) every metrics platform needs before trusting a
+    pooled variance."""
+    v = F.round(F.col("o_totalprice"), 0).cast("long")
+    pts = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("g"), v.alias("v"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pts.select(
+        "g",
+        "v",
+        "w",
+        F.sum("w").over(wcum).cast("long").alias("cw"),
+        F.sum("w").over(Window.partitionBy("g")).cast("long").alias("tw"),
+    )
+    med = cum.groupBy("g").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
+        .cast("long")
+        .alias("med_v")
+    )
+    z = F.abs(F.col("v") - F.col("med_v"))
+    grp = (
+        pts.join(F.broadcast(med), "g")
+        .groupBy("g")
+        .agg(
+            F.sum("w").cast("long").alias("n_g"),
+            F.sum(z * F.col("w")).cast("long").alias("s_g"),
+            F.sum(z * z * F.col("w")).cast("long").alias("ss_g"),
+        )
+    )
+    fold = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("ss_g").cast("long").alias("ss"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("g"),
+                        (
+                            F.col("s_g").cast("double")
+                            * F.col("s_g").cast("double")
+                            / F.col("n_g").cast("double")
+                        ).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("ssb_part"),
+    )
+    dec = fold.select(
+        "k",
+        "n",
+        (
+            F.col("ssb_part")
+            - F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("ssb"),
+        (F.col("ss").cast("double") - F.col("ssb_part")).alias("ssw"),
+    )
+    return dec.select(
+        "k",
+        "n",
+        "ssb",
+        "ssw",
+        (
+            (F.col("ssb") / (F.col("k") - 1).cast("double"))
+            / (F.col("ssw") / (F.col("n") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+    )

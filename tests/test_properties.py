@@ -1464,3 +1464,64 @@ def test_allen_relations_pin_all_seven(spark, tmp_path):
         for r in events_allen_interval_relations(spark, str(tmp_path)).collect()
     }
     assert got_spark == expect, got_spark
+
+
+def test_brown_forsythe_oracle_matches_numpy():
+    """stats_brown_forsythe pin: the committed oracle SQL on a hand-built
+    corpus must match a from-scratch numpy Brown-Forsythe (z = |x − lower
+    median|, one-way ANOVA F on z) — the shared ANOVA fold template and
+    the median device are checked against first principles, not just
+    engine agreement."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from irio_mapreduce_spark.queries import catalog
+
+    rng_vals = {
+        "A": [10, 12, 12, 15, 40, 41, 43, 100],
+        "B": [5, 5, 6, 6, 7, 7, 8],
+        "C": [1, 50, 99, 99, 120, 3],
+    }
+    rows = [(g, float(v)) for g, vs in rng_vals.items() for v in vs]
+    con = duckdb.connect()
+    con.register(
+        "orders_df",
+        pd.DataFrame(
+            {
+                "o_orderpriority": [r[0] for r in rows],
+                "o_totalprice": [r[1] for r in rows],
+            }
+        ),
+    )
+    con.execute("CREATE VIEW orders AS SELECT * FROM orders_df")
+    [(k, n, ssb, ssw, f_stat)] = con.execute(
+        catalog.all_oracles()["stats_brown_forsythe"]
+    ).fetchall()
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        # min v with 2*rank >= n over the weighted distinct distribution
+        n = len(xs)
+        cum = 0
+        from collections import Counter
+
+        for v, w in sorted(Counter(xs).items()):
+            cum += w
+            if 2 * cum >= n:
+                return v
+
+    zs = {
+        g: np.abs(np.array(vs, dtype=float) - lower_median(vs))
+        for g, vs in rng_vals.items()
+    }
+    allz = np.concatenate(list(zs.values()))
+    gmean = allz.mean()
+    ssb_np = sum(len(z) * (z.mean() - gmean) ** 2 for z in zs.values())
+    ssw_np = sum(((z - z.mean()) ** 2).sum() for z in zs.values())
+    k_np, n_np = len(zs), len(allz)
+    f_np = (ssb_np / (k_np - 1)) / (ssw_np / (n_np - k_np))
+    assert (k, n) == (k_np, n_np)
+    assert abs(ssb - ssb_np) < 1e-9 * max(1.0, abs(ssb_np))
+    assert abs(ssw - ssw_np) < 1e-9 * max(1.0, abs(ssw_np))
+    assert abs(f_stat - f_np) < 1e-9 * max(1.0, abs(f_np))
