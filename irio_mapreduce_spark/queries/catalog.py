@@ -101,6 +101,8 @@ FRONT_WINDOW: list[str] = [
     "multimodal_real_qoi",
     "stats_brown_forsythe",
     "ml_random_forest_stumps",
+    "graph_local_max_matching",
+    "fn_parameterized_sql",
     # refresh cycle: the remaining slots hold the catalog entries with
     # the oldest driver-green rows — the 10 r3-vintage entries, then the
     # alphabetically-first r4-vintage block. tests/test_conventions.py
@@ -142,8 +144,6 @@ FRONT_WINDOW: list[str] = [
     "join_range_price_bands",
     "join_right_outer_orders_customers",
     "join_semi_customers_with_orders",
-    "mr_batch_json_wordcount",
-    "mr_wordcount_top20",
 ]
 
 # Round-11 window, kept for the audit trail (all 50 driver-green in
@@ -261,7 +261,7 @@ _R10_WINDOW: list[str] = [
 # at each rotation (r10 ADVICE.md: a hard-coded literal in bench.py
 # silently warmed the wrong count after rotation). Round 12: the 2
 # deferred-head entries + fresh round-12 entries (grows as each lands).
-WINDOW_WARMUP_COUNT: int = 13
+WINDOW_WARMUP_COUNT: int = 15
 
 # Entries that did not fit the current 50-slot window and therefore form
 # the MANDATORY head of the NEXT round's window (tests/test_conventions.py

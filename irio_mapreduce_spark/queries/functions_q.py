@@ -1093,3 +1093,49 @@ def fn_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_gba_v GROUP BY ALL
         """
     )
+
+
+@register(
+    "fn_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    WHERE o_totalprice >= 150000.0 AND o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderpriority
+    """,
+)
+def fn_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (Spark 4 ``spark.sql(..., args=...)``): named
+    parameter markers ``:name`` for VALUES and the ``IDENTIFIER()``
+    clause for the TABLE NAME — the injection-safe templating surface
+    (string-splicing user input into SQL is the classic hole; parameter
+    markers bind as literals in the parser, and IDENTIFIER restricts the
+    spliced token to a resolvable identifier). The entry binds a price
+    floor, an IN-list as an array parameter, and the source view name,
+    all through markers; the oracle is the same query with literals
+    inlined, so the hash proves the bound plan equals the literal one.
+    Zero runtime cost at any scale — binding happens at parse time and
+    the resulting plan is the plain filtered aggregate (filters still
+    push to the scan)."""
+    view = "fn_param_orders_v"
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice >= :min_price
+          AND array_contains(:statuses, o_orderstatus)
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "tbl": view,
+            "min_price": 150000.0,
+            "statuses": ["F", "O"],
+        },
+    )

@@ -11,7 +11,7 @@ CTEs. (A float formulation was tried first and diverged in the last ulp on
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.io import read_table
@@ -1102,3 +1102,95 @@ def graph_closeness_centrality(
         )
         .alias("closeness_ppm"),
     )
+
+
+def _matching_round_sql(e: str, m: str, e_next: str, rnd: int) -> str:
+    """One unrolled local-max round for the oracle: edges whose weight-
+    rank is 1 on BOTH endpoints match; survivors drop matched vertices."""
+    return f"""
+    {m} AS (
+      SELECT p, s, w FROM (
+        SELECT p, s, w,
+               row_number() OVER (PARTITION BY p ORDER BY w DESC, s) AS rp,
+               row_number() OVER (PARTITION BY s ORDER BY w DESC, p) AS rs
+        FROM {e})
+      WHERE rp = 1 AND rs = 1),
+    {e_next} AS (
+      SELECT e.p, e.s, e.w
+      FROM {e} e
+      LEFT JOIN {m} a ON e.p = a.p
+      LEFT JOIN {m} b ON e.s = b.s
+      WHERE a.p IS NULL AND b.s IS NULL)"""
+
+
+_MATCHING_ORACLE = (
+    """
+    WITH e0 AS (
+      SELECT l_partkey AS p, l_suppkey AS s,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2),"""
+    + ",".join(
+        _matching_round_sql(f"e{r}", f"m{r + 1}", f"e{r + 1}", r + 1)
+        for r in range(4)
+    )
+    + """
+    SELECT p, s, w, rnd FROM (
+      SELECT p, s, w, CAST(1 AS BIGINT) AS rnd FROM m1
+      UNION ALL SELECT p, s, w, 2 FROM m2
+      UNION ALL SELECT p, s, w, 3 FROM m3
+      UNION ALL SELECT p, s, w, 4 FROM m4)
+    """
+)
+
+
+@register("graph_local_max_matching", oracle=_MATCHING_ORACLE)
+def graph_local_max_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED MAXIMAL MATCHING by LOCAL-MAX rounds (the
+    Luby-style symmetry-broken matching — Israeli-Itai shape): on the
+    part↔supplier co-purchase graph (edge weight = lineitem count), each
+    round every vertex nominates its best incident edge under the TOTAL
+    order (w DESC, partner key) and an edge joins the matching iff BOTH
+    endpoints nominate it; matched vertices leave, survivors repeat.
+    Four fixed rounds — fixed so both engines compute the identical
+    prefix (a production run iterates until the edge set drains; each
+    round removes a constant expected fraction, so rounds are
+    O(log n) — each of the 4 rounds here is one windowed rank + one
+    anti-join, frontier-only, with the shrinking edge frame
+    localCheckpoint-ed per round exactly like the BFS/closeness loops).
+    The matching property itself (no vertex twice) plus greedy local
+    optimality are what matchings are FOR — dedup pairing, resource
+    assignment, one-to-one entity linking at scale. Output: matched
+    (part, supplier, weight, round) — the hash pins every round's
+    frontier, not just the final cardinality."""
+    edges = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    matched_rounds = []
+    e = edges
+    for rnd in range(1, 5):
+        wp = Window.partitionBy("p").orderBy(F.col("w").desc(), "s")
+        ws = Window.partitionBy("s").orderBy(F.col("w").desc(), "p")
+        m = (
+            e.withColumn("rp", F.row_number().over(wp))
+            .withColumn("rs", F.row_number().over(ws))
+            .filter((F.col("rp") == 1) & (F.col("rs") == 1))
+            .select("p", "s", "w", F.lit(rnd).cast("long").alias("rnd"))
+            .localCheckpoint(eager=True)
+        )
+        matched_rounds.append(m)
+        mp = m.select("p").distinct()
+        ms = m.select("s").distinct()
+        e = (
+            e.join(mp, "p", "left_anti")
+            .join(ms, "s", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    out = matched_rounds[0]
+    for m in matched_rounds[1:]:
+        out = out.unionAll(m)
+    return out

@@ -1525,3 +1525,44 @@ def test_brown_forsythe_oracle_matches_numpy():
     assert abs(ssb - ssb_np) < 1e-9 * max(1.0, abs(ssb_np))
     assert abs(ssw - ssw_np) < 1e-9 * max(1.0, abs(ssw_np))
     assert abs(f_stat - f_np) < 1e-9 * max(1.0, abs(f_np))
+
+
+def test_local_max_matching_is_a_matching():
+    """graph_local_max_matching pin: the output must be a MATCHING (no
+    part and no supplier appears twice across rounds) and each round-1
+    edge must be the weight-max incident edge for BOTH its endpoints in
+    the full graph — the local-max definition checked from first
+    principles via plain Python on the sf0.001 corpus, independent of
+    the Spark/DuckDB agreement."""
+    import duckdb
+
+    from irio_mapreduce_spark.queries.graph_q import _MATCHING_ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "'/root/testdata/sf0.001/lineitem.parquet'"
+    )
+    rows = con.execute(_MATCHING_ORACLE).fetchall()
+    assert rows, "matching must be non-empty on the corpus"
+    ps = [r[0] for r in rows]
+    ss = [r[1] for r in rows]
+    assert len(ps) == len(set(ps)), "a part matched twice"
+    assert len(ss) == len(set(ss)), "a supplier matched twice"
+    edges = {
+        (p, s): w
+        for p, s, w in con.execute(
+            "SELECT l_partkey, l_suppkey, count(*) FROM lineitem GROUP BY 1,2"
+        ).fetchall()
+    }
+    best_p: dict = {}
+    best_s: dict = {}
+    for (p, s), w in edges.items():
+        # total order (w DESC, partner) — mirror the entry's tie-break
+        if p not in best_p or (-w, s) < best_p[p][0]:
+            best_p[p] = ((-w, s), s)
+        if s not in best_s or (-w, p) < best_s[s][0]:
+            best_s[s] = ((-w, p), p)
+    for p, s, w, rnd in rows:
+        if rnd == 1:
+            assert best_p[p][1] == s and best_s[s][1] == p, (p, s)
