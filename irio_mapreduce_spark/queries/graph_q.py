@@ -1194,3 +1194,124 @@ def graph_local_max_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in matched_rounds[1:]:
         out = out.unionAll(m)
     return out
+
+
+@register(
+    "graph_functional_scc",
+    oracle="""
+    WITH RECURSIVE uu AS (SELECT DISTINCT user_id FROM events),
+    users AS (
+      SELECT CAST(row_number() OVER (ORDER BY user_id) - 1 AS BIGINT) AS u
+      FROM uu),
+    params AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(2 * (count(*) // 3) + 1 AS BIGINT) AS a,
+             CAST(17 % count(*) AS BIGINT) AS c
+      FROM users),
+    f AS (
+      SELECT u, u AS cur, 0 AS step FROM users
+      UNION ALL
+      SELECT f.u, (p.a * f.cur + p.c) % p.n, f.step + 1
+      FROM f, params p WHERE f.step < p.n),
+    fin AS (
+      SELECT f.u, f.cur AS fu
+      FROM f, params p WHERE f.step = p.n),
+    cyc AS (SELECT DISTINCT fu FROM fin),
+    walk AS (
+      SELECT fu, fu AS cur, fu AS mn, 0 AS step FROM cyc
+      UNION ALL
+      SELECT w.fu, (p.a * w.cur + p.c) % p.n,
+             least(w.mn, (p.a * w.cur + p.c) % p.n), w.step + 1
+      FROM walk w, params p WHERE w.step < p.n),
+    cmin AS (
+      SELECT w.fu, CAST(min(mn) AS BIGINT) AS cycle_id
+      FROM walk w, params p WHERE w.step = p.n GROUP BY w.fu),
+    lab AS (
+      SELECT fin.u, cmin.cycle_id,
+             CAST(CASE WHEN fin.u IN (SELECT fu FROM cyc)
+                  THEN 1 ELSE 0 END AS BIGINT) AS on_cycle
+      FROM fin JOIN cmin ON fin.fu = cmin.fu)
+    SELECT cycle_id,
+           CAST(sum(on_cycle) AS BIGINT) AS cycle_len,
+           CAST(count(*) AS BIGINT) AS basin_size
+    FROM lab GROUP BY cycle_id
+    """,
+)
+def graph_functional_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRONGLY-CONNECTED COMPONENTS of a functional graph by POINTER
+    DOUBLING — the log-rounds exponential-jumping technique (list
+    ranking / Wyllie's algorithm family) that the frontier-based BFS/CC
+    entries deliberately don't use, completing the parallel-graph
+    toolkit. The graph: every distinct events user gets a dense index u
+    and one out-edge u → (a·u + c) mod N (a, c derived from N, so the
+    graph is data-sized); a functional graph's SCCs are exactly its
+    CYCLES plus singleton tail nodes. The entry computes, in
+    ⌈log₂N⌉ + 1 rounds of self-joins (each squaring the jump table and
+    folding a path-MIN alongside: T_{k+1}(u) = T_k(T_k(u)),
+    M_{k+1}(u) = min(M_k(u), M_k(T_k(u))) — the composability that makes
+    doubling work), F(u) = f^(2^K)(u) with 2^K ≥ N — which always lands
+    ON the cycle — and cycle_id(u) = M_K(F(u)), the min over ≥ one full
+    lap. A node is ON its cycle iff it is in F's image (a 2^K-step walk
+    ends on a cycle, and covers it). Output per SCC: (cycle_id,
+    cycle_len, basin_size) — exact integers.
+
+    Scale: N rows per table, K ≈ log₂N self-joins, each localCheckpointed
+    (the iterative-loop lineage discipline); the naive walk is O(N)
+    ROUNDS — the oracle uses exactly that O(N²) recursive-CTE walk,
+    feasible only because the oracle graph is bounded; at 10⁹ nodes only
+    the doubling form survives. The one driver-side scalar is N itself
+    (a bounded 1-value collect, the documented artifact pattern)."""
+    users = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            (
+                F.row_number().over(Window.orderBy("user_id")) - 1
+            )
+            .cast("long")
+            .alias("u")
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = users.count()
+    a, c = 2 * (n // 3) + 1, 17 % n
+    # T_0 / M_0: one jump; min over the singleton path {u}
+    t = users.select(
+        "u",
+        ((F.col("u") * a + c) % n).alias("t"),
+        F.col("u").alias("m"),
+    ).localCheckpoint(eager=True)
+    k = 0
+    while (1 << k) < n:
+        nxt = t.select(
+            F.col("u").alias("u2"), F.col("t").alias("t2"), F.col("m").alias("m2")
+        )
+        t = (
+            t.join(nxt, t.t == nxt.u2)
+            .select(
+                "u",
+                F.col("t2").alias("t"),
+                F.least("m", "m2").alias("m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        k += 1
+    # F(u) = T_K(u); cycle_id(u) = M_K(F(u)) (min over >= one full lap)
+    mk = t.select(F.col("u").alias("fu"), F.col("m").alias("mn"))
+    fin = t.select("u", F.col("t").alias("fu"))
+    lab = fin.join(mk, "fu").select(
+        "u", "fu", F.col("mn").alias("cycle_id")
+    )
+    cyc = fin.select(F.col("fu").alias("u")).distinct().withColumn(
+        "on_cycle", F.lit(1).cast("long")
+    )
+    return (
+        lab.join(cyc, "u", "left")
+        .na.fill({"on_cycle": 0})
+        .groupBy("cycle_id")
+        .agg(
+            F.sum("on_cycle").cast("long").alias("cycle_len"),
+            F.count("*").cast("long").alias("basin_size"),
+        )
+    )

@@ -1566,3 +1566,63 @@ def test_local_max_matching_is_a_matching():
     for p, s, w, rnd in rows:
         if rnd == 1:
             assert best_p[p][1] == s and best_s[s][1] == p, (p, s)
+
+
+def test_functional_scc_oracle_matches_python_walk(spark, tmp_path):
+    """graph_functional_scc pin: on a hand-built 11-user corpus, the
+    committed oracle SQL AND the Spark doubling entry must both equal a
+    plain-Python simulation of the functional graph (follow every node
+    to its cycle, collect cycle ids/lengths/basins) — first principles
+    for both the doubling identities and the O(N²) oracle walk."""
+    import duckdb
+    import pandas as pd
+
+    from irio_mapreduce_spark.queries import catalog
+    from irio_mapreduce_spark.queries.graph_q import graph_functional_scc
+
+    uids = [3, 7, 11, 20, 21, 35, 40, 52, 60, 61, 99]
+    pd.DataFrame(
+        {
+            "event_id": list(range(len(uids))),
+            "user_id": uids,
+            "event_type": ["t"] * len(uids),
+            "ts": pd.to_datetime([1000 + i for i in range(len(uids))], unit="s"),
+            "value": [1.0] * len(uids),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    n = len(uids)
+    a, c = 2 * (n // 3) + 1, 17 % n
+    f = {u: (a * u + c) % n for u in range(n)}
+    # python truth: iterate n steps to land on the cycle, then walk it
+    expect: dict = {}
+    for u in range(n):
+        cur = u
+        for _ in range(n):
+            cur = f[cur]
+        cyc = [cur]
+        nxt = f[cur]
+        while nxt != cur:
+            cyc.append(nxt)
+            nxt = f[nxt]
+        cid = min(cyc)
+        key = cid
+        if key not in expect:
+            expect[key] = [len(cyc), 0]
+        expect[key][1] += 1
+    want = {(cid, ln, basin) for cid, (ln, basin) in expect.items()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    got_oracle = set(
+        con.execute(catalog.all_oracles()["graph_functional_scc"]).fetchall()
+    )
+    assert got_oracle == want, (got_oracle, want)
+    got_spark = {
+        (r.cycle_id, r.cycle_len, r.basin_size)
+        for r in graph_functional_scc(spark, str(tmp_path)).collect()
+    }
+    assert got_spark == want, (got_spark, want)
