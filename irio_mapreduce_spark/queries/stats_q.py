@@ -870,3 +870,249 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("ssw") / (F.col("n") - F.col("k")).cast("double"))
         ).alias("f_stat"),
     )
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+    WITH per AS (
+      SELECT c_mktsegment AS seg, o_custkey,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0
+                           ELSE CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) END) AS BIGINT) AS b
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    d AS (
+      SELECT seg, a - b AS diff FROM per WHERE a <> b),
+    ranked AS (
+      SELECT seg, diff,
+             2 * CAST(rank() OVER (PARTITION BY seg
+                                   ORDER BY abs(diff)) AS BIGINT)
+               + CAST(count(*) OVER (PARTITION BY seg, abs(diff))
+                      AS BIGINT) - 1 AS r2
+      FROM d),
+    ties AS (
+      SELECT seg, CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+      FROM (SELECT seg, abs(diff) AS ad, CAST(count(*) AS BIGINT) AS t
+            FROM d GROUP BY 1, 2)
+      GROUP BY 1),
+    agg AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN diff > 0 THEN r2 ELSE 0 END) AS BIGINT)
+               AS w_plus_x2
+      FROM ranked GROUP BY 1)
+    SELECT seg, n, w_plus_x2,
+           CAST(n * (n + 1) AS BIGINT) AS mean_x4,
+           CAST(2 * n * (n + 1) * (2 * n + 1) - tie3 AS BIGINT) AS var_x48
+    FROM agg JOIN ties USING (seg)
+    """,
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK TEST — the PAIRED twin of the rank-sum test
+    (``stats_mann_whitney_u`` compares two independent samples; this
+    compares two treatments ON THE SAME SUBJECTS): per customer, cents
+    spent on urgent/high-priority orders vs cents on the rest, paired
+    difference d = a − b, zero differences dropped per the classic
+    procedure, tested per market segment. Exact in integers end-to-end:
+    the tie-averaged midrank of |d| is a half-integer, so ranks are
+    DOUBLED (r2 = 2·rank + ties − 1, the ``stats_mann_whitney_u``
+    device) making W⁺×2 = Σ_{d>0} r2 BIGINT-exact; the null moments ship
+    as scaled integers too — E[W⁺]×4 = n(n+1) and the tie-corrected
+    Var[W⁺]×48 = 2n(n+1)(2n+1) − Σ(t³−t) — so a consumer can form the
+    z-score without this query ever emitting a float. Identity check
+    available in-frame: W⁺×2 + W⁻×2 = n(n+1). The midrank doubling and
+    both moment scalings are mirrored formulas with zero rounding slack,
+    so they carry a first-principles pin (tests/test_properties.py
+    evaluates the committed oracle on a hand-built corpus against a
+    from-scratch pure-Python Wilcoxon).
+
+    Scale shape: one join orders⋈customer (broadcastable dim at any SF),
+    one groupBy per (segment, customer), then rank windows PARTITIONED
+    BY SEGMENT — no global sort; the per-segment sorts shuffle once on
+    the segment key. n³ stays in BIGINT to ~2M pairs per segment; past
+    that the moments move to DECIMAL(38,0) unchanged in shape. At
+    100 TB this is the A/B 'did the treatment move the paired metric'
+    gate run per-segment in one pass."""
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    per = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(F.when(hi, cents).otherwise(0)).cast("long").alias("a"),
+            F.sum(F.when(hi, 0).otherwise(cents)).cast("long").alias("b"),
+        )
+    )
+    d = per.filter(F.col("a") != F.col("b")).select(
+        "seg", (F.col("a") - F.col("b")).alias("diff")
+    )
+    w_rank = Window.partitionBy("seg").orderBy(F.abs(F.col("diff")))
+    w_tie = Window.partitionBy("seg", F.abs(F.col("diff")))
+    ranked = d.select(
+        "seg",
+        "diff",
+        (
+            2 * F.rank().over(w_rank).cast("long")
+            + F.count("*").over(w_tie).cast("long")
+            - 1
+        ).alias("r2"),
+    )
+    agg = ranked.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("w_plus_x2"),
+    )
+    ties = (
+        d.groupBy("seg", F.abs(F.col("diff")).alias("ad"))
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("seg")
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            )
+            .cast("long")
+            .alias("tie3")
+        )
+    )
+    return agg.join(ties, "seg").select(
+        "seg",
+        "n",
+        "w_plus_x2",
+        (F.col("n") * (F.col("n") + 1)).cast("long").alias("mean_x4"),
+        (
+            2 * F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1)
+            - F.col("tie3")
+        )
+        .cast("long")
+        .alias("var_x48"),
+    )
+
+
+@register(
+    "stats_cochran_armitage",
+    oracle="""
+    WITH base AS (
+      SELECT r_name AS region,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey),
+    g AS (
+      SELECT region, w, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(y) AS BIGINT) AS r_g
+      FROM base GROUP BY 1, 2),
+    tot AS (
+      SELECT region,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(r_g) AS BIGINT) AS r,
+             CAST(sum(w * r_g) AS BIGINT) AS swr,
+             CAST(sum(w * n_g) AS BIGINT) AS swn,
+             CAST(sum(w * w * n_g) AS BIGINT) AS swwn
+      FROM g GROUP BY 1)
+    SELECT region, n, r,
+           CAST(n * swr - r * swn AS BIGINT) AS t_num,
+           CAST(r * (n - r) AS BIGINT) AS var_rxs,
+           CAST(n * swwn - swn * swn AS BIGINT) AS var_bracket
+    FROM tot
+    """,
+)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-ARMITAGE TREND TEST — does a binary outcome TREND across
+    ORDERED dose levels? (The chi-square contingency entry detects any
+    association; this targets the monotone alternative, the standard
+    epidemiology/conversion-funnel question.) Doses = the priority rank
+    digit 1..5 parsed from o_orderpriority; outcome = order fully
+    shipped (o_orderstatus = 'F'); tested per customer region. Exact in
+    integers by clearing every denominator: the statistic
+    T = Σ w_g(r_g − p̄·n_g) with p̄ = R/N ships as T×N =
+    N·Σw_g r_g − R·Σw_g n_g, and Var(T)·N³ factors as
+    R(N−R)·[N·Σw²_g n_g − (Σw_g n_g)²], emitted as the two BIGINT
+    factors var_rxs and var_bracket so the consumer forms
+    z² = N·t_num² / (var_rxs · var_bracket) with no engine float in the
+    hash-compared output. The denominator-clearing is a mirrored formula
+    with zero rounding slack → first-principles pin in
+    tests/test_properties.py (committed oracle on a hand corpus vs a
+    from-scratch p̄-form evaluation over exact Fractions).
+
+    Scale shape: the two dimension hops (customer→nation→region) are
+    broadcast joins; then ONE groupBy (region, dose) over the fact scan
+    — 25 cells per region — and a 5-row fold per region. The dose
+    moments are map-side-combinable sums, so at 100 TB this is a single
+    scan with a 25-row-per-region reduce; no window, no sort."""
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "region").select(
+                    "r_regionkey", "r_name"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.substring(F.col("o_orderpriority"), 1, 1)
+            .cast("long")
+            .alias("w"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+    )
+    g = base.groupBy("region", "w").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("r_g"),
+    )
+    tot = g.groupBy("region").agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("r_g").cast("long").alias("r"),
+        F.sum(F.col("w") * F.col("r_g")).cast("long").alias("swr"),
+        F.sum(F.col("w") * F.col("n_g")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_g"))
+        .cast("long")
+        .alias("swwn"),
+    )
+    return tot.select(
+        "region",
+        "n",
+        "r",
+        (F.col("n") * F.col("swr") - F.col("r") * F.col("swn"))
+        .cast("long")
+        .alias("t_num"),
+        (F.col("r") * (F.col("n") - F.col("r")))
+        .cast("long")
+        .alias("var_rxs"),
+        (F.col("n") * F.col("swwn") - F.col("swn") * F.col("swn"))
+        .cast("long")
+        .alias("var_bracket"),
+    )

@@ -1626,3 +1626,220 @@ def test_functional_scc_oracle_matches_python_walk(spark, tmp_path):
         for r in graph_functional_scc(spark, str(tmp_path)).collect()
     }
     assert got_spark == want, (got_spark, want)
+
+
+def test_wilcoxon_oracle_matches_sign_flip_enumeration():
+    """stats_wilcoxon_signed_rank pin: the committed oracle SQL on a
+    hand-built corpus must (a) reproduce a from-scratch sorted-midrank
+    W⁺ and (b) carry null moments that match EXACT ENUMERATION of the
+    2^n sign-flip universe (the definition of the test's null, computed
+    in Fractions — not the n(n+1)/4 formula re-typed)."""
+    import itertools
+    from fractions import Fraction
+
+    import duckdb
+    import pandas as pd
+
+    from irio_mapreduce_spark.queries import catalog
+
+    # per-customer (segment, high_cents, low_cents); whole dollars so
+    # the double->cents floor is exact. S1 exercises |d| ties (three
+    # 500s, two 300s) and a dropped zero diff; S2 is a clean pair.
+    custs = [
+        (1, "S1", 700, 200),
+        (2, "S1", 200, 700),
+        (3, "S1", 900, 400),
+        (4, "S1", 600, 300),
+        (5, "S1", 400, 400),
+        (6, "S1", 100, 400),
+        (7, "S2", 300, 200),
+        (8, "S2", 500, 300),
+    ]
+    orders = []
+    for ck, _seg, hi, lo in custs:
+        orders.append((ck, "1-URGENT", hi / 100.0))
+        orders.append((ck, "3-MEDIUM", lo / 100.0))
+    con = duckdb.connect()
+    con.register(
+        "orders_df",
+        pd.DataFrame(
+            orders, columns=["o_custkey", "o_orderpriority", "o_totalprice"]
+        ),
+    )
+    con.register(
+        "customer_df",
+        pd.DataFrame(
+            [(ck, seg) for ck, seg, _, _ in custs],
+            columns=["c_custkey", "c_mktsegment"],
+        ),
+    )
+    con.execute("CREATE VIEW orders AS SELECT * FROM orders_df")
+    con.execute("CREATE VIEW customer AS SELECT * FROM customer_df")
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(
+            catalog.all_oracles()["stats_wilcoxon_signed_rank"]
+        ).fetchall()
+    }
+
+    for seg in ("S1", "S2"):
+        diffs = [hi - lo for _, s, hi, lo in custs if s == seg and hi != lo]
+        # from-scratch midranks: sort |d|, average the 1-based positions
+        # of each tie run
+        order = sorted(range(len(diffs)), key=lambda i: abs(diffs[i]))
+        mid = {}
+        i = 0
+        while i < len(order):
+            j = i
+            while (
+                j < len(order)
+                and abs(diffs[order[j]]) == abs(diffs[order[i]])
+            ):
+                j += 1
+            avg = Fraction(sum(range(i + 1, j + 1)), j - i)
+            for k in range(i, j):
+                mid[order[k]] = avg
+            i = j
+        w_plus = sum(mid[i] for i, d in enumerate(diffs) if d > 0)
+        n, w_plus_x2, mean_x4, var_x48 = got[seg]
+        assert n == len(diffs)
+        assert Fraction(w_plus_x2, 2) == w_plus
+        # exact null enumeration: all 2^n sign vectors, midranks fixed
+        ranks = [mid[i] for i in range(len(diffs))]
+        vals = [
+            sum(r for r, s in zip(ranks, signs) if s)
+            for signs in itertools.product([False, True], repeat=len(ranks))
+        ]
+        mean = Fraction(sum(vals), len(vals))
+        var = Fraction(
+            sum((v - mean) ** 2 for v in vals), len(vals)
+        )
+        assert Fraction(mean_x4, 4) == mean
+        assert Fraction(var_x48, 48) == var
+
+
+def test_cochran_armitage_oracle_matches_fraction_form():
+    """stats_cochran_armitage pin: the committed oracle SQL on a
+    hand-built corpus must equal the textbook p̄-form computed in exact
+    Fractions — T·N = t_num and Var(T)·N³ = var_rxs·var_bracket — so
+    the denominator-clearing rewrite is checked against first
+    principles, not mirrored."""
+    from fractions import Fraction
+
+    import duckdb
+    import pandas as pd
+
+    from irio_mapreduce_spark.queries import catalog
+
+    # (region, dose w, n_g, r_g): region A trends up, region B is flat
+    cells = [
+        ("A", 1, 10, 1),
+        ("A", 2, 8, 3),
+        ("A", 3, 6, 4),
+        ("B", 1, 5, 2),
+        ("B", 2, 5, 2),
+        ("B", 4, 5, 2),
+    ]
+    orders, custs = [], []
+    ck = 0
+    for gi, (reg, w, n_g, r_g) in enumerate(cells):
+        for i in range(n_g):
+            ck += 1
+            custs.append((ck, reg))
+            orders.append(
+                (ck, f"{w}-P", "F" if i < r_g else "O")
+            )
+    nations = [(0, "A"), (1, "B")]
+    con = duckdb.connect()
+    con.register(
+        "orders_df",
+        pd.DataFrame(
+            orders,
+            columns=["o_custkey", "o_orderpriority", "o_orderstatus"],
+        ),
+    )
+    con.register(
+        "customer_df",
+        pd.DataFrame(
+            [(c, {"A": 0, "B": 1}[r]) for c, r in custs],
+            columns=["c_custkey", "c_nationkey"],
+        ),
+    )
+    con.register(
+        "nation_df",
+        pd.DataFrame(
+            [(nk, nk) for nk, _ in nations],
+            columns=["n_nationkey", "n_regionkey"],
+        ),
+    )
+    con.register(
+        "region_df",
+        pd.DataFrame(nations, columns=["r_regionkey", "r_name"]),
+    )
+    for t in ("orders", "customer", "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {t}_df")
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(
+            catalog.all_oracles()["stats_cochran_armitage"]
+        ).fetchall()
+    }
+    for reg in ("A", "B"):
+        sub = [c for c in cells if c[0] == reg]
+        N = sum(c[2] for c in sub)
+        R = sum(c[3] for c in sub)
+        pbar = Fraction(R, N)
+        T = sum(
+            Fraction(w) * (Fraction(r_g) - pbar * n_g)
+            for _, w, n_g, r_g in sub
+        )
+        swn = sum(w * n_g for _, w, n_g, _ in sub)
+        swwn = sum(w * w * n_g for _, w, n_g, _ in sub)
+        var = pbar * (1 - pbar) * (Fraction(swwn) - Fraction(swn**2, N))
+        n, r, t_num, var_rxs, var_bracket = got[reg]
+        assert (n, r) == (N, R)
+        assert Fraction(t_num) == T * N
+        assert Fraction(var_rxs * var_bracket) == var * N**3
+
+
+from hypothesis import given as _pf_given
+from hypothesis import strategies as _pf_st
+
+
+@_pf_given(
+    _pf_st.lists(
+        _pf_st.frozensets(
+            _pf_st.integers(0, 25), min_size=1, max_size=12
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_prefix_filter_candidates_complete(sets):
+    """dedup_prefix_filter_jaccard pin: on random set families, the
+    df-ordered prefix of length n − ⌈0.6n⌉ + 1 must collide (in BOTH
+    prefixes) for EVERY pair with Jaccard ≥ 0.6 — the losslessness
+    claim the entry's brute-force oracle relies on, checked from first
+    principles with an independent implementation."""
+    from collections import Counter
+
+    # exact integer ceil identity used by both engines
+    for n in range(1, 200):
+        assert (3 * n + 4) // 5 == -((-3 * n) // 5)
+
+    df = Counter(tok for s in sets for tok in s)
+
+    def prefix(s):
+        ordered = sorted(s, key=lambda tok: (df[tok], tok))
+        p = len(s) - (3 * len(s) + 4) // 5 + 1
+        return set(ordered[:p])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter, uni = len(a & b), len(a | b)
+            if 5 * inter >= 3 * uni:
+                assert prefix(a) & prefix(b), (
+                    f"qualifying pair escaped the prefix filter: "
+                    f"{sorted(a)} vs {sorted(b)}"
+                )
