@@ -1400,3 +1400,216 @@ def source_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@register(
+    "source_parquet_agg_pushdown",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_okey,
+           CAST(max(l_orderkey) AS BIGINT) AS max_okey,
+           CAST(min(l_partkey) AS BIGINT) AS min_pkey,
+           CAST(max(l_partkey) AS BIGINT) AS max_pkey,
+           TRUE AS agg_pushed
+    FROM lineitem
+    """,
+)
+def source_parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET AGGREGATE PUSHDOWN — the METADATA-ONLY scan: a global
+    COUNT/MIN/MAX needs zero data pages, because every parquet footer
+    already carries per-row-group row counts and column min/max. Spark's
+    DSv2 parquet reader answers such aggregates from footers alone when
+    ``spark.sql.parquet.aggregatePushdown`` is on and the read goes
+    through the v2 path (``useV1SourceList`` without ``parquet``) — the
+    scan emits one pre-aggregated row per file split instead of the
+    table. At 100 TB the difference is reading ~KBs of footers vs the
+    full table for a ``SELECT count(*), max(id)`` profile query — the
+    fourth scan-side pruning layer beside partition dirs
+    (``source_partition_range_pruning``), row-group stats
+    (``source_rowgroup_stats_pruning``) and blooms
+    (``source_parquet_bloom_stats``). The entry flips the two configs
+    for its probe only (restored in ``finally`` — the v1 path stays the
+    session default), RAISES unless the executed plan's BatchScan
+    carries ``PushedAggregation: [COUNT(*), MIN(..)..]`` (a
+    deterministic planner property of the configs + query shape, not an
+    environment-dependent runtime one), and surfaces the attested fact
+    as the constant ``agg_pushed`` the oracle pins TRUE. The aggregate
+    values themselves hash against DuckDB computing the same profile
+    from the raw table — footer-derived must equal data-derived.
+    Reference scan contract: DistrStorage.java:137-172 (full-file
+    reads; the reference has no footer statistics at all)."""
+    v1_key = "spark.sql.sources.useV1SourceList"
+    push_key = "spark.sql.parquet.aggregatePushdown"
+    saved_v1 = spark.conf.get(v1_key)
+    saved_push = spark.conf.get(push_key)
+    spark.conf.set(v1_key, "")
+    spark.conf.set(push_key, "true")
+    try:
+        df = read_table(spark, sf_dir, "lineitem").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("l_orderkey").cast("long").alias("min_okey"),
+            F.max("l_orderkey").cast("long").alias("max_okey"),
+            F.min("l_partkey").cast("long").alias("min_pkey"),
+            F.max("l_partkey").cast("long").alias("max_pkey"),
+        )
+        row = df.collect()[0]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(v1_key, saved_v1)
+        spark.conf.set(push_key, saved_push)
+    if "PushedAggregation: [COUNT(*), MIN(l_orderkey)" not in plan:
+        raise RuntimeError(
+            "parquet aggregate pushdown did not engage — no "
+            "PushedAggregation on the BatchScan:\n" + plan
+        )
+    if "BatchScan parquet" not in plan:
+        raise RuntimeError("probe did not take the DSv2 read path:\n" + plan)
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["min_okey"],
+                row["max_okey"],
+                row["min_pkey"],
+                row["max_pkey"],
+                True,
+            )
+        ],
+        "n_rows long, min_okey long, max_okey long, min_pkey long, "
+        "max_pkey long, agg_pushed boolean",
+    )
+
+
+_NESTED_PRUNE_DIRS: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "source_parquet_nested_pruning",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(3 * o_custkey + 1) AS BIGINT) AS item_cust_sum,
+           CAST(2 * sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS item_amount_cents,
+           TRUE AS nested_read_pruned,
+           TRUE AS generate_read_pruned
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def source_parquet_nested_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NESTED SCHEMA PRUNING — column pruning INSIDE structs and
+    arrays-of-structs: a query touching one leaf of a wide struct must
+    read exactly that leaf's parquet column chunk, not the whole struct
+    subtree (``spark.sql.optimizer.nestedSchemaPruning.enabled``, on by
+    default, plus its ``serializer``/``expressions`` companions). For a
+    typical event/log schema — a 100-field ``payload`` struct, an
+    ``items`` array of line structs — this is the difference between
+    scanning 1% and 100% of 100 TB; flat-column pruning alone does
+    nothing once fields nest. The entry materializes a nested copy of
+    orders (``payload: {price, priority, meta: {status, odate}}``,
+    ``items: array<{cust, amount}>`` with TWO deterministic elements per
+    order), runs two probes, and RAISES unless each probe's ReadSchema
+    is the pruned leaf set: (A) a rollup over ``payload.meta.status``
+    whose scan must carry only that leaf — ``price``, ``priority`` and
+    the sibling leaf ``odate`` must all be absent; (B) an ``explode``
+    over ``items`` grouped by the same leaf — pruning must hold THROUGH
+    the Generate node (``GeneratePruning``), reading
+    ``items.{cust,amount}`` but never ``payload.price``. Both are
+    deterministic optimizer-rule properties of the query shape. Results
+    join on the 3-row status domain and hash against the oracle
+    recomputing the same sums from the FLAT source of truth — pruning
+    must lose no values. Items are derived so the oracle is closed-form:
+    element 1 = (o_custkey, price), element 2 = (2·o_custkey+1, price),
+    hence cust_sum = Σ(3c+1) and cents doubled."""
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NESTED_PRUNE_DIRS:
+        d = _scratch(sf_dir, "nested_orders")
+        src = read_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey"),
+            F.struct(
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderpriority").alias("priority"),
+                F.struct(
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_orderdate").alias("odate"),
+                ).alias("meta"),
+            ).alias("payload"),
+            F.array(
+                F.struct(
+                    F.col("o_custkey").alias("cust"),
+                    F.col("o_totalprice").alias("amount"),
+                ),
+                F.struct(
+                    (F.col("o_custkey") * 2 + 1).alias("cust"),
+                    F.col("o_totalprice").alias("amount"),
+                ),
+            ).alias("items"),
+        )
+        src.write.mode("overwrite").parquet(d)
+        _NESTED_PRUNE_DIRS[key] = d
+    nested = spark.read.parquet(_NESTED_PRUNE_DIRS[key])
+
+    def read_schema_of(df: DataFrame) -> str:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        if not lines:
+            raise RuntimeError("no ReadSchema on the probe plan:\n" + plan)
+        return " ".join(
+            ln.split("ReadSchema:", 1)[1] for ln in lines
+        )
+
+    probe_a = nested.select(
+        F.col("payload.meta.status").alias("status")
+    ).groupBy("status").agg(F.count("*").cast("long").alias("n_orders"))
+    rs_a = read_schema_of(probe_a)
+    for leaked in ("price", "priority", "odate", "items"):
+        if leaked in rs_a:
+            raise RuntimeError(
+                f"nested pruning leaked '{leaked}' into ReadSchema: {rs_a}"
+            )
+    if "status" not in rs_a:
+        raise RuntimeError(f"probe A ReadSchema lost its leaf: {rs_a}")
+
+    probe_b = (
+        nested.select(
+            F.col("payload.meta.status").alias("status"),
+            F.explode("items").alias("it"),
+        )
+        .groupBy("status")
+        .agg(
+            F.sum("it.cust").cast("long").alias("item_cust_sum"),
+            F.sum(
+                F.floor(F.col("it.amount") * 100 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("item_amount_cents"),
+        )
+    )
+    rs_b = read_schema_of(probe_b)
+    for leaked in ("price", "priority", "odate"):
+        if leaked in rs_b:
+            raise RuntimeError(
+                f"pruning through Generate leaked '{leaked}': {rs_b}"
+            )
+    for needed in ("cust", "amount", "status"):
+        if needed not in rs_b:
+            raise RuntimeError(f"probe B ReadSchema lost '{needed}': {rs_b}")
+
+    return (
+        probe_a.join(probe_b, "status")
+        .withColumn("nested_read_pruned", F.lit(True))
+        .withColumn("generate_read_pruned", F.lit(True))
+        .select(
+            "status",
+            "n_orders",
+            "item_cust_sum",
+            "item_amount_cents",
+            "nested_read_pruned",
+            "generate_read_pruned",
+        )
+    )
