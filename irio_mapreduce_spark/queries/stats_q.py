@@ -1116,3 +1116,433 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("var_bracket"),
     )
+
+
+@register(
+    "stats_mcnemar_paired",
+    oracle="""
+    WITH cls AS (
+      SELECT o_custkey,
+             CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+                  THEN 'a' ELSE 'b' END AS cls,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE substr(o_orderpriority, 1, 1) <> '3'),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(max(CASE WHEN cls = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS has_a,
+             CAST(max(CASE WHEN cls = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS has_b,
+             CAST(max(CASE WHEN cls = 'a' THEN y END) AS BIGINT) AS ya,
+             CAST(max(CASE WHEN cls = 'b' THEN y END) AS BIGINT) AS yb
+      FROM cls GROUP BY 1),
+    pairs AS (
+      SELECT c_mktsegment AS segment, ya, yb
+      FROM per_cust JOIN customer ON o_custkey = c_custkey
+      WHERE has_a = 1 AND has_b = 1),
+    cells AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(ya * yb) AS BIGINT) AS n_yy,
+             CAST(sum(ya * (1 - yb)) AS BIGINT) AS n_yn,
+             CAST(sum((1 - ya) * yb) AS BIGINT) AS n_ny,
+             CAST(sum((1 - ya) * (1 - yb)) AS BIGINT) AS n_nn
+      FROM pairs GROUP BY 1)
+    SELECT segment, n_pairs, n_yy, n_yn, n_ny, n_nn,
+           CAST((n_yn - n_ny) * (n_yn - n_ny) AS BIGINT) AS mcnemar_num,
+           CAST(greatest(abs(n_yn - n_ny) - 1, 0)
+                * greatest(abs(n_yn - n_ny) - 1, 0) AS BIGINT) AS cc_num
+    FROM cells
+    """,
+)
+def stats_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST — the PAIRED 2x2: did the same subject's binary
+    outcome CHANGE between two conditions? (``stats_two_proportion_z``
+    compares two independent samples; this is its paired twin, the
+    before/after question A/B platforms actually face.) Subject =
+    customer; condition A = the customer's expedited orders (priority
+    1-2), condition B = deferred orders (priority 4-5; the neutral
+    priority 3 is excluded); outcome = "has at least one fully-shipped
+    ('F') order" within the condition. Only customers observed under
+    BOTH conditions form pairs; tested per market segment. The entire
+    test is integer-exact: the concordance cells (n_yy, n_yn, n_ny,
+    n_nn) are BIGINT counts, the McNemar statistic's numerator
+    (b−c)² and Edwards' continuity-corrected (|b−c|−1)² ship as BIGINT
+    (denominator = b+c is derivable), so chi² = mcnemar_num/(n_yn+n_ny)
+    has no engine float in the hash-compared output. Discordant-cell
+    identity (b+c pairs drive the test; concordant pairs are inert)
+    stated in tests/test_properties.py on a hand-built corpus.
+
+    Scale shape: ONE groupBy over the order scan collapses to per-
+    customer flags (map-side-combinable max), the segment dimension
+    arrives by broadcast, then a 5-row aggregate. No window, no sort,
+    no pairwise join — the pairing is the groupBy key itself."""
+    cls = (
+        read_table(spark, sf_dir, "orders")
+        .withColumn("prio", F.substring("o_orderpriority", 1, 1))
+        .filter(F.col("prio") != "3")
+        .select(
+            "o_custkey",
+            F.when(F.col("prio").isin("1", "2"), "a")
+            .otherwise("b")
+            .alias("cls"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+    )
+    per_cust = cls.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("cls") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("has_a"),
+        F.max(F.when(F.col("cls") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("has_b"),
+        F.max(F.when(F.col("cls") == "a", F.col("y")))
+        .cast("long")
+        .alias("ya"),
+        F.max(F.when(F.col("cls") == "b", F.col("y")))
+        .cast("long")
+        .alias("yb"),
+    )
+    pairs = (
+        per_cust.filter((F.col("has_a") == 1) & (F.col("has_b") == 1))
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(F.col("c_mktsegment").alias("segment"), "ya", "yb")
+    )
+    cells = pairs.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("ya") * F.col("yb")).cast("long").alias("n_yy"),
+        F.sum(F.col("ya") * (1 - F.col("yb"))).cast("long").alias("n_yn"),
+        F.sum((1 - F.col("ya")) * F.col("yb")).cast("long").alias("n_ny"),
+        F.sum((1 - F.col("ya")) * (1 - F.col("yb")))
+        .cast("long")
+        .alias("n_nn"),
+    )
+    d = F.col("n_yn") - F.col("n_ny")
+    cc = F.greatest(F.abs(d) - 1, F.lit(0))
+    return cells.select(
+        "segment",
+        "n_pairs",
+        "n_yy",
+        "n_yn",
+        "n_ny",
+        "n_nn",
+        (d * d).cast("long").alias("mcnemar_num"),
+        (cc * cc).cast("long").alias("cc_num"),
+    )
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH base AS (
+      SELECT r_name AS region,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS grp,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey),
+    ranked AS (
+      SELECT region, grp,
+             CAST(2 * rank() OVER (PARTITION BY region ORDER BY cents)
+                  + count(*) OVER (PARTITION BY region, cents)
+                  - 1 AS BIGINT) AS r2
+      FROM base),
+    per_grp AS (
+      SELECT region, grp,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(r2) AS BIGINT) AS s2_g
+      FROM ranked GROUP BY 1, 2),
+    ties AS (
+      SELECT region, CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+      FROM (SELECT region, cents, CAST(count(*) AS BIGINT) AS t
+            FROM base GROUP BY 1, 2)
+      GROUP BY 1),
+    tot AS (
+      SELECT region, CAST(sum(n_g) AS BIGINT) AS n_total
+      FROM per_grp GROUP BY 1)
+    SELECT p.region, p.grp, p.n_g, p.s2_g, t.n_total, ti.tie_term
+    FROM per_grp p
+      JOIN tot t ON p.region = t.region
+      JOIN ties ti ON p.region = ti.region
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H — the k-SAMPLE rank test (one-way ANOVA on
+    ranks): do the five order-priority groups draw from the same
+    totalprice distribution? Completes the nonparametric ladder —
+    Mann-Whitney U is its 2-sample special case, Wilcoxon signed-rank
+    the paired one, Jonckheere-Terpstra the ordered-alternative
+    sibling. Tested per customer region; exact via the repo's
+    DOUBLED-MIDRANK device (``stats_wilcoxon_signed_rank``): a value
+    with min-rank a and multiplicity t has midrank a + (t−1)/2, so
+    r2 = 2a + t − 1 is always integral and per-group rank sums ship as
+    BIGINT s2_g = 2·R_g with zero float anywhere. The entry emits the
+    SUFFICIENT STATISTICS of the test per (region, priority) cell —
+    n_g, s2_g, region totals and the tie term Σ(t³−t) — from which
+    H = [12/(N(N+1)) · Σ (s2_g/2)²/n_g − 3(N+1)] / (1 − ΣT/(N³−N))
+    follows by scalar math; the doubled-rank identity
+    Σ_g s2_g = N(N+1) per region plus an H-vs-first-principles pin on
+    a hand corpus live in tests/test_properties.py.
+
+    Scale shape: dims arrive by broadcast; ranks are a PER-REGION
+    window (one shuffle keyed on the 5-value segment — the same
+    partial-sort shape as ``stats_mann_whitney_u``; at 1000 executors
+    a low-cardinality partition key concentrates, so a skewed tenant
+    would rank on (region, salt) and merge rank offsets by running
+    count — noted, not needed at 5 regions x uniform data); everything
+    after the window is two map-side-combinable groupBys (25 cells +
+    5 tie rows). No global sort."""
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "region").select(
+                    "r_regionkey", "r_name"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("grp"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    w_rank = Window.partitionBy("region").orderBy("cents")
+    w_tie = Window.partitionBy("region", "cents")
+    ranked = base.select(
+        "region",
+        "grp",
+        "cents",
+        (2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    per_grp = ranked.groupBy("region", "grp").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("r2").cast("long").alias("s2_g"),
+    )
+    ties = (
+        base.groupBy("region", "cents")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("region")
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    tot = per_grp.groupBy("region").agg(
+        F.sum("n_g").cast("long").alias("n_total")
+    )
+    return (
+        per_grp.join(tot, "region")
+        .join(ties, "region")
+        .select("region", "grp", "n_g", "s2_g", "n_total", "tie_term")
+    )
+
+
+@register(
+    "stats_jonckheere_terpstra",
+    oracle="""
+    WITH base AS (
+      SELECT r_name AS region,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS dose,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey),
+    cells AS (
+      SELECT region, cents,
+             CAST(sum(CASE WHEN dose = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+             CAST(sum(CASE WHEN dose = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+             CAST(sum(CASE WHEN dose = 3 THEN 1 ELSE 0 END) AS BIGINT) AS t3,
+             CAST(sum(CASE WHEN dose = 4 THEN 1 ELSE 0 END) AS BIGINT) AS t4,
+             CAST(sum(CASE WHEN dose = 5 THEN 1 ELSE 0 END) AS BIGINT) AS t5
+      FROM base GROUP BY 1, 2),
+    cum AS (
+      SELECT region, t1, t2, t3, t4, t5,
+             CAST(coalesce(sum(t1) OVER w, 0) AS BIGINT) AS c1,
+             CAST(coalesce(sum(t2) OVER w, 0) AS BIGINT) AS c2,
+             CAST(coalesce(sum(t3) OVER w, 0) AS BIGINT) AS c3,
+             CAST(coalesce(sum(t4) OVER w, 0) AS BIGINT) AS c4
+      FROM cells
+      WINDOW w AS (PARTITION BY region ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    folded AS (
+      SELECT region,
+             CAST(sum(t2 * (2 * c1 + t1)
+                    + t3 * (2 * (c1 + c2) + t1 + t2)
+                    + t4 * (2 * (c1 + c2 + c3) + t1 + t2 + t3)
+                    + t5 * (2 * (c1 + c2 + c3 + c4) + t1 + t2 + t3 + t4))
+                  AS BIGINT) AS jt_x2,
+             CAST(sum(t1) AS BIGINT) AS n1, CAST(sum(t2) AS BIGINT) AS n2,
+             CAST(sum(t3) AS BIGINT) AS n3, CAST(sum(t4) AS BIGINT) AS n4,
+             CAST(sum(t5) AS BIGINT) AS n5
+      FROM cum GROUP BY 1)
+    SELECT region, CAST(n1 + n2 + n3 + n4 + n5 AS BIGINT) AS n_total,
+           jt_x2,
+           CAST((n1 + n2 + n3 + n4 + n5) * (n1 + n2 + n3 + n4 + n5)
+                - (n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5) AS BIGINT)
+             AS mean_x4,
+           CAST((n1 + n2 + n3 + n4 + n5) * (n1 + n2 + n3 + n4 + n5)
+                  * (2 * (n1 + n2 + n3 + n4 + n5) + 3)
+                - (n1*n1*(2*n1+3) + n2*n2*(2*n2+3) + n3*n3*(2*n3+3)
+                   + n4*n4*(2*n4+3) + n5*n5*(2*n5+3)) AS BIGINT)
+             AS var_x72
+    FROM folded
+    """,
+)
+def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JONCKHEERE-TERPSTRA — the ORDERED-alternative k-sample test: does
+    totalprice trend MONOTONICALLY with the priority dose 1..5? (The
+    rank twin of ``stats_cochran_armitage``'s binary trend, and the
+    targeted alternative Kruskal-Wallis dilutes across all
+    permutations.) JT = Σ_{i<j} U_ij sums a Mann-Whitney U over every
+    ordered group pair — naively a pairwise JOIN, O(n²) at any scale.
+    This entry computes it in ONE per-region value-ordered pass: on the
+    COMPACTED (region, cents) grain each row carries its per-dose tie
+    counts t_d and, via a single shared window, the per-dose counts
+    C_d of strictly-smaller values; an element of dose j then
+    contributes t_j·(2·ΣC_{d<j} + Σt_{d<j}) to the DOUBLED statistic
+    jt_x2 = 2·JT (ties count once — exactly the ½ convention, kept
+    integral). Null moments ship denominator-cleared as BIGINT:
+    mean_x4 = N² − Σn_g² (= 4·E[JT]) and var_x72 = N²(2N+3) −
+    Σn_g²(2n_g+3) (= 72·Var, the classic no-tie form — documented, the
+    values themselves are exact regardless), so z = (jt_x2/2 −
+    mean_x4/4)/√(var_x72/72) needs no engine float in the hashed
+    output. Pins in tests/test_properties.py: brute-force O(n²)
+    pairwise JT on a hand corpus, and the 2-group degeneration
+    JT ≡ Mann-Whitney U.
+
+    Scale shape: broadcast dims, one groupBy to the distinct-value
+    grain (map-side combine collapses duplicates early), one window
+    sort per region over DISTINCT values only, then a 5-row fold. The
+    window carries 4 cumulative sums through one sort — never 10
+    pairwise group joins."""
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "region").select(
+                    "r_regionkey", "r_name"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("dose"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    t = [
+        F.sum(F.when(F.col("dose") == d, 1).otherwise(0))
+        .cast("long")
+        .alias(f"t{d}")
+        for d in range(1, 6)
+    ]
+    cells = base.groupBy("region", "cents").agg(*t)
+    w = (
+        Window.partitionBy("region")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cells.select(
+        "region",
+        *[F.col(f"t{d}") for d in range(1, 6)],
+        *[
+            F.coalesce(F.sum(f"t{d}").over(w), F.lit(0))
+            .cast("long")
+            .alias(f"c{d}")
+            for d in range(1, 5)
+        ],
+    )
+    contrib = (
+        F.col("t2") * (2 * F.col("c1") + F.col("t1"))
+        + F.col("t3")
+        * (2 * (F.col("c1") + F.col("c2")) + F.col("t1") + F.col("t2"))
+        + F.col("t4")
+        * (
+            2 * (F.col("c1") + F.col("c2") + F.col("c3"))
+            + F.col("t1")
+            + F.col("t2")
+            + F.col("t3")
+        )
+        + F.col("t5")
+        * (
+            2 * (F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4"))
+            + F.col("t1")
+            + F.col("t2")
+            + F.col("t3")
+            + F.col("t4")
+        )
+    )
+    folded = cum.groupBy("region").agg(
+        F.sum(contrib).cast("long").alias("jt_x2"),
+        *[
+            F.sum(f"t{d}").cast("long").alias(f"n{d}")
+            for d in range(1, 6)
+        ],
+    )
+    n = (
+        F.col("n1") + F.col("n2") + F.col("n3") + F.col("n4") + F.col("n5")
+    )
+    sq = lambda c: F.col(c) * F.col(c)  # noqa: E731
+    sum_sq = sq("n1") + sq("n2") + sq("n3") + sq("n4") + sq("n5")
+    sum_var = sum(
+        sq(f"n{d}") * (2 * F.col(f"n{d}") + 3) for d in range(1, 6)
+    )
+    return folded.select(
+        "region",
+        n.cast("long").alias("n_total"),
+        "jt_x2",
+        (n * n - sum_sq).cast("long").alias("mean_x4"),
+        (n * n * (2 * n + 3) - sum_var).cast("long").alias("var_x72"),
+    )

@@ -1843,3 +1843,242 @@ def test_prefix_filter_candidates_complete(sets):
                     f"qualifying pair escaped the prefix filter: "
                     f"{sorted(a)} vs {sorted(b)}"
                 )
+
+
+def _register_region_views(con, custs, orders):
+    """Hand-corpus helper: register orders/customer/nation/region views
+    where each customer's 'nation' IS its region (one nation per region),
+    for oracles that join the three dimension hops."""
+    import pandas as pd
+
+    regions = sorted({r for _, r in custs})
+    rid = {r: i for i, r in enumerate(regions)}
+    con.register(
+        "orders_df",
+        pd.DataFrame(
+            orders,
+            columns=[
+                "o_custkey",
+                "o_orderpriority",
+                "o_orderstatus",
+                "o_totalprice",
+            ],
+        ),
+    )
+    con.register(
+        "customer_df",
+        pd.DataFrame(
+            [(c, rid[r]) for c, r in custs],
+            columns=["c_custkey", "c_nationkey"],
+        ),
+    )
+    con.register(
+        "nation_df",
+        pd.DataFrame(
+            [(i, i) for i in rid.values()],
+            columns=["n_nationkey", "n_regionkey"],
+        ),
+    )
+    con.register(
+        "region_df",
+        pd.DataFrame(
+            [(i, r) for r, i in rid.items()],
+            columns=["r_regionkey", "r_name"],
+        ),
+    )
+    for t in ("orders", "customer", "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {t}_df")
+
+
+def test_kruskal_wallis_oracle_matches_first_principles():
+    """stats_kruskal_wallis pin: on a hand corpus WITH ties, the
+    committed oracle's (n_g, s2_g, n_total, tie_term) factors must
+    (a) satisfy the doubled-rank identity Σ_g s2_g = N(N+1) per region
+    and (b) reproduce the textbook H — midranks, tie-corrected — when
+    assembled in exact Fractions against a from-scratch implementation
+    that never sees the doubled-rank device."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from irio_mapreduce_spark.queries import catalog
+
+    # (region, group, value-cents) — ties within and across groups
+    data = [
+        ("A", 1, 100), ("A", 1, 200), ("A", 1, 200),
+        ("A", 2, 200), ("A", 2, 300), ("A", 2, 500),
+        ("A", 3, 500), ("A", 3, 500), ("A", 3, 700),
+        ("B", 1, 10), ("B", 1, 20),
+        ("B", 2, 20), ("B", 2, 20), ("B", 2, 30),
+    ]
+    custs, orders = [], []
+    for i, (reg, g, cents) in enumerate(data, start=1):
+        custs.append((i, reg))
+        orders.append((i, f"{g}-P", "F", cents / 100.0))
+    con = duckdb.connect()
+    _register_region_views(con, custs, orders)
+    rows = con.execute(
+        catalog.all_oracles()["stats_kruskal_wallis"]
+    ).fetchall()
+    by_region: dict[str, list] = {}
+    for region, grp, n_g, s2_g, n_total, tie_term in rows:
+        by_region.setdefault(region, []).append(
+            (grp, n_g, s2_g, n_total, tie_term)
+        )
+    for region, cells in by_region.items():
+        vals = [(g, c) for r, g, c in data if r == region]
+        n = len(vals)
+        assert cells[0][3] == n
+        # (a) doubled-rank identity
+        assert sum(s2 for _, _, s2, _, _ in cells) == n * (n + 1)
+        # from-scratch midranks in Fractions
+        svals = sorted(c for _, c in vals)
+        midrank = {}
+        for v in set(svals):
+            first = svals.index(v) + 1
+            t = svals.count(v)
+            midrank[v] = Fraction(2 * first + t - 1, 2)
+        groups: dict[int, list] = {}
+        for g, c in vals:
+            groups.setdefault(g, []).append(c)
+        h_raw = Fraction(12, n * (n + 1)) * sum(
+            sum(midrank[c] for c in cs) ** 2 / Fraction(len(cs))
+            for cs in groups.values()
+        ) - 3 * (n + 1)
+        tie_sum = sum(
+            svals.count(v) ** 3 - svals.count(v) for v in set(svals)
+        )
+        h_expect = h_raw / (1 - Fraction(tie_sum, n**3 - n))
+        # assemble H from the oracle's emitted factors
+        h_got = Fraction(12, n * (n + 1)) * sum(
+            Fraction(s2, 2) ** 2 / Fraction(n_g)
+            for _, n_g, s2, _, _ in cells
+        ) - 3 * (n + 1)
+        tt = cells[0][4]
+        assert tt == tie_sum
+        h_got = h_got / (1 - Fraction(tt, n**3 - n))
+        assert h_got == h_expect
+        # sanity: per-group sizes match
+        assert {g: ng for g, ng, *_ in cells} == {
+            g: len(cs) for g, cs in groups.items()
+        }
+
+
+def test_jonckheere_oracle_matches_bruteforce():
+    """stats_jonckheere_terpstra pin: on a hand corpus with ties the
+    committed oracle's jt_x2 must equal the O(n²) pairwise definition
+    2·Σ_{i<j}[#(x_i<y_j) + ½#(x_i=y_j)], the moments must match the
+    textbook formulas, and on a 2-group region JT must degenerate to
+    Mann-Whitney U (counted from scratch)."""
+    import duckdb
+
+    from irio_mapreduce_spark.queries import catalog
+
+    data = [
+        # region A: 4 doses, ties across doses
+        ("A", 1, 100), ("A", 1, 300), ("A", 2, 300),
+        ("A", 2, 400), ("A", 3, 400), ("A", 3, 900),
+        ("A", 4, 900), ("A", 4, 950), ("A", 4, 100),
+        # region B: exactly 2 doses -> JT == Mann-Whitney U
+        ("B", 1, 10), ("B", 1, 30), ("B", 1, 50),
+        ("B", 2, 30), ("B", 2, 60),
+    ]
+    custs, orders = [], []
+    for i, (reg, d, cents) in enumerate(data, start=1):
+        custs.append((i, reg))
+        orders.append((i, f"{d}-P", "F", cents / 100.0))
+    con = duckdb.connect()
+    _register_region_views(con, custs, orders)
+    rows = {
+        r[0]: r[1:]
+        for r in con.execute(
+            catalog.all_oracles()["stats_jonckheere_terpstra"]
+        ).fetchall()
+    }
+    for region in ("A", "B"):
+        vals = [(d, c) for r, d, c in data if r == region]
+        jt2 = 0
+        for i, (di, xi) in enumerate(vals):
+            for dj, xj in vals[i + 1 :]:
+                lo, hi = (
+                    ((di, xi), (dj, xj))
+                    if di < dj
+                    else ((dj, xj), (di, xi))
+                )
+                if lo[0] == hi[0]:
+                    continue
+                if lo[1] < hi[1]:
+                    jt2 += 2
+                elif lo[1] == hi[1]:
+                    jt2 += 1
+        n_total, got_jt2, mean_x4, var_x72 = rows[region]
+        assert n_total == len(vals)
+        assert got_jt2 == jt2, region
+        sizes = {}
+        for d, _ in vals:
+            sizes[d] = sizes.get(d, 0) + 1
+        n = len(vals)
+        assert mean_x4 == n * n - sum(s * s for s in sizes.values())
+        assert var_x72 == n * n * (2 * n + 3) - sum(
+            s * s * (2 * s + 3) for s in sizes.values()
+        )
+    # 2-group degeneration: JT == U = #(x1 < x2) + 0.5 #(ties)
+    xs = [c for r, d, c in data if r == "B" and d == 1]
+    ys = [c for r, d, c in data if r == "B" and d == 2]
+    u2 = sum(
+        2 if x < y else (1 if x == y else 0) for x in xs for y in ys
+    )
+    assert rows["B"][1] == u2
+
+
+def test_mcnemar_oracle_discordant_identity():
+    """stats_mcnemar_paired pin: the statistic depends ONLY on the
+    discordant cells — adding concordant (yes,yes)/(no,no) pairs to a
+    segment must leave mcnemar_num and cc_num unchanged while n_pairs
+    and the concordant cells grow; cells counted from scratch."""
+    import duckdb
+    import pandas as pd
+
+    from irio_mapreduce_spark.queries import catalog
+
+    def run(pairs):
+        # pairs: list of (segment, ya, yb); build one customer per pair
+        orders, custs = [], []
+        for i, (seg, ya, yb) in enumerate(pairs, start=1):
+            custs.append((i, seg))
+            orders.append((i, "1-URGENT", "F" if ya else "O", 1.0))
+            orders.append((i, "5-LOW", "F" if yb else "O", 1.0))
+        con = duckdb.connect()
+        con.register(
+            "orders_df",
+            pd.DataFrame(
+                orders,
+                columns=[
+                    "o_custkey",
+                    "o_orderpriority",
+                    "o_orderstatus",
+                    "o_totalprice",
+                ],
+            ),
+        )
+        con.register(
+            "customer_df",
+            pd.DataFrame(custs, columns=["c_custkey", "c_mktsegment"]),
+        )
+        for t in ("orders", "customer"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {t}_df")
+        return {
+            r[0]: r[1:]
+            for r in con.execute(
+                catalog.all_oracles()["stats_mcnemar_paired"]
+            ).fetchall()
+        }
+
+    base = [("S", 1, 0)] * 5 + [("S", 0, 1)] * 2 + [("S", 1, 1)] * 3
+    got = run(base)["S"]
+    # (n_pairs, n_yy, n_yn, n_ny, n_nn, mcnemar_num, cc_num)
+    assert got == (10, 3, 5, 2, 0, 9, 4)
+    # concordant padding is inert
+    padded = run(base + [("S", 1, 1)] * 4 + [("S", 0, 0)] * 6)["S"]
+    assert padded[0] == 20 and padded[1] == 7 and padded[4] == 6
+    assert padded[5:] == got[5:] == (9, 4)
