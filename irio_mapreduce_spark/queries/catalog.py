@@ -112,6 +112,9 @@ FRONT_WINDOW: list[str] = [
     "stats_mcnemar_paired",
     "stats_kruskal_wallis",
     "stats_jonckheere_terpstra",
+    "events_m4_downsample",
+    "stats_gini_concentration",
+    "ml_cumulative_gains_deciles",
     # refresh cycle: the remaining slots hold the catalog entries with
     # the oldest driver-green rows — the 10 r3-vintage entries, then the
     # alphabetically-first r4-vintage block. tests/test_conventions.py
@@ -141,9 +144,6 @@ FRONT_WINDOW: list[str] = [
     "dedup_exact_prefix",
     "dedup_incremental_batch",
     "dedup_simhash",
-    "distinct_part_brand_type",
-    "events_multires_rollup",
-    "fn_generator_family",
 ]
 
 # Round-11 window, kept for the audit trail (all 50 driver-green in
@@ -261,7 +261,7 @@ _R10_WINDOW: list[str] = [
 # at each rotation (r10 ADVICE.md: a hard-coded literal in bench.py
 # silently warmed the wrong count after rotation). Round 12: the 2
 # deferred-head entries + fresh round-12 entries (grows as each lands).
-WINDOW_WARMUP_COUNT: int = 24
+WINDOW_WARMUP_COUNT: int = 27
 
 # Entries that did not fit the current 50-slot window and therefore form
 # the MANDATORY head of the NEXT round's window (tests/test_conventions.py

@@ -2087,3 +2087,67 @@ def events_allen_interval_relations(
         .groupBy("relation")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@register(
+    "events_m4_downsample",
+    oracle="""
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL 6 HOUR, ts),
+                    '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS v_min,
+           CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS v_max,
+           CAST(first(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ORDER BY ts, event_id) AS BIGINT) AS v_first,
+           CAST(last(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                     ORDER BY ts, event_id) AS BIGINT) AS v_last
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 DOWNSAMPLING (Jugel et al., VLDB 2014) — the ERROR-FREE
+    line-chart reducer: for each pixel-column time bucket keep exactly
+    min, max, first and last of the series; a line chart rendered from
+    those 4 points per column is pixel-identical to one rendered from
+    ALL points, because no other sample can change which pixels the
+    polyline covers. This is THE way to ship a 100 TB series to a
+    dashboard: a single map-side-combinable groupBy collapses any
+    volume to 4·(series × columns) rows — unlike iterative selectors
+    (LTTB), M4 is embarrassingly parallel and exact. Buckets are
+    6-hour epoch-aligned tumbles (sub-day bucket, so Spark's
+    ``F.window`` and DuckDB's ``time_bucket`` agree on boundaries —
+    the 7-day Monday-origin trap documented in FIXTURES.md doesn't
+    bite); first/last are exact under ties via the (ts, event_id)
+    struct ordering key (Spark ``min_by``/``max_by`` on a struct ==
+    DuckDB ``first/last(.. ORDER BY ts, event_id)``); values ship as
+    cents BIGINT. Reference parity: the closest reference shape is the
+    per-key reduce fold (ReduceProcessor.java:24-52); M4 is that fold
+    with a 4-slot state."""
+    e = read_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    key = F.struct("ts", "event_id")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min(cents).cast("long").alias("v_min"),
+            F.max(cents).cast("long").alias("v_max"),
+            F.min_by(cents, key).cast("long").alias("v_first"),
+            F.max_by(cents, key).cast("long").alias("v_last"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "n",
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+        )
+    )

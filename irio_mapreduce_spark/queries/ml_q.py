@@ -2657,3 +2657,108 @@ def ml_random_forest_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "n_pos",
     )
+
+
+@register(
+    "ml_cumulative_gains_deciles",
+    oracle="""
+    WITH labeled AS (
+      SELECT c_mktsegment AS segment, c_custkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS score,
+             CAST(coalesce(max(CASE WHEN o_orderstatus = 'F'
+                                    THEN 1 END), 0) AS BIGINT) AS label
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1, 2, 3),
+    tiled AS (
+      SELECT segment, label,
+             CAST(ntile(10) OVER (PARTITION BY segment
+                                  ORDER BY score DESC, c_custkey)
+                  AS BIGINT) AS decile
+      FROM labeled),
+    per_decile AS (
+      SELECT segment, decile,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS n_pos
+      FROM tiled GROUP BY 1, 2)
+    SELECT segment, decile, n, n_pos,
+           CAST(sum(n_pos) OVER (PARTITION BY segment ORDER BY decile
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_pos,
+           CAST(sum(n) OVER (PARTITION BY segment ORDER BY decile
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum_n
+    FROM per_decile
+    """,
+)
+def ml_cumulative_gains_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUMULATIVE GAINS / LIFT TABLE — the decile analysis every
+    targeting model ships with: rank the population by model score,
+    cut into 10 equal bins, and report how many positives each
+    cumulative prefix captures; lift@decile d = (cum_pos/cum_n) /
+    (P/N) follows by scalar math from the emitted BIGINT cells. (AUC
+    — ``ml_auc_exact`` — integrates this curve; the deciles are what
+    the campaign team actually reads.) Score = account balance cents
+    (the repo's standing linear-scorer proxy), label = customer has a
+    fully-shipped order, per market segment. Decile assignment is
+    ``ntile(10)`` over (score DESC, custkey) — the tiebreak makes the
+    cut deterministic, and ntile's ceiling-first-remainder split is
+    identical in Spark and DuckDB (the parity the
+    ``window_distribution_ranks`` entry already attests); cumulative
+    cells come from a 10-row running window. Everything BIGINT.
+
+    Scale shape: the fact table collapses to per-customer labels via
+    one map-side-combinable groupBy BEFORE any ranking, so the ntile
+    sorts only |customers| rows per segment (the compacted-grain
+    window discipline of ``stats_gini_concentration``); the gains
+    table itself is 50 rows. At 100 TB the label aggregation is the
+    only full-data pass."""
+    labeled = (
+        read_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("score"),
+        )
+        .join(
+            read_table(spark, sf_dir, "orders").select(
+                "o_custkey", "o_orderstatus"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("segment", "c_custkey", "score")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("o_orderstatus") == "F", 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("label")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("score").desc(), "c_custkey"
+    )
+    tiled = labeled.select(
+        "segment", "label", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    per_decile = tiled.groupBy("segment", "decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    wc = (
+        Window.partitionBy("segment")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_decile.select(
+        "segment",
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+        F.sum("n").over(wc).cast("long").alias("cum_n"),
+    )

@@ -1546,3 +1546,99 @@ def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * n - sum_sq).cast("long").alias("mean_x4"),
         (n * n * (2 * n + 3) - sum_var).cast("long").alias("var_x72"),
     )
+
+
+@register(
+    "stats_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT r_name AS region, o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT region, cents,
+             CAST(row_number() OVER (PARTITION BY region
+                                     ORDER BY cents, o_custkey)
+                  AS BIGINT) AS i
+      FROM spend)
+    SELECT region,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents)
+                AS BIGINT) AS gini_num
+    FROM ranked GROUP BY 1
+    """,
+)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI CONCENTRATION INDEX — revenue inequality per region: how
+    concentrated is customer spend? (``stats_gini_impurity`` is the
+    classification-split criterion; THIS is the economist's Lorenz-
+    curve Gini, the standard 'top customers share' KPI.) Exact in
+    integers via the sorted-rank form: with per-customer cent spends
+    x_(1) ≤ … ≤ x_(n),  G = Σ(2i−n−1)·x_(i) / (n·Σx), and the
+    numerator ships as BIGINT gini_num = 2·Σ i·x_i − (n+1)·Σx_i so no
+    division happens engine-side. The rank i is a per-region
+    row_number ordered (cents, custkey); within a tie block of equal
+    x the weight Σ(2i−n−1) over the block is order-invariant, so the
+    tiebreak only pins ENGINE determinism, never the value — that
+    invariance plus the mean-absolute-difference identity
+    Σ_i Σ_j |x_i − x_j| = 2·gini_num is pinned in
+    tests/test_properties.py on a hand corpus in Fractions.
+
+    Scale shape: the fact scan collapses FIRST to the per-customer
+    grain (one map-side-combinable groupBy), so the window ranks only
+    |customers| rows per region — never order rows; then one 5-row
+    aggregate. The sort is per-region over the compacted grain, the
+    ``stats_kruskal_wallis`` shape."""
+    spend = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "region").select(
+                    "r_regionkey", "r_name"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"), "o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("region").orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "region", "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.groupBy("region").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        (
+            2 * F.sum(F.col("i") * F.col("cents"))
+            - (F.count("*") + 1) * F.sum("cents")
+        )
+        .cast("long")
+        .alias("gini_num"),
+    )

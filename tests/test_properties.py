@@ -2082,3 +2082,49 @@ def test_mcnemar_oracle_discordant_identity():
     padded = run(base + [("S", 1, 1)] * 4 + [("S", 0, 0)] * 6)["S"]
     assert padded[0] == 20 and padded[1] == 7 and padded[4] == 6
     assert padded[5:] == got[5:] == (9, 4)
+
+
+def test_gini_oracle_matches_mean_absolute_difference():
+    """stats_gini_concentration pin: on a hand corpus (with spend ties)
+    the committed oracle's gini_num must satisfy the mean-absolute-
+    difference identity Σ_i Σ_j |x_i − x_j| = 2·gini_num, and the
+    assembled G = gini_num/(n·Σx) must equal the Fraction-form Gini —
+    checking the sorted-rank rewrite against first principles."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from irio_mapreduce_spark.queries import catalog
+
+    spends = {
+        "A": [100, 100, 300, 700, 700, 1100],
+        "B": [50, 50, 50, 50],  # perfect equality -> G = 0
+    }
+    custs, orders = [], []
+    i = 0
+    for reg, xs in spends.items():
+        for x in xs:
+            i += 1
+            custs.append((i, reg))
+            # split one customer's spend over two orders to exercise
+            # the per-customer pre-aggregation
+            orders.append((i, "1-P", "F", (x - 10) / 100.0))
+            orders.append((i, "1-P", "F", 10 / 100.0))
+    con = duckdb.connect()
+    _register_region_views(con, custs, orders)
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(
+            catalog.all_oracles()["stats_gini_concentration"]
+        ).fetchall()
+    }
+    for reg, xs in spends.items():
+        n_customers, total, gini_num = got[reg]
+        assert n_customers == len(xs)
+        assert total == sum(xs)
+        mad = sum(abs(a - b) for a in xs for b in xs)
+        assert 2 * gini_num == mad, reg
+        g = Fraction(gini_num, len(xs) * sum(xs))
+        xbar = Fraction(sum(xs), len(xs))
+        assert g == Fraction(mad) / (2 * len(xs) ** 2 * xbar)
+    assert got["B"][2] == 0
