@@ -689,3 +689,77 @@ def sssp_rounds(
     return dist.select(
         F.col("_node").alias("node"), F.col("_dist").alias("dist")
     )
+
+
+def truss_peel_rounds(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    rounds: int,
+) -> list[DataFrame]:
+    """Bounded k-TRUSS peeling: ``rounds`` synchronous rounds of "drop
+    every edge supported by fewer than k−2 triangles", recomputing
+    per-edge triangle support each round over the canonicalized
+    undirected edge list. Returns the edge frames for rounds 0..rounds
+    (round 0 = the input, canonicalized), each ``localCheckpoint``-ed so
+    callers can consume all of them without lineage blow-up — the
+    trajectory IS the result for audit-style consumers.
+
+    k-truss strictly refines k-core (``kcore_peel``): a (k)-truss edge
+    needs k−2 common neighbours, not merely k−1 neighbours per endpoint
+    — the standard cohesive-subgraph ladder. As with the other bounded
+    iterators here, a FIXED round count keeps the operator
+    oracle-replayable as chained CTEs and is an upper bound on the true
+    truss (peeling is monotone), exact once a round removes nothing;
+    production runs the identical round body under a driver-loop
+    convergence probe.
+
+    Scale shape per round: ONE support aggregation — edge ⋈ sym ⋈ sym
+    on endpoint keys (the wedge-closing equi-join of
+    ``triangle_count``, never an all-pairs product) — then an
+    anti-join of under-supported edges. Superseded rounds stay
+    checkpointed because the caller reads the whole trajectory;
+    one-shot consumers should ``free_checkpoint`` all but the last.
+    """
+    if k < 3 or rounds < 1:
+        raise ValueError(f"need k >= 3 and rounds >= 1, got k={k}, rounds={rounds}")
+    a, b = F.col(src_col), F.col(dst_col)
+    cur = (
+        edges.select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = [cur]
+    for _ in range(rounds):
+        sym = cur.select(
+            F.col("_a").alias("_src"), F.col("_b").alias("_dst")
+        ).unionAll(
+            cur.select(F.col("_b").alias("_src"), F.col("_a").alias("_dst"))
+        )
+        sup = (
+            cur.join(
+                sym.select(
+                    F.col("_src").alias("_ua"), F.col("_dst").alias("_wa")
+                ),
+                F.col("_a") == F.col("_ua"),
+            )
+            .join(
+                sym.select(
+                    F.col("_src").alias("_ub"), F.col("_dst").alias("_wb")
+                ),
+                (F.col("_b") == F.col("_ub"))
+                & (F.col("_wa") == F.col("_wb")),
+            )
+            .groupBy("_a", "_b")
+            .agg(F.count("*").alias("_tri"))
+        )
+        cur = (
+            cur.join(sup, ["_a", "_b"], "left")
+            .filter(F.coalesce(F.col("_tri"), F.lit(0)) >= k - 2)
+            .select("_a", "_b")
+            .localCheckpoint(eager=True)
+        )
+        out.append(cur)
+    return out

@@ -24,6 +24,7 @@ from irio_mapreduce_spark.operators.graph import (
     pagerank,
     pagerank_personalized,
     triangle_count,
+    truss_peel_rounds,
 )
 from irio_mapreduce_spark.queries.catalog import register
 
@@ -1313,5 +1314,174 @@ def graph_functional_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("on_cycle").cast("long").alias("cycle_len"),
             F.count("*").cast("long").alias("basin_size"),
+        )
+    )
+
+
+@register(
+    "graph_ktruss_peel_rounds",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT o_custkey AS c, c_nationkey AS nat,
+             date_trunc('week', o_orderdate) AS g
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1995-04-01'),
+    e0 AS (
+      SELECT DISTINCT a.nat, a.c AS u, b.c AS v
+      FROM pres a
+        JOIN pres b ON a.nat = b.nat AND a.g = b.g AND a.c < b.c),
+    s1 AS (SELECT nat, u AS src, v AS dst FROM e0
+           UNION ALL SELECT nat, v, u FROM e0),
+    p1 AS (SELECT e.nat, e.u, e.v, count(*) AS tri FROM e0 e
+           JOIN s1 a ON a.nat = e.nat AND a.src = e.u
+           JOIN s1 b ON b.nat = e.nat AND b.src = e.v AND b.dst = a.dst
+           GROUP BY 1, 2, 3),
+    e1 AS (SELECT e.nat, e.u, e.v FROM e0 e
+           LEFT JOIN p1 s ON s.nat = e.nat AND s.u = e.u AND s.v = e.v
+           WHERE coalesce(s.tri, 0) >= 2),
+    s2 AS (SELECT nat, u AS src, v AS dst FROM e1
+           UNION ALL SELECT nat, v, u FROM e1),
+    p2 AS (SELECT e.nat, e.u, e.v, count(*) AS tri FROM e1 e
+           JOIN s2 a ON a.nat = e.nat AND a.src = e.u
+           JOIN s2 b ON b.nat = e.nat AND b.src = e.v AND b.dst = a.dst
+           GROUP BY 1, 2, 3),
+    e2 AS (SELECT e.nat, e.u, e.v FROM e1 e
+           LEFT JOIN p2 s ON s.nat = e.nat AND s.u = e.u AND s.v = e.v
+           WHERE coalesce(s.tri, 0) >= 2),
+    s3 AS (SELECT nat, u AS src, v AS dst FROM e2
+           UNION ALL SELECT nat, v, u FROM e2),
+    p3 AS (SELECT e.nat, e.u, e.v, count(*) AS tri FROM e2 e
+           JOIN s3 a ON a.nat = e.nat AND a.src = e.u
+           JOIN s3 b ON b.nat = e.nat AND b.src = e.v AND b.dst = a.dst
+           GROUP BY 1, 2, 3),
+    e3 AS (SELECT e.nat, e.u, e.v FROM e2 e
+           LEFT JOIN p3 s ON s.nat = e.nat AND s.u = e.u AND s.v = e.v
+           WHERE coalesce(s.tri, 0) >= 2),
+    trail AS (
+      SELECT 0 AS round, nat, u, v FROM e0
+      UNION ALL SELECT 1, nat, u, v FROM e1
+      UNION ALL SELECT 2, nat, u, v FROM e2
+      UNION ALL SELECT 3, nat, u, v FROM e3),
+    counts AS (
+      SELECT round, nat, CAST(count(*) AS BIGINT) AS n_edges
+      FROM trail GROUP BY 1, 2),
+    node_sets AS (
+      SELECT DISTINCT round, nat, x FROM (
+        SELECT round, nat, u AS x FROM trail
+        UNION ALL SELECT round, nat, v FROM trail)),
+    nodes AS (
+      SELECT round, nat, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM node_sets GROUP BY 1, 2)
+    SELECT n_name AS nation, CAST(c.round AS BIGINT) AS round,
+           c.n_edges, n.n_nodes
+    FROM counts c
+      JOIN nodes n ON c.round = n.round AND c.nat = n.nat
+      JOIN nation ON c.nat = n_nationkey
+    """,
+)
+def graph_ktruss_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-TRUSS PEELING TRAJECTORY — the cohesive-subgraph refinement one
+    rung above k-core (``graph_kcore_cosupply``): an edge survives only
+    while it closes ≥ k−2 = 2 triangles, and support is RECOMPUTED each
+    round as peeled edges withdraw their triangles. Graph = customers of
+    the same nation ordering in the same ISO week of 1995Q1 (nation-
+    disjoint by construction — the truss computation is embarrassingly
+    parallel across nations, the partition-key design a 100 TB tenant
+    graph wants); 3 synchronous peel rounds via
+    ``operators.graph.truss_peel_rounds``, which localCheckpoints every
+    round so the emitted TRAJECTORY (nation, round, n_edges, n_nodes
+    for rounds 0..3) reads all four frames without lineage blow-up. The
+    quarter filter is a pushed-down orders predicate; the fixed round
+    count keeps the oracle replayable as chained CTEs (house bounded-
+    iterator contract: an upper bound on the true truss, exact once a
+    round removes nothing — the measured trajectories converge by round
+    3 at sf0.01/sf0.1 and empty by round 1 at sf0.001, both legitimate
+    fixpoints the trajectory makes visible). K4-keeps/pendant-drops
+    behaviour pinned on a hand graph in tests/test_properties.py.
+
+    Scale shape per round: triangle support is the wedge-closing
+    equi-join of ``triangle_count`` (edge ⋈ sym ⋈ sym on endpoint+nation
+    keys — never an all-pairs product), then an under-support anti-
+    filter; per-round frames are O(E). The n_nodes recount per round is
+    a distinct over edge endpoints — O(E) with map-side combine."""
+    pres = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("c_nationkey").alias("nat"),
+            F.date_trunc("week", F.col("o_orderdate")).alias("g"),
+        )
+        .distinct()
+    )
+    a, b = pres.alias("a"), pres.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.nat") == F.col("b.nat"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.c") < F.col("b.c")),
+        )
+        .select(
+            F.col("a.nat").alias("nat"),
+            # encode nation into the node id so the nation-disjoint graph
+            # peels as one edge list (nat recovered from either endpoint)
+            (F.col("a.nat") * F.lit(10**10) + F.col("a.c")).alias("u"),
+            (F.col("a.nat") * F.lit(10**10) + F.col("b.c")).alias("v"),
+        )
+        .distinct()
+    )
+    rounds = truss_peel_rounds(edges, "u", "v", k=4, rounds=3)
+    per_round = []
+    for r, er in enumerate(rounds):
+        e_cnt = (
+            er.select(
+                F.expr("_a div 10000000000").cast("int").alias("nat")
+            )
+            .groupBy("nat")
+            .agg(F.count("*").cast("long").alias("n_edges"))
+        )
+        n_cnt = (
+            er.select(F.col("_a").alias("x"))
+            .unionAll(er.select(F.col("_b").alias("x")))
+            .distinct()
+            .select(F.expr("x div 10000000000").cast("int").alias("nat"))
+            .groupBy("nat")
+            .agg(F.count("*").cast("long").alias("n_nodes"))
+        )
+        per_round.append(
+            e_cnt.join(n_cnt, "nat").withColumn(
+                "round", F.lit(r).cast("long")
+            )
+        )
+    trail = per_round[0]
+    for p in per_round[1:]:
+        trail = trail.unionByName(p)
+    return (
+        trail.join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("nat") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "round",
+            "n_edges",
+            F.col("n_nodes"),
         )
     )

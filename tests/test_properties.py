@@ -2128,3 +2128,66 @@ def test_gini_oracle_matches_mean_absolute_difference():
         xbar = Fraction(sum(xs), len(xs))
         assert g == Fraction(mad) / (2 * len(xs) ** 2 * xbar)
     assert got["B"][2] == 0
+
+
+def test_ktruss_keeps_k4_and_drops_pendant():
+    """graph_ktruss_peel_rounds pin: on a hand graph — a K4 clique (4
+    customers co-ordering in one week) plus a pendant edge (2 customers
+    alone in another week) — the committed oracle's trajectory must keep
+    all 6 K4 edges through every round (each closes 2 triangles) and
+    drop the pendant edge in round 1 (support 0), with node counts
+    following."""
+    import duckdb
+
+    from irio_mapreduce_spark.queries import catalog
+
+    custs, orders = [], []
+    # K4: customers 1-4 order in the week of 1995-01-16
+    for c, day in ((1, 16), (2, 17), (3, 18), (4, 19)):
+        custs.append((c, "A"))
+        orders.append((c, "1-P", "F", 1.0, f"1995-01-{day:02d}"))
+    # pendant: customers 5-6 alone in the week of 1995-02-13
+    for c, day in ((5, 13), (6, 14)):
+        custs.append((c, "A"))
+        orders.append((c, "1-P", "F", 1.0, f"1995-02-{day:02d}"))
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register(
+        "orders_df",
+        pd.DataFrame(
+            orders,
+            columns=[
+                "o_custkey",
+                "o_orderpriority",
+                "o_orderstatus",
+                "o_totalprice",
+                "d",
+            ],
+        ),
+    )
+    con.execute(
+        "CREATE VIEW orders AS SELECT o_custkey, o_orderpriority,"
+        " o_orderstatus, o_totalprice, CAST(d AS TIMESTAMP) AS o_orderdate"
+        " FROM orders_df"
+    )
+    con.register(
+        "customer_df",
+        pd.DataFrame(
+            [(c, 0) for c, _ in custs],
+            columns=["c_custkey", "c_nationkey"],
+        ),
+    )
+    con.execute("CREATE VIEW customer AS SELECT * FROM customer_df")
+    con.execute(
+        "CREATE VIEW nation AS SELECT 0 AS n_nationkey, 'A' AS n_name"
+    )
+    got = {
+        (r[1]): (r[2], r[3])
+        for r in con.execute(
+            catalog.all_oracles()["graph_ktruss_peel_rounds"]
+        ).fetchall()
+    }
+    assert got[0] == (7, 6)  # 6 K4 edges + pendant, 6 nodes
+    for rnd in (1, 2, 3):
+        assert got[rnd] == (6, 4), rnd
