@@ -476,3 +476,192 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trunc_top1_cos",
         )
     )
+
+
+_MMR_QUERY_IDS = (1, 2, 3, 5)
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (1, 2, 3, 5)),
+    base AS (
+      SELECT q.qid, e.vec_id AS id, e.embedding::DOUBLE[] AS dv,
+             CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+                        * 1000000) AS BIGINT) AS rel_u
+      FROM embeddings e, q WHERE e.vec_id NOT IN (1, 2, 3, 5)),
+    cand AS (
+      SELECT qid, id, dv, rel_u
+      FROM base
+      QUALIFY row_number() OVER (PARTITION BY qid
+                                 ORDER BY rel_u DESC, id) <= 10),
+    pairs AS (
+      SELECT a.qid, a.id AS ida, b.id AS idb,
+             CAST(round(list_cosine_similarity(a.dv, b.dv) * 1000000)
+                  AS BIGINT) AS sim_u
+      FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id),
+    s1 AS (
+      SELECT qid, id, rel_u, rel_u AS score2 FROM cand
+      QUALIFY row_number() OVER (PARTITION BY qid
+                                 ORDER BY rel_u DESC, id) = 1),
+    sel1 AS (SELECT qid, id FROM s1),
+    s2 AS (
+      SELECT qid, id, rel_u, rel_u - maxsim AS score2 FROM (
+        SELECT c.qid, c.id, c.rel_u, max(p.sim_u) AS maxsim
+        FROM cand c
+          JOIN pairs p ON p.qid = c.qid AND p.ida = c.id
+          JOIN sel1 s ON s.qid = p.qid AND s.id = p.idb
+        WHERE NOT EXISTS (SELECT 1 FROM sel1 x
+                          WHERE x.qid = c.qid AND x.id = c.id)
+        GROUP BY 1, 2, 3)
+      QUALIFY row_number() OVER (PARTITION BY qid
+                                 ORDER BY score2 DESC, id) = 1),
+    sel2 AS (SELECT qid, id FROM sel1 UNION ALL SELECT qid, id FROM s2),
+    s3 AS (
+      SELECT qid, id, rel_u, rel_u - maxsim AS score2 FROM (
+        SELECT c.qid, c.id, c.rel_u, max(p.sim_u) AS maxsim
+        FROM cand c
+          JOIN pairs p ON p.qid = c.qid AND p.ida = c.id
+          JOIN sel2 s ON s.qid = p.qid AND s.id = p.idb
+        WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                          WHERE x.qid = c.qid AND x.id = c.id)
+        GROUP BY 1, 2, 3)
+      QUALIFY row_number() OVER (PARTITION BY qid
+                                 ORDER BY score2 DESC, id) = 1),
+    sel3 AS (SELECT qid, id FROM sel2 UNION ALL SELECT qid, id FROM s3),
+    s4 AS (
+      SELECT qid, id, rel_u, rel_u - maxsim AS score2 FROM (
+        SELECT c.qid, c.id, c.rel_u, max(p.sim_u) AS maxsim
+        FROM cand c
+          JOIN pairs p ON p.qid = c.qid AND p.ida = c.id
+          JOIN sel3 s ON s.qid = p.qid AND s.id = p.idb
+        WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+                          WHERE x.qid = c.qid AND x.id = c.id)
+        GROUP BY 1, 2, 3)
+      QUALIFY row_number() OVER (PARTITION BY qid
+                                 ORDER BY score2 DESC, id) = 1),
+    sel4 AS (SELECT qid, id FROM sel3 UNION ALL SELECT qid, id FROM s4),
+    s5 AS (
+      SELECT qid, id, rel_u, rel_u - maxsim AS score2 FROM (
+        SELECT c.qid, c.id, c.rel_u, max(p.sim_u) AS maxsim
+        FROM cand c
+          JOIN pairs p ON p.qid = c.qid AND p.ida = c.id
+          JOIN sel4 s ON s.qid = p.qid AND s.id = p.idb
+        WHERE NOT EXISTS (SELECT 1 FROM sel4 x
+                          WHERE x.qid = c.qid AND x.id = c.id)
+        GROUP BY 1, 2, 3)
+      QUALIFY row_number() OVER (PARTITION BY qid
+                                 ORDER BY score2 DESC, id) = 1)
+    SELECT qid, CAST(rank AS BIGINT) AS rank, id AS vec_id, rel_u, score2
+    FROM (SELECT qid, 1 AS rank, id, rel_u, score2 FROM s1
+          UNION ALL SELECT qid, 2, id, rel_u, score2 FROM s2
+          UNION ALL SELECT qid, 3, id, rel_u, score2 FROM s3
+          UNION ALL SELECT qid, 4, id, rel_u, score2 FROM s4
+          UNION ALL SELECT qid, 5, id, rel_u, score2 FROM s5)
+    """,
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-ranking — the diversification pass
+    every retrieval pipeline runs between ANN recall and the consumer:
+    from each query's top-10 cosine candidates, greedily pick 5 where
+    pick k maximizes λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)
+    (Carbonell & Goldstein 1998), λ = 1/2. The greedy argmax chain is
+    where float engines diverge, so relevance and pairwise similarity
+    are snapped ONCE to integer micro-units (round(cos·10⁶) — the
+    round-6 device of ``sim_cosine_topk``) and the ENTIRE greedy runs
+    in BIGINT: score2 = 2·MMR·10⁶ = rel_u − max sim_u, argmax ties
+    broken by vec_id — bit-reproducible selection on both engines. The
+    5 greedy steps are UNROLLED as dataframe rounds here and as chained
+    CTEs in the oracle (mirrored-but-independent — pinned against a
+    from-scratch Python greedy in tests/test_properties.py).
+
+    Scale shape: candidate generation is the pluggable stage — here the
+    exact scan (4 bounded queries), at 100 TB the LSH/IVF entries'
+    bucketed candidates; everything downstream of it touches ≤ 10 rows
+    per query: the 10×10 pairwise-sim join and five argmax rounds are
+    broadcast-sized by construction. The corpus is never shuffled; the
+    re-rank cost is O(queries · k²), independent of corpus size."""
+    from pyspark.sql import Window
+
+    qids = list(_MMR_QUERY_IDS)
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
+    )
+    base = (
+        emb.filter(~F.col("vec_id").isin(qids))
+        .select(
+            F.col("vec_id").alias("id"),
+            as_double(F.col("embedding")).alias("dv"),
+        )
+        .join(F.broadcast(q))
+        .select(
+            "qid",
+            "id",
+            "dv",
+            F.round(cosine(F.col("dv"), F.col("qv")) * 1000000, 0)
+            .cast("long")
+            .alias("rel_u"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel_u").desc(), "id")
+    cand = (
+        base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+        .localCheckpoint(eager=True)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.qid") == F.col("b.qid"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.qid").alias("qid"),
+            F.col("a.id").alias("ida"),
+            F.col("b.id").alias("idb"),
+            F.round(cosine(F.col("a.dv"), F.col("b.dv")) * 1000000, 0)
+            .cast("long")
+            .alias("sim_u"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand_slim = cand.select("qid", "id", "rel_u")
+    pick_w = Window.partitionBy("qid").orderBy(F.col("score2").desc(), "id")
+    s1 = (
+        cand_slim.withColumn("score2", F.col("rel_u"))
+        .withColumn("rk", F.row_number().over(pick_w))
+        .filter(F.col("rk") == 1)
+        .select("qid", "id", "rel_u", "score2")
+    )
+    picks = [s1]
+    sel = s1.select("qid", "id")
+    for _ in range(2, 6):
+        rem = cand_slim.join(sel, ["qid", "id"], "left_anti")
+        ms = (
+            pairs.join(
+                sel.withColumnRenamed("id", "idb"), ["qid", "idb"]
+            )
+            .groupBy("qid", F.col("ida").alias("id"))
+            .agg(F.max("sim_u").alias("maxsim"))
+        )
+        sk = (
+            rem.join(ms, ["qid", "id"])
+            .withColumn("score2", F.col("rel_u") - F.col("maxsim"))
+            .withColumn("rk", F.row_number().over(pick_w))
+            .filter(F.col("rk") == 1)
+            .select("qid", "id", "rel_u", "score2")
+        )
+        picks.append(sk)
+        sel = sel.unionByName(sk.select("qid", "id"))
+    out = None
+    for r, p in enumerate(picks, start=1):
+        pr = p.withColumn("rank", F.lit(r).cast("long"))
+        out = pr if out is None else out.unionByName(pr)
+    return out.select(
+        "qid", "rank", F.col("id").alias("vec_id"), "rel_u", "score2"
+    )

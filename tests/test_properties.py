@@ -2191,3 +2191,86 @@ def test_ktruss_keeps_k4_and_drops_pendant():
     assert got[0] == (7, 6)  # 6 K4 edges + pendant, 6 nodes
     for rnd in (1, 2, 3):
         assert got[rnd] == (6, 4), rnd
+
+
+def test_mmr_oracle_matches_python_greedy():
+    """sim_mmr_rerank pin: the committed oracle's unrolled 5-step CTE
+    greedy must equal a from-scratch Python MMR (micro-integer scores,
+    vec_id tiebreak) on a hand corpus engineered so pure-relevance
+    order and MMR order DIFFER (a redundant near-duplicate cluster next
+    to the query vs. a diverse outlier)."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from irio_mapreduce_spark.queries import catalog
+
+    # ids 1,2,3,5 are queries; give every query the same 12 candidates
+    # in 2-d: a tight cluster near [1,0] and spread-out diversity
+    vecs = {1: [1.0, 0.0], 2: [0.0, 1.0], 3: [0.7, 0.7], 5: [-1.0, 0.2]}
+    # a TIGHT cluster at 0.3 rad (mutual sim >> rel to the query) plus
+    # diverse spread — the regime where λ=1/2 MMR actually reorders
+    angles = [0.299, 0.3, 0.301, 0.302, -0.5, 0.9, -0.9, 1.3, -1.3, 1.9, 2.5, 3.0]
+    for i, ang in enumerate(angles):
+        vecs[10 + i] = [math.cos(ang), math.sin(ang)]
+    rows = [(vid, v, 0) for vid, v in sorted(vecs.items())]
+    con = duckdb.connect()
+    con.register(
+        "embeddings_df",
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+    )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT vec_id,"
+        " embedding::DOUBLE[] AS embedding, label FROM embeddings_df"
+    )
+    got = con.execute(
+        catalog.all_oracles()["sim_mmr_rerank"]
+    ).fetchall()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    def micro(x):
+        return int(
+            math.floor(abs(x) * 1e6 + 0.5) * (1 if x >= 0 else -1)
+        )
+
+    qids = [1, 2, 3, 5]
+    expect = []
+    for qid in qids:
+        cand_ids = [v for v in vecs if v not in qids]
+        rel = {d: micro(cos(vecs[d], vecs[qid])) for d in cand_ids}
+        top = sorted(cand_ids, key=lambda d: (-rel[d], d))[:10]
+        sim = {
+            (a, b): micro(cos(vecs[a], vecs[b]))
+            for a in top
+            for b in top
+            if a != b
+        }
+        selected = []
+        for rank in range(1, 6):
+            remaining = [d for d in top if d not in selected]
+            if not selected:
+                scored = [(rel[d], d) for d in remaining]
+            else:
+                scored = [
+                    (rel[d] - max(sim[(d, s)] for s in selected), d)
+                    for d in remaining
+                ]
+            score2, pick = max(scored, key=lambda t: (t[0], -t[1]))
+            selected.append(pick)
+            expect.append((qid, rank, pick, rel[pick], score2))
+    assert sorted(got) == sorted(expect)
+    # the pin is meaningful only if MMR actually reorders vs relevance
+    rel_order = {r[2] for r in expect if r[0] == 1 and r[1] <= 5}
+    pure_rel_top5 = set(
+        sorted(
+            (v for v in vecs if v not in qids),
+            key=lambda d: -cos(vecs[d], vecs[1]),
+        )[:5]
+    )
+    assert rel_order != pure_rel_top5
