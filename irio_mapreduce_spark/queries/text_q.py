@@ -1282,3 +1282,118 @@ def text_hashing_trick_features(
         F.sum(F.abs(F.col("v"))).cast("long").alias("l1"),
         F.sum(F.col("v") * F.col("v")).cast("long").alias("l2_sq"),
     )
+
+
+@register(
+    "text_rake_keywords",
+    oracle="""
+    WITH phr AS (
+      SELECT trim(p) AS phrase
+      FROM documents,
+           unnest(string_split_regex(
+             regexp_replace(' ' || text || ' ',
+                            '\\bthe\\b|\\ba\\b', '|', 'g'),
+             '\\|')) AS t(p)
+      WHERE trim(p) <> ''),
+    pw AS (
+      SELECT phrase, w,
+             CAST(len(string_split_regex(phrase, ' +')) AS BIGINT)
+               AS n_words
+      FROM phr, unnest(string_split_regex(phrase, ' +')) AS t(w)),
+    wstat AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(n_words) AS BIGINT) AS deg
+      FROM pw GROUP BY w),
+    dphr AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM phr GROUP BY phrase),
+    dpw AS (
+      SELECT p2.phrase, t.w
+      FROM (SELECT DISTINCT phrase FROM phr) p2,
+           unnest(string_split_regex(p2.phrase, ' +')) AS t(w)),
+    scored AS (
+      SELECT d.phrase,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum((s.deg * 1000000) // s.freq) AS BIGINT) AS score_fp
+      FROM dpw d
+        JOIN wstat s ON s.w = d.w
+      GROUP BY d.phrase)
+    SELECT sc.phrase, sc.n_words, dp.n_occurrences, sc.score_fp
+    FROM scored sc JOIN dphr dp ON dp.phrase = sc.phrase
+    ORDER BY sc.score_fp DESC, sc.phrase
+    LIMIT 15
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE KEYWORD EXTRACTION (Rose et al. 2010) — the stopword-
+    delimited phrase scorer: candidate phrases are maximal runs between
+    stopwords ('the', 'a' — the corpus's function words), each word
+    gets score deg(w)/freq(w) (degree = Σ lengths of phrases containing
+    it — co-occurrence reach; frequency penalizes ubiquitous words),
+    and a phrase scores the SUM over its words (multiplicity counted).
+    The rational word score is snapped once to FIXED-POINT BIGINT
+    ((deg·10⁶) div freq — the catalog's fixed-point rule), so phrase
+    sums, ranking and the top-15 tiebreak (score desc, phrase) are all
+    integer-exact cross-engine. The stopword splitter is an RE2-safe
+    word-boundary regex (no lookarounds — DuckDB's RE2 has none) shared
+    by both engines as a parameter; the scoring algebra is pinned
+    against a from-scratch Python RAKE on a hand corpus in
+    tests/test_properties.py.
+
+    Scale shape: phrase explode is a flatMap in the scan stage; word
+    stats are ONE map-side-combinable groupBy over exploded words; the
+    phrase score join hits the vocabulary-sized stats table (broadcast)
+    and the distinct-phrase grain, never re-scanning documents; top-15
+    is TakeOrdered. Linear in corpus, no window over raw text."""
+    stop_pat = r"\bthe\b|\ba\b"
+    phr = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                        stop_pat,
+                        "|",
+                    ),
+                    r"\|",
+                )
+            ).alias("p")
+        )
+        .select(F.trim(F.col("p")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    pw = phr.select(
+        "phrase",
+        F.explode(F.split(F.col("phrase"), " +")).alias("w"),
+        F.size(F.split(F.col("phrase"), " +")).cast("long").alias("n_words"),
+    )
+    wstat = pw.groupBy("w").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("deg"),
+    )
+    dphr = phr.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    dpw = (
+        dphr.select("phrase")
+        .select(
+            "phrase", F.explode(F.split(F.col("phrase"), " +")).alias("w")
+        )
+    )
+    scored = (
+        dpw.join(F.broadcast(wstat), "w")
+        .groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.expr("(deg * 1000000L) DIV freq"))
+            .cast("long")
+            .alias("score_fp"),
+        )
+    )
+    return (
+        scored.join(dphr, "phrase")
+        .select("phrase", "n_words", "n_occurrences", "score_fp")
+        .orderBy(F.col("score_fp").desc(), "phrase")
+        .limit(15)
+    )

@@ -2336,3 +2336,57 @@ def test_logrank_oracle_matches_fraction_form():
     # recompute V without the guard and check it would differ if the
     # formula divided by nj-1=0 (i.e. the guard is load-bearing)
     assert times[-1] == 6
+
+
+def test_rake_oracle_matches_python_reference():
+    """text_rake_keywords pin: the committed oracle on a hand corpus
+    must equal a from-scratch Python RAKE — stopword-run phrase
+    extraction, deg/freq word scores in fixed-point, phrase sums with
+    word multiplicity counted (a phrase repeating a word scores it
+    twice — the DISTINCT-phrase trap this pin guards)."""
+    import re
+
+    import duckdb
+    import pandas as pd
+
+    from irio_mapreduce_spark.queries import catalog
+
+    docs = [
+        "deep learning the neural net a deep deep net",
+        "the deep learning net",
+        "a net the learning",
+    ]
+    con = duckdb.connect()
+    con.register("documents_df", pd.DataFrame({"text": docs}))
+    con.execute("CREATE VIEW documents AS SELECT text FROM documents_df")
+    got = con.execute(
+        catalog.all_oracles()["text_rake_keywords"]
+    ).fetchall()
+
+    phrases = []
+    for d in docs:
+        for p in re.split(r"\bthe\b|\ba\b", d):
+            p = re.sub(" +", " ", p.strip())
+            if p:
+                phrases.append(p)
+    freq, deg = {}, {}
+    for p in phrases:
+        ws = p.split(" ")
+        for w in ws:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(ws)
+    s_fp = {w: (deg[w] * 1000000) // freq[w] for w in freq}
+    from collections import Counter
+
+    occ = Counter(phrases)
+    expect = []
+    for p in occ:
+        ws = p.split(" ")
+        expect.append(
+            (p, len(ws), occ[p], sum(s_fp[w] for w in ws))
+        )
+    expect.sort(key=lambda t: (-t[3], t[0]))
+    assert got == expect[:15]
+    # multiplicity is load-bearing: 'deep deep net' counts deep twice
+    dd = [e for e in expect if e[0] == "deep deep net"]
+    assert dd and dd[0][3] == 2 * s_fp["deep"] + s_fp["net"]
