@@ -2762,3 +2762,209 @@ def ml_cumulative_gains_deciles(
         F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
         F.sum("n").over(wc).cast("long").alias("cum_n"),
     )
+
+
+@register(
+    "ml_kfold_cv_stump",
+    oracle="""
+    WITH pts AS (
+      SELECT l_orderkey % 5 AS f,
+             CAST(l_quantity AS BIGINT) AS q,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem),
+    hist AS (
+      SELECT f, q, CAST(count(*) AS BIGINT) AS n_q,
+             CAST(sum(pos) AS BIGINT) AS pos_q
+      FROM pts GROUP BY 1, 2),
+    folds AS (SELECT DISTINCT f FROM hist),
+    train AS (
+      SELECT folds.f, h.q,
+             CAST(sum(h.n_q) AS BIGINT) AS n_q,
+             CAST(sum(h.pos_q) AS BIGINT) AS pos_q
+      FROM folds JOIN hist h ON h.f <> folds.f
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT f, q,
+             sum(n_q) OVER w AS n_l, sum(pos_q) OVER w AS pos_l,
+             sum(n_q) OVER (PARTITION BY f) AS n,
+             sum(pos_q) OVER (PARTITION BY f) AS pos_tot
+      FROM train WINDOW w AS (PARTITION BY f ORDER BY q)),
+    cand AS (
+      SELECT f, q AS t, n_l, pos_l, n - n_l AS n_r,
+             pos_tot - pos_l AS pos_r
+      FROM cum WHERE n_l > 0 AND n - n_l > 0),
+    scored AS (
+      SELECT f, t, n_l, n_r, pos_l, pos_r,
+             2 * (CAST(pos_l AS HUGEINT) * (n_l - pos_l) * n_r
+                  + CAST(pos_r AS HUGEINT) * (n_r - pos_r) * n_l) AS num,
+             CAST(n_l AS HUGEINT) * n_r AS den
+      FROM cand),
+    best AS (
+      SELECT * FROM scored a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM scored b
+        WHERE b.f = a.f
+          AND (b.num * a.den < a.num * b.den
+               OR (b.num * a.den = a.num * b.den AND b.t < a.t)))),
+    leaves AS (
+      SELECT f, t,
+             CASE WHEN 2 * pos_l > n_l THEN 1 ELSE 0 END AS maj_l,
+             CASE WHEN 2 * pos_r > n_r THEN 1 ELSE 0 END AS maj_r
+      FROM best),
+    eval AS (
+      SELECT l.f, l.t, l.maj_l, l.maj_r,
+             CAST(sum(h.n_q) AS BIGINT) AS n_test,
+             CAST(sum(CASE
+               WHEN h.q <= l.t THEN
+                 CASE WHEN l.maj_l = 1 THEN h.pos_q
+                      ELSE h.n_q - h.pos_q END
+               ELSE
+                 CASE WHEN l.maj_r = 1 THEN h.pos_q
+                      ELSE h.n_q - h.pos_q END
+             END) AS BIGINT) AS n_correct
+      FROM leaves l JOIN hist h ON h.f = l.f
+      GROUP BY 1, 2, 3, 4)
+    SELECT CAST(f AS BIGINT) AS fold, CAST(t AS BIGINT) AS best_threshold,
+           CAST(maj_l AS BIGINT) AS maj_left,
+           CAST(maj_r AS BIGINT) AS maj_right,
+           n_test, n_correct
+    FROM eval
+    """,
+)
+def ml_kfold_cv_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-FOLD CROSS-VALIDATION — the evaluation PROTOCOL operator the
+    model entries lacked: 5 derandomized folds (l_orderkey % 5 — the
+    md5/mod reproducibility device of the sampling family), and for
+    each fold a CART stump (``ml_decision_stump``'s exact-integer
+    Gini argmin — cross-multiplied HUGEINT/DECIMAL(38) comparison,
+    smallest-threshold tiebreak) is trained on the OTHER four folds and
+    scored on the held-out fold: per-fold best threshold, training
+    leaf majorities, and held-out (n_test, n_correct) — every output
+    BIGINT, the whole protocol bit-reproducible. Mean held-out
+    accuracy and its fold spread (the generalization estimate CV
+    exists for) follow by scalar math from the 5 rows.
+
+    Scale shape: ONE grouped pass compacts the fact table to the
+    (fold × distinct-quantity) histogram — ~250 rows; train folds are
+    LOO-complements built by the 5×histogram join on that compacted
+    grain (never rescanning data, the leave-one-out complement trick
+    of ``ml_target_encoding_loo``); per-fold windows, the dominance
+    anti-join and held-out scoring all run broadcast-sized. At 100 TB:
+    one scan, then arithmetic."""
+    dec = "decimal(38,0)"
+    pts = read_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 5).alias("f"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    hist = pts.groupBy("f", "q").agg(
+        F.count("*").cast("long").alias("n_q"),
+        F.sum("pos").cast("long").alias("pos_q"),
+    )
+    folds = hist.select("f").distinct().select(F.col("f").alias("ff"))
+    train = (
+        folds.join(hist, F.col("f") != F.col("ff"))
+        .groupBy("ff", "q")
+        .agg(
+            F.sum("n_q").cast("long").alias("n_q"),
+            F.sum("pos_q").cast("long").alias("pos_q"),
+        )
+    )
+    w = (
+        Window.partitionBy("ff")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("ff")
+    cum = (
+        train.withColumn("n_l", F.sum("n_q").over(w))
+        .withColumn("pos_l", F.sum("pos_q").over(w))
+        .withColumn("n", F.sum("n_q").over(wt))
+        .withColumn("pos_tot", F.sum("pos_q").over(wt))
+    )
+    cand = cum.filter(
+        (F.col("n_l") > 0) & (F.col("n") - F.col("n_l") > 0)
+    ).select(
+        "ff",
+        F.col("q").alias("t"),
+        "n_l",
+        "pos_l",
+        (F.col("n") - F.col("n_l")).alias("n_r"),
+        (F.col("pos_tot") - F.col("pos_l")).alias("pos_r"),
+    )
+    scored = cand.select(
+        "ff",
+        "t",
+        "n_l",
+        "n_r",
+        "pos_l",
+        "pos_r",
+        (
+            F.lit(2).cast(dec)
+            * (
+                F.col("pos_l").cast(dec)
+                * (F.col("n_l") - F.col("pos_l"))
+                * F.col("n_r")
+                + F.col("pos_r").cast(dec)
+                * (F.col("n_r") - F.col("pos_r"))
+                * F.col("n_l")
+            )
+        ).alias("num"),
+        (F.col("n_l").cast(dec) * F.col("n_r")).alias("den"),
+    )
+    other = scored.select(
+        F.col("ff").alias("b_ff"),
+        F.col("t").alias("b_t"),
+        F.col("num").alias("b_num"),
+        F.col("den").alias("b_den"),
+    )
+    best = scored.join(
+        F.broadcast(other),
+        (F.col("b_ff") == F.col("ff"))
+        & (
+            (F.col("b_num") * F.col("den") < F.col("num") * F.col("b_den"))
+            | (
+                (F.col("b_num") * F.col("den") == F.col("num") * F.col("b_den"))
+                & (F.col("b_t") < F.col("t"))
+            )
+        ),
+        "left_anti",
+    )
+    leaves = best.select(
+        "ff",
+        "t",
+        F.when(2 * F.col("pos_l") > F.col("n_l"), 1)
+        .otherwise(0)
+        .alias("maj_l"),
+        F.when(2 * F.col("pos_r") > F.col("n_r"), 1)
+        .otherwise(0)
+        .alias("maj_r"),
+    )
+    correct = F.when(
+        F.col("q") <= F.col("t"),
+        F.when(F.col("maj_l") == 1, F.col("pos_q")).otherwise(
+            F.col("n_q") - F.col("pos_q")
+        ),
+    ).otherwise(
+        F.when(F.col("maj_r") == 1, F.col("pos_q")).otherwise(
+            F.col("n_q") - F.col("pos_q")
+        )
+    )
+    return (
+        leaves.join(hist, F.col("f") == F.col("ff"))
+        .groupBy("ff", "t", "maj_l", "maj_r")
+        .agg(
+            F.sum("n_q").cast("long").alias("n_test"),
+            F.sum(correct).cast("long").alias("n_correct"),
+        )
+        .select(
+            F.col("ff").cast("long").alias("fold"),
+            F.col("t").cast("long").alias("best_threshold"),
+            F.col("maj_l").cast("long").alias("maj_left"),
+            F.col("maj_r").cast("long").alias("maj_right"),
+            "n_test",
+            "n_correct",
+        )
+    )

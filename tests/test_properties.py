@@ -2390,3 +2390,66 @@ def test_rake_oracle_matches_python_reference():
     # multiplicity is load-bearing: 'deep deep net' counts deep twice
     dd = [e for e in expect if e[0] == "deep deep net"]
     assert dd and dd[0][3] == 2 * s_fp["deep"] + s_fp["net"]
+
+
+def test_kfold_cv_oracle_matches_python_reference():
+    """ml_kfold_cv_stump pin: on a hand corpus the committed oracle must
+    equal a from-scratch Python 5-fold CV — per-fold stump trained by
+    brute-force Fraction Gini over the OTHER folds (smallest-threshold
+    tiebreak), leaf majorities from training, accuracy counted on the
+    held-out fold."""
+    from fractions import Fraction
+
+    import duckdb
+    import pandas as pd
+
+    from irio_mapreduce_spark.queries import catalog
+
+    rows = []
+    # (orderkey, quantity, returnflag): low q mostly 'R', high q mostly not,
+    # with noise, spread across folds 0..4
+    data = [
+        (0, 1, "R"), (1, 2, "R"), (2, 2, "N"), (3, 3, "R"), (4, 1, "R"),
+        (5, 7, "N"), (6, 8, "N"), (7, 8, "R"), (8, 9, "N"), (9, 7, "N"),
+        (10, 4, "R"), (11, 5, "N"), (12, 6, "N"), (13, 4, "N"), (14, 5, "R"),
+        (15, 2, "R"), (16, 9, "N"), (17, 3, "N"), (18, 6, "R"), (19, 1, "N"),
+    ]
+    con = duckdb.connect()
+    con.register(
+        "lineitem_df",
+        pd.DataFrame(
+            data, columns=["l_orderkey", "l_quantity", "l_returnflag"]
+        ),
+    )
+    con.execute("CREATE VIEW lineitem AS SELECT * FROM lineitem_df")
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(
+            catalog.all_oracles()["ml_kfold_cv_stump"]
+        ).fetchall()
+    }
+    for f in range(5):
+        train = [(q, 1 if r == "R" else 0) for o, q, r in data if o % 5 != f]
+        test = [(q, 1 if r == "R" else 0) for o, q, r in data if o % 5 == f]
+        qs = sorted({q for q, _ in train})
+        best = None
+        for t in qs:
+            left = [(q, p) for q, p in train if q <= t]
+            right = [(q, p) for q, p in train if q > t]
+            if not left or not right:
+                continue
+            nl, pl = len(left), sum(p for _, p in left)
+            nr, pr = len(right), sum(p for _, p in right)
+            gini = Fraction(2 * (pl * (nl - pl) * nr + pr * (nr - pr) * nl),
+                            nl * nr)
+            if best is None or gini < best[0] or (gini == best[0] and t < best[1]):
+                best = (gini, t, nl, pl, nr, pr)
+        _, t, nl, pl, nr, pr = best
+        maj_l = 1 if 2 * pl > nl else 0
+        maj_r = 1 if 2 * pr > nr else 0
+        n_correct = sum(
+            1
+            for q, p in test
+            if p == (maj_l if q <= t else maj_r)
+        )
+        assert got[f] == (t, maj_l, maj_r, len(test), n_correct), f
