@@ -5654,3 +5654,140 @@ def layout_cached_multi_consumer(
     finally:
         base.unpersist()
     return spark.createDataFrame(rows, schema)
+
+
+# Captured by join_cbo_reorder_3way for tests/test_plans.py: optimized
+# logical plans before/after ANALYZE, where stats let CostBasedJoinReorder
+# restructure the syntactic ((fact ⋈ mid) ⋈ dim) into ((mid ⋈ dim) ⋈ fact).
+CBO_REORDER_PLANS: dict[str, str] = {}
+
+
+@register(
+    "join_cbo_reorder_3way",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey <= 20
+    GROUP BY c_mktsegment
+    """,
+)
+def join_cbo_reorder_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO JOIN REORDERING — the second statistics pillar beside the
+    broadcast flip (``join_cbo_stats_broadcast``): the query is WRITTEN
+    pessimally as (lineitem ⋈ orders) ⋈ σ(customer) — the full fact
+    join runs before the selective customer filter can prune anything.
+    Without table statistics Catalyst keeps the syntactic order; with
+    ``cbo.enabled`` + ``cbo.joinReorder.enabled`` and row-count/column
+    stats from ANALYZE, ``CostBasedJoinReorder`` restructures the
+    inner-join chain to (orders ⋈ σ(customer)) ⋈ lineitem — the
+    selective pair first, so the fact table joins against ~0.1% of
+    orders instead of all of them. Both optimized logical plans are
+    recorded in ``CBO_REORDER_PLANS`` and the leaf-order signature is
+    asserted in tests/test_plans.py (never here — correctness must not
+    depend on join order, and the oracle is order-independent by
+    construction). A free byproduct visible in the recorded plans:
+    stats-independent TRANSITIVE predicate inference already pushes
+    ``o_custkey <= 20`` onto orders in both runs.
+
+    At 100 TB, join order on a star chain is the difference between
+    shuffling the whole fact table into a join that a later filter
+    discards and probing it with an already-tiny build side; ANALYZE
+    is a once-per-load metadata pass that buys this for every
+    subsequent query. Reference parity: the reference executes batches
+    in exactly the submitted order (`TaskManagerImpl.java` — no
+    planner); this is declared-Catalyst-surface completion."""
+    import os as _os
+    import re as _re
+
+    token = _re.sub(
+        r"[^0-9A-Za-z]+", "_", _os.path.basename(sf_dir.rstrip("/"))
+    )
+    tbls = {
+        "li": f"cbo_reorder_li_{token}",
+        "od": f"cbo_reorder_od_{token}",
+        "cu": f"cbo_reorder_cu_{token}",
+    }
+    (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .saveAsTable(tbls["li"])
+    )
+    (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite")
+        .saveAsTable(tbls["od"])
+    )
+    (
+        read_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite")
+        .saveAsTable(tbls["cu"])
+    )
+
+    def build() -> DataFrame:
+        li = spark.table(tbls["li"])
+        od = spark.table(tbls["od"])
+        cu = spark.table(tbls["cu"]).filter(F.col("c_custkey") <= 20)
+        return (
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count("*").cast("long").alias("n_items"),
+                F.sum(F.col("l_quantity").cast("long"))
+                .cast("long")
+                .alias("qty_sum"),
+            )
+        )
+
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    saved: dict[str, str | None] = {}
+    for key, val in confs.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, val)
+    try:
+        before = build()
+        CBO_REORDER_PLANS["before"] = (
+            before._jdf.queryExecution().optimizedPlan().toString()
+        )
+        for t in tbls.values():
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+        spark.sql(
+            f"ANALYZE TABLE {tbls['cu']} COMPUTE STATISTICS "
+            "FOR COLUMNS c_custkey"
+        )
+        spark.sql(
+            f"ANALYZE TABLE {tbls['od']} COMPUTE STATISTICS "
+            "FOR COLUMNS o_orderkey, o_custkey"
+        )
+        spark.sql(
+            f"ANALYZE TABLE {tbls['li']} COMPUTE STATISTICS "
+            "FOR COLUMNS l_orderkey"
+        )
+        for t in tbls.values():
+            spark.catalog.refreshTable(t)
+        after = build()
+        CBO_REORDER_PLANS["after"] = (
+            after._jdf.queryExecution().optimizedPlan().toString()
+        )
+        rows = after.collect()
+        schema = after.schema
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    return spark.createDataFrame(rows, schema)

@@ -765,3 +765,29 @@ def test_rocksdb_changelog_files_land(spark, qs):
     silently in a driver round."""
     out = qs["stream_rocksdb_changelog_resume"](spark, SF_DIR)
     assert out.count() > 0
+
+
+def test_cbo_stats_reorder_join_chain(spark, qs):
+    """join_cbo_reorder_3way: with statistics, CostBasedJoinReorder must
+    restructure the syntactic ((lineitem ⋈ orders) ⋈ σ(customer)) into
+    a tree that joins the selective orders⋈customer pair BEFORE the
+    fact table. Signature: the leaf (Relation) order in the optimized
+    plan's pre-order traversal — fact-first without stats, fact-LAST
+    (or at least not-first) with the selective pair leading after
+    ANALYZE."""
+    import re
+
+    import irio_mapreduce_spark.queries.relational as rel
+
+    rel.CBO_REORDER_PLANS.clear()
+    out = rel.join_cbo_reorder_3way(spark, SF_DIR)
+    assert out.count() > 0
+    before = rel.CBO_REORDER_PLANS["before"]
+    after = rel.CBO_REORDER_PLANS["after"]
+
+    def leaf_order(plan: str) -> list[str]:
+        hits = re.findall(r"Relation [^\[]*cbo_reorder_(li|od|cu)_", plan)
+        return hits
+
+    assert leaf_order(before) == ["li", "od", "cu"], before
+    assert leaf_order(after) == ["od", "cu", "li"], after
