@@ -1139,3 +1139,79 @@ def fn_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "statuses": ["F", "O"],
         },
     )
+
+
+@register(
+    "fn_regexp_family",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang, source,
+             CAST(len(regexp_extract_all(text, '[bs][a-z]+')) AS BIGINT)
+               AS n_matches,
+             CASE WHEN regexp_matches(text, 'vector.* vector')
+                  THEN 1 ELSE 0 END AS has_pair,
+             CASE WHEN regexp_matches(text, '[bs][a-z]+')
+                  THEN CAST(strpos(text, regexp_extract(text,
+                         '[bs][a-z]+')) AS BIGINT) END AS first_pos,
+             CASE WHEN regexp_matches(text, '[bs][a-z]+')
+                  THEN regexp_extract(text, '[bs][a-z]+') END
+               AS first_match
+      FROM documents)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_matches) AS BIGINT) AS total_matches,
+           CAST(sum(has_pair) AS BIGINT) AS n_with_pair,
+           CAST(min(first_pos) AS BIGINT) AS min_first_pos,
+           CAST(max(first_pos) AS BIGINT) AS max_first_pos,
+           min(first_match) AS min_first_match
+    FROM per_doc GROUP BY 1, 2
+    """,
+)
+def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEXP scalar family — the Spark-3.5 regexp quartet the string
+    family entry predates: ``regexp_count`` (match cardinality),
+    ``regexp_instr`` (1-based first-match position), ``regexp_substr``
+    (first matched literal, NULL on miss — mirrored in DuckDB by
+    guarding its ''-on-miss ``regexp_extract`` with ``regexp_matches``)
+    and ``regexp_like``, rolled up per (lang, source). Engine-parity
+    care: DuckDB has no ``regexp_instr``, so the oracle derives the
+    position as ``strpos(text, regexp_extract(text, pat))`` — valid
+    precisely because the pattern ('[bs][a-z]+', char-classes only, no
+    anchors/boundaries/lookarounds) re-matches wherever its matched
+    literal occurs, so an earlier literal occurrence would contradict
+    leftmost-match; the docstring carries the proof obligation and the
+    pattern choice stays inside both engines' common RE2/Java subset.
+
+    Scale: pure per-row codegen'd expressions (the reference's map-
+    binary space, mr-bins/map/map.cpp) + one map-side-combinable
+    rollup; regex state machines run scan-local, nothing shuffles but
+    the (lang × source) grid."""
+    pat = "[bs][a-z]+"
+    has = F.regexp_like(F.col("text"), F.lit(pat))
+    per_doc = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.regexp_count(F.col("text"), F.lit(pat))
+        .cast("long")
+        .alias("n_matches"),
+        F.when(
+            F.regexp_like(F.col("text"), F.lit("vector.* vector")), 1
+        )
+        .otherwise(0)
+        .alias("has_pair"),
+        F.when(
+            has,
+            F.regexp_instr(F.col("text"), F.lit(pat)).cast("long"),
+        ).alias("first_pos"),
+        F.when(has, F.regexp_substr(F.col("text"), F.lit(pat))).alias(
+            "first_match"
+        ),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_matches").cast("long").alias("total_matches"),
+        F.sum("has_pair").cast("long").alias("n_with_pair"),
+        F.min("first_pos").cast("long").alias("min_first_pos"),
+        F.max("first_pos").cast("long").alias("max_first_pos"),
+        F.min("first_match").alias("min_first_match"),
+    )
