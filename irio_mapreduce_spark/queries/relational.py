@@ -5791,3 +5791,147 @@ def join_cbo_reorder_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(key, val)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "window_ignore_nulls_locf",
+    oracle="""
+    WITH sparse AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 3 <> 0
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS vi
+      FROM events),
+    filled AS (
+      SELECT user_id, vi,
+             last_value(vi IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+             first_value(vi IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nocb,
+             nth_value(vi, 2 IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS nth2
+      FROM sparse)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN vi IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gaps,
+           CAST(sum(locf) AS BIGINT) AS locf_cents,
+           CAST(sum(nocb) AS BIGINT) AS nocb_cents,
+           CAST(sum(CASE WHEN locf IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS head_unfilled,
+           CAST(sum(CASE WHEN nocb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS tail_unfilled,
+           CAST(max(nth2) AS BIGINT) AS second_obs
+    FROM filled GROUP BY user_id
+    """,
+)
+def window_ignore_nulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation — the gap-fill trio SQL offers for
+    sparse series: LOCF (``last(v, ignorenulls)`` over a trailing
+    frame), NOCB (``first(v, ignorenulls)`` over a leading frame) and
+    ``nth_value(v, 2, ignoreNulls)`` over the full frame (the second
+    observation ever, constant per partition — reduced with ``max``,
+    valid for any sign since the column is constant where defined).
+    Nulls are planted deterministically (every third event id) on a
+    cent-scaled integer series, so every filled value and both fill
+    sums are BIGINT-exact; head/tail unfilled counts pin the frame
+    boundary semantics (rows before the first observation stay NULL
+    under LOCF, after the last under NOCB — the off-by-one the two
+    frames differ by). Reference analog: an ordered per-key reduce
+    carrying forward the previous value (ReduceProcessor.java:24-52
+    ordered fold). At 100 TB the single shuffle is the user-id hash
+    partition every per-entity window needs; frames evaluate inside
+    the sorted partition, no second exchange."""
+    from pyspark.sql.window import Window
+
+    sparse = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 != 0,
+            F.floor(F.col("value") * 100 + 0.5).cast("long"),
+        ).alias("vi"),
+    )
+    order = [F.col("ts"), F.col("event_id")]
+    w_trail = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    filled = sparse.select(
+        "user_id",
+        "vi",
+        F.last("vi", ignorenulls=True).over(w_trail).alias("locf"),
+        F.first("vi", ignorenulls=True).over(w_lead).alias("nocb"),
+        F.nth_value("vi", 2, ignoreNulls=True).over(w_full).alias("nth2"),
+    )
+    return filled.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("vi").isNull().cast("long")).cast("long").alias("n_gaps"),
+        F.sum("locf").cast("long").alias("locf_cents"),
+        F.sum("nocb").cast("long").alias("nocb_cents"),
+        F.sum(F.col("locf").isNull().cast("long"))
+        .cast("long")
+        .alias("head_unfilled"),
+        F.sum(F.col("nocb").isNull().cast("long"))
+        .cast("long")
+        .alias("tail_unfilled"),
+        F.max("nth2").cast("long").alias("second_obs"),
+    )
+
+
+@register(
+    "sort_limit_offset_pagination",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def sort_limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (Spark 3.4 ``DataFrame.offset``) — page 3
+    of the orders leaderboard under a tie-broken total order (price
+    DESC, then the unique order key, so the page content is a
+    deterministic SET regardless of output order — the catalog's
+    order-insensitive hash still pins exactly which 20 rows appear).
+    Physical shape: Spark plans offset+limit as a single
+    ``CollectLimit/GlobalLimit`` carrying (limit=60, offset=40) — each
+    partition ships at most limit+offset rows to one reducer, never the
+    table. The 100 TB caveat is the same as any global sort-limit:
+    cheap because TakeOrdered keeps only 60 rows per partition; deep
+    pagination (OFFSET 10^9) degrades linearly with the offset, which
+    is why keyset pagination (WHERE (price, key) < last-seen) is the
+    scale-path spelling — this entry pins the OFFSET semantics the
+    keyset form replaces. Reference analog: the sorted concat the
+    reference's single reduce partition produces
+    (TaskManagerImpl.java:220-246)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+            F.col("o_totalprice"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(40)
+        .limit(20)
+        .select("o_orderkey", "cents")
+    )
