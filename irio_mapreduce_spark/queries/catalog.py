@@ -124,6 +124,8 @@ FRONT_WINDOW: list[str] = [
     "fn_regexp_family",
     "window_ignore_nulls_locf",
     "sort_limit_offset_pagination",
+    "events_ohlc_candles",
+    "events_max_drawdown",
     # refresh cycle: the remaining slots hold the catalog entries with
     # the oldest driver-green rows — the 10 r3-vintage entries, then the
     # alphabetically-first r4-vintage block. tests/test_conventions.py
@@ -142,8 +144,6 @@ FRONT_WINDOW: list[str] = [
     "udf_python_udtf",
     "agg_approx_distinct",
     "agg_collect_list_orders",
-    "agg_cube_flag_status",
-    "agg_percentiles_approx",
 ]
 
 # Round-11 window, kept for the audit trail (all 50 driver-green in
@@ -261,7 +261,7 @@ _R10_WINDOW: list[str] = [
 # at each rotation (r10 ADVICE.md: a hard-coded literal in bench.py
 # silently warmed the wrong count after rotation). Round 12: the 2
 # deferred-head entries + fresh round-12 entries (grows as each lands).
-WINDOW_WARMUP_COUNT: int = 36
+WINDOW_WARMUP_COUNT: int = 38
 
 # Entries that did not fit the current 50-slot window and therefore form
 # the MANDATORY head of the NEXT round's window (tests/test_conventions.py

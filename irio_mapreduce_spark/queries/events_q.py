@@ -2151,3 +2151,144 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_last",
         )
     )
+
+
+@register(
+    "events_ohlc_candles",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             (epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 1000000
+               + event_id AS k
+      FROM events)
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(arg_min(cents, k) AS BIGINT) AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(arg_max(cents, k) AS BIGINT) AS close_cents,
+           CAST(sum(cents) AS BIGINT) AS volume_cents
+    FROM pts GROUP BY event_type, day
+    """,
+)
+def events_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars — the canonical time-series downsample for
+    price-like streams: per (series, day) the first/last tick by event
+    time plus the high/low/volume, all in ONE map-side-combinable
+    aggregate (min_by/max_by carry the open/close, so no sort, no
+    window, no self-join — the same selective-aggregate device as
+    `events_m4_downsample`, specialised to the finance bar). The
+    ordering key packs the within-day microsecond offset with the
+    unique event id (offset·10⁶ + id — exact below 9.2e18 for ids
+    under 10⁶ per day; at larger id spaces widen to a DECIMAL key or
+    rank within the bar), so open/close ties are impossible by
+    construction. Values are cent-scaled BIGINTs — every output cell
+    integer-exact. Reference analog: per-key reduce emitting
+    first/last/min/max of a numeric stream (ReduceProcessor.java:24-52).
+    At 100 TB: one shuffle on (series, day) — the partial aggregates
+    collapse each scan partition to one candle per open bar before the
+    exchange, so the shuffle moves bars, not ticks."""
+    pts = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        (
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.date_trunc("day", F.col("ts")))
+            )
+            * F.lit(1000000)
+            + F.col("event_id")
+        ).alias("k"),
+    )
+    return pts.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("n_ticks"),
+        F.min_by("cents", "k").cast("long").alias("open_cents"),
+        F.max("cents").cast("long").alias("high_cents"),
+        F.min("cents").cast("long").alias("low_cents"),
+        F.max_by("cents", "k").cast("long").alias("close_cents"),
+        F.sum("cents").cast("long").alias("volume_cents"),
+    )
+
+
+@register(
+    "events_max_drawdown",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    cumc AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(cents) OVER w AS BIGINT) AS cum
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    curve AS (
+      SELECT user_id, cum,
+             CAST(max(cum) OVER w AS BIGINT) AS peak
+      FROM cumc
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, n_events, max_drawdown, peak_cum,
+           CASE WHEN peak_cum > 0
+                THEN (max_drawdown * 1000000) // peak_cum END AS max_dd_ppm
+    FROM (SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(max(peak - cum) AS BIGINT) AS max_drawdown,
+                 CAST(max(peak) AS BIGINT) AS peak_cum
+          FROM curve GROUP BY user_id)
+    """,
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the per-user cumulative value curve — the
+    risk metric every P&L/engagement dashboard carries: running sum of
+    cent-scaled ticks, running peak of that sum (a nested window over
+    the same frame), drawdown = peak − cum, reduced to the per-user
+    maximum. Everything BIGINT: window sums of integers, max of maxes —
+    no float enters. The ppm column states the drawdown relative to the
+    GLOBAL peak via integer division (a well-defined tie-free metric —
+    the per-row peak at the argmax row is tie-ambiguous when several
+    rows share the max drawdown), guarded NULL where the curve never
+    rises above zero. At 100 TB: one hash partition by user, one sort
+    per partition; both windows share the frame so Spark evaluates them
+    in a single Window node — no second exchange, no second sort.
+    Reference analog: ordered per-key fold carrying (cum, peak, best)
+    through a reduce (ReduceProcessor.java:24-52)."""
+    pts = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = pts.select(
+        "user_id",
+        F.sum("cents").over(w).cast("long").alias("cum"),
+        F.max(F.sum("cents").over(w)).over(w).cast("long").alias("peak"),
+    )
+    agg = curve.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(F.col("peak") - F.col("cum")).cast("long").alias("max_drawdown"),
+        F.max("peak").cast("long").alias("peak_cum"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "max_drawdown",
+        "peak_cum",
+        F.when(
+            F.col("peak_cum") > 0,
+            F.expr("(max_drawdown * 1000000) div peak_cum"),
+        )
+        .cast("long")
+        .alias("max_dd_ppm"),
+    )
