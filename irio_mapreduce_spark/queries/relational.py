@@ -66,7 +66,16 @@ def agg_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       asserts the tighter raw bounds);
     * KLL median as a within-2%-of-exact-median boolean, plus the exact
       median itself (value-checked, interpolating percentile = DuckDB
-      quantile_cont)."""
+      quantile_cont).
+
+    KLL is the one randomized sketch here (compaction draws random coin
+    flips; HLL/theta/top-k are hash-deterministic), so the boolean needs a
+    margin the randomness cannot cross: at the default k=200 the 99%-conf
+    rank error (~1.65%) sits AT the 2% gate and the entry measurably
+    flipped false ~1/6 runs at sf0.001 (r12 inherited-state find). k=2048
+    keeps the sketch exact below 2k values (sf0.001/sf0.01) and gives a
+    ~10x error margin at sf0.1 (~0.2% rank error at 99% conf) — still
+    fixed-size mergeable state (16 KB/partial) at 100 TB."""
     e = read_table(spark, sf_dir, "events")
     e.createOrReplaceTempView("_sketch_events")
     return spark.sql(
@@ -76,7 +85,7 @@ def agg_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  hll_sketch_estimate(hll_sketch_agg(user_id)) AS hll_users,
                  theta_sketch_estimate(theta_sketch_agg(user_id)) AS theta_users,
                  kll_sketch_get_quantile_double(
-                   kll_sketch_agg_double(value), 0.5) AS kll_median,
+                   kll_sketch_agg_double(value, 2048), 0.5) AS kll_median,
                  count(DISTINCT user_id) AS exact_users,
                  percentile(value, 0.5) AS exact_median
           FROM _sketch_events
@@ -5433,6 +5442,29 @@ def fn_selective_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _reset_managed_table(spark: SparkSession, name: str) -> None:
+    """DROP + clear any stale on-disk location for a managed table about to
+    be (re)created. A fresh session's in-memory catalog has forgotten the
+    previous process's tables while their ``spark-warehouse`` locations
+    persist on disk; ``mode("overwrite")`` is then a CREATE and dies with
+    LOCATION_ALREADY_EXISTS (r12 inherited-state find: both CBO entries
+    failed on the second driver process to touch one sf_dir). The managed
+    location is ``spark.sql.warehouse.dir``/<name> (Spark lowercases table
+    names)."""
+    import os as _os
+    import shutil as _shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for pre in ("file://", "file:"):
+        if wh.startswith(pre):
+            wh = wh[len(pre):]
+            break
+    loc = _os.path.join(wh, name.lower())
+    if _os.path.isdir(loc):
+        _shutil.rmtree(loc, ignore_errors=True)
+
+
 # Captured by join_cbo_stats_broadcast for tests/test_plans.py: the static
 # physical plan of the SAME join before and after ANALYZE TABLE, under one
 # bounded autoBroadcastJoinThreshold and no hints — the proof that catalog
@@ -5484,6 +5516,7 @@ def join_cbo_stats_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     token = _re.sub(r"[^0-9A-Za-z]+", "_", _os.path.basename(sf_dir.rstrip("/")))
     tbl = f"cbo_orders_dim_{token}"
+    _reset_managed_table(spark, tbl)
     (
         read_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderpriority")
@@ -5711,6 +5744,8 @@ def join_cbo_reorder_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         "od": f"cbo_reorder_od_{token}",
         "cu": f"cbo_reorder_cu_{token}",
     }
+    for _t in tbls.values():
+        _reset_managed_table(spark, _t)
     (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_quantity")

@@ -40,7 +40,10 @@ def test_approx_count_distinct_error_bound(spark):
 def test_sketch_suite_error_bounds(spark):
     """DataSketches estimates must track exact values: HLL/theta distinct
     within 3% (tighter than the catalog entry's 5% validation flags), KLL
-    median within 2% of exact, and approx_top_k must return the true top
+    median within 2% of exact (k=2048 as in the entry — KLL compaction is
+    randomized, so the default k=200 puts the 99%-conf rank error at the
+    2% gate and flakes; see agg_sketch_suite), and approx_top_k must
+    return the true top
     event types with near-exact counts (5 distinct values fit the sketch
     exactly). Raw estimates are probed directly here; the catalog entry
     (agg_sketch_suite) emits oracle-checkable bounded-error booleans whose
@@ -62,7 +65,7 @@ def test_sketch_suite_error_bounds(spark):
                hll_sketch_estimate(hll_sketch_agg(user_id)) AS hll_users,
                theta_sketch_estimate(theta_sketch_agg(user_id)) AS theta_users,
                kll_sketch_get_quantile_double(
-                 kll_sketch_agg_double(value), 0.5) AS kll_median
+                 kll_sketch_agg_double(value, 2048), 0.5) AS kll_median
         FROM _sketch_events_test
         """
     ).head()
