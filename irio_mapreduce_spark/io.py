@@ -105,6 +105,53 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(
+    spark: SparkSession,
+    df: DataFrame,
+    *input_paths: str,
+    bytes_per_task: int = 128 << 20,
+) -> DataFrame:
+    """Round-robin repartition a scan-rooted frame to the cluster's default
+    parallelism WHEN (and only when) its file inputs are too small to split
+    into ~one scan task per core — the guide §2.5 "unsplittable input:
+    repartition immediately after the read" fix, made scale-adaptive.
+
+    Rationale (optimization round 12, measured): the driver's parquet
+    inputs are single-row-group files (lineitem sf0.1 = 10.6 MB, one row
+    group), so parquet's split machinery caps every scan at ONE task and
+    all per-row work upstream of the first exchange runs on one core of
+    32. For compute-heavy operators (20-universe md5 permutation tests,
+    shingle explosion, Python codec decode) that serializes the dominant
+    stage. A 10 MB round-robin exchange costs milliseconds and buys cores×
+    parallelism.
+
+    Scale stance: the condition is derived from input bytes vs.
+    ``defaultParallelism × bytes_per_task`` (default = the 128 MB
+    ``spark.sql.files.maxPartitionBytes`` default). At production scale the
+    inputs exceed cores×128 MB, the condition is false, and this is a
+    no-op — no constant here is tuned to local mode. Results are unchanged
+    by construction: every catalog operator is partition-order independent
+    (enforced by the odd-partition-count protocol sweeps, tools/
+    drive_driver_protocol.py DRIVE_PARTS).
+    """
+    try:
+        total = sum(os.path.getsize(p) for p in input_paths)
+    except OSError:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if total >= par * bytes_per_task:
+        return df
+    return df.repartition(par)
+
+
+def read_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``read_table`` + :func:`spread_scan` — for operators whose per-row
+    work (not the scan itself) dominates; see ``spread_scan``."""
+    return spread_scan(
+        spark, read_table(spark, sf_dir, name), table_path(sf_dir, name)
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Read several tables at once: ``t = load_tables(spark, d, "orders", ...)``."""
     return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}

@@ -16,9 +16,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from irio_mapreduce_spark.io import read_table
+from irio_mapreduce_spark.io import read_table, spread_scan, table_path
 from irio_mapreduce_spark.llm.multimodal import decode_image_features, documents_as_media
 from irio_mapreduce_spark.queries.catalog import register
+
+
+def _media_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-column id frame every synthesize_* codec entry starts from,
+    spread to the cluster's parallelism (io.spread_scan) BEFORE the
+    encode/decode mapInPandas chain. r12 (guide §2.5 unsplittable input,
+    §4): the bench parquet is one row group, so the whole Python
+    encode+decode pipeline — these entries' entire cost — ran as ONE task
+    on one core. Round-robin-spreading the 8-byte ids costs a no-op-sized
+    exchange and buys cores× codec parallelism; at production scale the
+    input splits on its own and spread_scan is a no-op."""
+    return spread_scan(
+        spark,
+        read_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("media_id")
+        ),
+        table_path(sf_dir, "documents"),
+    )
 
 
 @register(
@@ -70,7 +88,15 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mangled row anywhere in the Arrow plumbing breaks the row-level hash
     match. The raw feature values themselves are covered by
     tests/test_llm.py round-trip tests."""
-    media = documents_as_media(read_table(spark, sf_dir, "documents"))
+    # r12: spread the one-row-group scan so the mapInPandas decode stage
+    # parallelizes (see _media_ids; no-op at production scale).
+    media = documents_as_media(
+        spread_scan(
+            spark,
+            read_table(spark, sf_dir, "documents"),
+            table_path(sf_dir, "documents"),
+        )
+    )
     sized = media.withColumn("_pbytes", F.length("payload"))
     feats = decode_image_features(
         sized.select("media_id", "payload", "meta"), n_features=8
@@ -152,9 +178,7 @@ def multimodal_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_real_media,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    docs = _media_ids(spark, sf_dir)
     media = synthesize_real_media(docs)
     return decode_real_media_features(media)
 
@@ -194,9 +218,7 @@ def multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_real_media,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    docs = _media_ids(spark, sf_dir)
     media = synthesize_real_media(docs).filter(F.col("meta.kind") == "image")
     resized = resize_real_images(media, 6, 4)
     return decode_real_media_features(resized).select(
@@ -244,9 +266,7 @@ def multimodal_real_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_real_media,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    docs = _media_ids(spark, sf_dir)
     media = synthesize_real_media(docs).filter(F.col("meta.kind") == "audio")
     segs = segment_real_audio(media, segment_ms=20, max_segments=4)
     return decode_wav_segments(segs)
@@ -291,9 +311,7 @@ def multimodal_wav_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame
         wav_energy_windows,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    docs = _media_ids(spark, sf_dir)
     media = synthesize_real_media(docs).filter(F.col("meta.kind") == "audio")
     return wav_energy_windows(media, window_samples=32)
 
@@ -338,9 +356,7 @@ def multimodal_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_png_media,
     )
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     feats = decode_real_media_features(synthesize_png_media(ids))
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
@@ -384,9 +400,7 @@ def multimodal_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_gif_media,
     )
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     feats = decode_real_media_features(synthesize_gif_media(ids))
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
@@ -429,9 +443,7 @@ def multimodal_real_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_tiff_media,
     )
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     feats = decode_real_media_features(synthesize_tiff_media(ids))
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
@@ -481,9 +493,7 @@ def multimodal_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_jpeg_media,
     )
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     feats = decode_real_media_features(synthesize_jpeg_media(ids))
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
@@ -531,9 +541,7 @@ def multimodal_real_bmp_rle8(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_rle8_media,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    docs = _media_ids(spark, sf_dir)
     return decode_rle8_features(synthesize_rle8_media(docs))
 
 
@@ -589,9 +597,7 @@ def multimodal_real_netpbm(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_netpbm_media,
     )
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     feats = decode_real_media_features(synthesize_netpbm_media(ids))
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
@@ -643,9 +649,7 @@ def multimodal_real_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_tga_media,
     )
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     feats = decode_real_media_features(synthesize_tga_media(ids))
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
@@ -689,9 +693,7 @@ def multimodal_real_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_ico_media,
     )
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     feats = decode_real_media_features(synthesize_ico_media(ids))
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
@@ -737,9 +739,7 @@ def multimodal_real_tiff_deflate(
         synthesize_tiff_deflate_media,
     )
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     feats = decode_real_media_features(synthesize_tiff_deflate_media(ids))
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
@@ -789,9 +789,7 @@ def multimodal_wav_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_mulaw_media,
     )
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     feats = decode_real_media_features(synthesize_mulaw_media(ids))
     return feats.select(
         "media_id", "sample_rate", "n_samples", "sum_abs", "n_nonneg"
@@ -838,9 +836,7 @@ def multimodal_real_wav_stereo(
         synthesize_stereo_media,
     )
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     feats = decode_stereo_media_features(synthesize_stereo_media(ids))
     return feats.select(
         "media_id", "sample_rate", "n_frames",
@@ -890,9 +886,7 @@ def multimodal_real_png_adam7(
         synthesize_png_adam7_media,
     )
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     feats = decode_real_media_features(synthesize_png_adam7_media(ids))
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
@@ -940,9 +934,7 @@ def multimodal_real_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_aiff_media,
     )
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     feats = decode_real_media_features(synthesize_aiff_media(ids))
     return feats.select(
         "media_id", "sample_rate", "n_samples", "sum_abs", "n_nonneg"
@@ -983,9 +975,7 @@ def multimodal_zip_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the member-content formula in closed form."""
     from irio_mapreduce_spark.llm.multimodal import zip_archive_members
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     return zip_archive_members(ids)
 
 
@@ -1034,9 +1024,7 @@ def multimodal_gif_frame_sample(
     palette formulas in closed form."""
     from irio_mapreduce_spark.llm.multimodal import gif_frame_samples
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     return gif_frame_samples(ids, sample_every=2)
 
 
@@ -1087,9 +1075,7 @@ def multimodal_real_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_qoi_media,
     )
 
-    ids = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
-    )
+    ids = _media_ids(spark, sf_dir)
     feats = decode_real_media_features(synthesize_qoi_media(ids))
     return feats.select(
         "media_id", "width", "height", "sum_r", "sum_g", "sum_b"

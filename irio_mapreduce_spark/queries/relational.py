@@ -4471,14 +4471,24 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE aggregate over one scan — no ×20 row fan-out (the oracle uses
     the explicit fan-out form; at 100 TB the conditional-sum shape is
     the difference between 1× and 20× scan volume)."""
+    from irio_mapreduce_spark.io import spread_scan, table_path
     from irio_mapreduce_spark.llm.sampling import hash_bucket
 
     dec = "decimal(38,0)"
-    pts = read_table(spark, sf_dir, "lineitem").select(
-        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
-        F.round(F.col("l_discount") * 100, 0).cast("long").alias("v"),
-        "l_orderkey",
-        "l_linenumber",
+    # r12 (guide §2.5, unsplittable input): the bench parquet is ONE row
+    # group, so the partial-aggregate stage — 20 md5 universes per row,
+    # the entry's whole cost — ran as ONE task. Spread the 4 projected
+    # columns round-robin first (no-op once the input splits at scale);
+    # measured 12.9 s -> 1.4 s at sf0.1/local[32].
+    pts = spread_scan(
+        spark,
+        read_table(spark, sf_dir, "lineitem").select(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("v"),
+            "l_orderkey",
+            "l_linenumber",
+        ),
+        table_path(sf_dir, "lineitem"),
     )
     aggs = [
         F.count("*").cast("long").alias("n"),
