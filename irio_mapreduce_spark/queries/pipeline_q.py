@@ -317,10 +317,17 @@ def pipeline_ingest_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
+    # r12 (guide §1.3/§5): the six count branches below union over a CHAIN
+    # (batch → b1 → b2 → b3 → merged), so without pinning, the Bloom pass
+    # ran 4× and the whole LSH near-dedup 3× inside one plan. Persisting
+    # the two batch-side intermediates (batch-sized — tiny next to the
+    # corpus at any scale) runs each pass once; measured 6.6 → ~2.5 s at
+    # sf0.1.
     b1 = bloom_prefiltered_new(
         corpus, batch, F.sha2(F.col("text"), 256), expected_items=100_000
-    )
-    b2 = incremental_dedup(corpus, b1, "doc_id", "text")
+    ).persist()  # after_exact count + the LSH probe both read it
+    b2 = incremental_dedup(corpus, b1, "doc_id", "text").persist()
+    # after_near count, the quality gate, and the merge all read b2
     b3 = b2.filter(F.size(tokens(F.col("text"))) >= 10)
     merged = merge_upsert(corpus, b3, ["doc_id"])
 

@@ -1613,7 +1613,10 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", "o_orderkey"
     )
     ranked = global_rank(orders, ["o_totalprice", "o_orderkey"])
-    n_df = ranked.agg(F.count("*").alias("_n"))
+    # r12 (guide §1.3): ranking is 1:1, so _n == the orders row count —
+    # counting `ranked` instead re-ran the mapInPandas numbering pass for
+    # the scalar branch; a count-star over the scan is metadata-cheap.
+    n_df = orders.agg(F.count("*").alias("_n"))
     return (
         ranked.join(F.broadcast(n_df))
         .select(
@@ -1700,9 +1703,11 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank(rfm, ["r_us", "o_custkey"], rank_col="_r")
     ranked = global_rank(ranked, ["_negf", "o_custkey"], rank_col="_f")
     ranked = global_rank(ranked, ["_negm", "o_custkey"], rank_col="_m")
-    # row count taken AFTER the checkpointed ranking so the scalar agg
-    # reads the tiny checkpointed dimension, not a second orders scan
-    n_df = ranked.agg(F.count("*").alias("_n"))
+    # r12 (guide §1.3): row count taken from the PERSISTED per-customer
+    # rollup (ranking is 1:1, so the counts are identical) — counting the
+    # ranked frame instead re-ran the final mapInPandas numbering pass for
+    # the scalar branch (plan: 2 MapInPandas → 1).
+    n_df = rfm0.agg(F.count("*").alias("_n"))
     return (
         ranked.join(F.broadcast(n_df))
         .select(
