@@ -216,6 +216,38 @@ _SESSION_SENTINEL = 101 * 10**7
 
 _ORDERED_DIRS: dict[tuple[str, str], str] = {}
 
+# r12 (guide §1.3): seven entries each re-materialized their own
+# time-ordered replay (events scan + quantile chunking + write job,
+# ~2.3 s warm at sf0.1) only to then append entry-specific sentinel or
+# straggler files. The chunking is deterministic, so the BASE chunk files
+# are built once per (session, sf_dir, n_chunks) — same memo discipline as
+# _REPLAY_DIRS above — and copied (shutil.copy2 preserves the mtimes the
+# file source replays by) into a private per-entry directory the entry is
+# free to append to.
+_ORDERED_BASE_DIRS: dict[tuple[str, str, int], str] = {}
+
+
+def _fresh_ordered_replay(
+    spark: SparkSession, sf_dir: str, n_chunks: int, prefix: str
+) -> str:
+    import os
+    import shutil
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_chunks)
+    if key not in _ORDERED_BASE_DIRS:
+        _ORDERED_BASE_DIRS[key] = replay_time_ordered(
+            spark,
+            sf_dir,
+            tempfile.mkdtemp(prefix=f"stream_q_obase{n_chunks}_") + "/events",
+            n_chunks=n_chunks,
+        )
+    base = _ORDERED_BASE_DIRS[key]
+    d = tempfile.mkdtemp(prefix=prefix) + "/events"
+    os.makedirs(d)
+    for f in os.listdir(base):
+        shutil.copy2(os.path.join(base, f), os.path.join(d, f))
+    return d
+
 
 def _ordered_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -583,13 +615,11 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-only late-drop evidence (tests/test_streaming.py) into a
     driver-visible check."""
     import os as _os
-    import tempfile as _tf
     import time as _time
 
     from irio_mapreduce_spark.io import read_table
 
-    d = _tf.mkdtemp(prefix="late_replay_") + "/events"
-    replay_time_ordered(spark, sf_dir, d, n_chunks=3)
+    d = _fresh_ordered_replay(spark, sf_dir, 3, "late_replay_")
     ev = read_table(spark, sf_dir, "events")
     first_day = ev.select(F.min(F.to_date("ts")).alias("d0"))
     stragglers = (
@@ -685,10 +715,8 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     result must equal the batch left-outer interval join — the oracle,
     which never sees the sentinels. Promotes the last pytest-only
     stream-stream shape (left-outer equivalence) to the driver gate."""
-    import tempfile as _tf
 
-    d = _tf.mkdtemp(prefix="ss_outer_") + "/events"
-    replay_time_ordered(spark, sf_dir, d, n_chunks=4)
+    d = _fresh_ordered_replay(spark, sf_dir, 4, "ss_outer_")
     base = spark.read.parquet(d)
     sentinel_user = 101 * 10**7 + 3
     sentinel_events(
@@ -740,10 +768,8 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     user filter keeps the state bounded per trigger; the batch
     full-outer interval join (never seeing the sentinels) is the
     oracle."""
-    import tempfile as _tf
 
-    d = _tf.mkdtemp(prefix="ss_fouter_") + "/events"
-    replay_time_ordered(spark, sf_dir, d, n_chunks=4)
+    d = _fresh_ordered_replay(spark, sf_dir, 4, "ss_fouter_")
     base = spark.read.parquet(d)
     sentinel_user = 3 * 10**9
     sentinel_events(
@@ -1021,8 +1047,7 @@ def _nearest_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     if key not in _NEAREST_DIRS:
         from irio_mapreduce_spark.io import read_table
 
-        d = tempfile.mkdtemp(prefix="stream_q_near_") + "/events"
-        replay_time_ordered(spark, sf_dir, d, n_chunks=4)
+        d = _fresh_ordered_replay(spark, sf_dir, 4, "stream_q_near_")
         ev = read_table(spark, sf_dir, "events")
         sentinel_events(
             ev, _SESSION_SENTINEL, types=[(-1, "purchase"), (-2, "click")]
@@ -1334,10 +1359,8 @@ def stream_stream_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch EXISTS — the oracle, which never sees the sentinels. Completes
     the stream-stream family: inner (`stream_stream_join_attrib`), left
     outer, full outer, and now semi."""
-    import tempfile as _tf
 
-    d = _tf.mkdtemp(prefix="ss_semi_") + "/events"
-    replay_time_ordered(spark, sf_dir, d, n_chunks=4)
+    d = _fresh_ordered_replay(spark, sf_dir, 4, "ss_semi_")
     base = spark.read.parquet(d)
     sentinel_user = 4 * 10**9
     sentinel_events(
@@ -1394,10 +1417,8 @@ def stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirroring. Far-future sentinels on BOTH inputs flush the state; the
     batch right-outer interval join over the sentinel-free frame is the
     oracle."""
-    import tempfile as _tf
 
-    d = _tf.mkdtemp(prefix="ss_router_") + "/events"
-    replay_time_ordered(spark, sf_dir, d, n_chunks=4)
+    d = _fresh_ordered_replay(spark, sf_dir, 4, "ss_router_")
     base = spark.read.parquet(d)
     sentinel_user = 3 * 10**9 + 1
     sentinel_events(
@@ -1460,10 +1481,8 @@ def stream_windowed_distinct_users(
     exact DAU before falling back to HLL sketches
     (`agg_hll_sketch_union`) when per-window key cardinality outgrows
     state. The batch count(DISTINCT) per day is the oracle."""
-    import tempfile as _tf
 
-    d = _tf.mkdtemp(prefix="ss_dau_") + "/events"
-    replay_time_ordered(spark, sf_dir, d, n_chunks=4)
+    d = _fresh_ordered_replay(spark, sf_dir, 4, "ss_dau_")
     base = spark.read.parquet(d)
     max_day = base.agg(
         F.date_format(F.max("ts"), "yyyy-MM-dd").alias("d")
