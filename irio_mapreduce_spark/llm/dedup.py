@@ -1006,26 +1006,32 @@ def _probe_corpus_index(
     threshold: float = 0.8,
     num_hashes: int = 128,
     bands: int = 32,
+    keep_shingles: str | None = None,
 ) -> DataFrame:
     """Core probe: exact anti-join on ``c_fps`` (column ``_fp``), LSH
     candidate join on ``c_bands`` (``_cid, _bucket``), exact-Jaccard
     verification on ``c_docs`` (``_cid, _csh``). Linear in the batch,
-    never quadratic in the corpus."""
+    never quadratic in the corpus. ``keep_shingles``: also return the
+    surviving rows' shingle sets under that column name (computed once
+    here anyway; survivors-indexing callers reuse them)."""
     fp = F.sha2(F.col(text_col), 256)
     sh = shingles(tokens(F.col(text_col)), n)
     rows_per_band = num_hashes // bands
     # The batch is small by contract; materialize its survivors' index the
     # same way (referenced by band probing, verification and the keep join).
-    survivors = (
+    # r12 (guide §1.3): ONE eager checkpoint instead of two — the shingle
+    # column rides the exact-pass survivors, so the survivors frame and the
+    # probe-side shingle index land in a single materialization job and the
+    # shingles compute once.
+    combined = (
         batch.withColumn("_fp", fp)
         .join(c_fps, "_fp", "left_anti")
         .drop("_fp")
+        .withColumn("_bsh", sh)
         .localCheckpoint(eager=True)
     )
-    b_idx = (
-        survivors.select(F.col(id_col).alias("_bid"), sh.alias("_bsh"))
-        .localCheckpoint(eager=True)
-    )
+    survivors = combined.drop("_bsh")
+    b_idx = combined.select(F.col(id_col).alias("_bid"), "_bsh")
     b_bands = b_idx.select(
         "_bid",
         F.explode(
@@ -1046,6 +1052,13 @@ def _probe_corpus_index(
         .select(F.col("_bid").alias(id_col))
         .distinct()
     )
+    if keep_shingles:
+        # Survivors with their already-computed shingle sets attached —
+        # callers that index the survivors (index_maintenance_handler)
+        # would otherwise re-tokenize and re-shingle the same rows.
+        return combined.withColumnRenamed("_bsh", keep_shingles).join(
+            near_hit, id_col, "left_anti"
+        )
     return survivors.join(near_hit, id_col, "left_anti")
 
 
@@ -1503,12 +1516,16 @@ def index_maintenance_handler(
             threshold=threshold,
             num_hashes=num_hashes,
             bands=bands,
+            keep_shingles="_kept_sh",
         )
+        # r12: the probe already computed (and checkpointed) the
+        # survivors' shingle sets — reuse them instead of re-tokenizing
+        # and re-shingling the same rows for the segment write.
         idx = (
             survivors.select(
                 F.col(id_col).alias("_cid"),
                 F.sha2(F.col(text_col), 256).alias("_cfp"),
-                shingles(tokens(F.col(text_col)), n).alias("_csh"),
+                F.col("_kept_sh").alias("_csh"),
             )
             .localCheckpoint(eager=True)
         )
