@@ -227,6 +227,11 @@ def main() -> int:
 
         _sq._replay_dir(spark, sf_dir)
         _sq._ordered_replay_dir(spark, sf_dir)
+        # r12: the sentinel-free time-ordered BASE chunks (copied into
+        # per-entry dirs by _fresh_ordered_replay) are a third shared
+        # fixture — warm both chunk counts in use.
+        _sq._fresh_ordered_replay(spark, sf_dir, 4, "bench_warm_ord4_")
+        _sq._fresh_ordered_replay(spark, sf_dir, 3, "bench_warm_ord3_")
         print(
             f"[bench] warmup replay dirs: {time.monotonic() - _t0:.3f}s "
             "(unmeasured)",

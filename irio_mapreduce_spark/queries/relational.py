@@ -795,7 +795,18 @@ def agg_pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentiles_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation — matches quantile_cont) and
     collect_set rendered as a canonical sorted string."""
-    li = read_table(spark, sf_dir, "lineitem")
+    from irio_mapreduce_spark.io import spread_scan, table_path
+
+    # r12 (guide §2.5): exact percentile buffers every value in the
+    # partial phase, which ran as ONE scan task on the single-row-group
+    # bench parquet; spread the 3 needed columns first (no-op at scale).
+    li = spread_scan(
+        spark,
+        read_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice", "l_linestatus"
+        ),
+        table_path(sf_dir, "lineitem"),
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
         F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
@@ -865,7 +876,19 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count (hash-checked value) + the rsd=0.02 estimate as a
     within-5% boolean computed in the same aggregation. pytest asserts the
     raw relative error (tests/test_operators.py)."""
-    li = read_table(spark, sf_dir, "lineitem")
+    from irio_mapreduce_spark.io import spread_scan, table_path
+
+    # r12 (guide §2.5): the rsd=0.02 HLL's per-row updates ran as ONE
+    # scan task on the single-row-group bench parquet; spread the 2
+    # needed columns first (no-op at scale). The estimate depends only on
+    # the value set, not partitioning.
+    li = spread_scan(
+        spark,
+        read_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_orderkey"
+        ),
+        table_path(sf_dir, "lineitem"),
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(

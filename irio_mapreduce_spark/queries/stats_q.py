@@ -371,13 +371,22 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mean_milli`` across the 20 rows IS the standard-error estimate.
     All arithmetic integer; positive operands make Spark's truncating
     div and DuckDB's flooring // agree."""
+    from irio_mapreduce_spark.io import spread_scan, table_path
     from irio_mapreduce_spark.llm.sampling import hash_bucket
 
-    pts = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.floor(F.col("o_totalprice") * 100 + 0.5)
-        .cast("long")
-        .alias("cents"),
+    # r12 (guide §2.5): the bench parquet is ONE row group, so the
+    # 20-universe md5 partial aggregate — the entry's whole cost — ran as
+    # one task; spread the 2 projected columns first (no-op once the
+    # input splits at scale). Same fix as stats_permutation_test.
+    pts = spread_scan(
+        spark,
+        read_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        ),
+        table_path(sf_dir, "orders"),
     )
     aggs = []
     for b in range(20):
