@@ -1063,9 +1063,13 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
-    from irio_mapreduce_spark.llm.dedup import shingles
+    from irio_mapreduce_spark.llm.dedup import shingles, widen
 
-    sh = docs.select(
+    # r12 (guide §2.5): the shingle build + explode upstream of the first
+    # shuffle ran as ONE task on the single-row-group bench parquet —
+    # widen first, the same discipline every other shingle operator here
+    # applies (no-op when the input is already wide).
+    sh = widen(docs).select(
         "doc_id", shingles(tokens(F.col("text")), 3).alias("s")
     )
     ex = sh.select("doc_id", F.explode("s").alias("tk"))
