@@ -320,9 +320,23 @@ def ngram_jaccard_pairs(
     but prefix filtering makes it unnecessary for exactness-preserving
     scale-out.
     """
-    sh = widen(df).select(
-        F.col(id_col).alias("_doc_id"),
-        shingles(tokens(text_col), n).alias("_shingles"),
+    # r12 (guide §2.4): one logical plan references the shingle frame FOUR
+    # times (the prefix self-join's two sides + the two verification
+    # sides), so without a barrier Catalyst replays the scan+tokenize+
+    # shingle subtree 4x and the prefix window pair 2x — the before-plan
+    # showed 8 parquet scans / 12 Window nodes / 22 Exchanges for ONE
+    # query. persist() (lazy) computes each subtree once per action and
+    # serves the other branches from the block manager; blocks are a few
+    # MB of (id, shingles) / (id, shingle) rows — hashes and grams, never
+    # documents — and are released by the ContextCleaner when the frame
+    # goes out of scope (same discipline as pipeline_q's staged persists).
+    sh = (
+        widen(df)
+        .select(
+            F.col(id_col).alias("_doc_id"),
+            shingles(tokens(text_col), n).alias("_shingles"),
+        )
+        .persist()
     )
     ex = sh.select("_doc_id", F.explode("_shingles").alias("_g"))
     # Document frequency per shingle via a window count — one shuffle on
@@ -344,6 +358,7 @@ def ngram_jaccard_pairs(
             <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - 1e-9) + 1
         )
         .select("_doc_id", "_g")
+        .persist()  # self-joined below: one window pass, not two
     )
     cand = (
         prefix.select(F.col("_doc_id").alias("id1"), "_g")
