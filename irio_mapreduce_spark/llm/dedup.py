@@ -668,45 +668,64 @@ def connected_components_star(
     )
     n = n.localCheckpoint(eager=True)
 
+    # r12 (guide §2.4/§1.2): each round used to cost ~6 jobs — two
+    # groupBy-min + join pairs (each min re-attached to its edges via an
+    # equi-join), TWO eager per-round checkpoints (`large` had to be
+    # materialized because the small-star referenced it twice), and a
+    # 2-job exceptAll convergence probe. The min-per-node is now a window
+    # over the same partitioning (one exchange, no re-attach join), the
+    # small-star emits attach- and root-edges in ONE pass (explode of a
+    # 2-element struct array; the final `_small != _big` filter and
+    # `distinct()` subsume the original per-branch filters and the
+    # root-set dedup), and the convergence probe is one fused isEmpty
+    # job. Per round: ONE checkpoint + ONE probe job. Measured on the
+    # catalog entry (graph_pagerank_components, sf0.1 solo): see
+    # OPTIMIZATION_r12.md. Results bit-identical: same (min over N(u)),
+    # same edge rewrites, property-tested vs union-find below.
+    w_u = Window.partitionBy("_u")
     for _ in range(max_iter):
         # large-star over the symmetric closure: neighbors v > u attach to
         # m = min(neighborhood ∪ {u}).
         sym = cur.union(cur.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
-        mins = (
-            sym.groupBy("_u")
-            .agg(F.min("_v").alias("_mv"))
-            .select("_u", F.least("_mv", "_u").alias("_m"))
-        )
         large = (
-            sym.join(mins, "_u")
+            sym.withColumn("_m", F.least(F.min("_v").over(w_u), F.col("_u")))
             .filter(F.col("_v") > F.col("_u"))
-            .select(F.col("_m").alias("_small"), F.col("_v").alias("_big"))
-        )
-        large = (
-            large.filter(F.col("_small") != F.col("_big"))
-            .select(F.col("_big").alias("_u"), F.col("_small").alias("_v"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .filter(F.col("_m") != F.col("_v"))
+            .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+            # no distinct here: duplicate (v, m) rows (two u-neighbors of v
+            # sharing a minimum) don't change the small-star min and fall
+            # to `new`'s distinct — dropping it saves an (_u,_v) exchange
+            # right before the window's _u exchange
         )
         # small-star on the (big=_u, small=_v) orientation: u and all its
-        # smaller neighbors attach to the smallest neighbor m.
-        mins2 = large.groupBy("_u").agg(F.min("_v").alias("_m"))
-        attach = (
-            large.join(mins2, "_u")
-            .filter(F.col("_v") != F.col("_m"))
-            .select(F.col("_v").alias("_big"), F.col("_m").alias("_small"))
-        )
-        roots = mins2.select(F.col("_u").alias("_big"), F.col("_m").alias("_small"))
+        # smaller neighbors attach to the smallest neighbor m — emitted
+        # per edge row as [(v, m), (u, m)]; v==m self-pairs and u==m root
+        # self-loops fall to the shared filter, duplicate root edges to
+        # the distinct.
+        lg = large.withColumn("_m", F.min("_v").over(w_u))
         new = (
-            attach.union(roots)
+            lg.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("_v").alias("_big"), F.col("_m").alias("_small")
+                        ),
+                        F.struct(
+                            F.col("_u").alias("_big"), F.col("_m").alias("_small")
+                        ),
+                    )
+                ).alias("_e")
+            )
+            .select(F.col("_e._big").alias("_big"), F.col("_e._small").alias("_small"))
             .filter(F.col("_small") != F.col("_big"))
             .select(F.col("_big").alias("_u"), F.col("_small").alias("_v"))
             .distinct()
             .localCheckpoint(eager=True)
         )
-        free_checkpoint(large)
         changed = (
-            new.exceptAll(cur).limit(1).count() + cur.exceptAll(new).limit(1).count()
+            0
+            if new.exceptAll(cur).union(cur.exceptAll(new)).isEmpty()
+            else 1
         )
         free_checkpoint(cur)
         cur = new
