@@ -779,12 +779,30 @@ _COSUPPLY_EDGES_SQL = """
 def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct quarterly co-supply edges (s1 < s2) — the shared graph of
     the triangle/k-core entries (graph_triangle_cosupply docstring has
-    the shuffle budget)."""
-    orders = read_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").between("1995-01-01", "1995-03-31")
+    the shuffle budget).
+
+    r12 (guide §3.2/§3.3, §2.4): two structural fixes, results identical.
+    (a) The selective quarter filter now reduces lineitem with a semi-join
+    BEFORE the self-join — the old plan self-joined the FULL lineitem and
+    only then dropped ~96% of the product against the filtered orders;
+    inner⋈ on the unique o_orderkey commutes with the self-join, and the
+    semi-join form cannot duplicate rows regardless of key multiplicity.
+    (b) The distinct edge list is eagerly localCheckpoint-ed: every caller
+    references it several times in one plan (adjacency mirror + degree +
+    wedge sides + anti-join), and without the barrier Catalyst replays
+    the join-distinct subtree per reference (5x in the link-prediction
+    entry). The edge list is orders-of-magnitude smaller than lineitem —
+    materializing it once is the guide's truncate-the-plan move; swap for
+    reliable checkpoint() on long cluster jobs."""
+    oq = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between("1995-01-01", "1995-03-31"))
+        .select("o_orderkey")
     )
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(oq, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     )
     a = li.alias("a")
     b = li.alias("b")
@@ -794,15 +812,12 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
         )
-        .join(
-            orders.select("o_orderkey"),
-            F.col("a.l_orderkey") == F.col("o_orderkey"),
-        )
         .select(
             F.col("a.l_suppkey").alias("s1"),
             F.col("b.l_suppkey").alias("s2"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
 
