@@ -632,11 +632,21 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand_slim = cand.select("qid", "id", "rel_u")
     pick_w = Window.partitionBy("qid").orderBy(F.col("score2").desc(), "id")
+    # r12 (guide §3.3 plan truncation, §2.6 scheduling): each greedy
+    # round's one-row-per-query pick is persist()ed — round k's lazy plan
+    # otherwise re-embeds every earlier round's subtree (sel is a growing
+    # union of the sk frames, and the final 5-way union replays them all
+    # again), so EXECUTION roughly doubled per round. persist (not an
+    # eager checkpoint) keeps the whole greedy a SINGLE job: the final
+    # action computes each round's fragment once and serves every later
+    # reference from cache, instead of paying five sequenced
+    # micro-job barriers (~0.5 s of pure local-mode scheduling each).
     s1 = (
         cand_slim.withColumn("score2", F.col("rel_u"))
         .withColumn("rk", F.row_number().over(pick_w))
         .filter(F.col("rk") == 1)
         .select("qid", "id", "rel_u", "score2")
+        .persist()
     )
     picks = [s1]
     sel = s1.select("qid", "id")
@@ -655,6 +665,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rk", F.row_number().over(pick_w))
             .filter(F.col("rk") == 1)
             .select("qid", "id", "rel_u", "score2")
+            .persist()
         )
         picks.append(sk)
         sel = sel.unionByName(sk.select("qid", "id"))
