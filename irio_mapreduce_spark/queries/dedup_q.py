@@ -1072,7 +1072,13 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = widen(docs).select(
         "doc_id", shingles(tokens(F.col("text")), 3).alias("s")
     )
-    ex = sh.select("doc_id", F.explode("s").alias("tk"))
+    # r12 (guide §2.4): the exploded shingle frame is referenced FIVE
+    # times in this one plan (sizes, document frequencies, the prefix
+    # rank join, and both verification sides) and the prefix index twice
+    # (self-join) — without a barrier Catalyst replays the
+    # scan+shingle+explode subtree per reference. persist() computes each
+    # once per action; blocks are (id, gram) rows, never documents.
+    ex = sh.select("doc_id", F.explode("s").alias("tk")).persist()
     sz = ex.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     dfreq = ex.groupBy("tk").agg(F.count("*").cast("long").alias("df"))
     w_pos = Window.partitionBy("doc_id").orderBy("df", "tk")
@@ -1089,6 +1095,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         )
         .select("doc_id", "tk")
+        .persist()
     )
     cand = (
         pref.select(F.col("doc_id").alias("id1"), "tk")

@@ -2524,14 +2524,23 @@ def ml_random_forest_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bag argmin is a window row_number — no driver-side model
     artifact at all, the whole forest lives in a 9-row frame. At 100 TB
     the single fan-out-free scan is the entire data-proportional cost."""
+    from irio_mapreduce_spark.io import spread_scan, table_path
     from irio_mapreduce_spark.llm.sampling import hash_bucket
 
-    pts = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("long").alias("q"),
-        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
-        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
-        "l_orderkey",
-        "l_linenumber",
+    # r12 (guide §2.5): the 9-bag md5 partial aggregate — the entry's
+    # dominant cost — ran as one task on the single-row-group bench
+    # parquet; spread the 5 projected columns first (no-op once the input
+    # splits at scale). Same fix as stats_permutation_test.
+    pts = spread_scan(
+        spark,
+        read_table(spark, sf_dir, "lineitem").select(
+            F.col("l_quantity").cast("long").alias("q"),
+            F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+            "l_orderkey",
+            "l_linenumber",
+        ),
+        table_path(sf_dir, "lineitem"),
     )
 
     def pois(b: int):
@@ -2567,7 +2576,10 @@ def ml_random_forest_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bc"),
-    ).select("q", "d", "pos", F.col("bc.b").alias("b"), F.col("bc.cnt").alias("cnt"))
+    ).select(
+        "q", "d", "pos", F.col("bc.b").alias("b"), F.col("bc.cnt").alias("cnt")
+    ).persist()  # r12: read twice (q- and d-threshold groupings) — without
+    # the barrier each branch replays the 9-bag md5 scan of the fact table
     per_t = (
         dom.groupBy("b", F.col("q").alias("t"))
         .agg(
@@ -2635,7 +2647,8 @@ def ml_random_forest_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = pts.groupBy("q", "d").agg(
         F.count("*").cast("long").alias("n_rows"),
         F.sum("pos").cast("long").alias("n_pos"),
-    )
+    ).persist()  # r12: read by the vote pass AND the final join — one
+    # compacted-domain scan instead of two full fact-table scans
     feat_val = F.when(F.col("feat") == "q", F.col("q")).otherwise(F.col("d"))
     votes = (
         cells.crossJoin(F.broadcast(best))

@@ -660,14 +660,23 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     m-row p-value frame — window functions over a bounded frame. At
     100 TB with thousands of segments this is exactly the dashboard
     'which segments really moved' gate."""
+    from irio_mapreduce_spark.io import spread_scan, table_path
     from irio_mapreduce_spark.llm.sampling import hash_bucket
 
     dec = "decimal(38,0)"
-    pts = read_table(spark, sf_dir, "events").select(
-        "event_type",
-        (F.col("user_id") % 2).alias("grp"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
-        "event_id",
+    # r12 (guide §2.5): the 24-universe md5 partial aggregate — the
+    # entry's dominant cost — ran as one task on the single-row-group
+    # bench parquet; spread the 4 projected columns first (no-op once the
+    # input splits at scale). Same fix as stats_permutation_test.
+    pts = spread_scan(
+        spark,
+        read_table(spark, sf_dir, "events").select(
+            "event_type",
+            (F.col("user_id") % 2).alias("grp"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+            "event_id",
+        ),
+        table_path(sf_dir, "events"),
     )
     aggs = [
         F.count("*").cast("long").alias("n"),
@@ -693,25 +702,41 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     t = pts.groupBy("event_type").agg(*aggs)
     # k = 1 + Σ_b [ |Δ_b| ≥ |Δ_obs| ], compared by FULL cross-
-    # multiplication in DECIMAL(38,0) (group sizes differ per universe)
+    # multiplication in DECIMAL(38,0) (group sizes differ per universe).
+    # r12 (guide §1.2 per-task work / §7.3 planning cost): the 24
+    # comparisons used to be CHAINED into one expression — 24 inlined
+    # copies of the decimal cross-multiplication whose Catalyst analysis
+    # alone cost ~3 s driver-side. The (n1_b, s1_b) pairs are instead
+    # EXPLODED over the already-aggregated m-row frame (5 rows here —
+    # the fact-table scan still computes all 48 sums in ONE pass, the
+    # "never a ×24 fan-out" property below refers to that scan) and ONE
+    # comparison expression + a count-sum reproduces the same integer k.
     obs = F.abs(
         F.col("s1_o").cast(dec) * (F.col("n") - F.col("n1_o")).cast(dec)
         - (F.col("s") - F.col("s1_o")).cast(dec) * F.col("n1_o").cast(dec)
     )
     obs_w = F.col("n1_o").cast(dec) * (F.col("n") - F.col("n1_o")).cast(dec)
-    k_expr = F.lit(1).cast("long")
-    for b in range(24):
-        d_b = F.abs(
-            F.col(f"s1_{b}").cast(dec)
-            * (F.col("n") - F.col(f"n1_{b}")).cast(dec)
-            - (F.col("s") - F.col(f"s1_{b}")).cast(dec)
-            * F.col(f"n1_{b}").cast(dec)
-        )
-        w_b = F.col(f"n1_{b}").cast(dec) * (
-            F.col("n") - F.col(f"n1_{b}")
-        ).cast(dec)
-        k_expr = k_expr + F.when(d_b * obs_w >= obs * w_b, 1).otherwise(0)
-    pv = t.select("event_type", k_expr.cast("long").alias("k"))
+    uni = F.array(
+        *[
+            F.struct(
+                F.col(f"n1_{b}").alias("n1b"), F.col(f"s1_{b}").alias("s1b")
+            )
+            for b in range(24)
+        ]
+    )
+    ex_u = t.select(
+        "event_type", "n", "s", "n1_o", "s1_o", F.explode(uni).alias("u")
+    )
+    d_b = F.abs(
+        F.col("u.s1b").cast(dec) * (F.col("n") - F.col("u.n1b")).cast(dec)
+        - (F.col("s") - F.col("u.s1b")).cast(dec) * F.col("u.n1b").cast(dec)
+    )
+    w_b = F.col("u.n1b").cast(dec) * (F.col("n") - F.col("u.n1b")).cast(dec)
+    pv = ex_u.groupBy("event_type").agg(
+        (1 + F.sum(F.when(d_b * obs_w >= obs * w_b, 1).otherwise(0)))
+        .cast("long")
+        .alias("k")
+    )
     w_rank = Window.orderBy("k", "event_type")
     ranked = pv.select(
         "event_type",
