@@ -225,6 +225,12 @@ def minhash_lsh_pairs(
         sized = keyed.withColumn(
             "_bsz", F.count("*").over(Window.partitionBy("_bucket"))
         ).filter(F.col("_bsz") <= max_bucket_size)
+    # Materialize the band index ONCE (eager barrier): it feeds BOTH sides
+    # of the bucket self-join, and without a barrier the 128-minhash band
+    # keying (and the bucket-size window, when capped) replays per side.
+    # (id, bucket) longs only — ``bands`` rows per document, the LSH index
+    # table a production pipeline persists.
+    sized = sized.localCheckpoint(eager=True)
     a = sized.select(F.col("_id").alias("id1"), "_bucket")
     b = sized.select(F.col("_id").alias("id2"), "_bucket")
     pairs = (
@@ -470,9 +476,16 @@ def simhash_near_pairs(
             "band join only guarantees candidate recall for hamming <= 7 "
             "(use more/narrower bands for larger radii)"
         )
+    # Materialize the signature table ONCE (eager barrier): ``banded``
+    # below feeds BOTH sides of the band self-join, and without a barrier
+    # Catalyst replays the whole scan -> tokenize -> shingle -> explode ->
+    # 64-vote aggregate subtree per side (the r12 before-plan shows the
+    # signature pipeline twice). The barrier frame is (id, 64-bit long) —
+    # bytes per row — so this is the canonical "persist the fingerprint
+    # table, not the payloads" index shape at any scale.
     sh = simhash_signatures(
         widen(df, target_partitions), id_col, shingles(tokens(text_col), ngram)
-    )
+    ).localCheckpoint(eager=True)
     banded = sh.select(
         "_id",
         "_sh",

@@ -896,6 +896,145 @@ def decode_wav_segments(segs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# FUSED single-crossing pipelines (optimization round 12, guide §4).
+#
+# The composable stages above (synthesize -> [resize|segment] -> decode) are
+# each their own ``mapInPandas``; Spark fuses chained Python operators into
+# ONE stage with K PythonRunner LEVELS per task, so a 3-stage chain over a
+# 32-task input wants 96 live Python workers at once and ships every payload
+# byte JVM->Python->JVM K times. The fused forms below run the SAME per-row
+# functions (synth_bmp / resize_bmp / decode_bmp / segment_wav / decode_wav
+# — byte-identical payloads and statistics, pinned by the entries' exact
+# oracles) inside ONE batch loop: one JVM↔Python crossing, cores×1 workers,
+# and the intermediate payload bytes never cross a process boundary at all.
+# The staged forms remain the building blocks for pipelines that genuinely
+# materialize the intermediate media table.
+# ---------------------------------------------------------------------------
+
+
+def real_media_features_fused(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """``decode_real_media_features(synthesize_real_media(ids))`` in ONE
+    mapInPandas: even ids synth+decode a 24-bit BMP, odd ids a PCM16 WAV
+    (same generators, same decoders, same dispatch — the BMP/WAV payloads
+    begin with BM/RIFF exactly as the staged path's magic dispatch sees
+    them)."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                base = {
+                    "media_id": mid,
+                    "kind": None, "width": None, "height": None,
+                    "sum_b": None, "sum_g": None, "sum_r": None,
+                    "sample_rate": None, "n_samples": None,
+                    "sum_abs": None, "n_nonneg": None,
+                }
+                if mid % 2 == 0:
+                    w, h = 8 + mid % 9, 6 + mid % 7
+                    base.update(kind="image", **mm.decode_bmp(mm.synth_bmp(mid, w, h)))
+                else:
+                    sr = 4000 + (mid % 5) * 1000
+                    n = 64 + mid % 129
+                    base.update(kind="audio", **mm.decode_wav(mm.synth_wav(mid, sr, n)))
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=[f.name for f in REAL_FEATURES_SCHEMA])
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=REAL_FEATURES_SCHEMA)
+
+
+def resized_real_image_features_fused(
+    ids: DataFrame, width: int, height: int, id_col: str = "media_id"
+) -> DataFrame:
+    """The ``multimodal_real_resize`` chain (synthesize -> filter images ->
+    resize -> decode) in ONE mapInPandas. ``synthesize_real_media`` emits
+    ``meta.kind == 'image'`` exactly for even ids (a BMP payload), so the
+    kind filter is the id-parity filter; the per-row byte path is the same
+    ``synth_bmp -> resize_bmp -> decode_bmp`` composition."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if mid % 2 != 0:
+                    continue
+                w, h = 8 + mid % 9, 6 + mid % 7
+                payload = mm.resize_bmp(mm.synth_bmp(mid, w, h), width, height)
+                base = {
+                    "media_id": mid,
+                    "kind": "image",
+                    "sample_rate": None, "n_samples": None,
+                    "sum_abs": None, "n_nonneg": None,
+                }
+                base.update(mm.decode_bmp(payload))
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=[f.name for f in REAL_FEATURES_SCHEMA])
+
+    return ids.select(F.col(id_col)).mapInPandas(run, schema=REAL_FEATURES_SCHEMA)
+
+
+def real_audio_segment_features_fused(
+    ids: DataFrame,
+    segment_ms: int = 20,
+    max_segments: int = 4,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """The ``multimodal_real_segments`` chain (synthesize -> filter audio ->
+    segment -> decode segments) in ONE mapInPandas. ``synthesize_real_media``
+    emits audio (a RIFF WAV payload) exactly for odd ids; per row the byte
+    path is the same ``synth_wav -> segment_wav -> decode_wav`` composition,
+    one output row per re-encoded segment (the flatMap shape preserved)."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if mid % 2 != 1:
+                    continue
+                sr = 4000 + (mid % 5) * 1000
+                n = 64 + mid % 129
+                wav = mm.synth_wav(mid, sr, n)
+                for idx, seg in mm.segment_wav(wav, segment_ms, max_segments):
+                    d = mm.decode_wav(seg)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "seg_idx": idx,
+                            "n_samples": d["n_samples"],
+                            "sum_abs": d["sum_abs"],
+                            "n_nonneg": d["n_nonneg"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "seg_idx", "n_samples", "sum_abs", "n_nonneg"],
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(
+        run,
+        schema="media_id long, seg_idx int, n_samples long, sum_abs long, n_nonneg long",
+    )
+
+
 def wav_energy_windows(media: DataFrame, window_samples: int = 32) -> DataFrame:
     """Frame-level AUDIO FEATURE EXTRACTION over ``mapInPandas``: each
     PCM16 WAV payload is parsed (validated RIFF walk, ``_wav_parse``) and

@@ -431,10 +431,21 @@ def dedup_embedding_cosine(
     never flips a projection sign, so every table buckets c·v with v.
     """
     keys = _table_buckets(F.col(vec_col), random_hyperplanes(dim, n_tables * planes_per_table, seed), n_tables, planes_per_table)
-    banded = widen(df).select(
+    # Materialize (id, vec, bucket-key array) ONCE before the explode
+    # (eager barrier): ``banded`` feeds BOTH sides of the bucket self-join,
+    # and without the barrier the Arrow-batched projection UDF (the whole
+    # LSH bucketing pass) and the corpus scan replay per side. Checkpointing
+    # BEFORE the explode keeps the barrier at one row per vector — the
+    # persisted-LSH-index shape (fingerprints, not payload fan-out).
+    sig = widen(df).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.explode(keys).alias("_bucket"),
+        keys.alias("_keys"),
+    ).localCheckpoint(eager=True)
+    banded = sig.select(
+        "_id",
+        "_v",
+        F.explode("_keys").alias("_bucket"),
     )
     a = banded.select(F.col("_id").alias("_id1"), F.col("_v").alias("_v1"), "_bucket")
     b = banded.select(F.col("_id").alias("_id2"), F.col("_v").alias("_v2"), "_bucket")
@@ -533,6 +544,14 @@ def semdedup(
             (-F.col("_m._nc")).alias("_cid"),
             F.col("_m._cs").alias("_cent"),
         )
+        # Materialize the assignment table ONCE (eager barrier): it feeds
+        # BOTH sides of the within-cluster pair join AND the final
+        # keep/drop join — three references that would each replay the
+        # broadcast×anchors scoring pass (k interpreted dot products per
+        # corpus row, the operator's dominant cost). One row per input
+        # vector — the SemDeDup "cluster assignment" artifact a production
+        # run would persist anyway.
+        .localCheckpoint(eager=True)
     )
     left = assign.select(
         F.col("_id").alias("_id1"),

@@ -173,14 +173,15 @@ def multimodal_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     formats — JPEG/MP4 — remain the honestly-stubbed path in
     ``decode_image_features``; BMP/WAV are fully specified header+array
     formats the stdlib parses.)"""
-    from irio_mapreduce_spark.llm.multimodal import (
-        decode_real_media_features,
-        synthesize_real_media,
-    )
+    from irio_mapreduce_spark.llm.multimodal import real_media_features_fused
 
+    # r12 (guide §4): the synthesize and decode stages are FUSED into one
+    # mapInPandas — same synth_bmp/synth_wav -> decode_bmp/decode_wav byte
+    # path per row, but ONE JVM<->Python crossing instead of two chained
+    # PythonRunner levels (which need cores×2 live workers and ship every
+    # payload byte across the boundary twice).
     docs = _media_ids(spark, sf_dir)
-    media = synthesize_real_media(docs)
-    return decode_real_media_features(media)
+    return real_media_features_fused(docs)
 
 
 @register(
@@ -213,15 +214,18 @@ def multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-faithful. (The codec-library resize path stays stubbed in
     ``resize_images``; this is the stdlib-parseable-format twin.)"""
     from irio_mapreduce_spark.llm.multimodal import (
-        decode_real_media_features,
-        resize_real_images,
-        synthesize_real_media,
+        resized_real_image_features_fused,
     )
 
+    # r12 (guide §4): synthesize -> filter(image) -> resize -> decode was
+    # THREE chained mapInPandas levels in one stage (cores×3 live Python
+    # workers at once — the worker-spawn storm that measured 10-28 s for
+    # ~1 s of codec work — and every payload crossing the boundary three
+    # times). Fused to ONE mapInPandas running the same synth_bmp ->
+    # resize_bmp -> decode_bmp bytes per row (kind=='image' ⇔ even id by
+    # the synthesizer's construction, pinned by this entry's exact oracle).
     docs = _media_ids(spark, sf_dir)
-    media = synthesize_real_media(docs).filter(F.col("meta.kind") == "image")
-    resized = resize_real_images(media, 6, 4)
-    return decode_real_media_features(resized).select(
+    return resized_real_image_features_fused(docs, 6, 4).select(
         "media_id", "width", "height", "sum_b", "sum_g", "sum_r"
     )
 
@@ -261,15 +265,17 @@ def multimodal_real_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     end (codec-library formats stay on the stubbed ``sample_frames``
     path)."""
     from irio_mapreduce_spark.llm.multimodal import (
-        decode_wav_segments,
-        segment_real_audio,
-        synthesize_real_media,
+        real_audio_segment_features_fused,
     )
 
+    # r12 (guide §4): synthesize -> filter(audio) -> segment -> decode was
+    # three chained mapInPandas levels (cores×3 live workers, payload bytes
+    # crossing the boundary three times); fused to ONE mapInPandas running
+    # the same synth_wav -> segment_wav -> decode_wav bytes per row
+    # (kind=='audio' ⇔ odd id by the synthesizer's construction, pinned by
+    # this entry's exact oracle).
     docs = _media_ids(spark, sf_dir)
-    media = synthesize_real_media(docs).filter(F.col("meta.kind") == "audio")
-    segs = segment_real_audio(media, segment_ms=20, max_segments=4)
-    return decode_wav_segments(segs)
+    return real_audio_segment_features_fused(docs, segment_ms=20, max_segments=4)
 
 
 @register(

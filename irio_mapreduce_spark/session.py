@@ -58,6 +58,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # r12 (guide §4 "heavyweight init once"): daemon variant that
+        # pre-imports pandas/pyarrow so every forked Python worker inherits
+        # the loaded stack copy-on-write. A stage chaining K mapInPandas
+        # operators runs K PythonRunner levels per task (cores×K fresh
+        # workers at once); with the stock daemon each fork re-imports
+        # pandas (~1 s CPU) and the first such stage in a session measured
+        # 10-28 s instead of ~1 s. See preload_daemon.py. The package's
+        # parent dir rides the worker PYTHONPATH so the daemon module
+        # resolves regardless of the driver's cwd/sys.path patching.
+        .config("spark.python.daemon.module", "irio_mapreduce_spark.preload_daemon")
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            + (os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""),
+        )
     )
     if master:
         builder = builder.master(master)

@@ -38,6 +38,17 @@ def main() -> int:
         action="store_true",
         help="only write plans (no timed execution) — usable on a busy host",
     )
+    ap.add_argument(
+        "--clear-cache",
+        action="store_true",
+        help="spark.catalog.clearCache() before every rep: each rep is an "
+        "honest single-shot cost. Without this, an entry that persist()s a "
+        "frame leaves it in the CacheManager and the NEXT rep's identical "
+        "logical plan silently reuses it (plan-canonicalization matching), "
+        "so min-of-reps measures cache-assisted cost — the methodology trap "
+        "found in r12: several 'min of 3 warm reps' improvements were "
+        "partly cross-rep cache hits, not single-shot wins.",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,6 +88,8 @@ def main() -> int:
             print(f"[warm] {name}: {time.monotonic() - t0:.3f}s", file=sys.stderr)
         ts = []
         for _ in range(args.reps):
+            if args.clear_cache:
+                spark.catalog.clearCache()
             t0 = time.monotonic()
             force(fn(spark, sf_dir))
             ts.append(time.monotonic() - t0)
