@@ -162,6 +162,46 @@ def _band_key(shingle_col: Column, band: int, rows_per_band: int) -> Column:
     )
 
 
+_BANDED_EXPLODE_MEMO: dict = {}
+
+
+def banded_explode(
+    shingle_colname: str, bands: int, rows_per_band: int
+) -> Column:
+    """``explode(array(band_key(0) .. band_key(bands-1)))`` over the named
+    shingle column, MEMOIZED per SparkContext.
+
+    Rationale (optimization round 12, measured): the full band tree is
+    ``bands × rows_per_band`` minhash sub-expressions built through py4j
+    — ~3 s of pure driver-side construction per call at 32×4. Callers
+    that rebuild the probe plan repeatedly (the foreachBatch index-
+    maintenance handler constructs it once per MICRO-BATCH; the
+    incremental-dedup entries once per run) were paying that per plan.
+    A ``Column`` is an immutable expression tree resolved against
+    whatever plan it is later applied to, so one instance serves every
+    plan in the context; the memo keys on the live SparkContext id so a
+    restarted JVM can never serve a stale py4j reference."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (id(sc), shingle_colname, bands, rows_per_band)
+    col = _BANDED_EXPLODE_MEMO.get(key)
+    if col is None:
+        # drop refs minted under a previous (dead) context before caching
+        for k in [k for k in _BANDED_EXPLODE_MEMO if k[0] != id(sc)]:
+            del _BANDED_EXPLODE_MEMO[k]
+        col = F.explode(
+            F.array(
+                *[
+                    _band_key(F.col(shingle_colname), b, rows_per_band)
+                    for b in range(bands)
+                ]
+            )
+        )
+        _BANDED_EXPLODE_MEMO[key] = col
+    return col
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -211,14 +251,9 @@ def minhash_lsh_pairs(
         widen(df.select(F.col(id_col).alias("_id"), F.col(shingle_col).alias("_sv")))
         .localCheckpoint(eager=True)
     )
-    shx = F.col("_sv")
     keyed = pre.select(
         "_id",
-        F.explode(
-            F.array(
-                *[_band_key(shx, b, rows_per_band) for b in range(bands)]
-            )
-        ).alias("_bucket"),
+        banded_explode("_sv", bands, rows_per_band).alias("_bucket"),
     )
     sized = keyed
     if max_bucket_size is not None:
@@ -941,11 +976,7 @@ def build_incremental_index(
         ).parquet(_os.path.join(out_dir, "fps"))
         idx.select(
             "_cid",
-            F.explode(
-                F.array(
-                    *[_band_key(F.col("_csh"), b, rows_per_band) for b in range(bands)]
-                )
-            ).alias("_bucket"),
+            banded_explode("_csh", bands, rows_per_band).alias("_bucket"),
         ).write.mode("overwrite").parquet(_os.path.join(out_dir, "bands"))
     finally:
         free_checkpoint(idx)
@@ -1025,11 +1056,7 @@ def incremental_dedup_against_index(
         c_fps=index.select(F.col("_cfp").alias("_fp")).distinct(),
         c_bands=index.select(
             "_cid",
-            F.explode(
-                F.array(
-                    *[_band_key(F.col("_csh"), b, rows_per_band) for b in range(bands)]
-                )
-            ).alias("_bucket"),
+            banded_explode("_csh", bands, rows_per_band).alias("_bucket"),
         ),
         c_docs=index.select("_cid", "_csh"),
         batch=batch,
@@ -1081,11 +1108,7 @@ def _probe_corpus_index(
     b_idx = combined.select(F.col(id_col).alias("_bid"), "_bsh")
     b_bands = b_idx.select(
         "_bid",
-        F.explode(
-            F.array(
-                *[_band_key(F.col("_bsh"), b, rows_per_band) for b in range(bands)]
-            )
-        ).alias("_bucket"),
+        banded_explode("_bsh", bands, rows_per_band).alias("_bucket"),
     )
     cand = (
         b_bands.join(c_bands, "_bucket")
@@ -1423,14 +1446,7 @@ def _write_index_segment(
     ).parquet(_os.path.join(out_dir, "fps", f"seg={seg}"))
     idx.select(
         "_cid",
-        F.explode(
-            F.array(
-                *[
-                    _band_key(F.col("_csh"), b, rows_per_band)
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_bucket"),
+        banded_explode("_csh", bands, rows_per_band).alias("_bucket"),
     ).write.mode("overwrite").parquet(
         _os.path.join(out_dir, "bands", f"seg={seg}")
     )
