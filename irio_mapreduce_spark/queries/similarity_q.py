@@ -628,51 +628,76 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("sim_u"),
         )
-        .localCheckpoint(eager=True)
+        # r12: no barrier needed anymore — the cogrouped greedy below is
+        # the frame's single consumer, and it already builds on cand's
+        # checkpoint (the k×k self-join computes once, in the same job).
     )
     cand_slim = cand.select("qid", "id", "rel_u")
-    pick_w = Window.partitionBy("qid").orderBy(F.col("score2").desc(), "id")
-    # r12 (guide §3.3 plan truncation, §2.6 scheduling): each greedy
-    # round's one-row-per-query pick is persist()ed — round k's lazy plan
-    # otherwise re-embeds every earlier round's subtree (sel is a growing
-    # union of the sk frames, and the final 5-way union replays them all
-    # again), so EXECUTION roughly doubled per round. persist (not an
-    # eager checkpoint) keeps the whole greedy a SINGLE job: the final
-    # action computes each round's fragment once and serves every later
-    # reference from cache, instead of paying five sequenced
-    # micro-job barriers (~0.5 s of pure local-mode scheduling each).
-    s1 = (
-        cand_slim.withColumn("score2", F.col("rel_u"))
-        .withColumn("rk", F.row_number().over(pick_w))
-        .filter(F.col("rk") == 1)
-        .select("qid", "id", "rel_u", "score2")
-        .persist()
-    )
-    picks = [s1]
-    sel = s1.select("qid", "id")
-    for _ in range(2, 6):
-        rem = cand_slim.join(sel, ["qid", "id"], "left_anti")
-        ms = (
-            pairs.join(
-                sel.withColumnRenamed("id", "idb"), ["qid", "idb"]
+    # r12 (guide §2.6 scheduling, §4 bounded per-group Python): the five
+    # greedy rounds were UNROLLED as dataframe rounds — five windows, five
+    # joins and a 5-way union whose plan grows per round, costing ~10 s of
+    # per-run plan construction + codegen for a computation that touches
+    # ≤ 10 rows per query. The greedy now runs as ONE cogrouped
+    # applyInPandas over the per-query candidate and pairwise-sim groups:
+    # the inputs (rel_u, sim_u) are the SAME JVM-computed integer
+    # micro-units as before — the Python side does only exact int64
+    # argmax/subtract, the arithmetic the unrolled rounds did in BIGINT —
+    # so the selection is bit-identical (pinned by the from-scratch-greedy
+    # property test and the entry's exact oracle). Scale shape unchanged:
+    # one shuffle by qid, O(k²) work per query group, corpus never
+    # shuffled.
+    def _greedy(cand_pdf, pairs_pdf):
+        import pandas as pd
+
+        if len(cand_pdf) == 0:
+            return pd.DataFrame(
+                columns=["qid", "rank", "vec_id", "rel_u", "score2"]
             )
-            .groupBy("qid", F.col("ida").alias("id"))
-            .agg(F.max("sim_u").alias("maxsim"))
+        qid = int(cand_pdf["qid"].iloc[0])
+        rel = {
+            int(r.id): int(r.rel_u) for r in cand_pdf.itertuples(index=False)
+        }
+        sim = {
+            (int(r.ida), int(r.idb)): int(r.sim_u)
+            for r in pairs_pdf.itertuples(index=False)
+        }
+        selected: list[int] = []
+        rows = []
+        for rank in range(1, 6):
+            best = None
+            for i, r_u in rel.items():
+                if i in selected:
+                    continue
+                score2 = (
+                    r_u
+                    if not selected
+                    else r_u - max(sim[(i, s)] for s in selected)
+                )
+                # argmax with smaller-id tie-break == row_number over
+                # (score2 DESC, id ASC) picking rk 1
+                if best is None or (score2, -i) > (best[1], -best[0]):
+                    best = (i, score2)
+            if best is None:
+                break
+            selected.append(best[0])
+            rows.append(
+                {
+                    "qid": qid,
+                    "rank": rank,
+                    "vec_id": best[0],
+                    "rel_u": rel[best[0]],
+                    "score2": best[1],
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=["qid", "rank", "vec_id", "rel_u", "score2"]
         )
-        sk = (
-            rem.join(ms, ["qid", "id"])
-            .withColumn("score2", F.col("rel_u") - F.col("maxsim"))
-            .withColumn("rk", F.row_number().over(pick_w))
-            .filter(F.col("rk") == 1)
-            .select("qid", "id", "rel_u", "score2")
-            .persist()
+
+    return (
+        cand_slim.groupBy("qid")
+        .cogroup(pairs.groupBy("qid"))
+        .applyInPandas(
+            _greedy,
+            schema="qid long, rank long, vec_id long, rel_u long, score2 long",
         )
-        picks.append(sk)
-        sel = sel.unionByName(sk.select("qid", "id"))
-    out = None
-    for r, p in enumerate(picks, start=1):
-        pr = p.withColumn("rank", F.lit(r).cast("long"))
-        out = pr if out is None else out.unionByName(pr)
-    return out.select(
-        "qid", "rank", F.col("id").alias("vec_id"), "rel_u", "score2"
     )
