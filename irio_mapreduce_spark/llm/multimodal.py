@@ -1035,6 +1035,53 @@ def real_audio_segment_features_fused(
     )
 
 
+def wav_energy_windows_fused(
+    ids: DataFrame, window_samples: int = 32, id_col: str = "media_id"
+) -> DataFrame:
+    """The ``multimodal_wav_energy_windows`` chain (synthesize -> filter
+    audio -> frame energies) in ONE mapInPandas. ``synthesize_real_media``
+    emits audio (a RIFF PCM16 WAV) exactly for odd ids; the per-row byte
+    path is the same ``synth_wav -> _wav_parse -> framed int64
+    energy/peak`` composition, one output row per frame."""
+    ensure_package_shipped(ids.sparkSession)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from irio_mapreduce_spark.llm import multimodal as mm
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if mid % 2 != 1:
+                    continue
+                sr = 4000 + (mid % 5) * 1000
+                n = 64 + mid % 129
+                _sr, samples = mm._wav_parse(mm.synth_wav(mid, sr, n))
+                v = np.asarray(samples, dtype=np.int64)
+                for w in range(0, (len(v) + window_samples - 1) // window_samples):
+                    frame = v[w * window_samples : (w + 1) * window_samples]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "win_idx": w,
+                            "n_in_win": int(frame.size),
+                            "energy": int((frame * frame).sum()),
+                            "peak": int(np.abs(frame).max()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "win_idx", "n_in_win", "energy", "peak"]
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(
+        run,
+        schema="media_id long, win_idx int, n_in_win long, energy long, peak long",
+    )
+
+
 def wav_energy_windows(media: DataFrame, window_samples: int = 32) -> DataFrame:
     """Frame-level AUDIO FEATURE EXTRACTION over ``mapInPandas``: each
     PCM16 WAV payload is parsed (validated RIFF walk, ``_wav_parse``) and

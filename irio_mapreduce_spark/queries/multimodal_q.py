@@ -312,14 +312,16 @@ def multimodal_wav_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame
     RIFF walk, int16 decode, and framing are all exact. Integer bounds:
     |s| <= 2^15, 32 samples → energy < 2^45, BIGINT-safe on both
     engines."""
-    from irio_mapreduce_spark.llm.multimodal import (
-        synthesize_real_media,
-        wav_energy_windows,
-    )
+    from irio_mapreduce_spark.llm.multimodal import wav_energy_windows_fused
 
+    # r12 (guide §4): synthesize -> filter(audio) -> frame-energies was two
+    # chained mapInPandas levels (cores×2 live workers, WAV bytes crossing
+    # the boundary twice); fused to ONE mapInPandas running the same
+    # synth_wav -> _wav_parse -> int64 framing per row (kind=='audio' ⇔
+    # odd id by the synthesizer's construction, pinned by the exact
+    # oracle).
     docs = _media_ids(spark, sf_dir)
-    media = synthesize_real_media(docs).filter(F.col("meta.kind") == "audio")
-    return wav_energy_windows(media, window_samples=32)
+    return wav_energy_windows_fused(docs, window_samples=32)
 
 
 @register(
