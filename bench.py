@@ -84,18 +84,30 @@ def _force(df) -> None:
 
 
 def compact_result(
-    timings: dict[str, float], total: float, sf: float, budget: int = 1800
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    budget: int = 1800,
+    record_eligible: bool | None = None,
+    load_avg_start: list[float] | None = None,
 ) -> dict:
     """Build the printed JSON payload, trimming ``queries`` to the slowest
     entries that keep the serialized line within ``budget`` bytes (the
     recording harness stores only the last ~2000 bytes of stdout). Failures
     (-1.0 sentinel) sort ahead of every timing so they are never trimmed.
-    ``value`` stays the total over ALL measured entries."""
+    ``value`` stays the total over ALL measured entries.
+
+    ``record_eligible`` / ``load_avg_start`` ride in the compact line (r12
+    verdict "Next #7"): a PERF comparison of two rounds' headline numbers
+    must see the contention caveat without digging into BENCH_DETAIL.json —
+    the r12 driver run was NOT record-eligible (start load 3.04) and 15 of
+    its 16 apparent regressions were contention, adjudicated only a round
+    later."""
     printed: dict[str, float] = {}
     by_cost = sorted(timings.items(), key=lambda kv: (kv[1] >= 0, -kv[1]))
 
     def _payload(queries: dict[str, float]) -> dict:
-        return {
+        out = {
             "metric": "catalog_total",
             "value": total,
             "unit": "sec",
@@ -104,6 +116,11 @@ def compact_result(
             "detail": "BENCH_DETAIL.json",
             "sf": sf,
         }
+        if record_eligible is not None:
+            out["record_eligible"] = record_eligible
+        if load_avg_start is not None:
+            out["load_avg_start"] = load_avg_start
+        return out
 
     for name, t in by_cost:
         candidate = dict(printed)
@@ -265,7 +282,13 @@ def main() -> int:
             "BASELINE.md as a record",
             file=sys.stderr,
         )
-    result = compact_result(timings, total, _sf_of(sf_dir))
+    result = compact_result(
+        timings,
+        total,
+        _sf_of(sf_dir),
+        record_eligible=record_eligible,
+        load_avg_start=load_start,
+    )
     detail = dict(
         result,
         queries=timings,

@@ -179,16 +179,19 @@ def banded_explode(
     incremental-dedup entries once per run) were paying that per plan.
     A ``Column`` is an immutable expression tree resolved against
     whatever plan it is later applied to, so one instance serves every
-    plan in the context; the memo keys on the live SparkContext id so a
-    restarted JVM can never serve a stale py4j reference."""
+    plan in the context; the memo keys on (applicationId, startTime) —
+    unique per context incarnation — so a restarted JVM can never serve
+    a stale py4j reference (id(sc) could be reused by the allocator
+    after the old context is garbage-collected — r12 ADVICE.md)."""
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    key = (id(sc), shingle_colname, bands, rows_per_band)
+    ctx = (sc.applicationId, sc.startTime) if sc is not None else None
+    key = (ctx, shingle_colname, bands, rows_per_band)
     col = _BANDED_EXPLODE_MEMO.get(key)
     if col is None:
         # drop refs minted under a previous (dead) context before caching
-        for k in [k for k in _BANDED_EXPLODE_MEMO if k[0] != id(sc)]:
+        for k in [k for k in _BANDED_EXPLODE_MEMO if k[0] != ctx]:
             del _BANDED_EXPLODE_MEMO[k]
         col = F.explode(
             F.array(
@@ -369,8 +372,14 @@ def ngram_jaccard_pairs(
     # query. persist() (lazy) computes each subtree once per action and
     # serves the other branches from the block manager; blocks are a few
     # MB of (id, shingles) / (id, shingle) rows — hashes and grams, never
-    # documents — and are released by the ContextCleaner when the frame
-    # goes out of scope (same discipline as pipeline_q's staged persists).
+    # documents. NB (r12 ADVICE, comment corrected r13): persist()
+    # registers the plan in the session CacheManager, which holds a
+    # STRONG reference until unpersist()/clearCache() — the blocks are
+    # NOT GC-released with the frame. Accepted here knowingly: the entry
+    # is single-action, blocks are small, and a later canonically-equal
+    # plan reading the warm cache is correct (just warm); long-lived
+    # drivers that loop over entries can clearCache() between entries
+    # (tools/opt_bench.py --clear-cache does exactly that when measuring).
     sh = (
         widen(df)
         .select(

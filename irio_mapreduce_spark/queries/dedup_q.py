@@ -1065,67 +1065,128 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     from irio_mapreduce_spark.llm.dedup import shingles, widen
 
-    # r12 (guide §2.5): the shingle build + explode upstream of the first
-    # shuffle ran as ONE task on the single-row-group bench parquet —
-    # widen first, the same discipline every other shingle operator here
+    # r12 (guide §2.5): the shingle build upstream of the first shuffle
+    # ran as ONE task on the single-row-group bench parquet — widen
+    # first, the same discipline every other shingle operator here
     # applies (no-op when the input is already wide).
-    sh = widen(docs).select(
-        "doc_id", shingles(tokens(F.col("text")), 3).alias("s")
+    #
+    # r13 restructure (guide §2.3 "shuffle fewer bytes" + §2.6): the old
+    # shape persisted the EXPLODED (doc, token) frame and shuffled it
+    # TWICE MORE for verification (join by id1, then by (id2, token) +
+    # a count aggregate) — the heaviest exchanges in the plan, and the
+    # two lazy persists raced concurrent stages (the entry anti-scaled
+    # 0.84). Three changes, measured together 6.4 → ~3.1 s single-shot:
+    #
+    # 1. AllPairs/PPJoin candidate filters (Bayardo WWW'07 §3; Xiao
+    #    WWW'08 §3.2) BEFORE any payload moves — both provably necessary
+    #    for J ≥ 3/5, so the output is unchanged: (a) LENGTH:
+    #    |A∩B| ≤ min(n1,n2), |A∪B| ≥ max(n1,n2) ⇒ 3·max ≤ 5·min;
+    #    (b) POSITIONAL: collisions are tokens in BOTH prefixes, and
+    #    per-doc positions are ranks in ONE global (df, tk) order, so
+    #    for the minimal colliding positions (q1, q2) any common token
+    #    ordered before that collision would itself be a lower-position
+    #    collision (contradiction) — hence every other common token sits
+    #    after q1 in A AND after q2 in B, giving
+    #    inter ≤ 1 + min(n1−q1, n2−q2); require 8·that ≥ 3·(n1+n2)
+    #    (the integer form of inter ≥ t/(1+t)·(n1+n2)). Measured at
+    #    sf0.1: 312k raw collisions → 69k verified pairs.
+    # 2. Verification joins the surviving pairs back to the per-doc
+    #    SHINGLE-SET ARRAYS and computes |∩| as
+    #    ``size(array_intersect(s1, s2))`` — exact for the distinct
+    #    arrays ``shingles`` produces; zero token-level verification
+    #    shuffles, and the arrays cross an exchange once per side for
+    #    only the filtered pairs. Set sizes ride along from the prefix
+    #    frame (n == size(s)), so no sz join either.
+    # 3. Barriers split by size (the r12 verdict's prescription): the
+    #    doc→array frame is EAGERLY checkpointed (feeds the token
+    #    explode and both verification sides — replaying it would
+    #    re-tokenize); the small prefix index is LAZILY checkpointed
+    #    (self-join input; lazy measured ≈ eager-barrier cost here and
+    #    a localCheckpoint never pins a CacheManager entry the way the
+    #    old persist() did — r12 ADVICE.md).
+    sh = (
+        widen(docs)
+        .select("doc_id", shingles(tokens(F.col("text")), 3).alias("s"))
+        .localCheckpoint(eager=True)
     )
-    # r12 (guide §2.4): the exploded shingle frame is referenced FIVE
-    # times in this one plan (sizes, document frequencies, the prefix
-    # rank join, and both verification sides) and the prefix index twice
-    # (self-join) — without a barrier Catalyst replays the
-    # scan+shingle+explode subtree per reference. persist() computes each
-    # once per action; blocks are (id, gram) rows, never documents.
-    ex = sh.select("doc_id", F.explode("s").alias("tk")).persist()
-    sz = ex.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    ex = sh.select("doc_id", F.explode("s").alias("tk"))
     dfreq = ex.groupBy("tk").agg(F.count("*").cast("long").alias("df"))
     w_pos = Window.partitionBy("doc_id").orderBy("df", "tk")
+    w_doc = Window.partitionBy("doc_id")
     pref = (
         ex.join(dfreq, "tk")
         .select(
-            "doc_id", "tk", F.row_number().over(w_pos).alias("pos")
+            "doc_id",
+            "tk",
+            F.row_number().over(w_pos).alias("pos"),
+            F.count("*").over(w_doc).cast("long").alias("n"),
         )
-        .join(sz, "doc_id")
         .filter(
             F.col("pos")
             <= F.col("n")
             - F.expr("(3 * n + 4) div 5").cast("long")
             + 1
         )
-        .select("doc_id", "tk")
-        .persist()
+        .select("doc_id", "tk", "pos", "n")
+        .localCheckpoint(eager=False)
+    )
+    a = pref.select(
+        F.col("doc_id").alias("id1"),
+        "tk",
+        F.col("pos").alias("p1"),
+        F.col("n").alias("n1"),
+    )
+    b = pref.select(
+        F.col("doc_id").alias("id2"),
+        "tk",
+        F.col("pos").alias("p2"),
+        F.col("n").alias("n2"),
     )
     cand = (
-        pref.select(F.col("doc_id").alias("id1"), "tk")
-        .join(pref.select(F.col("doc_id").alias("id2"), "tk"), "tk")
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
-    )
-    inter = (
-        cand.join(ex.select(F.col("doc_id").alias("id1"), "tk"), "id1")
-        .join(ex.select(F.col("doc_id").alias("id2"), "tk"), ["id2", "tk"])
+        a.join(b, "tk")
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            & (3 * F.col("n1") <= 5 * F.col("n2"))
+            & (3 * F.col("n2") <= 5 * F.col("n1"))
+        )
         .groupBy("id1", "id2")
-        .agg(F.count("*").cast("long").alias("inter"))
+        .agg(
+            F.min("p1").alias("q1"),
+            F.min("p2").alias("q2"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
+        .filter(
+            8
+            * (
+                1
+                + F.least(
+                    F.col("n1") - F.col("q1"), F.col("n2") - F.col("q2")
+                )
+            )
+            >= 3 * (F.col("n1") + F.col("n2"))
+        )
     )
     return (
-        inter.join(
-            sz.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1")),
+        cand.join(
+            sh.select(F.col("doc_id").alias("id1"), F.col("s").alias("s1")),
             "id1",
         )
         .join(
-            sz.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2")),
+            sh.select(F.col("doc_id").alias("id2"), F.col("s").alias("s2")),
             "id2",
         )
         .select(
             "id1",
             "id2",
+            F.size(F.array_intersect("s1", "s2")).cast("long").alias("inter"),
+            (F.col("n1") + F.col("n2")).alias("_tot"),
+        )
+        .select(
+            "id1",
+            "id2",
             "inter",
-            (F.col("n1") + F.col("n2") - F.col("inter"))
-            .cast("long")
-            .alias("uni"),
+            (F.col("_tot") - F.col("inter")).cast("long").alias("uni"),
         )
         .filter(5 * F.col("inter") >= 3 * F.col("uni"))
     )

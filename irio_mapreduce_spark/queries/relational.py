@@ -1692,11 +1692,25 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``unix_micros`` / ``epoch_us`` — Spark's ``unix_timestamp``
     truncates where DuckDB's ``epoch()`` rounds, the TWAP trap), money
     is exact cents via ``floor(x*100 + 0.5)`` (identical IEEE double ops
-    both engines), and every tie-break is the unique custkey. Cost: one
-    shuffle for the per-customer rollup, then three range-partition sorts
-    of the CUSTOMER DIMENSION (not the fact table) — each the budget of a
-    sorted write of the dimension; the 125-cell segment grid is the final
-    tiny aggregate."""
+    both engines), and every tie-break is the unique custkey.
+
+    r13 (guide §2.6 barriers): the three quintiles used to run as THREE
+    SEQUENCED ``global_rank`` chains (3× range-sample job + eager
+    checkpoint + offset collect, each re-executing the previous chain's
+    numbering pass — ~11 sequenced barrier jobs of scheduling for a
+    customer-dimension frame; the entry anti-scaled 0.57 on the driver).
+    The three metrics are instead STACKED into one frame of 3n rows
+    tagged ``_g`` ∈ {0,1,2} and ranked by ONE ``global_rank`` on
+    ``(_g, _key, o_custkey)``: each metric block holds exactly n rows
+    (every customer appears once per metric), so the within-metric rank
+    is exactly ``rank − _g·n`` — same total order per metric (descending
+    metrics negate the key, ties on the unique custkey), one range sort
+    + one numbering pass instead of three. Scores reassemble per
+    customer by a conditional pivot (one hash shuffle of 3n tiny rows).
+    Cost: one shuffle for the per-customer rollup, ONE range-partition
+    sort of the stacked CUSTOMER DIMENSION (not the fact table), one
+    pivot shuffle; the 125-cell segment grid is the final tiny
+    aggregate."""
     from irio_mapreduce_spark.operators.topk import global_rank, ntile_from_rank
 
     o = read_table(spark, sf_dir, "orders").select(
@@ -1704,46 +1718,71 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("o_orderdate")).alias("ts_us"),
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
     )
-    rfm0 = o.groupBy("o_custkey").agg(
-        F.max("ts_us").alias("last_us"),
-        F.count("*").cast("long").alias("freq"),
-        F.sum("cents").cast("long").alias("mon"),
-    ).persist()  # the cutoff scalar AND the ranking both read it
-    # global max(ts) == max of the per-customer maxes — derived from the
-    # rollup, never a second orders scan
-    cut = rfm0.agg(F.max("last_us").alias("_mx"))
-    rfm = (
-        rfm0.join(F.broadcast(cut))
-        .select(
+    # Eager checkpoint (not persist): the cutoff scalar, the row count and
+    # all three stacked branches read the materialized rollup; checkpoint
+    # blocks are ContextCleaner-freed once the frame is unreachable,
+    # where persist() would pin a CacheManager entry for the session.
+    rfm0 = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("ts_us").alias("last_us"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum("cents").cast("long").alias("mon"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # global max(ts) == max of the per-customer maxes, and the ranking
+    # universe size == the rollup's row count — both derived from the
+    # checkpointed rollup in ONE tiny scalar job (never a second orders
+    # scan); as plan literals they cost no broadcast join in the final
+    # plan. Bounded driver work, same class as global_rank's offsets.
+    mx_n = rfm0.agg(
+        F.max("last_us").alias("_mx"), F.count("*").alias("_n")
+    ).first()
+    mx, n = mx_n["_mx"], mx_n["_n"]
+    stacked = (
+        rfm0.select(
+            F.lit(0).alias("_g"),
+            (F.lit(mx) - F.col("last_us")).alias("_key"),
             "o_custkey",
-            (F.col("_mx") - F.col("last_us")).alias("r_us"),
-            "freq",
             "mon",
-            (-F.col("freq")).alias("_negf"),
-            (-F.col("mon")).alias("_negm"),
+        )
+        .unionByName(
+            rfm0.select(
+                F.lit(1).alias("_g"),
+                (-F.col("freq")).alias("_key"),
+                "o_custkey",
+                "mon",
+            )
+        )
+        .unionByName(
+            rfm0.select(
+                F.lit(2).alias("_g"),
+                (-F.col("mon")).alias("_key"),
+                "o_custkey",
+                "mon",
+            )
         )
     )
-    ranked = global_rank(rfm, ["r_us", "o_custkey"], rank_col="_r")
-    ranked = global_rank(ranked, ["_negf", "o_custkey"], rank_col="_f")
-    ranked = global_rank(ranked, ["_negm", "o_custkey"], rank_col="_m")
-    # r12 (guide §1.3): row count taken from the PERSISTED per-customer
-    # rollup (ranking is 1:1, so the counts are identical) — counting the
-    # ranked frame instead re-ran the final mapInPandas numbering pass for
-    # the scalar branch (plan: 2 MapInPandas → 1).
-    n_df = rfm0.agg(F.count("*").alias("_n"))
-    return (
-        ranked.join(F.broadcast(n_df))
-        .select(
-            ntile_from_rank(F.col("_r"), F.col("_n"), 5).alias("r_score"),
-            ntile_from_rank(F.col("_f"), F.col("_n"), 5).alias("f_score"),
-            ntile_from_rank(F.col("_m"), F.col("_n"), 5).alias("m_score"),
-            "mon",
-        )
-        .groupBy("r_score", "f_score", "m_score")
+    ranked = global_rank(stacked, ["_g", "_key", "o_custkey"], rank_col="_rk")
+    score = ntile_from_rank(
+        F.col("_rk") - F.col("_g").cast("long") * F.lit(n).cast("long"),
+        F.lit(n).cast("long"),
+        5,
+    )
+    per_cust = (
+        ranked.select("o_custkey", "mon", "_g", score.alias("_score"))
+        .groupBy("o_custkey")
         .agg(
-            F.count("*").cast("long").alias("n_customers"),
-            F.sum("mon").cast("long").alias("mon_cents"),
+            F.max(F.when(F.col("_g") == 0, F.col("_score"))).alias("r_score"),
+            F.max(F.when(F.col("_g") == 1, F.col("_score"))).alias("f_score"),
+            F.max(F.when(F.col("_g") == 2, F.col("_score"))).alias("m_score"),
+            F.max("mon").alias("mon"),
         )
+    )
+    return per_cust.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("mon").cast("long").alias("mon_cents"),
     )
 
 

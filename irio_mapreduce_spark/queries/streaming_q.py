@@ -723,7 +723,14 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, sentinel_user, types=[(-1, "click"), (-2, "purchase")]
     ).coalesce(1).write.mode("append").parquet(d)
 
-    stream = read_events_stream(spark, d, max_files_per_trigger=2)
+    # r13 (guide §2.6): each micro-batch of this topology costs ~1.2 s of
+    # fixed per-trigger scheduling/state-commit (measured via
+    # lastProgress durationMs); 3 files/trigger drains the 5-file replay
+    # in TWO data batches instead of three — still ≥2, so cross-batch
+    # arrival and join-state maintenance stay exercised — and the
+    # watermark-flush batch emits the same outer rows (the drained SET is
+    # batching-invariant; the batch oracle pins it).
+    stream = read_events_stream(spark, d, max_files_per_trigger=3)
     clicks = stream.filter(F.col("event_type") == "click")
     buys = stream.filter(F.col("event_type") == "purchase")
     joined = stream_stream_interval_join(
@@ -776,7 +783,9 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, sentinel_user, types=[(-1, "click"), (-2, "purchase")]
     ).coalesce(1).write.mode("append").parquet(d)
 
-    stream = read_events_stream(spark, d, max_files_per_trigger=2).filter(
+    # r13: 3 files/trigger — 2 data batches instead of 3 (see
+    # stream_stream_left_outer; output set is batching-invariant).
+    stream = read_events_stream(spark, d, max_files_per_trigger=3).filter(
         F.col("user_id") % 3 == 0
     )
     clicks = stream.filter(F.col("event_type") == "click")
@@ -1100,13 +1109,16 @@ def stream_asof_nearest_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch nearest-in-horizon argmin verbatim (row_number over dist,
     direction, id)."""
     d = _nearest_replay_dir(spark, sf_dir)
+    # r13: 3 files/trigger — 2 data batches instead of 3 (see
+    # stream_stream_left_outer; nearest-argmin output is
+    # batching-invariant).
     purchases = (
-        read_events_stream(spark, d, max_files_per_trigger=2)
+        read_events_stream(spark, d, max_files_per_trigger=3)
         .filter(F.col("event_type") == "purchase")
         .withWatermark("ts", "14 days")
     )
     clicks = (
-        read_events_stream(spark, d, max_files_per_trigger=2)
+        read_events_stream(spark, d, max_files_per_trigger=3)
         .filter(F.col("event_type") == "click")
         .withWatermark("ts", "14 days")
     )
@@ -1367,7 +1379,9 @@ def stream_stream_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, sentinel_user, types=[(-1, "click"), (-2, "purchase")]
     ).coalesce(1).write.mode("append").parquet(d)
 
-    stream = read_events_stream(spark, d, max_files_per_trigger=2).filter(
+    # r13: 3 files/trigger — 2 data batches instead of 3 (see
+    # stream_stream_left_outer; output set is batching-invariant).
+    stream = read_events_stream(spark, d, max_files_per_trigger=3).filter(
         F.col("user_id") % 2 == 0
     )
     clicks = stream.filter(F.col("event_type") == "click")
@@ -1425,7 +1439,9 @@ def stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, sentinel_user, types=[(-1, "click"), (-2, "purchase")]
     ).coalesce(1).write.mode("append").parquet(d)
 
-    stream = read_events_stream(spark, d, max_files_per_trigger=2).filter(
+    # r13: 3 files/trigger — 2 data batches instead of 3 (see
+    # stream_stream_left_outer; output set is batching-invariant).
+    stream = read_events_stream(spark, d, max_files_per_trigger=3).filter(
         F.col("user_id") % 3 == 1
     )
     clicks = stream.filter(F.col("event_type") == "click")
@@ -1492,7 +1508,10 @@ def stream_windowed_distinct_users(
         "append"
     ).parquet(d)
 
-    stream = read_events_stream(spark, d, max_files_per_trigger=2).filter(
+    # r13: 3 files/trigger — 2 data batches instead of 3 (see
+    # stream_stream_left_outer; the dedup+window chain's final counts are
+    # batching-invariant).
+    stream = read_events_stream(spark, d, max_files_per_trigger=3).filter(
         F.col("user_id") % 2 == 0
     )
     firsts = (
@@ -1898,10 +1917,14 @@ def stream_rocksdb_changelog_resume(
     between constant-time and ever-growing trigger commits as keyed
     state accumulates. Recovery replays snapshot + changelog chain; this
     entry certifies that chain end-to-end by composing the
-    ``stream_checkpoint_kill_resume`` topology (3 query INCARNATIONS over
-    one checkpoint, each later chunk re-sending the previous chunk's
-    rows) with the RocksDB provider: only a correctly-rebuilt dedup
-    state drops the cross-incarnation duplicates, so a broken changelog
+    ``stream_checkpoint_kill_resume`` topology (2 query INCARNATIONS over
+    one checkpoint — r13, guide §2.6: the minimum that still exercises a
+    resume; the second chunk re-sends the first chunk's rows, so only a
+    correctly-rebuilt dedup state — snapshot + changelog replay in
+    incarnation 2 — drops the cross-incarnation duplicates; the r12
+    3-incarnation form spent ~1/3 of its 9.7 s driver-bench cost on the
+    third stream start/drain without certifying anything the second
+    resume had not) with the RocksDB provider: a broken changelog
     replay (lost state → doubled rows) or a re-admitted batch flips the
     driver hash. The entry raises unless ``*.changelog`` files actually
     landed in the state checkpoint — a silently-ignored conf is a red,
@@ -1909,7 +1932,7 @@ def stream_rocksdb_changelog_resume(
     (SSTs), and deterministic: with the provider engaged, every commit
     under changelog mode writes one. Oracle: the plain batch aggregate
     (event_id is unique, so the recovered dedup restores exactly the
-    base rows)."""
+    base rows — chunk-count-invariant)."""
     import glob as _glob
     import os
     import shutil
@@ -1922,15 +1945,15 @@ def stream_rocksdb_changelog_resume(
         .filter(F.col("event_id") % 5 == 0)
         .select("event_id", "ts", "event_type", "value")
     )
-    g = F.expr("(event_id div 5) % 3").cast("int")
+    g = F.expr("(event_id div 5) % 2").cast("int")
     chunked = base.withColumn("_chunk", g).unionAll(
-        # chunk i+1 re-sends chunk i's rows — duplicates only a RECOVERED
+        # chunk 1 re-sends chunk 0's rows — duplicates only a RECOVERED
         # dedup state (snapshot + changelog replay) can drop
-        base.withColumn("_chunk", g + 1).filter(F.col("_chunk") <= 2)
+        base.withColumn("_chunk", g + 1).filter(F.col("_chunk") <= 1)
     )
     run_dir = tempfile.mkdtemp(prefix="stream_rocks_changelog_")
     staging = os.path.join(run_dir, "staging")
-    _write_replay_sequenced(chunked, "_chunk", 3, staging)
+    _write_replay_sequenced(chunked, "_chunk", 2, staging)
     live = os.path.join(run_dir, "live")
     sink = os.path.join(run_dir, "sink")
     ck = os.path.join(run_dir, "ck")
@@ -1953,7 +1976,7 @@ def stream_rocksdb_changelog_resume(
         spark.conf.set(key, val)
     try:
         with _stream_partitions(spark):
-            for i in range(3):
+            for i in range(2):
                 for f in sorted(
                     _glob.glob(os.path.join(staging, f"chunk{i:03d}_*"))
                 ):

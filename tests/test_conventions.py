@@ -210,3 +210,72 @@ def test_bench_line_fits_recorder_tail():
     slowest = max(timings.items(), key=lambda kv: kv[1])
     assert payload["queries"][slowest[0]] == slowest[1]
     assert len(payload["queries"]) > 20
+
+
+def test_bench_compact_line_carries_contention_caveat():
+    """r12 verdict "Next #7": the compact line must surface
+    ``record_eligible`` + ``load_avg_start`` so a PERF comparison of two
+    rounds' headline numbers carries the contention caveat automatically
+    (the r12 driver bench started at load 3.04 and 15 of its 16 apparent
+    regressions were contention, adjudicated only a round later)."""
+    import bench
+
+    payload = bench.compact_result(
+        {"q": 1.0}, 1.0, 0.1, record_eligible=False,
+        load_avg_start=[3.04, 6.97, 8.102],
+    )
+    assert payload["record_eligible"] is False
+    assert payload["load_avg_start"] == [3.04, 6.97, 8.102]
+
+
+def test_bench_unmeasured_warmup_list_is_pinned():
+    """r12 verdict "Next #7": bench.py's UNMEASURED warm-up region is part
+    of the measurement contract — a silently-added warmup call could
+    absorb timed work and masquerade as a per-entry speedup (the r12
+    replay-base warmup moved ~2.3 s of fixture build out of the timed
+    region and had to be ledgered after the fact). Pin the EXACT call
+    list: the window head (WINDOW_WARMUP_COUNT entries), the pysource
+    runner probe, and the four named replay-fixture builders. Adding a
+    warmup means updating this list IN THE SAME COMMIT, with the
+    justification in the round's OPTIMIZATION log."""
+    import ast
+    import pathlib
+
+    src = pathlib.Path(__file__).parent.parent / "bench.py"
+    tree = ast.parse(src.read_text())
+    main = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "main"
+    )
+    # every attribute-call of the form _sq.<name>(...) in main's body is a
+    # replay-fixture warmup; collect (name, literal args beyond spark/sf)
+    fixture_calls = []
+    for node in ast.walk(main):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "_sq"
+        ):
+            lits = [
+                a.value for a in node.args if isinstance(a, ast.Constant)
+            ]
+            fixture_calls.append((node.func.attr, tuple(lits)))
+    assert fixture_calls == [
+        ("_replay_dir", ()),
+        ("_ordered_replay_dir", ()),
+        ("_fresh_ordered_replay", (4, "bench_warm_ord4_")),
+        ("_fresh_ordered_replay", (3, "bench_warm_ord3_")),
+    ], fixture_calls
+    # the only _force() calls OUTSIDE the timed loop are: the footer warm,
+    # the window-head warm loop, the pysource probe (2 calls: batch write
+    # is via .save(), the probe reads back with _force), i.e. warmup can
+    # not silently grow a new _force site without failing here.
+    force_count = sum(
+        1
+        for node in ast.walk(main)
+        if isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Name)
+        and node.func.id == "_force"
+    )
+    assert force_count == 4, force_count  # footer, window loop, pysource, timed loop

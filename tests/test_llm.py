@@ -2485,3 +2485,64 @@ def test_qoi_structural_rejects():
         mm.decode_qoi(
             mm._QOI_MAGIC + _s.pack(">IIBB", 1, 1, 4, 0) + mm._QOI_END
         )
+
+
+def test_fused_multimodal_pipelines_equal_staged(spark):
+    """r12 ADVICE pin: the four FUSED single-crossing pipelines
+    (multimodal.py r12 optimization) duplicate synthesize_real_media's
+    dispatch invariants (even id ⇔ BMP, w=8+mid%9, h=6+mid%7,
+    sr=4000+(mid%5)·1000, n=64+mid%129) as literal copies. A future
+    synthesizer change would silently desynchronize the fused and staged
+    paths; this test pins them DIRECTLY equal, row for row, over an id
+    range covering every (w, h, sr, n) residue class."""
+    from irio_mapreduce_spark.llm.multimodal import (
+        decode_real_media_features,
+        decode_wav_segments,
+        real_audio_segment_features_fused,
+        real_media_features_fused,
+        resize_real_images,
+        resized_real_image_features_fused,
+        segment_real_audio,
+        synthesize_real_media,
+        wav_energy_windows,
+        wav_energy_windows_fused,
+    )
+
+    ids = spark.range(0, 130).select(F.col("id").alias("media_id"))
+
+    def rows(df):
+        return sorted(
+            (tuple(r[c] for c in sorted(df.columns)) for r in df.collect()),
+            key=repr,
+        )
+
+    media = synthesize_real_media(ids)
+    # 1. synthesize -> decode
+    assert rows(real_media_features_fused(ids)) == rows(
+        decode_real_media_features(media)
+    )
+    # 2. synthesize -> filter images -> resize -> decode
+    staged_resize = decode_real_media_features(
+        resize_real_images(media.filter(F.col("meta.kind") == "image"), 6, 4)
+    )
+    assert rows(
+        resized_real_image_features_fused(ids, 6, 4)
+    ) == rows(staged_resize)
+    # 3. synthesize -> filter audio -> segment -> decode segments
+    staged_seg = decode_wav_segments(
+        segment_real_audio(
+            media.filter(F.col("meta.kind") == "audio"),
+            segment_ms=20,
+            max_segments=4,
+        )
+    )
+    assert rows(
+        real_audio_segment_features_fused(ids, segment_ms=20, max_segments=4)
+    ) == rows(staged_seg)
+    # 4. synthesize -> filter audio -> frame energies
+    staged_energy = wav_energy_windows(
+        media.filter(F.col("meta.kind") == "audio"), window_samples=32
+    )
+    assert rows(wav_energy_windows_fused(ids, window_samples=32)) == rows(
+        staged_energy
+    )

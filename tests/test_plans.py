@@ -404,21 +404,18 @@ def test_bitmap_distinct_two_hash_aggregates_no_expand(spark, qs):
 
 
 def test_rfm_ranks_without_global_window(spark, qs):
-    """Every quintile comes from the distributed global_rank — the plan
-    contains NO window operator, and the only SinglePartition exchange is
-    the scalar row-count aggregate (one partial row per partition), which
-    reads the checkpointed dimension, not a second fact scan."""
+    """Every quintile comes from ONE distributed global_rank over the
+    stacked (metric, key, custkey) frame — the plan contains NO window
+    operator, no SinglePartition exchange (the cutoff/count scalars are
+    plan literals computed at build time from the checkpointed rollup),
+    exactly ONE numbering pass (MapInPandas), and no parquet scan (all
+    inputs come from checkpoint barriers — r13: the rollup is
+    localCheckpoint-ed, so no InMemoryRelation provenance text to strip)."""
     p = plan(spark, qs, "agg_rfm_segments", mode="simple")
     assert "Window" not in p, p
-    assert p.count("Exchange SinglePartition") <= 1, p
-    # All inputs come from barriers: the executed plan must read no
-    # parquet. r12: the scalar count reads the PERSISTED per-customer
-    # rollup (InMemoryTableScan), and the plan string renders the cached
-    # relation's ORIGINAL build plan (including its FileScan) inside the
-    # InMemoryRelation block — provenance text, not an executed scan, so
-    # only the plan text ABOVE the first InMemoryRelation marker must be
-    # scan-free.
-    assert p.split("InMemoryRelation")[0].count("FileScan parquet") == 0, p
+    assert "Exchange SinglePartition" not in p, p
+    assert p.count("MapInPandas") == 1, p
+    assert "FileScan parquet" not in p, p
 
 
 def test_inverted_index_scan_prunes_to_two_columns(spark, qs):

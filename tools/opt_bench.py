@@ -8,7 +8,7 @@ Usage:
 
 Each entry is timed REPS times (default 3) after one unmeasured warm run;
 prints min/median. With -p <suffix>, writes the formatted plan to
-``plans/r12/<name>_<suffix>.txt``. Names may be substrings; every catalog
+``plans/r13/<name>_<suffix>.txt``. Names may be substrings; every catalog
 entry matching any substring is run.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
@@ -72,7 +72,7 @@ def main() -> int:
     for name in picked:
         fn = qs[name]
         if args.plan_only:
-            out = Path(_REPO) / "plans" / "r12" / f"{name}_{args.plan_suffix}.txt"
+            out = Path(_REPO) / "plans" / "r13" / f"{name}_{args.plan_suffix}.txt"
             out.parent.mkdir(parents=True, exist_ok=True)
             df = fn(spark, sf_dir)
             out.write_text(df._jdf.queryExecution().explainString(
@@ -98,7 +98,7 @@ def main() -> int:
             f"reps={[round(t, 3) for t in ts]}"
         )
         if args.plan_suffix:
-            out = Path(_REPO) / "plans" / "r12" / f"{name}_{args.plan_suffix}.txt"
+            out = Path(_REPO) / "plans" / "r13" / f"{name}_{args.plan_suffix}.txt"
             out.parent.mkdir(parents=True, exist_ok=True)
             df = fn(spark, sf_dir)
             out.write_text(df._jdf.queryExecution().explainString(
