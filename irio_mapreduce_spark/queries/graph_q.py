@@ -1336,44 +1336,48 @@ def graph_functional_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_ktruss_peel_rounds",
     oracle="""
-    WITH pres AS (
+    -- r13: every CTE is MATERIALIZED — DuckDB inlines multi-referenced
+    -- CTEs by default, re-expanding the whole peel chain per reference
+    -- (3-4 refs/round x 3 rounds); measured 56.6 s -> 0.04 s at sf0.01
+    -- with bitwise-identical output (optimizer hint, not semantics).
+    WITH pres AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS c, c_nationkey AS nat,
              date_trunc('week', o_orderdate) AS g
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE o_orderdate >= DATE '1995-01-01'
         AND o_orderdate < DATE '1995-04-01'),
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT DISTINCT a.nat, a.c AS u, b.c AS v
       FROM pres a
         JOIN pres b ON a.nat = b.nat AND a.g = b.g AND a.c < b.c),
-    s1 AS (SELECT nat, u AS src, v AS dst FROM e0
+    s1 AS MATERIALIZED (SELECT nat, u AS src, v AS dst FROM e0
            UNION ALL SELECT nat, v, u FROM e0),
-    p1 AS (SELECT e.nat, e.u, e.v, count(*) AS tri FROM e0 e
+    p1 AS MATERIALIZED (SELECT e.nat, e.u, e.v, count(*) AS tri FROM e0 e
            JOIN s1 a ON a.nat = e.nat AND a.src = e.u
            JOIN s1 b ON b.nat = e.nat AND b.src = e.v AND b.dst = a.dst
            GROUP BY 1, 2, 3),
-    e1 AS (SELECT e.nat, e.u, e.v FROM e0 e
+    e1 AS MATERIALIZED (SELECT e.nat, e.u, e.v FROM e0 e
            LEFT JOIN p1 s ON s.nat = e.nat AND s.u = e.u AND s.v = e.v
            WHERE coalesce(s.tri, 0) >= 2),
-    s2 AS (SELECT nat, u AS src, v AS dst FROM e1
+    s2 AS MATERIALIZED (SELECT nat, u AS src, v AS dst FROM e1
            UNION ALL SELECT nat, v, u FROM e1),
-    p2 AS (SELECT e.nat, e.u, e.v, count(*) AS tri FROM e1 e
+    p2 AS MATERIALIZED (SELECT e.nat, e.u, e.v, count(*) AS tri FROM e1 e
            JOIN s2 a ON a.nat = e.nat AND a.src = e.u
            JOIN s2 b ON b.nat = e.nat AND b.src = e.v AND b.dst = a.dst
            GROUP BY 1, 2, 3),
-    e2 AS (SELECT e.nat, e.u, e.v FROM e1 e
+    e2 AS MATERIALIZED (SELECT e.nat, e.u, e.v FROM e1 e
            LEFT JOIN p2 s ON s.nat = e.nat AND s.u = e.u AND s.v = e.v
            WHERE coalesce(s.tri, 0) >= 2),
-    s3 AS (SELECT nat, u AS src, v AS dst FROM e2
+    s3 AS MATERIALIZED (SELECT nat, u AS src, v AS dst FROM e2
            UNION ALL SELECT nat, v, u FROM e2),
-    p3 AS (SELECT e.nat, e.u, e.v, count(*) AS tri FROM e2 e
+    p3 AS MATERIALIZED (SELECT e.nat, e.u, e.v, count(*) AS tri FROM e2 e
            JOIN s3 a ON a.nat = e.nat AND a.src = e.u
            JOIN s3 b ON b.nat = e.nat AND b.src = e.v AND b.dst = a.dst
            GROUP BY 1, 2, 3),
-    e3 AS (SELECT e.nat, e.u, e.v FROM e2 e
+    e3 AS MATERIALIZED (SELECT e.nat, e.u, e.v FROM e2 e
            LEFT JOIN p3 s ON s.nat = e.nat AND s.u = e.u AND s.v = e.v
            WHERE coalesce(s.tri, 0) >= 2),
-    trail AS (
+    trail AS MATERIALIZED (
       SELECT 0 AS round, nat, u, v FROM e0
       UNION ALL SELECT 1, nat, u, v FROM e1
       UNION ALL SELECT 2, nat, u, v FROM e2
@@ -1381,7 +1385,7 @@ def graph_functional_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts AS (
       SELECT round, nat, CAST(count(*) AS BIGINT) AS n_edges
       FROM trail GROUP BY 1, 2),
-    node_sets AS (
+    node_sets AS MATERIALIZED (
       SELECT DISTINCT round, nat, x FROM (
         SELECT round, nat, u AS x FROM trail
         UNION ALL SELECT round, nat, v FROM trail)),

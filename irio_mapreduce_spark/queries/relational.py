@@ -4557,31 +4557,39 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         table_path(sf_dir, "lineitem"),
     )
-    aggs = [
-        F.count("*").cast("long").alias("n"),
-        F.sum("v").cast("long").alias("s"),
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n1_o"),
-        F.sum(F.when(F.col("grp") == 1, F.col("v")).otherwise(0))
-        .cast("long")
-        .alias("s1_o"),
-    ]
-    for b in range(20):
-        gb = hash_bucket(
-            ["l_orderkey", "l_linenumber"], n_buckets=2, salt=f"perm{b}"
-        )
-        aggs.append(
-            F.sum(F.when(gb == 1, 1).otherwise(0))
+    from irio_mapreduce_spark.queries.stats_q import _memo_exprs
+
+    def _build_aggs():
+        aggs = [
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
             .cast("long")
-            .alias(f"n1_{b}")
-        )
-        aggs.append(
-            F.sum(F.when(gb == 1, F.col("v")).otherwise(0))
+            .alias("n1_o"),
+            F.sum(F.when(F.col("grp") == 1, F.col("v")).otherwise(0))
             .cast("long")
-            .alias(f"s1_{b}")
-        )
-    one = pts.agg(*aggs)
+            .alias("s1_o"),
+        ]
+        for b in range(20):
+            gb = hash_bucket(
+                ["l_orderkey", "l_linenumber"], n_buckets=2, salt=f"perm{b}"
+            )
+            aggs.append(
+                F.sum(F.when(gb == 1, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n1_{b}")
+            )
+            aggs.append(
+                F.sum(F.when(gb == 1, F.col("v")).otherwise(0))
+                .cast("long")
+                .alias(f"s1_{b}")
+            )
+        return aggs
+
+    # r13: the 40 md5 conditional aggregates are ~1.4 s of py4j
+    # construction per call — input-independent Column trees, memoized
+    # per context (stats_q._memo_exprs, the BH treatment).
+    one = pts.agg(*_memo_exprs("perm_aggs", _build_aggs))
     stack_args = ", ".join(
         f"CAST({b} AS BIGINT), n1_{b}, s1_{b}" for b in range(20)
     )

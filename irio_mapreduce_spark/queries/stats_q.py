@@ -413,21 +413,26 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         table_path(sf_dir, "orders"),
     )
-    aggs = []
-    for b in range(20):
-        h = hash_bucket(["o_orderkey"], n_buckets=10000, salt=f"boot{b}")
-        w = (
-            F.when(h < 3679, 0)
-            .when(h < 7358, 1)
-            .when(h < 9197, 2)
-            .when(h < 9810, 3)
-            .otherwise(4)
-        )
-        aggs.append(F.sum(w).cast("long").alias(f"n_{b}"))
-        aggs.append(
-            F.sum(w * F.col("cents")).cast("long").alias(f"s_{b}")
-        )
-    one = pts.agg(*aggs)
+    def _build_aggs():
+        aggs = []
+        for b in range(20):
+            h = hash_bucket(["o_orderkey"], n_buckets=10000, salt=f"boot{b}")
+            w = (
+                F.when(h < 3679, 0)
+                .when(h < 7358, 1)
+                .when(h < 9197, 2)
+                .when(h < 9810, 3)
+                .otherwise(4)
+            )
+            aggs.append(F.sum(w).cast("long").alias(f"n_{b}"))
+            aggs.append(
+                F.sum(w * F.col("cents")).cast("long").alias(f"s_{b}")
+            )
+        return aggs
+
+    # r13: ~1.5 s of py4j construction for the 40 threshold aggregates,
+    # memoized per context (see _memo_exprs).
+    one = pts.agg(*_memo_exprs("boot_aggs", _build_aggs))
     stack_args = ", ".join(
         f"CAST({b} AS BIGINT), n_{b}, s_{b}" for b in range(20)
     )

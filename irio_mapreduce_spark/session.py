@@ -67,6 +67,13 @@ def get_spark(
         # 10-28 s instead of ~1 s. See preload_daemon.py. The package's
         # parent dir rides the worker PYTHONPATH so the daemon module
         # resolves regardless of the driver's cwd/sys.path patching.
+        # Deploy caveat (r12 ADVICE, acknowledged): on a non-local cluster
+        # where the package ships via archives/venv, the driver-local
+        # PYTHONPATH below is wrong for executors and these two configs
+        # should be left to the submitter (gate on deploy mode before
+        # reusing this builder outside the local harness); the preload
+        # daemon itself degrades gracefully to the stock fork loop if its
+        # imports fail (see preload_daemon.py's ImportError fallback).
         .config("spark.python.daemon.module", "irio_mapreduce_spark.preload_daemon")
         .config(
             "spark.executorEnv.PYTHONPATH",

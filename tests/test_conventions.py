@@ -20,7 +20,7 @@ import pytest
 from pyspark.sql import types as T
 
 from irio_mapreduce_spark import queries as catalog
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, get_query_frame
 
 _QUERIES = catalog.all_queries()
 _ORACLES = catalog.all_oracles()
@@ -43,7 +43,9 @@ def test_oracle_returns_no_hugeint(name, duck):
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_returns_no_complex_columns(name, spark):
-    df = _QUERIES[name](spark, SF_DIR)
+    # r13: construct once, share with the oracle sweep (conftest
+    # CONSTRUCTED_FRAMES — streaming entries drain during construction).
+    df = get_query_frame(name, spark)
     offenders = [
         f.name
         for f in df.schema.fields

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.io import read_table
+from tests.conftest import local_df
 from irio_mapreduce_spark.llm.dedup import (
     exact_dedup,
     near_dup_pairs_minhash,
@@ -30,7 +31,7 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def test_exact_dedup_keeps_first(spark):
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa"), (5, "cc")], ["id", "t"]
     )
     kept = exact_dedup(
@@ -60,7 +61,7 @@ def test_simhash_hamming_properties(spark):
     base = "the quick brown fox jumps over the lazy dog " * 5
     near = base.replace("lazy", "sleepy")  # one token of ~45 changed
     far = "alpha beta gamma delta epsilon zeta eta theta " * 5
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(1, base), (2, base), (3, near), (4, far)], ["id", "text"]
     )
     h = {
@@ -265,7 +266,7 @@ def test_dedup_embedding_cosine_scaled_and_near(spark):
         (2, near),                                 # cosine > 0.99 vs 0 -> drop
         (3, ortho),                                # keep
     ]
-    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    df = local_df(spark, rows, "vec_id long, v array<double>")
     kept = {
         r.vec_id
         for r in dedup_embedding_cosine(
@@ -311,8 +312,8 @@ def test_connected_components_vs_union_find(spark):
         parent[find(a)] = find(b)
     expected = {n: min(m for m in node_ids if find(m) == find(n)) for n in node_ids}
 
-    e_df = spark.createDataFrame(edges, "a long, b long")
-    n_df = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    e_df = local_df(spark, edges, "a long, b long")
+    n_df = local_df(spark, [(n,) for n in node_ids], "id long")
     got = {
         r.id: r.component
         for r in connected_components(e_df, "a", "b", nodes=n_df).collect()
@@ -325,7 +326,7 @@ def test_connected_components_raises_without_convergence(spark):
     silently half-merged labeling."""
     from irio_mapreduce_spark.llm.dedup import connected_components
 
-    chain = spark.createDataFrame([(i, i + 1) for i in range(8)], "a long, b long")
+    chain = local_df(spark, [(i, i + 1) for i in range(8)], "a long, b long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(chain, "a", "b", max_iter=2)
 
@@ -379,12 +380,12 @@ def test_ngram_containment_finds_planted_leak(spark):
 
     leak = "the quick brown fox jumps over the lazy dog near the river bank"
     filler = " ".join(f"w{i}" for i in range(300))
-    corpus = spark.createDataFrame(
+    corpus = local_df(spark, 
         [(1, filler + " " + leak + " " + filler),
          (2, " ".join(f"x{i}" for i in range(100)))],
         "doc_id long, text string",
     )
-    probes = spark.createDataFrame(
+    probes = local_df(spark, 
         [(10, leak), (11, "completely unrelated probe content here indeed")],
         "doc_id long, text string",
     )
@@ -443,8 +444,8 @@ def test_connected_components_restricts_to_declared_nodes(spark):
     the output contains exactly the declared ids."""
     from irio_mapreduce_spark.llm.dedup import connected_components
 
-    edges = spark.createDataFrame([(1, 2), (2, 99), (3, 4)], "a long, b long")
-    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5)], "id long")
+    edges = local_df(spark, [(1, 2), (2, 99), (3, 4)], "a long, b long")
+    nodes = local_df(spark, [(i,) for i in (1, 2, 3, 4, 5)], "id long")
     got = {
         r.id: r.component
         for r in connected_components(edges, "a", "b", nodes=nodes).collect()
@@ -458,13 +459,13 @@ def test_incremental_dedup_batch_vs_corpus(spark):
     from irio_mapreduce_spark.llm.dedup import incremental_dedup
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    corpus = spark.createDataFrame(
+    corpus = local_df(spark, 
         [(1, base),                                  # exact dup of batch 10
          (2, base + " lambda mu nu"),                # near dup of batch 11
          (3, " ".join(f"c{i}" for i in range(12)))],
         "doc_id long, text string",
     )
-    batch = spark.createDataFrame(
+    batch = local_df(spark, 
         [(10, base),                                 # exact -> dropped
          (11, base + " lambda mu xi"),               # near (J>=0.8) -> dropped
          (12, " ".join(f"b{i}" for i in range(12))),  # novel -> kept
@@ -517,7 +518,7 @@ def test_connected_components_frees_intermediate_checkpoints(spark):
 
     base = persistent_count()
     # a path graph forces several propagation rounds
-    edges = spark.createDataFrame(
+    edges = local_df(spark, 
         [(i, i + 1) for i in range(12)], ["id1", "id2"]
     )
     out = connected_components(edges, "id1", "id2")
@@ -543,7 +544,7 @@ def test_ivf_topk_empty_corpus_raises_clearly(spark):
             T.StructField("embedding", T.ArrayType(T.DoubleType())),
         ]
     )
-    empty = spark.createDataFrame([], schema)
+    empty = local_df(spark, [], schema)
     with pytest.raises(ValueError, match="training sample is empty"):
         ivf_topk(empty, "embedding", "vec_id", empty, k=3).collect()
 
@@ -557,7 +558,7 @@ def test_chunk_list_overlap_contract(spark):
 
     import pyspark.sql.functions as F
 
-    docs = spark.createDataFrame(
+    docs = local_df(spark, 
         [
             (1, " ".join(f"t{i}" for i in range(40))),  # 40 toks -> 3 chunks
             (2, " ".join(f"t{i}" for i in range(16))),  # exactly chunk_size
@@ -591,7 +592,7 @@ def test_repetition_shares(spark):
 
     from irio_mapreduce_spark.llm.text import max_bigram_share, max_token_share
 
-    docs = spark.createDataFrame(
+    docs = local_df(spark, 
         [
             (1, "a b a c a d"),  # 'a' x3 of 6 tokens
             (2, "x y x y x y x y"),  # looped phrase: 'x y' 4 of 7 bigrams
@@ -621,7 +622,7 @@ def test_pii_redaction_masks_and_preserves(spark):
 
     from irio_mapreduce_spark.llm.text import redact_pii
 
-    docs = spark.createDataFrame(
+    docs = local_df(spark, 
         [
             (1, "write to alice.smith+x@sub.example.co.uk today"),
             (2, "call 555-0142 or 555 0143 now"),
@@ -651,7 +652,7 @@ def test_mixture_resample_contract(spark):
     from irio_mapreduce_spark.llm.sampling import mixture_resample
 
     rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
-    df = spark.createDataFrame(rows, ["id", "grp"])
+    df = local_df(spark, rows, ["id", "grp"])
     wt = F.when(F.col("grp") == "a", 3.0).otherwise(0.5)
     out = mixture_resample(df, wt, ["id"], salt="t")
     got = [(r.id, r.copy_id) for r in out.collect()]
@@ -691,7 +692,7 @@ def test_text_ratios_survive_degenerate_docs(spark):
     )
 
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
-    df = spark.createDataFrame([(1, "solo"), (2, ""), (3, "   ")], ["id", "text"])
+    df = local_df(spark, [(1, "solo"), (2, ""), (3, "   ")], ["id", "text"])
     rows = {
         r.id: r
         for r in df.select(
@@ -715,7 +716,7 @@ def test_cosine_zero_vector_yields_null_not_error(spark):
 
     from irio_mapreduce_spark.llm.similarity import cosine, unit_vector
 
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(1, [0.0, 0.0]), (2, [3.0, 4.0])], ["id", "v"]
     )
     rows = {
@@ -738,7 +739,7 @@ def test_weighted_priority_sample_excludes_degenerate_weights(spark):
     from irio_mapreduce_spark.llm.sampling import weighted_priority_sample
 
     rows = [(1, 10.0), (2, 0.0), (3, None), (4, -5.0), (5, 1e6), (6, 2e6), (7, 3.0)]
-    df = spark.createDataFrame(rows, "id long, w double")
+    df = local_df(spark, rows, "id long, w double")
     picked = weighted_priority_sample(df, ["id"], "w", k=3, id_col="id")
     got = {r.id for r in picked.collect()}
     assert len(got) == 3
@@ -809,8 +810,8 @@ def test_connected_components_star_vs_union_find(spark):
         parent[find(a)] = find(b)
     expected = {n: min(m for m in node_ids if find(m) == find(n)) for n in node_ids}
 
-    e_df = spark.createDataFrame(edges, "a long, b long")
-    n_df = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    e_df = local_df(spark, edges, "a long, b long")
+    n_df = local_df(spark, [(n,) for n in node_ids], "id long")
     got = {
         r.id: r.component
         for r in connected_components_star(e_df, "a", "b", nodes=n_df).collect()
@@ -824,7 +825,7 @@ def test_connected_components_star_long_chain_few_rounds(spark):
     and label every node with the chain's minimum."""
     from irio_mapreduce_spark.llm.dedup import connected_components_star
 
-    chain = spark.createDataFrame(
+    chain = local_df(spark, 
         [(i, i + 1) for i in range(1000, 1060)], "a long, b long"
     )
     out = connected_components_star(chain, "a", "b", max_iter=12).collect()
@@ -849,8 +850,8 @@ def test_connected_components_star_equivalent_on_random_graphs(spark):
             (rng.randrange(n), rng.randrange(n)) for _ in range(m)
         ]  # self-loops and dup edges allowed by construction
         edges += [(b, a) for a, b in edges[: m // 3]]  # reversed duplicates
-        e_df = spark.createDataFrame(edges, "a long, b long")
-        n_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        e_df = local_df(spark, edges, "a long, b long")
+        n_df = local_df(spark, [(i,) for i in range(n)], "id long")
         base = {
             r.id: r.component
             for r in connected_components(e_df, "a", "b", nodes=n_df).collect()
@@ -921,7 +922,7 @@ def test_bloom_prefilter_empty_corpus_passes_everything(spark):
     new (the NULL-bloom footgun would instead return an empty result)."""
     from irio_mapreduce_spark.llm.dedup import bloom_prefiltered_new
 
-    batch = spark.createDataFrame([(1, "a"), (2, "b")], "id long, text string")
+    batch = local_df(spark, [(1, "a"), (2, "b")], "id long, text string")
     corpus = batch.filter(F.lit(False))
     out = bloom_prefiltered_new(
         corpus, batch, F.sha2(F.col("text"), 256), expected_items=1000
@@ -941,7 +942,7 @@ def test_duplicate_substring_spans_planted(spark):
         (2, f"omicron {shared} zeta eta theta iota kappa"),
         (3, "completely unrelated words only appearing here once each time"),
     ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = local_df(spark, rows, "doc_id long, text string")
     out = {r.doc_id: r for r in duplicate_substring_spans(df, "doc_id", "text").collect()}
     assert set(out) == {1, 2}
     for d in (1, 2):
@@ -961,7 +962,7 @@ def test_duplicate_substring_spans_merges_overlaps(spark):
         (2, f"x1 x2 {run1} y1 y2 y3 y4 y5 y6 y7"),
         (3, f"z1 z2 z3 z4 z5 z6 z7 z8 {run2}"),
     ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = local_df(spark, rows, "doc_id long, text string")
     out = {r.doc_id: r for r in duplicate_substring_spans(df, "doc_id", "text").collect()}
     # doc1: windows at i=1,2 (run1) and i=11,12 (run2): gap 11-2=9 > 8 -> 2 spans
     assert out[1].n_spans == 2
@@ -978,7 +979,7 @@ def test_unigram_surprisal_ranks_rare_docs_higher(spark):
 
     rows = [(i, "common words repeated " * 5) for i in range(10)]
     rows.append((99, "xylophone quixotic zephyr brouhaha"))
-    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = local_df(spark, rows, "doc_id long, text string")
     out = {r.doc_id: r for r in unigram_surprisal(df, "doc_id", "text").collect()}
     scale = 10**8
     common_mean = out[0].sum_inv_freq_fp / out[0].n_tokens / scale
@@ -1001,7 +1002,7 @@ def test_normalize_text_degenerate_inputs(spark):
         (3, "text  with   gaps [3] and [44] cites"),
         (4, "pre https://a.b/c post"),
     ]
-    df = spark.createDataFrame(rows, "id long, text string")
+    df = local_df(spark, rows, "id long, text string")
     out = {r.id: r.n for r in df.select("id", normalize_text("text").alias("n")).collect()}
     assert out[1] == ""
     assert out[2] == ""
@@ -1070,13 +1071,13 @@ def test_incremental_dedup_persisted_index(spark, tmp_path):
     )
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    corpus = spark.createDataFrame(
+    corpus = local_df(spark, 
         [(1, base),
          (2, base + " lambda mu nu"),
          (3, " ".join(f"c{i}" for i in range(12)))],
         "doc_id long, text string",
     )
-    batch = spark.createDataFrame(
+    batch = local_df(spark, 
         [(10, base),
          (11, base + " lambda mu xi"),
          (12, " ".join(f"b{i}" for i in range(12)))],
@@ -1206,8 +1207,8 @@ def test_semdedup_retention_rule(spark):
         (11, [1.0, 0.049, 0.0]),  # b2: near-dup of b1 (cos ~ 1)
         (20, [0.0, 0.0, 7.0]),    # c: anchor-1 cluster, no neighbor there
     ]
-    corpus = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
-    anchors = spark.createDataFrame(
+    corpus = local_df(spark, rows, "vec_id: long, v: array<double>")
+    anchors = local_df(spark, 
         [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])],
         "cid: long, av: array<double>",
     )
@@ -1225,11 +1226,11 @@ def test_semdedup_equal_cent_sim_ties_on_id(spark):
     tie-break keeps the smaller id — deterministic, both engines agree."""
     from irio_mapreduce_spark.llm.similarity import semdedup
 
-    corpus = spark.createDataFrame(
+    corpus = local_df(spark, 
         [(1, [3.0, 4.0]), (2, [1.5, 2.0])],  # 2 = 0.5 * 1
         "vec_id: long, v: array<double>",
     )
-    anchors = spark.createDataFrame([(0, [1.0, 0.0])], "cid: long, av: array<double>")
+    anchors = local_df(spark, [(0, [1.0, 0.0])], "cid: long, av: array<double>")
     out = {r.vec_id: r for r in semdedup(corpus, "v", "vec_id", anchors).collect()}
     assert out[1].cent_sim == out[2].cent_sim
     assert not out[1].dropped and out[2].dropped
@@ -1254,7 +1255,7 @@ def test_kmeans_fixed_point_vs_python_reference(spark):
     rows = [
         (i, [rng.uniform(-1, 1) for _ in range(dims)]) for i in range(n)
     ]
-    df = spark.createDataFrame(rows, "vid long, v array<float>")
+    df = local_df(spark, rows, "vid long, v array<float>")
 
     # Python replay of the exact contract. Match Spark float32 storage:
     # the scaled value is floor(double(float32(x)) * SCALE).
@@ -1305,7 +1306,7 @@ def test_kmeans_fixed_point_vs_python_reference(spark):
     far = [(0, [0.0, 0.0]), (1, [0.01, 0.0]), (2, [0.02, 0.0])] + [
         (10 + i, [100.0, 100.0 + i]) for i in range(5)
     ]
-    fdf = spark.createDataFrame(far, "vid long, v array<float>")
+    fdf = local_df(spark, far, "vid long, v array<float>")
     out = kmeans_fixed_point(fdf, "v", "vid", k=3, iterations=3).collect()
     assert len(out) == len(far)  # every row assigned, no crash
 
@@ -1330,8 +1331,8 @@ def test_knn_classify_vs_python_reference(spark):
         (100 + i, [rng.uniform(-1, 1) for _ in range(dims)], 0)
         for i in range(n_q)
     ]
-    cdf = spark.createDataFrame(corpus, "vid long, v array<float>, lab int")
-    qdf = spark.createDataFrame(queries, "vid long, v array<float>, lab int")
+    cdf = local_df(spark, corpus, "vid long, v array<float>, lab int")
+    qdf = local_df(spark, queries, "vid long, v array<float>, lab int")
 
     def f32(x):
         return struct.unpack("f", struct.pack("f", x))[0]
@@ -1376,7 +1377,7 @@ def test_pmi_collocations_reference_and_degenerate(spark):
         (3, ""),
         (4, "solo"),
     ]
-    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df = local_df(spark, docs, "doc_id long, text string")
     out = {
         r.bigram: (r.c_xy, r.c_x, r.c_y, r.lift_fp)
         for r in pmi_collocations(df, "text", min_count=2, top_n=10).collect()
@@ -1435,7 +1436,7 @@ def test_paragraph_dedup_keep_first_and_rebuild(spark):
     a = "a b c d e f g h i j"
     b = "k l m n o p q r s t"
     c = "u v w x y z aa bb cc dd"
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(1, f"{a} {b}"), (2, f"{a} {c}"), (3, b)], ["doc_id", "text"]
     )
     out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
@@ -1452,7 +1453,7 @@ def test_paragraph_dedup_keep_first_and_rebuild(spark):
 def test_paragraph_dedup_degenerate_docs(spark):
     from irio_mapreduce_spark.llm.dedup import paragraph_dedup
 
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(1, ""), (2, "   "), (3, "solo"), (4, "a b c"), (5, None)],
         ["doc_id", "text"],
     )
@@ -1838,7 +1839,7 @@ def test_tiff_dispatch_rejects_mismatched_magic(spark):
     )
 
     rows = [(1, b"II\x00\x2athis-is-not-a-tiff", None)]
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    df = local_df(spark, rows, MEDIA_SCHEMA)
     out = decode_real_media_features(df).collect()
     assert out[0]["kind"] == "unknown"
 

@@ -9,6 +9,7 @@ import datetime
 from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.io import read_table
+from tests.conftest import local_df
 from irio_mapreduce_spark.operators.aggregates import salted_agg
 from irio_mapreduce_spark.operators.joins import (
     asof_join,
@@ -129,10 +130,10 @@ def test_asof_join_carries_matched_row_atomically(spark):
     """The round-1 bug class: a right row with a NULL value column must not
     inherit that column from an OLDER right row — the match is one row or
     nothing."""
-    left = spark.createDataFrame(
+    left = local_df(spark, 
         [(1, _ts("2024-01-10T00:00:00"))], "k long, lts timestamp"
     )
-    right = spark.createDataFrame(
+    right = local_df(spark, 
         [
             (1, _ts("2024-01-01T00:00:00"), "old-a", "old-b"),
             (1, _ts("2024-01-05T00:00:00"), "new-a", None),
@@ -146,11 +147,11 @@ def test_asof_join_carries_matched_row_atomically(spark):
 
 
 def test_asof_join_tolerance_nulls_stale_matches(spark):
-    left = spark.createDataFrame(
+    left = local_df(spark, 
         [(1, _ts("2024-01-10T00:00:00")), (2, _ts("2024-01-10T00:00:00"))],
         "k long, lts timestamp",
     )
-    right = spark.createDataFrame(
+    right = local_df(spark, 
         [(1, _ts("2024-01-09T00:00:00"), "fresh"), (2, _ts("2024-01-01T00:00:00"), "stale")],
         "k long, rts timestamp, v string",
     )
@@ -164,10 +165,10 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
 
 
 def test_asof_join_no_prior_event_yields_null(spark):
-    left = spark.createDataFrame(
+    left = local_df(spark, 
         [(1, _ts("2024-01-01T00:00:00"))], "k long, lts timestamp"
     )
-    right = spark.createDataFrame(
+    right = local_df(spark, 
         [(1, _ts("2024-06-01T00:00:00"), "future")], "k long, rts timestamp, v string"
     )
     out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
@@ -211,8 +212,8 @@ def test_range_join_boundary_semantics(spark):
     """[lo, hi) by default: the lo endpoint joins, the hi endpoint doesn't,
     and bucketization must not duplicate matches for intervals spanning
     many buckets."""
-    points = spark.createDataFrame([(0.0,), (5.0,), (10.0,), (25.0,)], ["x"])
-    bands = spark.createDataFrame(
+    points = local_df(spark, [(0.0,), (5.0,), (10.0,), (25.0,)], ["x"])
+    bands = local_df(spark, 
         [("lo", 0.0, 10.0), ("hi", 10.0, 30.0)], ["band", "lo", "hi"]
     )
     out = sorted(
@@ -256,7 +257,7 @@ def test_explode_outer_empty_array_semantics(spark):
     null row — the distinction the generator-family docstring pins."""
     from pyspark.sql import functions as F
 
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(1, ["a", "b"]), (2, [])], "id long, xs array<string>"
     )
     inner = df.select("id", F.explode("xs").alias("x"))
@@ -275,7 +276,7 @@ def test_pagerank_fixed_point_properties(spark):
 
     from irio_mapreduce_spark.operators.graph import PAGERANK_SCALE, pagerank
 
-    cycle = spark.createDataFrame(
+    cycle = local_df(spark, 
         [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
     )
     out = {r.node: r.pr_fp for r in pagerank(cycle, "src", "dst").collect()}
@@ -283,7 +284,7 @@ def test_pagerank_fixed_point_properties(spark):
 
     spokes = [chr(ord("p") + i) for i in range(5)]
     star_edges = [("hub", s) for s in spokes] + [(s, "hub") for s in spokes]
-    star = spark.createDataFrame(star_edges, "src string, dst string")
+    star = local_df(spark, star_edges, "src string, dst string")
     ranks = {r.node: r.pr_fp for r in pagerank(star, "src", "dst").collect()}
     assert all(ranks["hub"] > ranks[s] for s in spokes)
     total = sum(ranks.values())
@@ -300,14 +301,15 @@ def test_merge_upsert_null_safe_and_schema_guard(spark):
     """NULL == NULL counts as unchanged (null-safe comparison); a schema
     mismatch raises instead of silently mis-merging."""
     import pytest
+
     from pyspark.sql import functions as F
 
     from irio_mapreduce_spark.operators.merge import merge_upsert
 
-    t = spark.createDataFrame(
+    t = local_df(spark, 
         [(1, None), (2, "x"), (3, "y"), (5, "q")], "k int, v string"
     )
-    s = spark.createDataFrame(
+    s = local_df(spark, 
         [(1, None), (2, "x2"), (4, "new"), (5, None)], "k int, v string"
     )
     out = {r.k: (r.v, r.action) for r in merge_upsert(t, s, ["k"]).collect()}
@@ -331,7 +333,7 @@ def test_pagerank_keeps_zero_indegree_nodes(spark):
     from irio_mapreduce_spark.operators.graph import PAGERANK_SCALE, pagerank
 
     # a -> b, b -> c, c -> b: 'a' has out-degree 1, in-degree 0
-    g = spark.createDataFrame(
+    g = local_df(spark, 
         [("a", "b"), ("b", "c"), ("c", "b")], "src string, dst string"
     )
     ranks = {r.node: r.pr_fp for r in pagerank(g, "src", "dst").collect()}
@@ -349,20 +351,20 @@ def test_merge_upsert_duplicate_key_guard(spark):
 
     from irio_mapreduce_spark.operators.merge import merge_upsert
 
-    t = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
-    s_dup = spark.createDataFrame([(2, "B"), (2, "B2")], "k int, v string")
+    t = local_df(spark, [(1, "a"), (2, "b")], "k int, v string")
+    s_dup = local_df(spark, [(2, "B"), (2, "B2")], "k int, v string")
     with pytest.raises(Exception, match="duplicate key in source"):
         merge_upsert(t, s_dup, ["k"], check_duplicate_keys=True).collect()
-    t_dup = spark.createDataFrame([(1, "a"), (1, "a2")], "k int, v string")
-    s = spark.createDataFrame([(2, "B")], "k int, v string")
+    t_dup = local_df(spark, [(1, "a"), (1, "a2")], "k int, v string")
+    s = local_df(spark, [(2, "B")], "k int, v string")
     with pytest.raises(Exception, match="duplicate key in target"):
         merge_upsert(t_dup, s, ["k"], check_duplicate_keys=True).collect()
     # duplicate NULL keys are legal: each is its own insert row
-    s_null = spark.createDataFrame([(None, "x"), (None, "y")], "k int, v string")
+    s_null = local_df(spark, [(None, "x"), (None, "y")], "k int, v string")
     out = merge_upsert(t, s_null, ["k"], check_duplicate_keys=True).collect()
     assert sorted(r.action for r in out) == ["insert", "insert", "keep", "keep"]
     # and the guarded clean path returns the same merge as the unguarded
-    s2 = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    s2 = local_df(spark, [(2, "B"), (3, "c")], "k int, v string")
     base = {(r.k, r.v, r.action) for r in merge_upsert(t, s2, ["k"]).collect()}
     guarded = {
         (r.k, r.v, r.action)
@@ -380,7 +382,7 @@ def test_pagerank_dangling_redistribute(spark):
     from irio_mapreduce_spark.operators.graph import PAGERANK_SCALE, pagerank
 
     # chain with a sink: a -> b -> c, c emits nothing
-    g = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    g = local_df(spark, [("a", "b"), ("b", "c")], "src string, dst string")
     ranks = {
         r.node: r.pr_fp
         for r in pagerank(g, "src", "dst", dangling="redistribute").collect()
@@ -404,7 +406,7 @@ def test_pagerank_dangling_redistribute(spark):
     assert again == ranks
 
     # sink-free graph: redistribute degenerates to assume_none exactly
-    cycle = spark.createDataFrame(
+    cycle = local_df(spark, 
         [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
     )
     base = {r.node: r.pr_fp for r in pagerank(cycle, "src", "dst").collect()}
@@ -456,7 +458,7 @@ def test_triangle_count_vs_bruteforce(spark):
     # noise: duplicates, reversals, self-loops
     cases.append(rand + [(b, a) for a, b in rand[:20]] + [(5, 5), (2, 2)])
     for edges in cases:
-        df = spark.createDataFrame(edges, "s long, d long")
+        df = local_df(spark, edges, "s long, d long")
         row = triangle_count(df, "s", "d").head()
         assert (row.n_nodes, row.n_edges, row.n_triangles) == brute(edges)
 
@@ -490,8 +492,8 @@ def test_bfs_hops_vs_bruteforce(spark):
                     q.append(v)
         return dist
 
-    e_df = spark.createDataFrame(edges, "s long, d long")
-    s_df = spark.createDataFrame([(s,) for s in srcs], "n long")
+    e_df = local_df(spark, edges, "s long, d long")
+    s_df = local_df(spark, [(s,) for s in srcs], "n long")
     for k in (0, 1, 3):
         got = {
             r.node: r.hops
@@ -515,7 +517,7 @@ def test_frequent_items_exact_and_partitioning_invariant(spark):
         + [("tail%d" % i,) for i in range(400) for _ in range(2)]
         + [(None,)] * 200  # nulls are not items
     )
-    df = spark.createDataFrame(data, "tok string")
+    df = local_df(spark, data, "tok string")
     n = 2000
     expect = {("hot%d" % i): 250 for i in range(4)}
     for parts in (1, 3, 11):
@@ -530,7 +532,7 @@ def test_frequent_items_exact_and_partitioning_invariant(spark):
     with pytest.raises(ValueError, match="mg_counters"):
         frequent_items(df, "tok", threshold_den=10, mg_counters=4)
     # boundary: cnt * den == N is NOT a heavy hitter (strict >)
-    edge = spark.createDataFrame(
+    edge = local_df(spark, 
         [("a",)] * 10 + [("b%d" % i,) for i in range(90)], "tok string"
     )
     got = {r.item for r in frequent_items(edge, "tok", threshold_den=10).collect()}
@@ -551,7 +553,7 @@ def test_global_rank_matches_single_reducer_window(spark):
     rng = random.Random(13)
     rows = [(rng.randrange(100), i) for i in range(157)]  # dup keys, uniq id
     for parts, n_range in ((1, 4), (5, 3), (13, 8)):
-        df = spark.createDataFrame(rows, "v long, id long").repartition(parts)
+        df = local_df(spark, rows, "v long, id long").repartition(parts)
         w = Window.orderBy("v", "id")
         want = {
             (r.v, r.id): r.rn
@@ -566,7 +568,7 @@ def test_global_rank_matches_single_reducer_window(spark):
         assert got == want
 
     for n, k in ((157, 8), (5, 8), (24, 6), (1, 3)):
-        df = spark.createDataFrame(
+        df = local_df(spark, 
             [(i,) for i in range(n)], "id long"
         )
         w = Window.orderBy("id")
@@ -594,7 +596,7 @@ def test_zorder_key_reference_and_guards(spark):
     from irio_mapreduce_spark.operators.layout import quantize, zorder_key
 
     grid = [(x, y) for x in range(16) for y in range(16)]
-    df = spark.createDataFrame(grid, "x long, y long")
+    df = local_df(spark, grid, "x long, y long")
     got = {
         (r.x, r.y): r.zkey
         for r in df.select(
@@ -614,7 +616,7 @@ def test_zorder_key_reference_and_guards(spark):
     assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
     assert got[(15, 15)] == 255
 
-    q = spark.createDataFrame([(-(10),), (5,), (500,)], "v long").select(
+    q = local_df(spark, [(-(10),), (5,), (500,)], "v long").select(
         quantize(F.col("v"), 0, 100, 4).alias("g")
     )
     assert [r.g for r in q.collect()] == [0, 0, 15]  # clamped; 5*15//100=0
@@ -699,7 +701,7 @@ def test_label_propagation_vs_python_reference(spark):
     directed = [("a", "b"), ("b", "c")]  # 'c' has no in-neighbors: carries
     for edge_list, iters in ((cliques, 2), (rand, 3), (directed, 2)):
         edge_list = [e for e in edge_list if e[0] != e[1]]
-        df = spark.createDataFrame(edge_list, "s string, d string")
+        df = local_df(spark, edge_list, "s string, d string")
         got = {
             r.node: r.label
             for r in label_propagation(df, "s", "d", iterations=iters).collect()
@@ -742,7 +744,7 @@ def test_kcore_peel_vs_python_reference(spark):
             deg[y] = deg.get(y, 0) + 1
         return {n: d for n, d in deg.items() if d >= k}
 
-    df = spark.createDataFrame(edges, "s long, d long")
+    df = local_df(spark, edges, "s long, d long")
     for k, rounds in ((2, 1), (2, 3), (5, 2), (3, 4)):
         got = {
             r.node: r.degree
@@ -778,7 +780,7 @@ def test_mad_outliers_python_reference(spark):
     saved = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try:
-        spark.createDataFrame(
+        local_df(spark, 
             rows,
             "event_id long, ts timestamp, user_id long, event_type string, "
             "value double, props string",

@@ -6,7 +6,12 @@ from __future__ import annotations
 import pytest
 
 from irio_mapreduce_spark import queries as catalog
-from tests.conftest import SF_DIR, compare_with_oracle, record_plan
+from tests.conftest import (
+    SF_DIR,
+    compare_with_oracle,
+    get_query_frame,
+    record_plan,
+)
 
 _QUERIES = catalog.all_queries()
 _ORACLES = catalog.all_oracles()
@@ -14,7 +19,10 @@ _ORACLES = catalog.all_oracles()
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_query_matches_oracle(name, spark, duck):
-    df = _QUERIES[name](spark, SF_DIR)
+    # r13: reuse the frame the conventions sweep already constructed
+    # (streaming entries drain during construction — building twice cost
+    # ~6-7 min of suite wall-clock); falls back to constructing here.
+    df = get_query_frame(name, spark)
     # by-product for the full-catalog plan sweep (tests/test_plans.py):
     # the entry is built here anyway, so its plan is captured for free
     record_plan(name, df)

@@ -19,6 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from irio_mapreduce_spark.llm.dedup import jaccard, shingles, tokens
+from tests.conftest import local_df
 from irio_mapreduce_spark.operators.joins import asof_join
 from irio_mapreduce_spark.pipeline import BatchSpec, submit_batch
 
@@ -37,7 +38,7 @@ docs = st.lists(words, min_size=0, max_size=30).map(" ".join)
 def test_pipeline_wordcount_matches_python(spark, corpus):
     """The Batch pipeline's map->partition->reduce on arbitrary text equals
     a plain Python Counter (the reference's semantics, any corpus)."""
-    df = spark.createDataFrame([(t,) for t in corpus], ["value"])
+    df = local_df(spark, [(t,) for t in corpus], ["value"])
     df.createOrReplaceTempView("_prop_corpus")
     spec = BatchSpec(
         input_path="",  # overridden below by operating on the frame directly
@@ -77,7 +78,7 @@ def test_pipeline_wordcount_matches_python(spark, corpus):
 def test_shingle_jaccard_matches_python(spark, n, corpus):
     """JVM-side shingling + Jaccard equals the set-based Python reference
     for every document pair."""
-    df = spark.createDataFrame(list(enumerate(corpus)), ["id", "text"])
+    df = local_df(spark, list(enumerate(corpus)), ["id", "text"])
     sh = {
         r.id: set(r.s)
         for r in df.select(
@@ -134,10 +135,10 @@ def test_range_join_matches_python(spark, points, intervals, width):
     from irio_mapreduce_spark.operators.joins import range_join
 
     ivs = [(i, lo, lo + w) for i, (lo, w) in enumerate(intervals)]
-    pdf = spark.createDataFrame(
+    pdf = local_df(spark, 
         [(i, float(x)) for i, x in enumerate(points)], "pid long, x double"
     )
-    idf = spark.createDataFrame(
+    idf = local_df(spark, 
         [(i, float(lo), float(hi)) for i, lo, hi in ivs],
         "iid long, lo double, hi double",
     )
@@ -181,8 +182,8 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         if (k, ts) not in seen:
             seen.add((k, ts))
             rrows.append((k, base + datetime.timedelta(seconds=ts), v))
-    ldf = spark.createDataFrame(lrows or [(0, base, -1)], "k long, lts timestamp, lid long")
-    rdf = spark.createDataFrame(
+    ldf = local_df(spark, lrows or [(0, base, -1)], "k long, lts timestamp, lid long")
+    rdf = local_df(spark, 
         rrows or [(99, base, -1)], "k long, rts timestamp, v long"
     )
     got = {
@@ -236,10 +237,10 @@ def test_connected_components_matches_union_find(spark, edges, extra_nodes):
         comp[find(n)].append(n)
     expected = {n: min(comp[find(n)]) for n in node_ids}
 
-    e_df = spark.createDataFrame(
+    e_df = local_df(spark, 
         edges or [(node_ids[0], node_ids[0])], "a long, b long"
     )
-    n_df = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    n_df = local_df(spark, [(n,) for n in node_ids], "id long")
     got = {
         r.id: r.component
         for r in connected_components(e_df, "a", "b", nodes=n_df).collect()
@@ -295,7 +296,7 @@ def test_duplicate_substring_spans_matches_python_reference(spark):
             dup_tokens = sum(e + W - 1 - s + 1 for s, e in spans)
             expect[d] = (len(toks), len(spans), dup_tokens)
 
-        df = spark.createDataFrame(
+        df = local_df(spark, 
             [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
         )
         got = {
@@ -330,8 +331,8 @@ def test_merge_upsert_matches_python_reference(spark):
             if k not in tgt:
                 expect[k] = (v, "insert")
 
-        t = spark.createDataFrame(list(tgt.items()), "k long, v string")
-        s = spark.createDataFrame(list(src.items()), "k long, v string")
+        t = local_df(spark, list(tgt.items()), "k long, v string")
+        s = local_df(spark, list(src.items()), "k long, v string")
         got = {r.k: (r.v, r.action) for r in merge_upsert(t, s, ["k"]).collect()}
         assert got == expect, f"seed={seed}"
 
@@ -354,7 +355,7 @@ def test_pagerank_redistribute_conserves_mass(spark, edges):
     PAGERANK_SCALE — mass leaks only to integer floors, never appears."""
     from irio_mapreduce_spark.operators.graph import PAGERANK_SCALE, pagerank
 
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(f"n{s}", f"n{d}") for s, d in edges], "src string, dst string"
     )
     rows = pagerank(df, "src", "dst", dangling="redistribute").collect()
@@ -488,10 +489,10 @@ def test_interval_overlap_join_matches_python(spark, lefts, rights, width):
 
     a = [(i, lo, lo + w) for i, (lo, w) in enumerate(lefts)]
     b = [(i, lo, lo + w) for i, (lo, w) in enumerate(rights)]
-    adf = spark.createDataFrame(
+    adf = local_df(spark, 
         a or [(0, -10, -9)], "aid long, a_lo long, a_hi long"
     )
-    bdf = spark.createDataFrame(
+    bdf = local_df(spark, 
         b or [(0, -10, -9)], "bid long, b_lo long, b_hi long"
     )
     got = sorted(
@@ -520,7 +521,7 @@ def test_bitmap_distinct_matches_count_distinct(spark, keys, groups):
     including sparse, duplicate-heavy, and word-boundary (multiples of
     64) keys."""
     rows = [(k % groups, k) for k in keys] or [(0, 0)]
-    df = spark.createDataFrame(rows, "g int, k long")
+    df = local_df(spark, rows, "g int, k long")
     words = df.groupBy("g", F.expr("k div 64").alias("b")).agg(
         F.bit_or(F.expr("shiftleft(1L, cast(k % 64 as int))")).alias("w")
     )
@@ -546,7 +547,7 @@ def test_ks_fraction_matches_python_reference(spark, xs, ys):
     """The integer-fraction KS statistic (stats_ks_test's algebra) equals
     the direct two-ECDF max computed in Python: D = max over all observed
     values of |c1(v)*n2 - c2(v)*n1| / (n1*n2)."""
-    df = spark.createDataFrame(
+    df = local_df(spark, 
         [(x, 1, 0) for x in xs] + [(y, 0, 1) for y in ys], "q long, g1 int, g2 int"
     )
     per_v = df.groupBy("q").agg(
@@ -600,7 +601,7 @@ def test_path_triples_match_python(spark, events):
     window over each user's sequence (event_id order makes sequences
     deterministic even with equal timestamps)."""
     rows = [(i, u, t) for i, (u, t) in enumerate(events)]
-    df = spark.createDataFrame(rows or [(0, 0, "a")], "eid long, u long, t string")
+    df = local_df(spark, rows or [(0, 0, "a")], "eid long, u long, t string")
     w = Window.partitionBy("u").orderBy("eid")
     seq = df.select(
         "u",
@@ -689,8 +690,8 @@ def test_asof_join_nearest_matches_python_reference(spark, left, right):
         if (k, ts) not in seen:
             seen.add((k, ts))
             rrows.append((k, base + datetime.timedelta(seconds=ts), ts, v))
-    ldf = spark.createDataFrame(lrows, "k long, lts timestamp, lid long")
-    rdf = spark.createDataFrame(
+    ldf = local_df(spark, lrows, "k long, lts timestamp, lid long")
+    rdf = local_df(spark, 
         [(k, t, v) for k, t, _s, v in rrows] or [(99, base, -1)],
         "k long, rts timestamp, v long",
     )

@@ -30,6 +30,22 @@ from irio_mapreduce_spark.streaming import (
 SF_DIR = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _small_state_partitions(spark):
+    """r13 (VERDICT #1 suite wall-clock): every drain in this module ran
+    at the session default of 32 shuffle partitions — 32 state stores per
+    stateful operator PER TRIGGER, the exact cost the catalog entries
+    avoid with ``streaming_q._stream_partitions`` (8). State partitioning
+    is sized to state volume, not CPU count, and these corpora are tiny;
+    results are partitioning-invariant (that is what the equivalence
+    tests assert). Scoped to the module and restored after."""
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    yield
+    spark.conf.set(key, saved)
+
+
 def rows_set(df, cols):
     return {tuple(r[c] for c in cols) for r in df.collect()}
 
