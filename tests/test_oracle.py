@@ -7,6 +7,7 @@ import pytest
 
 from irio_mapreduce_spark import queries as catalog
 from tests.conftest import (
+    CONSTRUCTED_FRAMES,
     SF_DIR,
     compare_with_oracle,
     get_query_frame,
@@ -26,7 +27,18 @@ def test_query_matches_oracle(name, spark, duck):
     # by-product for the full-catalog plan sweep (tests/test_plans.py):
     # the entry is built here anyway, so its plan is captured for free
     record_plan(name, df)
-    compare_with_oracle(df, duck, _ORACLES[name], name=name)
+    try:
+        compare_with_oracle(df, duck, _ORACLES[name], name=name)
+    except Exception:
+        # A test that ran between the two sweeps may have re-executed an
+        # entry that rewrites its fixed scratch dir (test_io re-runs
+        # source_parquet_codecs), invalidating the cached frame's file
+        # listing — rebuild fresh ONCE and re-compare; a genuine mismatch
+        # reproduces on the fresh frame (entries are deterministic).
+        CONSTRUCTED_FRAMES.pop(name, None)
+        df = get_query_frame(name, spark)
+        record_plan(name, df)
+        compare_with_oracle(df, duck, _ORACLES[name], name=name)
 
 
 def test_every_query_has_an_oracle():
