@@ -1764,7 +1764,23 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    ranked = global_rank(stacked, ["_g", "_key", "o_custkey"], rank_col="_rk")
+    # Scale-adaptive range-sort width (the spread_scan stance, inverted):
+    # ~32 MB of (g, key, custkey, mon) rows per partition, capped at the
+    # cluster parallelism — at production scale 3n rows exceed the cap
+    # and this IS defaultParallelism; at bench scale it stops a 45k-row
+    # dimension from paying 32-task scheduling in every ranking stage
+    # (this host dispatches ~75 tasks/s, so empty tasks dominate).
+    parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            (3 * n * 48) // (32 << 20) + 1,
+        ),
+    )
+    ranked = global_rank(
+        stacked, ["_g", "_key", "o_custkey"], rank_col="_rk",
+        num_partitions=parts,
+    )
     score = ntile_from_rank(
         F.col("_rk") - F.col("_g").cast("long") * F.lit(n).cast("long"),
         F.lit(n).cast("long"),
